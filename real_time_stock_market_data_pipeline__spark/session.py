@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+Generalizes the reference's two session builders
+(`src/spark/jobs/spark_stream_processor.py:28-59`,
+`src/spark/jobs/spark_batch_processor.py:16-39`) with the hard-coded
+credentials removed and the scale-hostile settings fixed:
+
+- the reference pins ``spark.sql.shuffle.partitions`` to 2
+  (`spark_stream_processor.py:39,43`); we size it to the available
+  cores and let AQE coalesce at runtime,
+- AQE (+ skew-join handling) is on, so the 100 TB plan re-partitions
+  itself from runtime statistics instead of hand-tuned constants,
+- session timezone is pinned to UTC so event-time windows and date
+  truncation are reproducible across hosts,
+- Arrow transfer is on for the (rare, clearly-marked) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker-thread count: $SPARK_GRAFT_CPUS, else host CPUs."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+#: Conf applied to every engine session. Everything here is also safe to
+#: `spark.conf.set` on a live session except the static entries, which
+#: are silently ignored at runtime.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # streaming: carried over from the reference's graceful-shutdown conf
+    # (`spark_stream_processor.py:35`)
+    "spark.streaming.stopGracefullyOnShutdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "rtsmdp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine conf to an externally-created
+    session (e.g. the correctness driver's). Timezone matters most:
+    window starts and date truncation must be UTC to match the oracle.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — already baked in
+    return spark

@@ -1,0 +1,3 @@
+from .registry import TESTDATA_TABLES, load_table, load_tables
+
+__all__ = ["TESTDATA_TABLES", "load_table", "load_tables"]
