@@ -1,0 +1,93 @@
+"""Dual sliding-window realtime metrics — the reference's streaming core
+as a pure DataFrame transform.
+
+Reference: `/root/reference/src/spark/jobs/spark_stream_processor.py:154-231`
+— watermark, a 15-min/5-min-slide windowed agg (A1, `:164,167-180`), a
+1-h/10-min-slide windowed agg (A2, `:165,182-195`), an inner join on
+(symbol, window_start) (J1, `:197-204`), and a 10-column aliased
+projection (P9, `:205-220`).
+
+The join of two *streaming* aggregations under append mode is restricted
+by Spark (SURVEY.md §2.3 J1), so the engine factors the whole transform
+as a batch-applicable function: the streaming layer applies it inside
+``foreachBatch`` (streaming/pipeline.py), and the correctness driver
+checks it directly against a DuckDB oracle. Window starts are aligned to
+the Unix epoch in UTC, exactly like ``F.window``'s own alignment, which
+makes the oracle expressible as epoch-bucket arithmetic.
+
+Scale note: both aggregations shuffle on (symbol, window) and the join
+re-shuffles on (symbol, window_start) — at 1000 executors the 15m/1h agg
+outputs are tiny relative to input (state ≈ symbols × windows), so the
+join is cheap; AQE picks broadcast when one side fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.functions.cleaning import (
+    flatten_window,
+)
+
+
+def windowed_metrics(
+    ticks: DataFrame,
+    duration: str,
+    slide: str,
+    suffix: str,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+) -> DataFrame:
+    """One sliding-window aggregate: avg price, sample-stddev volatility,
+    event volume (A1/A2 + the re-enabled min/max of A3)."""
+    agg = (
+        ticks.groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.window(F.col(ts_col), duration, slide).alias("window"),
+        )
+        .agg(
+            F.round(F.avg(price_col), 4).alias(f"moving_avg_price_{suffix}"),
+            F.round(F.stddev_samp(price_col), 4).alias(f"price_volatility_{suffix}"),
+            F.count(F.lit(1)).alias(f"total_volume_{suffix}"),
+            F.round(F.min(price_col), 4).alias(f"min_price_{suffix}"),
+            F.round(F.max(price_col), 4).alias(f"max_price_{suffix}"),
+        )
+    )
+    out = flatten_window(agg)
+    return out.withColumnsRenamed(
+        {"window_start": "window_start", "window_end": f"window_{suffix}_end"}
+    )
+
+
+def realtime_metrics(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+) -> DataFrame:
+    """15m/5m × 1h/10m dual-window metrics joined on
+    (symbol, window_start) — the reference's exact output shape
+    (`spark_stream_processor.py:205-220`) minus the nondeterministic
+    ``last_updated`` stamp (the streaming sink adds it, P14).
+
+    Only window starts aligned to both slides (multiples of 10 min)
+    survive the inner join, mirroring the reference's emitted rows.
+    """
+    kwargs = dict(symbol_col=symbol_col, ts_col=ts_col, price_col=price_col)
+    m15 = windowed_metrics(ticks, "15 minutes", "5 minutes", "15m", **kwargs)
+    m1h = windowed_metrics(ticks, "1 hour", "10 minutes", "1h", **kwargs)
+    joined = m15.join(m1h, ["symbol", "window_start"], "inner")
+    return joined.select(
+        "symbol",
+        "window_start",
+        "window_15m_end",
+        "window_1h_end",
+        "moving_avg_price_15m",
+        "moving_avg_price_1h",
+        "price_volatility_15m",
+        "price_volatility_1h",
+        "total_volume_15m",
+        "total_volume_1h",
+    )

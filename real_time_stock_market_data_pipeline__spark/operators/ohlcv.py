@@ -1,0 +1,107 @@
+"""Daily OHLCV metrics — the reference's batch core, Spark-first.
+
+Reference semantics: `/root/reference/src/spark/jobs/spark_batch_processor.py:81-101`
+computes per-(symbol, date) open/high/low/close/volume with *unordered*
+window functions over already-deduplicated rows (W1–W5 in SURVEY.md §2.5),
+then `daily_change = (close-open)/open*100` (`:100-101`).
+
+Two fixes over the reference, per SURVEY.md §2.5:
+
+1. ``first``/``last`` are ordered here (by event time + a unique
+   tiebreaker), so results are deterministic when multiple rows per
+   (symbol, date) exist — the reference's unordered window makes them
+   partition-layout-dependent.
+2. The groupBy form replaces the window-function-over-deduped-rows
+   shape: one shuffle with map-side partial aggregation instead of a
+   window sort — the plan that survives a 100 TB scale-up. The
+   window-function variant is kept (`daily_metrics_window`) for the
+   true multi-tick resampling case and for W1–W5 parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.functions.cleaning import pct_change
+
+
+def daily_metrics(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-(symbol, date) OHLC + volume + daily change, one shuffle.
+
+    ``min_by``/``max_by`` against a (ts, id) struct give ordered
+    first/last with full map-side partial aggregation — no window sort,
+    no second exchange. ``id_col`` breaks event-time ties
+    deterministically.
+    """
+    ord_key = (
+        F.struct(F.col(ts_col), F.col(id_col)) if id_col else F.struct(F.col(ts_col))
+    )
+    out = (
+        ticks.groupBy(
+            F.col(symbol_col).alias("symbol"), F.to_date(ts_col).alias("date")
+        )
+        .agg(
+            F.round(F.min_by(price_col, ord_key), 4).alias("daily_open"),
+            F.round(F.max(price_col), 4).alias("daily_high"),
+            F.round(F.min(price_col), 4).alias("daily_low"),
+            F.round(F.max_by(price_col, ord_key), 4).alias("daily_close"),
+            F.count(F.lit(1)).alias("daily_volume"),
+            pct_change(
+                F.min_by(price_col, ord_key), F.max_by(price_col, ord_key)
+            ).alias("daily_change"),
+        )
+    )
+    return out
+
+
+def daily_metrics_window(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """W1–W5 as ordered window functions (the reference's shape, made
+    deterministic), collapsed with DISTINCT. Semantically identical to
+    `daily_metrics`; kept for parity with
+    `spark_batch_processor.py:90-99` and for pipelines that need the
+    per-row intermediate."""
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = (
+        Window.partitionBy(F.col(symbol_col), F.to_date(ts_col))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    enriched = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        F.to_date(ts_col).alias("date"),
+        F.round(F.first(price_col).over(w), 4).alias("daily_open"),
+        F.round(F.max(price_col).over(w), 4).alias("daily_high"),
+        F.round(F.min(price_col).over(w), 4).alias("daily_low"),
+        F.round(F.last(price_col).over(w), 4).alias("daily_close"),
+        F.count(F.lit(1)).over(w).alias("daily_volume"),
+        pct_change(F.first(price_col).over(w), F.last(price_col).over(w)).alias(
+            "daily_change"
+        ),
+    )
+    return enriched.distinct()
+
+
+def topk_movers(daily: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k |daily_change| movers — the `row_number` extension SURVEY.md
+    §2.6 calls out (the reference has no orderBy/limit in persisted
+    outputs). Ordering is made total (symbol, date tiebreak) so the
+    result set is deterministic."""
+    return (
+        daily.orderBy(
+            F.abs(F.col("daily_change")).desc(), F.col("symbol"), F.col("date")
+        )
+        .limit(k)
+    )

@@ -37,6 +37,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
+    # the driver's events.parquet stores TIMESTAMP(NANOS); Spark only
+    # reads it as a long with this flag (converted losslessly by
+    # functions.cleaning.event_time_from_nanos)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # streaming: carried over from the reference's graceful-shutdown conf
     # (`spark_stream_processor.py:35`)
     "spark.streaming.stopGracefullyOnShutdown": "true",
@@ -74,5 +78,14 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # static conf on a live session — already baked in
+            # only static conf is allowed to fail silently; anything
+            # runtime-modifiable must actually land
+            if spark.conf.isModifiable(k):
+                raise
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r}: engine queries require UTC "
+            "for oracle-reproducible windows and date truncation"
+        )
     return spark

@@ -1,3 +1,15 @@
-from .registry import TESTDATA_TABLES, load_table, load_tables
+from .registry import (
+    TESTDATA_TABLES,
+    default_sf_dir,
+    load_table,
+    load_tables,
+    read_partitioned,
+)
 
-__all__ = ["TESTDATA_TABLES", "load_table", "load_tables"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "default_sf_dir",
+    "load_table",
+    "load_tables",
+    "read_partitioned",
+]

@@ -15,6 +15,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from real_time_stock_market_data_pipeline__spark import schemas
+from real_time_stock_market_data_pipeline__spark.functions.cleaning import (
+    event_time_from_nanos,
+)
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -28,15 +33,32 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+def default_sf_dir() -> str:
+    """$SPARK_GRAFT_SF_DIR, else the driver's sf0.1 bench directory."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One synthetic table (TESTDATA.md): `{sf_dir}/{name}.parquet`."""
+def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
+    """One synthetic table (TESTDATA.md): `{sf_dir}/{name}.parquet`.
+
+    ``events`` needs special handling: its parquet `ts` column is
+    TIMESTAMP(NANOS), unreadable by Spark unless
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set here defensively —
+    the correctness driver hands us its own session) and converted back
+    to a proper timestamp, losslessly for the µs-aligned driver data.
+    """
+    sf_dir = sf_dir or default_sf_dir()
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", event_time_from_nanos("ts"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
@@ -52,12 +74,29 @@ def read_partitioned(
     `batch_data_consumer.py:90`), pruning via partition-column filters —
     the Catalyst-visible equivalent of the reference's glob strings
     (`spark_batch_processor.py:45-52`).
+
+    A requested predicate on a column the dataset does not expose is an
+    error, not a silent full scan: the reference's glob approach at least
+    failed to match anything, so dropping the predicate here would be a
+    new wrong-result path.
     """
     reader = spark.read.format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", "true").option("inferSchema", "true")
+        reader = reader.option("header", "true")
+        schema = schemas.REGISTRY.get(os.path.basename(path.rstrip("/")))
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
     df = reader.load(path)
     for colname, val in (("year", year), ("month", month), ("day", day)):
-        if val is not None and colname in df.columns:
-            df = df.filter(df[colname] == val)
+        if val is None:
+            continue
+        if colname not in df.columns:
+            raise ValueError(
+                f"read_partitioned({path!r}): predicate {colname}={val} requested "
+                f"but dataset has no {colname!r} column (columns: {df.columns}); "
+                "refusing to return an unpruned full scan"
+            )
+        df = df.filter(df[colname] == val)
     return df
