@@ -75,10 +75,11 @@ def cast_tick_types(df: DataFrame) -> DataFrame:
 
 def pct_change(open_col: str | Column, close_col: str | Column, scale: int = 4) -> Column:
     """P5: ``(close - open) / open * 100`` (`spark_batch_processor.py:101`),
-    rounded for cross-engine determinism."""
+    rounded for cross-engine determinism. NULL when open = 0 (Spark 4's
+    ANSI mode would otherwise raise on the division)."""
     o = F.col(open_col) if isinstance(open_col, str) else open_col
     c = F.col(close_col) if isinstance(close_col, str) else close_col
-    return F.round((c - o) / o * 100, scale)
+    return F.round(F.when(o != 0, (c - o) / o * 100), scale)
 
 
 def flatten_window(df: DataFrame, prefix: str = "window") -> DataFrame:

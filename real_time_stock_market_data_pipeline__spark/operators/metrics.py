@@ -31,6 +31,35 @@ from real_time_stock_market_data_pipeline__spark.functions.cleaning import (
 )
 
 
+def _exact_avg(price_col: str) -> F.Column:
+    """Mean via an exact DECIMAL sum divided by the count.
+
+    A native ``avg(double)`` is order-dependent (float addition is not
+    associative), so its last ulp changes with partitioning — bad for a
+    100 TB re-plan and unmatchable by an external oracle. Summing a
+    DECIMAL(18,6) view is exact/associative; the single double division
+    at the end is IEEE-deterministic.
+    """
+    total = F.sum(F.col(price_col).cast("decimal(18,6)")).cast("double")
+    return total / F.count(F.lit(1))
+
+
+def _exact_stddev_samp(price_col: str) -> F.Column:
+    """Sample stddev from exact DECIMAL sums of x and x².
+
+    sqrt((Σx² − (Σx)²/n) / (n−1)) with both sums exact, so the result is
+    partition-order-independent and replayable by any SQL engine. NULL
+    for n<2, matching ``stddev_samp``.
+    """
+    d = F.col(price_col).cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    # guard tiny negative from cancellation; NULL when n < 2
+    return F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+
+
 def windowed_metrics(
     ticks: DataFrame,
     duration: str,
@@ -39,18 +68,30 @@ def windowed_metrics(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
     price_col: str = "price",
+    volume_col: str | None = None,
 ) -> DataFrame:
     """One sliding-window aggregate: avg price, sample-stddev volatility,
-    event volume (A1/A2 + the re-enabled min/max of A3)."""
+    traded volume (A1/A2 + the re-enabled min/max of A3).
+
+    Volume is ``sum(volume)`` per the reference
+    (`spark_stream_processor.py:172`); ``volume_col=None`` falls back to
+    a row count for sources without a volume column (driver ``events``).
+    """
+    if volume_col is None:
+        vol = F.count(F.lit(1))
+    else:
+        vol = F.sum(F.col(volume_col).cast("decimal(18,4)")).cast("bigint")
     agg = (
         ticks.groupBy(
             F.col(symbol_col).alias("symbol"),
             F.window(F.col(ts_col), duration, slide).alias("window"),
         )
         .agg(
-            F.round(F.avg(price_col), 4).alias(f"moving_avg_price_{suffix}"),
-            F.round(F.stddev_samp(price_col), 4).alias(f"price_volatility_{suffix}"),
-            F.count(F.lit(1)).alias(f"total_volume_{suffix}"),
+            F.round(_exact_avg(price_col), 4).alias(f"moving_avg_price_{suffix}"),
+            F.round(_exact_stddev_samp(price_col), 4).alias(
+                f"price_volatility_{suffix}"
+            ),
+            vol.alias(f"total_volume_{suffix}"),
             F.round(F.min(price_col), 4).alias(f"min_price_{suffix}"),
             F.round(F.max(price_col), 4).alias(f"max_price_{suffix}"),
         )
@@ -66,6 +107,7 @@ def realtime_metrics(
     symbol_col: str = "symbol",
     ts_col: str = "ts",
     price_col: str = "price",
+    volume_col: str | None = None,
 ) -> DataFrame:
     """15m/5m × 1h/10m dual-window metrics joined on
     (symbol, window_start) — the reference's exact output shape
@@ -75,7 +117,12 @@ def realtime_metrics(
     Only window starts aligned to both slides (multiples of 10 min)
     survive the inner join, mirroring the reference's emitted rows.
     """
-    kwargs = dict(symbol_col=symbol_col, ts_col=ts_col, price_col=price_col)
+    kwargs = dict(
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        volume_col=volume_col,
+    )
     m15 = windowed_metrics(ticks, "15 minutes", "5 minutes", "15m", **kwargs)
     m1h = windowed_metrics(ticks, "1 hour", "10 minutes", "1h", **kwargs)
     joined = m15.join(m1h, ["symbol", "window_start"], "inner")

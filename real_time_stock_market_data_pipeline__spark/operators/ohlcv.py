@@ -26,12 +26,27 @@ from pyspark.sql import functions as F
 from real_time_stock_market_data_pipeline__spark.functions.cleaning import pct_change
 
 
+def _volume_agg(volume_col: str | None) -> F.Column:
+    """``sum(volume)`` per the reference (W4/A1,
+    `spark_batch_processor.py:97`, `spark_stream_processor.py:172`);
+    falls back to a row count only when the dataset has no volume
+    column (e.g. the driver's ``events`` table). The sum runs over an
+    exact DECIMAL view of the column so it is order-independent —
+    plans can re-partition freely at 100 TB without changing results —
+    and is cast back to BIGINT (driver volumes are integral).
+    """
+    if volume_col is None:
+        return F.count(F.lit(1))
+    return F.sum(F.col(volume_col).cast("decimal(18,4)")).cast("bigint")
+
+
 def daily_metrics(
     ticks: DataFrame,
     symbol_col: str = "symbol",
     ts_col: str = "ts",
     price_col: str = "price",
     id_col: str | None = None,
+    volume_col: str | None = None,
 ) -> DataFrame:
     """Per-(symbol, date) OHLC + volume + daily change, one shuffle.
 
@@ -52,7 +67,7 @@ def daily_metrics(
             F.round(F.max(price_col), 4).alias("daily_high"),
             F.round(F.min(price_col), 4).alias("daily_low"),
             F.round(F.max_by(price_col, ord_key), 4).alias("daily_close"),
-            F.count(F.lit(1)).alias("daily_volume"),
+            _volume_agg(volume_col).alias("daily_volume"),
             pct_change(
                 F.min_by(price_col, ord_key), F.max_by(price_col, ord_key)
             ).alias("daily_change"),
@@ -67,6 +82,7 @@ def daily_metrics_window(
     ts_col: str = "ts",
     price_col: str = "price",
     id_col: str | None = None,
+    volume_col: str | None = None,
 ) -> DataFrame:
     """W1–W5 as ordered window functions (the reference's shape, made
     deterministic), collapsed with DISTINCT. Semantically identical to
@@ -79,6 +95,11 @@ def daily_metrics_window(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    vol = (
+        F.sum(F.col(volume_col).cast("decimal(18,4)")).over(w).cast("bigint")
+        if volume_col
+        else F.count(F.lit(1)).over(w)
+    )
     enriched = ticks.select(
         F.col(symbol_col).alias("symbol"),
         F.to_date(ts_col).alias("date"),
@@ -86,7 +107,7 @@ def daily_metrics_window(
         F.round(F.max(price_col).over(w), 4).alias("daily_high"),
         F.round(F.min(price_col).over(w), 4).alias("daily_low"),
         F.round(F.last(price_col).over(w), 4).alias("daily_close"),
-        F.count(F.lit(1)).over(w).alias("daily_volume"),
+        vol.alias("daily_volume"),
         pct_change(F.first(price_col).over(w), F.last(price_col).over(w)).alias(
             "daily_change"
         ),
