@@ -1,0 +1,597 @@
+"""Driver-facing query registry: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus an equivalent ANSI-SQL
+oracle string replayable by DuckDB on the same parquet tables.
+
+This module is the correctness contract (`__spark_entry__.py` re-exports
+it). Design rules that make the oracle comparison exact rather than
+approximate:
+
+- **Column names match by construction** — every computed column is
+  aliased identically in the Spark plan and the SQL text.
+- **Float aggregates are decimal-exact**: sums/averages go through a
+  DECIMAL view and back to DOUBLE (see `operators.metrics._exact_avg`),
+  so both engines produce bit-identical doubles regardless of
+  partitioning or evaluation order.
+- **All hashes are engine-portable** (md5/sha256 of explicit strings).
+- **Timestamps are UTC end-to-end**: `session.ensure_engine_conf` pins
+  the Spark session; DuckDB's naive timestamps line up with Spark's
+  micros-since-epoch rendered in UTC.
+
+Reference parity notes (`/root/reference`): the events table plays the
+tick stream (symbol := event_type, price := value), lineitem plays the
+OHLCV table with a true volume column (l_quantity) — mirroring
+`src/spark/jobs/spark_batch_processor.py:81-101` and
+`src/spark/jobs/spark_stream_processor.py:154-231`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.functions import cleaning
+from real_time_stock_market_data_pipeline__spark.operators import (
+    dedup,
+    metrics,
+    ohlcv,
+)
+from real_time_stock_market_data_pipeline__spark.session import ensure_engine_conf
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# --------------------------------------------------------------------------
+# SQL fragments shared by several oracles
+# --------------------------------------------------------------------------
+
+#: normalized text (operators.dedup.normalized_text) in DuckDB SQL
+_NORM = r"regexp_replace(lower(trim({col})), '\s+', ' ', 'g')"
+
+#: exact average: decimal-sum / count, identical to metrics._exact_avg
+_EXAVG = "CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+
+#: exact sample stddev, identical to metrics._exact_stddev_samp
+_EXSTD = (
+    "CASE WHEN count(*) >= 2 THEN sqrt(greatest(("
+    "CAST(sum(CAST({col} AS DECIMAL(18,6)) * CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+    " - CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+    " * CAST(sum(CAST({col} AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+    ") / (count(*) - 1), 0.0)) END"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _table(name: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_engine_conf(spark)
+        return load_table(spark, sf_dir, name)
+
+    fn.__name__ = f"load_{name}"
+    return fn
+
+
+# --------------------------------------------------------------------------
+# OHLCV / daily metrics family
+# --------------------------------------------------------------------------
+
+_DAILY_EVENTS_ORACLE = """
+SELECT DISTINCT
+  event_type AS symbol,
+  CAST(ts AS DATE) AS date,
+  round(first_value(value) OVER w, 4) AS daily_open,
+  round(max(value) OVER w, 4) AS daily_high,
+  round(min(value) OVER w, 4) AS daily_low,
+  round(last_value(value) OVER w, 4) AS daily_close,
+  count(*) OVER w AS daily_volume,
+  round(CASE WHEN first_value(value) OVER w <> 0 THEN
+      (last_value(value) OVER w - first_value(value) OVER w)
+      / first_value(value) OVER w * 100 END, 4) AS daily_change
+FROM events
+WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.daily_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+def q_daily_metrics_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.daily_metrics_window(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+def q_daily_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV semantics with a true volume column: l_quantity sums, not
+    row counts (the r02 volume bug, now parameterized)."""
+    li = _table("lineitem")(spark, sf_dir).withColumn(
+        "lid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    return ohlcv.daily_metrics(
+        li,
+        symbol_col="l_returnflag",
+        ts_col="l_shipdate",
+        price_col="l_extendedprice",
+        id_col="lid",
+        volume_col="l_quantity",
+    )
+
+
+_DAILY_LINEITEM_ORACLE = """
+SELECT DISTINCT
+  l_returnflag AS symbol,
+  CAST(l_shipdate AS DATE) AS date,
+  round(first_value(l_extendedprice) OVER w, 4) AS daily_open,
+  round(max(l_extendedprice) OVER w, 4) AS daily_high,
+  round(min(l_extendedprice) OVER w, 4) AS daily_low,
+  round(last_value(l_extendedprice) OVER w, 4) AS daily_close,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS BIGINT) AS daily_volume,
+  round(CASE WHEN first_value(l_extendedprice) OVER w <> 0 THEN
+      (last_value(l_extendedprice) OVER w - first_value(l_extendedprice) OVER w)
+      / first_value(l_extendedprice) OVER w * 100 END, 4) AS daily_change
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag, CAST(l_shipdate AS DATE)
+             ORDER BY l_shipdate, l_orderkey * 100 + l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_topk_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.topk_movers(q_daily_metrics(spark, sf_dir), k=10)
+
+
+_TOPK_ORACLE = f"""
+SELECT * FROM ({_DAILY_EVENTS_ORACLE})
+ORDER BY abs(daily_change) DESC NULLS LAST, symbol, date
+LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Dual sliding-window realtime metrics
+# --------------------------------------------------------------------------
+
+
+def q_realtime_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.realtime_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+    )
+
+
+def _window_cte(name: str, slide_us: int, dur_us: int, n: int, suffix: str) -> str:
+    """Sliding-window agg as epoch-bucket arithmetic: an event at t
+    belongs to the windows starting at slide*floor(t/slide) - i*slide
+    for i in 0..n-1 (n = duration/slide) — exactly `F.window`'s epoch
+    alignment."""
+    return f"""
+{name} AS (
+  SELECT
+    event_type AS symbol,
+    make_timestamp((epoch_us(ts) // {slide_us} - g.i) * {slide_us}) AS window_start,
+    round({_EXAVG.format(col="value")}, 4) AS moving_avg_price_{suffix},
+    round({_EXSTD.format(col="value")}, 4) AS price_volatility_{suffix},
+    count(*) AS total_volume_{suffix},
+    round(min(value), 4) AS min_price_{suffix},
+    round(max(value), 4) AS max_price_{suffix}
+  FROM events CROSS JOIN (SELECT unnest(range({n})) AS i) g
+  GROUP BY 1, 2
+)"""
+
+
+_REALTIME_ORACLE = f"""
+WITH {_window_cte("m15", 300_000_000, 900_000_000, 3, "15m")},
+{_window_cte("m1h", 600_000_000, 3_600_000_000, 6, "1h")}
+SELECT
+  m15.symbol,
+  m15.window_start,
+  m15.window_start + INTERVAL 15 MINUTE AS window_15m_end,
+  m15.window_start + INTERVAL 1 HOUR AS window_1h_end,
+  moving_avg_price_15m,
+  moving_avg_price_1h,
+  price_volatility_15m,
+  price_volatility_1h,
+  total_volume_15m,
+  total_volume_1h
+FROM m15 JOIN m1h ON m15.symbol = m1h.symbol AND m15.window_start = m1h.window_start
+"""
+
+# --------------------------------------------------------------------------
+# Dedup family
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_table("documents")(spark, sf_dir))
+
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT sha256({_NORM.format(col="text")}) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_keep_last(
+        _events(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        order_by=["ts", "event_id"],
+    )
+
+
+_KEEP_LAST_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+"""
+
+#: k=3 word shingles of normalized text, DuckDB list lambdas
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+_TOKS = f"string_split({_NORM.format(col='text')}, ' ')"
+
+
+def _minhash_cte() -> str:
+    sig_entries = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
+        for i in range(dedup.MINHASH_PERMS)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+),
+nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM nonempty),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+  FROM sig CROSS JOIN (SELECT unnest(range({dedup.MINHASH_PERMS // dedup.MINHASH_BAND_ROWS})) AS band_idx) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 USING (band_idx, band_hash)
+  WHERE a.doc_id < b2.doc_id
+)"""
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_minhash_pairs(_table("documents")(spark, sf_dir))
+
+
+_MINHASH_ORACLE = f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand"
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _table("documents")(spark, sf_dir), threshold=0.5
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH {_minhash_cte()},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(list_distinct(list_concat(sa.sh, sb.sh))) AS uni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4) AS jaccard
+FROM scored
+WHERE round(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END, 4) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_table("documents")(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    """Mirror of operators.dedup.simhash, generated with the same
+    nibble/bit loops."""
+    votes = ", ".join(
+        "sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, {p1}, 1)) - 1)"
+        " // {w}) % 2 = 1 THEN 1 ELSE -1 END) AS v{p}_{b}".format(
+            p1=p + 1, w=2 ** (3 - b), p=p, b=b
+        )
+        for p in range(16)
+        for b in range(4)
+    )
+    out_nibbles = ", ".join(
+        " + ".join(
+            f"(CASE WHEN v{p}_{b} > 0 THEN {2 ** (3 - b)} ELSE 0 END)"
+            for b in range(4)
+        )
+        + f" AS o{p}"
+        for p in range(16)
+    )
+    chars = " || ".join(
+        f"substr('0123456789abcdef', o{p} + 1, 1)" for p in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+nib AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM nib GROUP BY doc_id),
+outn AS (SELECT doc_id, {out_nibbles} FROM votes)
+SELECT doc_id, {chars} AS simhash FROM outn
+"""
+
+
+# --------------------------------------------------------------------------
+# Cleaning / projection family
+# --------------------------------------------------------------------------
+
+
+def q_tick_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips a synthesized stringly tick frame through
+    cast_tick_types (P1–P4): timestamps, doubles, the %-suffixed
+    change_percent, and an int volume all re-typed from strings."""
+    ev = _events(spark, sf_dir)
+    raw = ev.select(
+        "event_id",
+        F.col("ts").cast("string").alias("timestamp"),
+        F.col("value").cast("string").alias("price"),
+        F.col("value").cast("string").alias("change"),
+        F.concat(
+            F.round("value", 2).cast("decimal(18,2)").cast("string"), F.lit("%")
+        ).alias("change_percent"),
+        F.col("user_id").cast("string").alias("volume"),
+        F.col("value").cast("string").alias("today_low"),
+        F.col("value").cast("string").alias("today_high"),
+    )
+    return cleaning.cast_tick_types(raw).select(
+        "event_id",
+        "timestamp",
+        "price",
+        "change",
+        "change_percent",
+        "volume",
+        "today_low",
+        "today_high",
+    )
+
+
+_TICK_CAST_ORACLE = """
+SELECT event_id,
+       ts AS "timestamp",
+       value AS price,
+       value AS change,
+       round(value, 2) AS change_percent,
+       CAST(user_id AS INT) AS volume,
+       value AS today_low,
+       value AS today_high
+FROM events
+"""
+
+
+def q_normalize_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pads symbols with whitespace (and blanks out 'error' rows) then
+    normalizes: trim + drop null/empty keys (P11/P12)."""
+    ev = _events(spark, sf_dir)
+    padded = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("   "))
+        .otherwise(F.concat(F.lit("  "), F.col("event_type"), F.lit(" ")))
+        .alias("symbol"),
+    )
+    return cleaning.normalize_symbol(padded)
+
+
+_NORMALIZE_ORACLE = """
+SELECT event_id, event_type AS symbol FROM events WHERE event_type <> 'error'
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", *cleaning.date_parts("ts"))
+
+
+_DATE_PARTS_ORACLE = """
+SELECT event_id,
+       CAST(year(ts) AS INT) AS year,
+       CAST(month(ts) AS INT) AS month,
+       CAST(day(ts) AS INT) AS day
+FROM events
+"""
+
+
+def q_json_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", cleaning.json_int_field("props", "$.k").alias("k")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+# --------------------------------------------------------------------------
+# Relational surface over the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + groupBy with exact
+    decimal sums; the shipdate filter is pushed to the parquet scan."""
+    li = _table("lineitem")(spark, sf_dir)
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(d6(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(d6(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(d6(charge)).cast("double").alias("sum_charge"),
+            (F.sum(d6(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(d6(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(d6(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join + agg + deterministic top-k: the small dim
+    side is explicitly broadcast, so no shuffle of orders for the join."""
+    orders = _table("orders")(spark, sf_dir)
+    customer = _table("customer")(spark, sf_dir)
+    return (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "inner",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS order_count
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC NULLS LAST, c_custkey
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop star join (orders⋈customer⋈nation⋈region) with every
+    dimension broadcast — zero shuffles on the fact side until the
+    final small aggregation."""
+    orders = _table("orders")(spark, sf_dir)
+    customer = _table("customer")(spark, sf_dir)
+    nation = _table("nation")(spark, sf_dir)
+    region = _table("region")(spark, sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_REGION_REVENUE_ORACLE = """
+SELECT r_name AS region,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "daily_metrics": q_daily_metrics,
+    "daily_metrics_window": q_daily_metrics_window,
+    "daily_metrics_lineitem": q_daily_metrics_lineitem,
+    "topk_movers": q_topk_movers,
+    "realtime_metrics": q_realtime_metrics,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_last": q_dedup_keep_last,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "tick_cast": q_tick_cast,
+    "normalize_symbol": q_normalize_symbol,
+    "date_parts": q_date_parts,
+    "json_field": q_json_field,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
+}
+
+ORACLES: dict[str, str] = {
+    "daily_metrics": _DAILY_EVENTS_ORACLE,
+    "daily_metrics_window": _DAILY_EVENTS_ORACLE,
+    "daily_metrics_lineitem": _DAILY_LINEITEM_ORACLE,
+    "topk_movers": _TOPK_ORACLE,
+    "realtime_metrics": _REALTIME_ORACLE,
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_keep_last": _KEEP_LAST_ORACLE,
+    "dedup_minhash_pairs": _MINHASH_ORACLE,
+    "ngram_jaccard_pairs": _JACCARD_ORACLE,
+    "simhash": _simhash_oracle(),
+    "tick_cast": _TICK_CAST_ORACLE,
+    "normalize_symbol": _NORMALIZE_ORACLE,
+    "date_parts": _DATE_PARTS_ORACLE,
+    "json_field": _JSON_ORACLE,
+    "pricing_summary": _PRICING_ORACLE,
+    "top_customers": _TOP_CUSTOMERS_ORACLE,
+    "region_revenue": _REGION_REVENUE_ORACLE,
+}

@@ -109,14 +109,19 @@ def minhash_signature(shingle_col: F.Column, perms: int = MINHASH_PERMS) -> F.Co
 
     Returns array<string> of length ``perms`` (NULL entries if the
     document has no shingles).
+
+    NB: the per-permutation hash must be a **single-argument** lambda —
+    a two-arg lambda makes PySpark's ``transform`` pass the element
+    index as the second argument, silently clobbering the permutation
+    prefix (the r02 implementation had exactly that bug).
     """
+
+    def perm_hash(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingle_col, perm_hash(f"{i}:")))
             for i in range(perms)
         ]
     )
