@@ -259,9 +259,15 @@ _TOKS = f"string_split({_NORM.format(col='text')}, ' ')"
 
 
 def _minhash_cte() -> str:
+    # 32-bit base hash: first 8 hex chars of md5, decoded with nibble
+    # arithmetic (DuckDB has no hex→int conv)
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
     sig_entries = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s)))"
-        for i in range(dedup.MINHASH_PERMS)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
     )
     return f"""
 sh AS (
@@ -269,10 +275,11 @@ sh AS (
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
 ),
 nonempty AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM nonempty),
+hs AS (SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM nonempty),
+sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM hs),
 bands AS (
   SELECT doc_id, b.band_idx,
-         md5(sig[b.band_idx * 2 + 1] || '|' || sig[b.band_idx * 2 + 2]) AS band_hash
+         md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || '|' || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
   FROM sig CROSS JOIN (SELECT unnest(range({dedup.MINHASH_PERMS // dedup.MINHASH_BAND_ROWS})) AS band_idx) b
 ),
 cand AS (

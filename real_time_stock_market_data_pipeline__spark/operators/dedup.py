@@ -24,11 +24,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from real_time_stock_market_data_pipeline__spark.session import (
+    ensure_min_parallelism,
+)
+
 #: MinHash configuration: 16 permutations → 8 bands × 2 rows.
 #: Band collisions at Jaccard s have probability 1-(1-s^2)^8 — ~0.9 for
 #: s=0.7, ~0.03 for s=0.2 — a reasonable near-dup operating point.
 MINHASH_PERMS = 16
 MINHASH_BAND_ROWS = 2
+
+#: Universal-hash permutation constants: perm_i(h) = (a_i*h + b_i) mod P
+#: over the 32-bit base hash. P is the first prime above 2^32; a_i odd
+#: < 2^31 so a_i*h stays inside a signed 64-bit long. Deterministic
+#: (seeded) so the DuckDB oracle replays the identical permutations.
+MINHASH_P = 4_294_967_311
+import random as _random
+
+_rng = _random.Random(42)
+MINHASH_A = [(_rng.randrange(1, 2**31 - 1)) | 1 for _ in range(MINHASH_PERMS)]
+MINHASH_B = [_rng.randrange(0, 2**31 - 1) for _ in range(MINHASH_PERMS)]
+del _rng
 
 
 def normalized_text(col: str = "text") -> F.Column:
@@ -102,26 +118,50 @@ def shingles(text_col: str = "text", k: int = 3) -> F.Column:
     return F.array_distinct(joined)
 
 
+def shingle_hashes(shingle_col: F.Column) -> F.Column:
+    """array<long>: 32-bit base hash per shingle — first 8 hex chars of
+    md5, decoded. One md5 per shingle total; the r02 design re-hashed
+    every shingle once *per permutation* (16× the md5 calls, all in
+    interpreted higher-order-function evaluation — the dominant cost at
+    bench time)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def minhash_signature(shingle_col: F.Column, perms: int = MINHASH_PERMS) -> F.Column:
-    """Portable MinHash: permutation *i* = lexicographic min of
-    ``md5(i || ':' || shingle)``. md5-as-hex min is engine-portable
-    (same strings in any SQL engine), unlike xxhash/murmur seeds.
+    """Portable MinHash signature (array<long>, length ``perms``):
+    permutation *i* = min over shingles of (a_i*h + b_i) mod P on the
+    32-bit base hash. Integer arithmetic only — replayable exactly in
+    any SQL engine (the DuckDB oracle decodes the same md5 prefix with
+    nibble arithmetic).
 
-    Returns array<string> of length ``perms`` (NULL entries if the
-    document has no shingles).
-
-    NB: the per-permutation hash must be a **single-argument** lambda —
-    a two-arg lambda makes PySpark's ``transform`` pass the element
-    index as the second argument, silently clobbering the permutation
-    prefix (the r02 implementation had exactly that bug).
+    NB: permutation lambdas must be **single-argument** — a two-arg
+    lambda makes PySpark's ``transform`` pass the element index as the
+    second argument, silently clobbering the closure (the r02
+    implementation had exactly that bug).
     """
+    return minhash_signature_from_hashes(shingle_hashes(shingle_col), perms)
 
-    def perm_hash(prefix: str):
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+def minhash_signature_from_hashes(
+    hash_col: F.Column, perms: int = MINHASH_PERMS
+) -> F.Column:
+    """Signature from a *materialized* array<long> of shingle hashes.
+
+    Keep the base-hash array in its own projection before calling this:
+    the 16 permutation lambdas each reference it, and if the md5
+    transform were inlined here it would be evaluated once per
+    permutation (CollapseProject leaves multi-referenced non-cheap
+    expressions alone, which is exactly what we rely on)."""
+
+    def perm(a: int, b: int):
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, perm_hash(f"{i}:")))
+            F.array_min(F.transform(hash_col, perm(MINHASH_A[i], MINHASH_B[i])))
             for i in range(perms)
         ]
     )
@@ -145,30 +185,46 @@ def minhash_bands(
     """
     n_bands = perms // band_rows
     banded = (
-        docs.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+        ensure_min_parallelism(docs)
+        .select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
         .filter(F.size("sh") > 0)
-        .select(F.col(id_col), minhash_signature(F.col("sh"), perms).alias("sig"))
+        .select(F.col(id_col), shingle_hashes(F.col("sh")).alias("hs"))
+        .select(
+            F.col(id_col),
+            minhash_signature_from_hashes(F.col("hs"), perms).alias("sig"),
+        )
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at(F.col("sig"), b * band_rows + r + 1)
-                            for r in range(band_rows)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ]
+    # Explode the band index FIRST, then slice the (already materialized)
+    # signature attribute per exploded row. Building an array of 8 band
+    # structs that each re-reference the signature expression lets
+    # CollapseProject inline the full 16-permutation MinHash into every
+    # band — a silent 8× recompute (measured 62 s vs 4 s on sf0.1). The
+    # Generate node is a projection barrier: the signature is evaluated
+    # once per document.
+    return (
+        banded.select(
+            F.col(id_col),
+            F.col("sig"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice(
+                            F.col("sig"),
+                            F.col("band_idx") * band_rows + 1,
+                            band_rows,
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("band_hash"),
+        )
     )
-    return banded.select(
-        F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
 
 
 def dedup_minhash_pairs(
@@ -183,13 +239,23 @@ def dedup_minhash_pairs(
 
     Join is bucketed by (band_idx, band_hash): the only pairs
     materialized are actual band collisions — never an all-pairs
-    cartesian (asserted in tests via the physical plan).
+    cartesian (asserted in tests via the physical plan). The self-join
+    uses two *aliases of the same DataFrame* so both shuffle sides
+    canonicalize identically and ReuseExchange computes the signature
+    subtree once (renaming the id column per side before the join
+    defeats the reuse and doubles the MinHash cost).
     """
     bands = minhash_bands(docs, id_col, text_col, perms, band_rows, shingle_k)
-    a = bands.withColumnsRenamed({id_col: "id_a"})
-    b = bands.withColumnsRenamed({id_col: "id_b"})
-    pairs = a.join(b, ["band_idx", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
-    return pairs.select("id_a", "id_b").distinct()
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -256,19 +322,24 @@ def simhash(
     ``md5``/``substring``/``strpos`` — which is what the DuckDB oracle
     does.
     """
-    toks = docs.select(
+    # md5 runs inside the generator (once per token); the 16 nibble
+    # extractions above reference the generated attribute, so the hash
+    # is never duplicated per nibble.
+    toks = ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(F.split(normalized_text(text_col), " "))
-        ).alias("tok"),
+            F.transform(
+                F.array_distinct(F.split(normalized_text(text_col), " ")),
+                lambda t: F.substring(F.md5(t), 1, 16),
+            )
+        ).alias("h"),
     )
-    h = F.substring(F.md5(F.col("tok")), 1, 16)
     nibbles = toks.select(
         F.col(id_col),
         *[
-            (F.instr(F.lit(_HEX), F.substring(h, p + 1, 1)) - F.lit(1)).alias(
-                f"n{p}"
-            )
+            (
+                F.instr(F.lit(_HEX), F.substring(F.col("h"), p + 1, 1)) - F.lit(1)
+            ).alias(f"n{p}")
             for p in range(16)
         ],
     )

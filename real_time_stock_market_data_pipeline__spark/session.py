@@ -69,6 +69,22 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_min_parallelism(df, target: int | None = None):
+    """Round-robin repartition a DataFrame up to the cluster's default
+    parallelism — only if it is currently under-partitioned.
+
+    Small single-file inputs otherwise pin CPU-heavy per-row operators
+    (MinHash, SimHash) to one task. At scale this is a no-op: a 100 TB
+    scan already has far more partitions than cores, so no shuffle is
+    added where it would actually hurt.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine conf to an externally-created
     session (e.g. the correctness driver's). Timezone matters most:
