@@ -36,6 +36,9 @@ from real_time_stock_market_data_pipeline__spark.operators import (
     dedup,
     metrics,
     ohlcv,
+    relational,
+    similarity,
+    text,
 )
 from real_time_stock_market_data_pipeline__spark.session import ensure_engine_conf
 from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
@@ -560,6 +563,341 @@ GROUP BY r_name
 """
 
 # --------------------------------------------------------------------------
+# Merge-upsert / as-of join / set ops / pivot / rollup
+# --------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 semantics: even-id events are the target table, 3-divisible
+    ids (with doubled value) are the incoming batch; matched keys are
+    replaced, unmatched kept, new inserted."""
+    ev = _events(spark, sf_dir)
+    target = ev.filter(F.col("event_id") % 2 == 0)
+    source = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    return relational.merge_upsert(target, source, keys=["event_id"])
+
+
+_MERGE_ORACLE = """
+WITH target AS (SELECT * FROM events WHERE event_id % 2 = 0),
+source AS (
+  SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+  FROM events WHERE event_id % 3 = 0)
+SELECT * FROM target WHERE event_id NOT IN (SELECT event_id FROM source)
+UNION ALL
+SELECT * FROM source
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last purchase at-or-before each event per user — the canonical
+    tick as-of query (SURVEY.md §2.3)."""
+    ev = _events(spark, sf_dir)
+    purchases = dedup.dedup_keep_last(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id", "ts"],
+        order_by=["event_id"],
+    ).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    out = relational.asof_join(
+        ev.select("event_id", "ts", "user_id", "value"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_vals=["p_ts", "p_value"],
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
+    )
+
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') t
+  WHERE rn = 1)
+SELECT e.event_id, e.ts, e.user_id, e.value,
+       p.p_ts AS last_purchase_ts,
+       p.p_value AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.p_ts
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (set semantics) summarized as counts."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("value") > 100).select("user_id")
+    spark_counts = [
+        relational.set_union(a, b).agg(
+            F.lit("union").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+        relational.set_intersect(a.distinct(), b.distinct()).agg(
+            F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+        relational.set_except(a, b).agg(
+            F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")
+        ),
+    ]
+    out = spark_counts[0]
+    for df in spark_counts[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+_SET_OPS_ORACLE = """
+WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+     b AS (SELECT user_id FROM events WHERE value > 100)
+SELECT 'union' AS op, count(*) AS n FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) t
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b) t
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT user_id FROM a EXCEPT SELECT user_id FROM b) t
+"""
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return relational.pivot_counts(
+        ev, "user_id", "event_type", ["click", "view", "purchase", "signup", "error"]
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'view') AS view,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+  count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return relational.rollup_metrics(
+        ev,
+        [F.col("event_type"), F.to_date("ts").alias("date")],
+        "value",
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query point: embedding of vec_id=0 (a plan literal — at
+    scale this is a parameter, never a join)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# The oracles are static SQL, so they pull the same query vector via a
+# scalar cross join on vec_id=0 ("qe") instead of inlined literals.
+_DIM = similarity.EMBEDDING_DIM
+
+_Q_SUB = "(SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q"
+
+# Left-associative double addition chains — SQL `+` parses
+# left-associative, so ((t1+t2)+t3)+… matches the engine's fold
+# bit-for-bit (see similarity._fold_sum). No decimals: DuckDB's
+# double→decimal cast rounds through double arithmetic and drifts.
+_DOT_QE = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+_SQ_EMB = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+_SQ_QE = " + ".join(
+    f"CAST(qe[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+
+_COSINE_QE = (
+    f"CASE WHEN sqrt({_SQ_EMB}) > 0 THEN "
+    f"({_DOT_QE}) / (sqrt({_SQ_EMB}) * sqrt({_SQ_QE})) END"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+_COSINE_TOPK_ORACLE = f"""
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({plane[i]!r})"
+        for i in range(len(plane))
+    )
+
+
+def _ann_topk_oracle() -> str:
+    emb_bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    qe_bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('qe', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    return f"""
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+WHERE ({emb_bits}) = ({qe_bits})
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-UDF scale path — rows-only check (float sum order)."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk_fast(
+        load_table(spark, sf_dir, "embeddings"), q, k=10
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_stats(_table("documents")(spark, sf_dir))
+
+
+_STOPWORD_LIST = ", ".join(f"'{w}'" for w in text._EN_STOPWORDS)
+
+_TEXT_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_TOKS} AS toks,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_words,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         len(list_filter({_TOKS}, x -> x IN ({_STOPWORD_LIST}))) AS n_stop,
+         length(replace({_NORM.format(col="text")}, ' ', '')) AS word_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+  round(CASE WHEN n_words > 0 THEN CAST(word_chars AS DOUBLE) / n_words END, 4) AS avg_word_len,
+  round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio,
+  round(CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS digit_ratio,
+  round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 4) AS stopword_ratio,
+  round(
+    least(n_words / 20.0, 1.0) * 0.4
+    + least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4, 1.0) * 0.3
+    + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) * 5, 1.0)) * 0.15
+    + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5, 1.0)) * 0.15,
+  4) AS quality_score
+FROM t
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(_table("documents")(spark, sf_dir))
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKS}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_table("documents")(spark, sf_dir))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(text.LANG_PROFILES)
+    score_cols = ", ".join(
+        "len(list_filter({toks}, x -> x IN ({words}))) AS score_{lang}".format(
+            toks=_TOKS,
+            words=", ".join(f"'{w}'" for w in text.LANG_PROFILES[lang]),
+            lang=lang,
+        )
+        for lang in langs
+    )
+    pred = "CAST(NULL AS VARCHAR)"
+    for lang in reversed(langs):
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                conds.append(f"score_{lang} > score_{other}")
+            elif other != lang:
+                conds.append(f"score_{lang} >= score_{other}")
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+       {pred} AS lang_pred
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_table("documents")(spark, sf_dir))
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_NORM.format(col="text")} AS norm FROM documents)
+SELECT doc_id,
+  list_min(
+    CASE WHEN length(norm) - 7 > 0
+         THEN list_transform(range(1, length(norm) - 7 + 1), i -> md5(substr(norm, i, 8)))
+         ELSE [md5(norm)] END
+  ) AS fingerprint
+FROM n
+"""
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -581,6 +919,18 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
+    "merge_upsert": q_merge_upsert,
+    "asof_join": q_asof_join,
+    "set_ops": q_set_ops,
+    "pivot_event_counts": q_pivot_event_counts,
+    "rollup_event_value": q_rollup_event_value,
+    "cosine_topk": q_cosine_topk,
+    "ann_topk": q_ann_topk,
+    "cosine_topk_fast": q_cosine_topk_fast,
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -601,4 +951,17 @@ ORACLES: dict[str, str] = {
     "pricing_summary": _PRICING_ORACLE,
     "top_customers": _TOP_CUSTOMERS_ORACLE,
     "region_revenue": _REGION_REVENUE_ORACLE,
+    "merge_upsert": _MERGE_ORACLE,
+    "asof_join": _ASOF_ORACLE,
+    "set_ops": _SET_OPS_ORACLE,
+    "pivot_event_counts": _PIVOT_ORACLE,
+    "rollup_event_value": _ROLLUP_ORACLE,
+    "cosine_topk": _COSINE_TOPK_ORACLE,
+    "ann_topk": _ann_topk_oracle(),
+    # cosine_topk_fast: intentionally no oracle — pandas-UDF float sums
+    # are order-dependent; the driver records a rows-only check
+    "text_stats": _TEXT_STATS_ORACLE,
+    "token_count": _TOKEN_COUNT_ORACLE,
+    "lang_id": _lang_id_oracle(),
+    "doc_fingerprint": _FINGERPRINT_ORACLE,
 }

@@ -1,0 +1,144 @@
+"""Relational operators beyond plain projections/aggregations:
+keyed merge-upsert, as-of join, set operations, pivot, rollup.
+
+Reference counterparts (`/root/reference`):
+
+- J2/J3 merge-upsert: the Snowflake ``MERGE ... WHEN MATCHED UPDATE /
+  WHEN NOT MATCHED INSERT`` statements keyed ``(symbol, date)`` /
+  ``(symbol, window_start)`` —
+  `src/snowflake/load_to_snowflake.py:220-241`,
+  `src/snowflake/realtime_load_to_snowflake.py:225-251`. Re-expressed
+  engine-side as left-anti + union — the idempotent upsert the
+  reference achieves warehouse-side.
+- As-of join: no reference counterpart; SURVEY.md §2.3 documents it as
+  the canonical tick-data extension ("last tick at-or-before t").
+- Set ops / pivot / rollup: free Spark generalizations called out in
+  SURVEY.md §2.4/§2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Keyed upsert: source rows replace key-matching target rows;
+    unmatched target rows survive; source-only keys are inserted.
+
+    Equivalent to the reference's warehouse MERGE (J2/J3) and, like it,
+    idempotent: applying the same source twice equals applying it once
+    (property-tested). Both legs are set-level, no driver loop:
+    target ANTI JOIN source  ∪  source.
+
+    Scale: the anti join shuffles on ``keys`` (or broadcasts when the
+    source fits, the common incremental-batch case — AQE decides);
+    the union is free.
+    """
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert: column sets differ: {sorted(target.columns)} vs "
+            f"{sorted(source.columns)}"
+        )
+    keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return keep.unionByName(source)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """As-of join: attach, to each left row, ``right_vals`` from the
+    latest right row with ``right_ts <= left_ts`` per ``on`` key
+    (NULLs when no such row). ``right`` must be unique per
+    (``on``, ``right_ts``) — pre-deduplicate with ``dedup_keep_last``.
+
+    Implementation is the scalable union-and-carry pattern: tag both
+    inputs, sort per key by (event time, tag) with right-before-left on
+    ties, and carry the last non-null right value forward with
+    ``last(..., ignorenulls=True)`` over a running frame. One shuffle,
+    one sort — no range-explosion, no per-row subquery, and Spark's
+    window frame streams so state per key is O(1).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+    )
+    r = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in on
+            else F.col(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        *lcols,
+        F.col("__tag"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+            for c in right_vals
+        ],
+    )
+    return carried.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def set_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set-semantics UNION (distinct)."""
+    return a.unionByName(b).distinct()
+
+
+def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    """EXCEPT with set semantics (``subtract`` = EXCEPT DISTINCT —
+    ``exceptAll`` would be bag difference, a different operator)."""
+    return a.subtract(b)
+
+
+def pivot_counts(
+    df: DataFrame, group_col: str, pivot_col: str, values: list[str]
+) -> DataFrame:
+    """Pivot ``pivot_col`` into one count column per value in
+    ``values`` (explicit value list → single-pass, no extra job to
+    discover distinct values, and a schema that is stable for the
+    oracle). Absent combinations are 0, not NULL."""
+    out = (
+        df.groupBy(group_col)
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, values)
+
+
+def rollup_metrics(
+    df: DataFrame,
+    dims: list[F.Column | str],
+    value_col: str,
+) -> DataFrame:
+    """ROLLUP over ``dims`` with row count + exact decimal sum of
+    ``value_col`` (order-independent → oracle-reproducible). Subtotal
+    rows carry NULL dimension values, per SQL ROLLUP semantics."""
+    return df.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

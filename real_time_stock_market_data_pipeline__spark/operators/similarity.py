@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (array<float>) — the
+north-star ANN surface (SURVEY.md §2.10; no reference counterpart).
+
+Three tiers:
+
+- ``cosine_topk``      — brute-force exact top-k against one query
+                         vector, decimal-exact arithmetic so a SQL
+                         oracle reproduces it bit-for-bit. The
+                         correctness baseline.
+- ``ann_topk``         — random-hyperplane LSH bucketing: only the
+                         query's bucket is scored. The scale path —
+                         candidate cost is corpus_fraction ≈ 2^-planes.
+- ``cosine_topk_fast`` — Arrow-batched pandas UDF (NumPy dot), the
+                         throughput variant for wide scans; float sums
+                         are order-dependent so it is registered with a
+                         rows-only check, not a value oracle.
+
+Scale notes: the query vector is a plan literal (broadcast by value);
+brute force is one scan + one top-k reduce (no shuffle of the corpus);
+LSH adds a map-side bucket filter before scoring. Nothing all-pairs.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+#: Random hyperplanes for LSH bucketing: PLANES[p][d] in {-1.0, +1.0}
+#: (Rademacher vectors — exact in float/decimal arithmetic, so both
+#: engines compute identical signs). Seeded → oracle replayable.
+ANN_PLANES_N = 8
+EMBEDDING_DIM = 64
+_rng = random.Random(7)
+ANN_PLANES: list[list[float]] = [
+    [float(_rng.choice((-1, 1))) for _ in range(EMBEDDING_DIM)]
+    for _ in range(ANN_PLANES_N)
+]
+del _rng
+
+
+def _fold_sum(terms: list[F.Column]) -> F.Column:
+    """Left-associative double addition chain: ((t1+t2)+t3)+…
+
+    IEEE doubles added in a *fixed* order are bit-identical in every
+    engine; it's only unspecified summation order that makes float
+    aggregates irreproducible. The SQL oracle writes the same
+    left-associative chain, so Spark, DuckDB, and Python agree to the
+    last ulp."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _dot_fold(vec_col: F.Column, q: list[float]) -> F.Column:
+    return _fold_sum(
+        [
+            F.element_at(vec_col, i + 1).cast("double") * F.lit(q[i])
+            for i in range(len(q))
+        ]
+    )
+
+
+def _norm_fold(vec_col: F.Column, dim: int) -> F.Column:
+    return F.sqrt(
+        _fold_sum(
+            [
+                F.element_at(vec_col, i + 1).cast("double")
+                * F.element_at(vec_col, i + 1).cast("double")
+                for i in range(dim)
+            ]
+        )
+    )
+
+
+def _qnorm(q: list[float]) -> float:
+    """Query norm with the same left-fold recipe (Python float ops are
+    IEEE doubles, so this matches the in-engine chains bitwise)."""
+    import math
+
+    acc = 0.0
+    first = True
+    for x in q:
+        acc = x * x if first else acc + x * x
+        first = False
+    return math.sqrt(acc)
+
+
+def cosine_scores(
+    embs: DataFrame, query: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Adds an exact `cosine` column against the literal query vector."""
+    dim = len(query)
+    dot = _dot_fold(F.col(vec_col), query)
+    norm = _norm_fold(F.col(vec_col), dim)
+    qn = F.lit(_qnorm(query))
+    return embs.withColumn(
+        "cosine",
+        F.when(norm > 0, dot / (norm * qn)).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def cosine_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k vs one query vector.
+
+    One scan, one global top-k (Spark's ``orderBy().limit()`` runs as
+    per-partition top-k + single-reduce merge — no full sort of the
+    corpus). Deterministic via the id tiebreak."""
+    scored = cosine_scores(embs, query, vec_col)
+    return (
+        scored.select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rp_bucket(vec_col: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane,
+    rendered as a bit-string (e.g. '10110010'). ±1 plane entries keep
+    every product exact in IEEE doubles, so the sign — and therefore
+    the bucket — is engine-independent."""
+    planes = planes or ANN_PLANES
+    bits = [
+        F.when(_dot_fold(vec_col, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def ann_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    The bucket predicate is evaluated map-side (no shuffle, no index
+    build); expected candidate fraction is 2^-planes of the corpus.
+    Recall is tunable via fewer planes / multi-probe; this is the
+    documented approximation: vectors outside the bucket are unseen.
+    """
+    planes = planes or ANN_PLANES
+
+    # query bucket via the same left-fold recipe as rp_bucket, so a
+    # summation-order flip can't put the query in a different bucket
+    def fold_dot(p: list[float]) -> float:
+        acc = 0.0
+        first = True
+        for pi, qi in zip(p, query):
+            acc = pi * qi if first else acc + pi * qi
+            first = False
+        return acc
+
+    qbits = "".join("1" if fold_dot(p) >= 0 else "0" for p in planes)
+    scored = cosine_scores(
+        embs.filter(rp_bucket(F.col(vec_col), planes) == F.lit(qbits)),
+        query,
+        vec_col,
+    )
+    return (
+        scored.select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_fast(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Throughput variant: Arrow-batched pandas UDF, NumPy dot per
+    batch. Float accumulation order makes the last ulp
+    partition-dependent, so this is checked rows-only (ranking ties at
+    double precision are astronomically unlikely to flip top-k in
+    practice, but we do not promise bitwise oracle equality)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.vstack(batch.to_numpy())
+        dots = m.astype(np.float64) @ q
+        norms = np.linalg.norm(m.astype(np.float64), axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(norms > 0, dots / (norms * qn), np.nan)
+        return pd.Series(sims)
+
+    return (
+        embs.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
