@@ -1,0 +1,39 @@
+"""DuckDB-oracle differential tests (SURVEY.md §5 item 1) for a
+representative slice of the registry; the full 29-query sweep runs in
+scripts/check_correctness.py and in the round driver itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_stock_market_data_pipeline__spark import driver_queries
+from real_time_stock_market_data_pipeline__spark.oracle_compare import compare
+
+REPRESENTATIVE = [
+    "daily_metrics",          # groupBy agg core
+    "realtime_metrics",       # dual sliding windows + join
+    "dedup_minhash_pairs",    # LSH banding
+    "simhash",                # exploded bit votes
+    "merge_upsert",           # J2/J3 upsert
+    "asof_join",              # union-and-carry window
+    "pricing_summary",        # decimal-exact aggregate chain
+    "cosine_topk",            # left-fold float determinism
+]
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    sdf = driver_queries.QUERIES[name](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(driver_queries.ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    problems = compare(sdf.columns, srows, ocols, orows)
+    assert not problems, problems
+    assert len(srows) > 0, f"{name} returned no rows"
+
+
+def test_every_query_has_oracle_or_reason():
+    missing = set(driver_queries.QUERIES) - set(driver_queries.ORACLES)
+    # pandas-UDF float path is the only intentional rows-only query
+    assert missing == {"cosine_topk_fast"}, missing

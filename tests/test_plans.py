@@ -1,0 +1,78 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast — the
+properties that decide whether a plan survives a 100 TB scale-up."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import driver_queries
+from real_time_stock_market_data_pipeline__spark.sources.registry import (
+    load_table,
+    read_partitioned,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    df = driver_queries.q_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_top_customers_broadcasts_dim(spark, sf_dir):
+    plan = _plan(driver_queries.q_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_region_revenue_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(driver_queries.q_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_read_partitioned_prunes(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "part")
+        (
+            ev.withColumn("year", F.year("ts"))
+            .withColumn("month", F.month("ts"))
+            .withColumn("day", F.dayofmonth("ts"))
+            .write.partitionBy("year", "month", "day")
+            .parquet(path)
+        )
+        pruned = read_partitioned(spark, path, year=2024, month=1, day=2)
+        plan = _plan(pruned)
+        # partition filters visible to the scan, not a post-filter
+        assert "PartitionFilters: [" in plan
+        seg = plan.split("PartitionFilters")[1][:200]
+        assert "year" in seg and "month" in seg and "day" in seg
+        full = read_partitioned(spark, path)
+        assert pruned.count() < full.count()
+
+
+def test_read_partitioned_rejects_bogus_predicate(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(10)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "flat")
+        ev.write.parquet(path)
+        try:
+            read_partitioned(spark, path, year=2024)
+        except ValueError as e:
+            assert "refusing" in str(e)
+        else:
+            raise AssertionError("expected ValueError for unprunable predicate")
+
+
+def test_projection_pruning_reads_only_needed_columns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(li)
+    seg = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in seg and "l_quantity" in seg
+    assert "l_comment" not in seg and "l_extendedprice" not in seg

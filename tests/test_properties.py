@@ -1,0 +1,175 @@
+"""Property tests (SURVEY.md §5 item 3): idempotence, additivity,
+determinism, and physical-plan assertions for the scale-critical
+operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators import (
+    dedup,
+    ohlcv,
+    relational,
+)
+from real_time_stock_market_data_pipeline__spark.oracle_compare import value_hash
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+
+def _hash_df(df):
+    return value_hash(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_merge_upsert_idempotent(spark, sf_dir):
+    """Applying the same batch twice equals applying it once — the
+    property the reference's warehouse MERGE guarantees (J2/J3)."""
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(F.col("event_id") % 2 == 0)
+    source = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    once = relational.merge_upsert(target, source, ["event_id"])
+    twice = relational.merge_upsert(once, source, ["event_id"])
+    assert _hash_df(once) == _hash_df(twice)
+
+
+def test_merge_upsert_replaces_and_inserts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    target = ev.filter(F.col("event_id") < 50)
+    source = ev.filter((F.col("event_id") >= 40) & (F.col("event_id") < 60))
+    merged = relational.merge_upsert(target, source, ["event_id"])
+    assert merged.count() == target.count() + source.filter(
+        F.col("event_id") >= 50
+    ).count()
+
+
+def test_dedup_keep_last_idempotent(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    once = dedup.dedup_keep_last(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    twice = dedup.dedup_keep_last(once, ["user_id", "event_type"], ["ts", "event_id"])
+    assert _hash_df(once) == _hash_df(twice)
+
+
+def test_dedup_exact_groups_cover_all_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup.dedup_exact(docs)
+    total = groups.agg(F.sum("dup_count")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_daily_metrics_variants_agree(spark, sf_dir):
+    """groupBy (min_by/max_by) form ≡ ordered-window form (W1–W5)."""
+    ev = load_table(spark, sf_dir, "events")
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value", id_col="event_id")
+    a = ohlcv.daily_metrics(ev, **kw)
+    b = ohlcv.daily_metrics_window(ev, **kw)
+    assert _hash_df(a) == _hash_df(b)
+
+
+def test_daily_volume_additivity(spark, sf_dir):
+    """Σ per-day volumes = total row count (A6/window additivity)."""
+    ev = load_table(spark, sf_dir, "events")
+    dm = ohlcv.daily_metrics(
+        ev, symbol_col="event_type", ts_col="ts", price_col="value", id_col="event_id"
+    )
+    assert dm.agg(F.sum("daily_volume")).collect()[0][0] == ev.count()
+
+
+def test_volume_sums_not_counts(spark, sf_dir):
+    """The r02 regression: with a volume column, daily_volume must sum
+    it, not count rows."""
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    dm = ohlcv.daily_metrics(
+        li,
+        symbol_col="l_returnflag",
+        ts_col="l_shipdate",
+        price_col="l_extendedprice",
+        volume_col="l_quantity",
+    )
+    total = dm.agg(F.sum("daily_volume")).collect()[0][0]
+    expect = li.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("bigint")
+    ).collect()[0][0]
+    assert total == expect
+    assert total != 500  # would equal the row count under the old bug
+
+
+def test_minhash_join_is_not_cartesian(spark, sf_dir):
+    """LSH candidate join must be key-bucketed — a cartesian product
+    here is the 100 TB death sentence."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        dedup.dedup_minhash_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_identical_docs_are_candidates(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different words appear in this other document here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.dedup_minhash_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_shingles_short_docs_safe(spark):
+    """ANSI-mode regression: sub-k-word docs must yield empty shingles,
+    not INVALID_ARRAY_INDEX errors, and must not become LSH candidates."""
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "hi there"), (3, ""), (4, "one")],
+        ["doc_id", "text"],
+    )
+    assert dedup.dedup_minhash_pairs(docs).count() == 0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.1)
+    assert jac.count() == 0
+
+
+def test_simhash_duplicate_docs_equal_hamming_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert len(fp[1]) == 16
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, "k", datetime(2024, 1, 1, 12, 0, 0)),
+         (2, "k", datetime(2024, 1, 1, 10, 0, 0)),
+         (3, "other", datetime(2024, 1, 1, 12, 0, 0))],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 9, 0, 0), 1.0),
+         ("k", datetime(2024, 1, 1, 11, 0, 0), 2.0),
+         ("k", datetime(2024, 1, 1, 13, 0, 0), 3.0)],
+        ["key", "rts", "val"],
+    )
+    out = {
+        r["id"]: r["val"]
+        for r in relational.asof_join(
+            left, right, ["key"], "ts", "rts", ["val"]
+        ).collect()
+    }
+    assert out == {1: 2.0, 2: 1.0, 3: None}
+
+
+def test_topk_movers_deterministic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    dm = ohlcv.daily_metrics(
+        ev, symbol_col="event_type", ts_col="ts", price_col="value", id_col="event_id"
+    )
+    a = [tuple(r) for r in ohlcv.topk_movers(dm, 5).collect()]
+    b = [tuple(r) for r in ohlcv.topk_movers(dm.repartition(13), 5).collect()]
+    assert a == b
