@@ -8,18 +8,27 @@ two PySpark jobs (see SURVEY.md). This package re-expresses the same
 operator surface — and the north-star LLM-data-pipeline extensions —
 as a reusable DataFrame/Structured-Streaming library:
 
-- ``session``    : SparkSession factory (AQE on, UTC, Arrow on)
-- ``schemas``    : single source-of-truth schema registry (fixes the
-                   reference's percent_change/change_percent drift,
-                   SURVEY.md §1.3)
-- ``sources``    : batch/stream readers over parquet/CSV/Kafka/rate
-- ``functions``  : scalar/cleaning/money/text/vector column expressions
-- ``operators``  : bars, rolling windows, top-k, joins (incl. as-of),
-                   dedup family (exact/keep-last/MinHash-LSH/SimHash/
-                   n-gram-Jaccard/embedding), similarity search,
-                   merge-upsert, set ops, pivot
-- ``streaming``  : watermarked dual-window metrics + foreachBatch sinks
-- ``plans``      : plan-inspection helpers (pushdown/broadcast asserts)
+- ``session``       : SparkSession factory (AQE on, UTC, Arrow on) +
+                      parallelism guard for CPU-heavy small inputs
+- ``schemas``       : single source-of-truth schema registry (fixes
+                      the reference's percent_change/change_percent
+                      drift, SURVEY.md §1.3)
+- ``sources``       : batch readers (parquet/CSV, partition-pruned)
+- ``functions``     : scalar/cleaning/derivation column expressions
+- ``operators``     : OHLCV daily metrics, dual sliding-window
+                      realtime metrics, top-k, dedup family (exact /
+                      keep-last / MinHash-LSH / n-gram-Jaccard /
+                      SimHash), similarity search (exact + LSH ANN +
+                      pandas-UDF fast path), text analysis, merge-
+                      upsert, as-of join, set ops, pivot, rollup,
+                      multimodal feature plumbing
+- ``streaming``     : file/rate/Kafka sources, watermarked windows,
+                      foreachBatch dual-window metrics + keyed upsert
+- ``sinks``         : partitioned parquet/CSV writers, Kafka producer,
+                      parquet merge-upsert, availability gate
+- ``plans``         : plan-inspection asserts (no-cartesian,
+                      broadcast, pushdown)
+- ``driver_queries``: every operator as an oracle-checked query
 """
 
 __version__ = "0.1.0"

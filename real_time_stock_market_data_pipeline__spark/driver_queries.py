@@ -562,6 +562,44 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+def q_stream_realtime_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming path (file stream → watermark → foreachBatch
+    dual-window metrics → keyed parquet MERGE upsert), drained with an
+    ``availableNow`` trigger. Checked against the SAME oracle as the
+    batch ``realtime_metrics``: streamed output must be bit-identical.
+    """
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_stream_")
+    target = f"{tmp}/metrics"
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    q = pipeline.stream_realtime_metrics(
+        src,
+        target_path=target,
+        checkpoint_path=f"{tmp}/ckpt",
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "symbol",
+        "window_start",
+        "window_15m_end",
+        "window_1h_end",
+        "moving_avg_price_15m",
+        "moving_avg_price_1h",
+        "price_volatility_15m",
+        "price_volatility_1h",
+        "total_volume_15m",
+        "total_volume_1h",
+    )
+
+
 # --------------------------------------------------------------------------
 # Merge-upsert / as-of join / set ops / pivot / rollup
 # --------------------------------------------------------------------------
@@ -898,6 +936,39 @@ FROM n
 """
 
 # --------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode, real Arrow/mapInPandas pipeline)
+# --------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    ensure_engine_conf(spark)
+    media = multimodal.media_from_documents(_table("documents")(spark, sf_dir))
+    return multimodal.extract_media_features(media, use_stub=True)
+
+
+def _media_features_oracle() -> str:
+    feats = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(sha, {8 * i + j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+            for j in range(8)
+        )
+        + ") / 4294967296.0 AS FLOAT)"
+        for i in range(8)
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, 'image' AS kind,
+                  octet_length(encode(text)) AS n_bytes,
+                  sha256(text) AS sha
+           FROM documents)
+SELECT media_id, kind, n_bytes, sha AS content_sha, [{feats}] AS features
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -907,6 +978,7 @@ QUERIES: dict[str, QueryFn] = {
     "daily_metrics_lineitem": q_daily_metrics_lineitem,
     "topk_movers": q_topk_movers,
     "realtime_metrics": q_realtime_metrics,
+    "stream_realtime_metrics": q_stream_realtime_metrics,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_last": q_dedup_keep_last,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -931,6 +1003,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -939,6 +1012,7 @@ ORACLES: dict[str, str] = {
     "daily_metrics_lineitem": _DAILY_LINEITEM_ORACLE,
     "topk_movers": _TOPK_ORACLE,
     "realtime_metrics": _REALTIME_ORACLE,
+    "stream_realtime_metrics": _REALTIME_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_keep_last": _KEEP_LAST_ORACLE,
     "dedup_minhash_pairs": _MINHASH_ORACLE,
@@ -964,4 +1038,5 @@ ORACLES: dict[str, str] = {
     "token_count": _TOKEN_COUNT_ORACLE,
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
+    "media_features": _media_features_oracle(),
 }

@@ -7,7 +7,7 @@ emits ``percent_change`` while the stream schema declares
 ``change_percent`` (`src/kafka/producer/stream_data_producer.py:103` vs
 `spark_stream_processor.py:68`), silently nulling the column. Here every
 dataset has exactly one declared schema, and the tick reader reconciles
-both field spellings (see `sources/ticks.py`).
+both field spellings (see `functions.cleaning.cast_tick_types`).
 """
 
 from __future__ import annotations

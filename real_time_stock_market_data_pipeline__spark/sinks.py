@@ -1,0 +1,114 @@
+"""Sinks — reference K1–K6 re-expressed (`/root/reference`):
+
+- K2 partitioned Parquet append: `spark_stream_processor.py:95-98`
+- K3 partitioned CSV overwrite + header: `spark_batch_processor.py:144-149`
+- K1 Kafka keyed-JSON produce: `stream_data_producer.py:126-131`
+- K5/K6 warehouse staged MERGE upsert + DDL-if-absent:
+  `load_to_snowflake.py:71-97,193-241` — engine-side equivalent is
+  `merge_upsert_parquet` (read-merge-swap on a parquet directory; on a
+  real deployment the same `relational.merge_upsert` feeds a Delta /
+  Iceberg `MERGE INTO` or a JDBC staging table)
+- S7 input-availability gate: `check_minio_file.py:47-75`
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators.relational import (
+    merge_upsert,
+)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """K2: partitioned Parquet append (engine default at-rest format)."""
+    w = df.write.mode(mode)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def write_csv_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """K3: partitioned CSV with header (kept for reference parity;
+    Parquet is the engine default)."""
+    w = df.write.mode(mode).option("header", str(header).lower())
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.csv(path)
+
+
+def kafka_writer(
+    df: DataFrame, servers: str, topic: str, key_col: str
+):
+    """K1: keyed-JSON Kafka producer as a configured DataFrameWriter.
+
+    The value is the full row as JSON, keyed by ``key_col`` — the
+    reference's ``producer.produce(key=symbol, value=json)`` shape.
+    Returned unsaved so callers (and tests) can inspect it; actually
+    writing requires the spark-sql-kafka package on the classpath.
+    """
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+    )
+
+
+def input_ready(spark: SparkSession, path: str) -> bool:
+    """S7: availability gate — does the path exist and contain at least
+    one readable row?"""
+    try:
+        return spark.read.parquet(path).limit(1).count() > 0
+    except Exception:
+        return False
+
+
+def merge_upsert_parquet(
+    spark: SparkSession, batch: DataFrame, path: str, keys: list[str]
+) -> None:
+    """K5/T10: idempotent keyed upsert into a parquet directory.
+
+    Read-merge-swap: merge the batch with the current table state
+    (left-anti + union, `relational.merge_upsert`), write to a fresh
+    directory, atomically swap. Local-FS implementation of the
+    reference's staged MERGE; the swap keeps re-runs idempotent the
+    same way the MERGE key did. On Delta/Iceberg this whole function
+    is `MERGE INTO` and the swap disappears.
+    """
+    if input_ready(spark, path):
+        current = spark.read.parquet(path)
+        merged = merge_upsert(current, batch.select(*current.columns), keys)
+    else:
+        merged = batch
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(path) or ".")
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        if os.path.exists(path):
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,162 @@
+"""Streaming pipeline and sink tests (SURVEY.md §5 item 2): the
+streamed dual-window metrics must equal the batch transform on the same
+fixture; the incremental path must upsert, not duplicate; sinks must
+round-trip."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import sinks
+from real_time_stock_market_data_pipeline__spark.operators.metrics import (
+    realtime_metrics,
+)
+from real_time_stock_market_data_pipeline__spark.oracle_compare import value_hash
+from real_time_stock_market_data_pipeline__spark.sources.registry import (
+    load_table,
+    read_partitioned,
+)
+from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+
+def _hash_df(df):
+    return value_hash(df.columns, [tuple(r) for r in df.collect()])
+
+
+OUT_COLS = [
+    "symbol",
+    "window_start",
+    "window_15m_end",
+    "window_1h_end",
+    "moving_avg_price_15m",
+    "moving_avg_price_1h",
+    "price_volatility_15m",
+    "price_volatility_1h",
+    "total_volume_15m",
+    "total_volume_1h",
+]
+
+
+def test_streamed_equals_batch(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    q = pipeline.stream_realtime_metrics(
+        src,
+        target_path=f"{tmp}/m",
+        checkpoint_path=f"{tmp}/c",
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        available_now=True,
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(f"{tmp}/m").select(*OUT_COLS)
+    batch = realtime_metrics(
+        load_table(spark, sf_dir, "events"),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+    ).select(*OUT_COLS)
+    assert _hash_df(streamed) == _hash_df(batch)
+
+
+def test_streaming_restart_is_idempotent(spark, sf_dir):
+    """Re-running the drained stream (fresh checkpoint, same input)
+    must leave the target unchanged — the T10 idempotence property the
+    reference gets from its MERGE key."""
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+
+    def run(ckpt: str) -> None:
+        src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+        q = pipeline.stream_realtime_metrics(
+            src,
+            target_path=f"{tmp}/m",
+            checkpoint_path=f"{tmp}/{ckpt}",
+            symbol_col="event_type",
+            ts_col="ts",
+            price_col="value",
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    run("c1")
+    h1 = _hash_df(spark.read.parquet(f"{tmp}/m"))
+    run("c2")
+    h2 = _hash_df(spark.read.parquet(f"{tmp}/m"))
+    assert h1 == h2
+
+
+def test_merge_upsert_parquet_updates_keys(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+    path = f"{tmp}/tbl"
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    first = ev.filter(F.col("event_id") < 50)
+    sinks.merge_upsert_parquet(spark, first, path, keys=["event_id"])
+    assert spark.read.parquet(path).count() == first.count()
+    updated = ev.filter(F.col("event_id") < 20).withColumn(
+        "value", F.lit(-1.0)
+    )
+    sinks.merge_upsert_parquet(spark, updated, path, keys=["event_id"])
+    out = spark.read.parquet(path)
+    assert out.count() == first.count()
+    assert out.filter(F.col("value") == -1.0).count() == updated.count()
+
+
+def test_parquet_roundtrip_partition_pruning(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+    path = f"{tmp}/part"
+    ev = load_table(spark, sf_dir, "events").limit(300)
+    enriched = ev.select(
+        "*",
+        F.year("ts").alias("year"),
+        F.month("ts").alias("month"),
+        F.dayofmonth("ts").alias("day"),
+    )
+    sinks.write_parquet_partitioned(
+        enriched, path, partition_cols=["year", "month", "day"]
+    )
+    pruned = read_partitioned(spark, path, year=2024, month=1, day=2)
+    assert 0 < pruned.count() < spark.read.parquet(path).count()
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+    path = f"{tmp}/csv"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).limit(50)
+    sinks.write_csv_partitioned(ev, path, partition_cols=["event_type"])
+    back = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .csv(path)
+    )
+    assert back.count() == 50
+    assert set(back.columns) == {"event_id", "value", "event_type"}
+
+
+def test_kafka_writer_shapes_keyed_json(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(5)
+    writer = sinks.kafka_writer(ev, "localhost:9092", "ticks", key_col="event_type")
+    # the configured writer's underlying frame must be (key, value) JSON
+    payload = ev.select(
+        F.col("event_type").cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in ev.columns])).alias("value"),
+    )
+    rows = payload.collect()
+    assert all(r["value"].startswith("{") and '"event_id"' in r["value"] for r in rows)
+    assert writer is not None
+
+
+def test_input_ready_gate(spark, sf_dir, tmp_path):
+    assert sinks.input_ready(spark, f"{sf_dir}/events.parquet")
+    assert not sinks.input_ready(spark, str(tmp_path / "nope"))
+
+
+def test_rate_source_builds(spark):
+    df = pipeline.read_rate_stream(spark)
+    assert df.isStreaming
+    assert set(df.columns) == {"ts", "symbol", "price", "volume"}
