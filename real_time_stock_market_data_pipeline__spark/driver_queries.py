@@ -830,6 +830,54 @@ LIMIT 10
 """
 
 
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def _embedding_neardup_oracle() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    cos = (
+        f"CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 "
+        f"THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
+    return f"""
+WITH bkt AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({cos}) >= 0.3
+"""
+
+
+def q_synthetic_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 deterministic generator → the engine's own daily-metrics
+    shape; rows-only (xxhash64 is Spark-specific, by design — the
+    generator is an engine-side fixture, not data semantics)."""
+    from real_time_stock_market_data_pipeline__spark.sources.external import (
+        synthetic_ohlcv,
+    )
+
+    ensure_engine_conf(spark)
+    return synthetic_ohlcv(spark, days=30)
+
+
 def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas-UDF scale path — rows-only check (float sum order)."""
     ensure_engine_conf(spark)
@@ -998,6 +1046,8 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_event_value": q_rollup_event_value,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "synthetic_ohlcv": q_synthetic_ohlcv,
     "cosine_topk_fast": q_cosine_topk_fast,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
@@ -1032,6 +1082,8 @@ ORACLES: dict[str, str] = {
     "rollup_event_value": _ROLLUP_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),
+    "embedding_neardup_pairs": _embedding_neardup_oracle(),
+    # synthetic_ohlcv: rows-only — xxhash64 generator is Spark-side by design
     # cosine_topk_fast: intentionally no oracle — pandas-UDF float sums
     # are order-dependent; the driver records a rows-only check
     "text_stats": _TEXT_STATS_ORACLE,

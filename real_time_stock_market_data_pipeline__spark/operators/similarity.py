@@ -178,6 +178,51 @@ def ann_topk(
     )
 
 
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), candidates restricted to same-LSH-bucket vectors.
+
+    The dedup counterpart of ``ann_topk``: bucket map-side, self-join
+    on the bucket key (two aliases of one frame → exchange reuse),
+    exact cosine only on intra-bucket pairs. Cost is Σ bucket² — never
+    corpus² — and high-cosine pairs land in the same bucket with
+    probability (1 - θ/π)^planes."""
+    planes = planes or ANN_PLANES
+    dim = len(planes[0])
+    bucketed = embs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        rp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    dot = _fold_sum(
+        [
+            F.element_at(F.col(f"a.{vec_col}"), i + 1).cast("double")
+            * F.element_at(F.col(f"b.{vec_col}"), i + 1).cast("double")
+            for i in range(dim)
+        ]
+    )
+    na = _norm_fold(F.col(f"a.{vec_col}"), dim)
+    nb = _norm_fold(F.col(f"b.{vec_col}"), dim)
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.when((na > 0) & (nb > 0), dot / (na * nb)).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def cosine_topk_fast(
     embs: DataFrame,
     query: list[float],

@@ -83,6 +83,32 @@ def input_ready(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def with_row_observation(df: DataFrame, name: str = "metrics") -> DataFrame:
+    """A6: row-count/valid-count probe via ``df.observe`` — the
+    plan-embedded replacement for the reference's double ``count()``
+    anti-pattern (`spark_batch_processor.py:75-85` runs the whole job
+    twice just to log a count). The observation rides the action that
+    was going to run anyway; read it from ``QueryExecutionListener``
+    or, in streaming, from ``StreamingQueryProgress.observedMetrics``.
+    """
+    return df.observe(name, F.count(F.lit(1)).alias("rows"))
+
+
+def ensure_table(
+    spark: SparkSession, name: str, like: DataFrame, path: str | None = None
+) -> None:
+    """K6: DDL-if-absent — CREATE TABLE IF NOT EXISTS with the schema
+    of ``like`` (reference `load_to_snowflake.py:71-97`), as an
+    external parquet table when ``path`` is given."""
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in like.schema.fields
+    )
+    loc = f" LOCATION '{path}'" if path else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet{loc}"
+    )
+
+
 def merge_upsert_parquet(
     spark: SparkSession, batch: DataFrame, path: str, keys: list[str]
 ) -> None:

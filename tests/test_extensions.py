@@ -1,0 +1,94 @@
+"""Tests for the extension surface: embedding near-dup, synthetic
+source determinism, observation probe, DDL-if-absent, similarity
+sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import sinks
+from real_time_stock_market_data_pipeline__spark.operators import similarity
+from real_time_stock_market_data_pipeline__spark.oracle_compare import value_hash
+from real_time_stock_market_data_pipeline__spark.sources.external import (
+    synthetic_ohlcv,
+)
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+
+def test_cosine_topk_finds_self(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = similarity.cosine_topk(embs, q, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cosine"] - 1.0) < 1e-12
+
+
+def test_ann_topk_subset_of_bucket(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ann = similarity.ann_topk(embs, q, k=10).collect()
+    # the query vector itself is always in its own bucket → rank 1
+    assert ann[0]["vec_id"] == 0
+    exact = similarity.cosine_topk(embs, q, k=500).collect()
+    exact_scores = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in ann:
+        assert abs(exact_scores[r["vec_id"]] - r["cosine"]) < 1e-12
+
+
+def test_embedding_neardup_pairs_symmetric_ids(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_neardup_pairs(embs, threshold=0.3).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.3
+
+
+def test_synthetic_ohlcv_deterministic_across_layouts(spark):
+    a = synthetic_ohlcv(spark, days=20, seed=1)
+    b = synthetic_ohlcv(spark, days=20, seed=1).repartition(7)
+    ha = value_hash(a.columns, [tuple(r) for r in a.collect()])
+    hb = value_hash(b.columns, [tuple(r) for r in b.collect()])
+    assert ha == hb
+    c = synthetic_ohlcv(spark, days=20, seed=2)
+    hc = value_hash(c.columns, [tuple(r) for r in c.collect()])
+    assert ha != hc
+
+
+def test_synthetic_ohlcv_invariants(spark):
+    df = synthetic_ohlcv(spark, days=10)
+    bad = df.filter(
+        (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+        | (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+    )
+    assert bad.count() == 0
+
+
+def test_row_observation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").limit(123)
+    observed = sinks.with_row_observation(ev, "probe")
+    n = observed.count()
+    assert n == 123
+
+
+def test_ensure_table_idempotent(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").limit(5)
+    sinks.ensure_table(spark, "t_ensure_test", ev)
+    sinks.ensure_table(spark, "t_ensure_test", ev)  # IF NOT EXISTS
+    assert spark.catalog.tableExists("t_ensure_test")
+    spark.sql("DROP TABLE t_ensure_test")
+
+
+def test_media_features_stub_deterministic(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.media_from_documents(docs)
+    a = multimodal.extract_media_features(media, use_stub=True)
+    rows = {r["media_id"]: r for r in a.collect()}
+    assert len(rows) == 20
+    r0 = next(iter(rows.values()))
+    assert len(r0["features"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in r0["features"])
+    assert len(r0["content_sha"]) == 64
