@@ -184,46 +184,72 @@ def minhash_bands(
     Short docs are exact-dedup territory (`dedup_exact`), not LSH.
     """
     n_bands = perms // band_rows
-    banded = (
+    # Stay in whole-stage codegen end-to-end: explode shingle *positions*
+    # to rows, hash each shingle with ordinary (vectorized) string
+    # expressions, and reduce the 16 permutations as plain min()
+    # aggregates. Higher-order functions (transform/array_min) always
+    # evaluate interpreted in Spark — the earlier array-based shapes
+    # spent the whole bench there. Rows explode within the input
+    # partition, so the groupBy's partial aggregation computes full
+    # per-doc minimums map-side and the shuffle carries one
+    # (id, 16 longs) row per document.
+    toks = (
         ensure_min_parallelism(docs)
-        .select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select(F.col(id_col), shingle_hashes(F.col("sh")).alias("hs"))
         .select(
             F.col(id_col),
-            minhash_signature_from_hashes(F.col("hs"), perms).alias("sig"),
+            F.split(normalized_text(text_col), " ").alias("toks"),
         )
+        .filter(F.size("toks") >= shingle_k)  # == "has at least one shingle"
     )
-    # Explode the band index FIRST, then slice the (already materialized)
-    # signature attribute per exploded row. Building an array of 8 band
-    # structs that each re-reference the signature expression lets
-    # CollapseProject inline the full 16-permutation MinHash into every
-    # band — a silent 8× recompute (measured 62 s vs 4 s on sf0.1). The
-    # Generate node is a projection barrier: the signature is evaluated
-    # once per document.
-    return (
-        banded.select(
-            F.col(id_col),
-            F.col("sig"),
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice(
-                            F.col("sig"),
-                            F.col("band_idx") * band_rows + 1,
-                            band_rows,
-                        ),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias("band_hash"),
-        )
+    shingle = F.concat_ws(
+        " ",
+        *[
+            F.element_at(F.col("toks"), F.col("i") + F.lit(j + 1))
+            for j in range(shingle_k)
+        ],
+    )
+    hashed = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - F.lit(shingle_k))
+        ).alias("i"),
+        F.col("toks"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    # duplicate shingles don't change a min, so no distinct needed
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"m{i}")
+            for i in range(perms)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"m{b * band_rows + r}").cast("string")
+                            for r in range(band_rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    # the m* columns are materialized Aggregate outputs (an optimizer
+    # barrier), so referencing them per band is attribute access, not
+    # expression re-evaluation
+    return sig.select(F.col(id_col), F.explode(bands).alias("bd")).select(
+        id_col, "bd.band_idx", "bd.band_hash"
     )
 
 
@@ -274,7 +300,16 @@ def ngram_jaccard_pairs(
     ``k`` is used for candidate generation and verification.
     """
     cand = dedup_minhash_pairs(docs, id_col, text_col, shingle_k=k)
-    sh = docs.select(
+    # shingle arrays only for documents that appear in a candidate pair
+    # (a left-semi prefilter): exact verification cost scales with the
+    # collision volume, not the corpus — and the interpreted
+    # array-building expressions run on that small set only
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), shingles(text_col, k).alias("sh")
     )
     j = (

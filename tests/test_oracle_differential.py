@@ -35,5 +35,6 @@ def test_matches_oracle(name, spark, duck, sf_dir):
 
 def test_every_query_has_oracle_or_reason():
     missing = set(driver_queries.QUERIES) - set(driver_queries.ORACLES)
-    # pandas-UDF float path is the only intentional rows-only query
-    assert missing == {"cosine_topk_fast"}, missing
+    # intentional rows-only queries: pandas-UDF float path (summation
+    # order), Spark-side xxhash64 generator (engine fixture by design)
+    assert missing == {"cosine_topk_fast", "synthetic_ohlcv"}, missing
