@@ -739,6 +739,39 @@ SELECT event_type, CAST(ts AS DATE) AS date, count(*) AS n,
 FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
 """
 
+
+def q_cube_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return relational.cube_metrics(
+        ev, [F.col("event_type"), F.col("user_id")], "value"
+    )
+
+
+_CUBE_ORACLE = """
+SELECT event_type, user_id, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY CUBE (event_type, user_id)
+"""
+
+
+def q_active_users_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return relational.windowed_distinct_actives(
+        ev, key_col="user_id", ts_col="ts", duration="1 hour",
+        group_col="event_type",
+    )
+
+
+_ACTIVE_USERS_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS active_keys,
+       count(*) AS events,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000 + 3600000000) AS window_end
+FROM events
+GROUP BY 1, 4, 5
+"""
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1044,6 +1077,8 @@ QUERIES: dict[str, QueryFn] = {
     "set_ops": q_set_ops,
     "pivot_event_counts": q_pivot_event_counts,
     "rollup_event_value": q_rollup_event_value,
+    "cube_event_value": q_cube_event_value,
+    "active_users_hourly": q_active_users_hourly,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
@@ -1080,6 +1115,8 @@ ORACLES: dict[str, str] = {
     "set_ops": _SET_OPS_ORACLE,
     "pivot_event_counts": _PIVOT_ORACLE,
     "rollup_event_value": _ROLLUP_ORACLE,
+    "cube_event_value": _CUBE_ORACLE,
+    "active_users_hourly": _ACTIVE_USERS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "embedding_neardup_pairs": _embedding_neardup_oracle(),

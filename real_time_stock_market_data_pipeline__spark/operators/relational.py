@@ -142,3 +142,46 @@ def rollup_metrics(
         .cast("double")
         .alias("total_value"),
     )
+
+
+def cube_metrics(
+    df: DataFrame,
+    dims: list[F.Column | str],
+    value_col: str,
+) -> DataFrame:
+    """CUBE over ``dims`` — every grouping-set combination (SURVEY.md
+    §2.4's free Spark generalization), same exact aggregates as
+    ``rollup_metrics``."""
+    return df.cube(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def windowed_distinct_actives(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration: str = "1 hour",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Distinct active keys per tumbling window (± per group) — the
+    'distinct active symbols per window' metric SURVEY.md §2.4 names.
+    Exact count_distinct; swap in approx_count_distinct(rsd) at the
+    call site when a sketch is acceptable at 100 TB (HLL merges
+    map-side and shuffles a constant-size sketch instead of the key
+    set)."""
+    keys = [F.window(F.col(ts_col), duration).alias("window")]
+    if group_col:
+        keys.append(F.col(group_col).alias(group_col))
+    out = df.groupBy(*keys).agg(
+        F.countDistinct(key_col).alias("active_keys"),
+        F.count(F.lit(1)).alias("events"),
+    )
+    return (
+        out.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )

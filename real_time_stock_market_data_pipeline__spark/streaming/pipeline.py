@@ -191,6 +191,23 @@ def stream_window_metrics_append(
     return writer.start()
 
 
+def stream_dedup_within_watermark(
+    source: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it — the streaming counterpart of A4 that the
+    reference lacked (SURVEY.md §2.7 'no dropDuplicatesWithinWatermark')
+    and the safe version of a naive ``dropDuplicates`` whose state
+    grows without bound on an unbounded stream."""
+    return source.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     servers: str,

@@ -1,0 +1,118 @@
+"""Hypothesis-generated property tests: the algebraic laws must hold on
+arbitrary inputs, not just the driver fixtures. Spark jobs are slow per
+example, so examples are capped low — breadth comes from the generated
+shapes (dup ratios, key collisions, empty frames are all reachable)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators import dedup, relational
+from real_time_stock_market_data_pipeline__spark.oracle_compare import value_hash
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),          # key
+        st.integers(min_value=0, max_value=5),           # sub-key
+        st.integers(min_value=0, max_value=10_000),      # ordering id
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "g", "oid", "v"])
+
+
+@given(rows=ROWS, rows2=ROWS)
+@settings(**_SETTINGS)
+def test_merge_upsert_laws(spark, rows, rows2):
+    target, source = _df(spark, rows), _df(spark, rows2)
+    once = relational.merge_upsert(target, source, ["k", "g"])
+    twice = relational.merge_upsert(once, source, ["k", "g"])
+    h = lambda d: value_hash(d.columns, [tuple(r) for r in d.collect()])  # noqa: E731
+    # idempotent
+    assert h(once) == h(twice)
+    # every source row present verbatim; no key lost
+    src_keys = {(r[0], r[1]) for r in rows2}
+    tgt_keys = {(r[0], r[1]) for r in rows}
+    out_keys = {(r["k"], r["g"]) for r in once.collect()}
+    assert out_keys == src_keys | tgt_keys
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_keep_last_laws(spark, rows):
+    df = _df(spark, rows)
+    out = dedup.dedup_keep_last(df, ["k"], ["oid"])
+    got = {r["k"]: (r["oid"], r["v"]) for r in out.collect()}
+    expect = {}
+    for k, g, oid, v in rows:
+        if k not in expect or oid > expect[k][0]:
+            expect[k] = (oid, v)
+    # ties on oid are broken arbitrarily among equal (k, oid); compare oid only
+    assert {k: o for k, (o, _) in got.items()} == {
+        k: o for k, (o, _) in expect.items()
+    }
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_exact_partitions_corpus(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    groups = dedup.dedup_exact(docs).collect()
+    # groups partition the corpus
+    assert sum(r["dup_count"] for r in groups) == len(texts)
+    # same normalized text ⇒ same group; keeper is the min id
+    norm = {}
+    for i, t in enumerate(texts):
+        key = " ".join(t.lower().strip().split())
+        norm.setdefault(key, []).append(i)
+    assert sorted(min(v) for v in norm.values()) == sorted(
+        r["keep_id"] for r in groups
+    )
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = pipeline.stream_dedup_within_watermark(
+        src, keys=["user_id", "event_type"], ts_col="ts"
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() <= 75  # ≤ one row per (user, event_type)
+    assert out.groupBy("user_id", "event_type").count().filter(
+        F.col("count") > 1
+    ).count() == 0
