@@ -600,6 +600,45 @@ def q_stream_realtime_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_running_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op (applyInPandasWithState): running
+    VWAP state per symbol over the event stream, drained with
+    availableNow. The oracle checks the exact-arithmetic state columns
+    (unit volumes sum exactly); the float vwap itself is arrival-order
+    dependent and is covered by tests/test_stateful.py instead."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    ticks = src.select(
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+        F.lit(1.0).alias("volume"),
+    )
+    out = stateful.stream_running_vwap(ticks)
+    tmp = tempfile.mkdtemp(prefix="vwap_q_")
+    name = "vwap_driver_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT symbol, total_volume, n_events FROM (SELECT *, row_number() "
+        f"OVER (PARTITION BY symbol ORDER BY n_events DESC) rn FROM {name}) "
+        f"WHERE rn = 1"
+    )
+
+
 # --------------------------------------------------------------------------
 # Merge-upsert / as-of join / set ops / pivot / rollup
 # --------------------------------------------------------------------------
@@ -1060,6 +1099,7 @@ QUERIES: dict[str, QueryFn] = {
     "topk_movers": q_topk_movers,
     "realtime_metrics": q_realtime_metrics,
     "stream_realtime_metrics": q_stream_realtime_metrics,
+    "stream_running_vwap": q_stream_running_vwap,
     "dedup_exact": q_dedup_exact,
     "dedup_keep_last": q_dedup_keep_last,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1098,6 +1138,12 @@ ORACLES: dict[str, str] = {
     "topk_movers": _TOPK_ORACLE,
     "realtime_metrics": _REALTIME_ORACLE,
     "stream_realtime_metrics": _REALTIME_ORACLE,
+    "stream_running_vwap": """
+SELECT event_type AS symbol,
+       CAST(count(*) AS DOUBLE) AS total_volume,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_keep_last": _KEEP_LAST_ORACLE,
     "dedup_minhash_pairs": _MINHASH_ORACLE,
