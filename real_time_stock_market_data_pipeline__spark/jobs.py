@@ -1,0 +1,171 @@
+"""Runnable job entry points — the engine equivalents of the
+reference's two spark-submit applications, composed from library
+operators instead of copy-pasted scripts:
+
+- ``batch_daily_job``  ≙ `src/spark/jobs/spark_batch_processor.py` +
+  `src/snowflake/load_to_snowflake.py`: partitioned scan → dedup →
+  daily OHLCV metrics → partitioned write → keyed warehouse upsert.
+- ``stream_job``       ≙ `src/spark/jobs/spark_stream_processor.py` +
+  `realtime_load_to_snowflake.py`: file/Kafka stream → watermark →
+  dual-window metrics → checkpointed idempotent upsert.
+
+Orchestration stays external and thin (SURVEY.md §3.3): one
+parameterized Spark application per run — an Airflow task runs
+``python -m real_time_stock_market_data_pipeline__spark.jobs batch ...``
+instead of docker-exec'ing a hand-wired script chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import sinks
+from real_time_stock_market_data_pipeline__spark.operators import dedup, ohlcv
+from real_time_stock_market_data_pipeline__spark.session import get_spark
+from real_time_stock_market_data_pipeline__spark.sources.registry import (
+    read_partitioned,
+)
+
+
+def batch_daily_job(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    warehouse_path: str | None = None,
+    fmt: str = "parquet",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+    volume_col: str | None = None,
+    year: int | None = None,
+    month: int | None = None,
+    day: int | None = None,
+) -> int:
+    """The reference's batch pipeline (`spark_batch_processor.main`):
+    scan (partition-pruned when a run date is given) → keep-last dedup
+    per (symbol, day) → daily metrics → partitioned parquet →
+    optional warehouse upsert keyed (symbol, date). Returns the output
+    row count (observed, not a second job)."""
+    raw = read_partitioned(spark, input_path, fmt=fmt, year=year, month=month, day=day)
+    if not raw.head(1):
+        raise RuntimeError(f"input gate: no rows at {input_path} (S7)")
+    # A4/A5: keep-last per (symbol, day, event time) under an explicit
+    # order — the deterministic form of the reference's
+    # dropDuplicates(["symbol","date"]) (`spark_batch_processor.py:83`)
+    with_day = raw.withColumn("__day", F.to_date(F.col(ts_col)))
+    deduped = dedup.dedup_keep_last(
+        with_day,
+        keys=[symbol_col, "__day", ts_col],
+        order_by=[id_col] if id_col else [ts_col],
+    ).drop("__day")
+    daily = ohlcv.daily_metrics(
+        deduped,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        id_col=id_col,
+        volume_col=volume_col,
+    )
+    out = daily.withColumn("year", F.year("date")).withColumn(
+        "month", F.month("date")
+    )
+    sinks.write_parquet_partitioned(
+        out, output_path, partition_cols=["year", "month"], mode="overwrite"
+    )
+    if warehouse_path:
+        sinks.merge_upsert_parquet(
+            spark, daily, warehouse_path, keys=["symbol", "date"]
+        )
+    return spark.read.parquet(output_path).count()
+
+
+def stream_job(
+    spark: SparkSession,
+    input_path: str,
+    target_path: str,
+    checkpoint_path: str,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str | None = None,
+    available_now: bool = False,
+) -> None:
+    """The reference's streaming pipeline (`spark_stream_processor.main`)
+    end-to-end; blocks until termination (or drain, with
+    ``available_now``)."""
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    src = pipeline.read_file_stream(spark, input_path)
+    q = pipeline.stream_realtime_metrics(
+        src,
+        target_path=target_path,
+        checkpoint_path=checkpoint_path,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        volume_col=volume_col,
+        available_now=available_now,
+        stamp_last_updated=True,
+    )
+    q.awaitTermination()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="rtsmdp-jobs")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("batch")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--warehouse")
+    b.add_argument("--symbol-col", default="symbol")
+    b.add_argument("--ts-col", default="ts")
+    b.add_argument("--price-col", default="price")
+    b.add_argument("--volume-col")
+    b.add_argument("--year", type=int)
+    b.add_argument("--month", type=int)
+    b.add_argument("--day", type=int)
+    s = sub.add_parser("stream")
+    s.add_argument("--input", required=True)
+    s.add_argument("--target", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--available-now", action="store_true")
+    s.add_argument("--symbol-col", default="symbol")
+    s.add_argument("--ts-col", default="ts")
+    s.add_argument("--price-col", default="price")
+    args = ap.parse_args(argv)
+    spark = get_spark("rtsmdp-job")
+    if args.cmd == "batch":
+        n = batch_daily_job(
+            spark,
+            args.input,
+            args.output,
+            warehouse_path=args.warehouse,
+            symbol_col=args.symbol_col,
+            ts_col=args.ts_col,
+            price_col=args.price_col,
+            volume_col=args.volume_col,
+            year=args.year,
+            month=args.month,
+            day=args.day,
+        )
+        print(f"batch_daily_job: {n} rows written")
+    else:
+        stream_job(
+            spark,
+            args.input,
+            args.target,
+            args.checkpoint,
+            symbol_col=args.symbol_col,
+            ts_col=args.ts_col,
+            price_col=args.price_col,
+            available_now=args.available_now,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
