@@ -58,24 +58,24 @@ def _fold_sum(terms: list[F.Column]) -> F.Column:
 
 
 def _dot_fold(vec_col: F.Column, q: list[float]) -> F.Column:
-    return _fold_sum(
-        [
-            F.element_at(vec_col, i + 1).cast("double") * F.lit(q[i])
-            for i in range(len(q))
-        ]
-    )
+    """Σ (double)v_i·q_i as a sequential left fold.
+
+    ``F.aggregate`` folds the array in element order, so it associates
+    exactly like the explicit ((t1+t2)+t3)… chain the SQL oracle uses
+    (the 0.0 seed is exact: 0.0+x == x for IEEE doubles). Expressed as
+    one zip_with+aggregate instead of a 64-term inline chain because
+    eight such chains in one projection overflow Spark's 64 KB
+    generated-method limit and drop the whole stage to interpreted
+    mode (the HOF is interpreted too, but only per element — the rest
+    of the stage keeps codegen)."""
+    qarr = F.array(*[F.lit(float(v)) for v in q])
+    prods = F.zip_with(vec_col, qarr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm_fold(vec_col: F.Column, dim: int) -> F.Column:
-    return F.sqrt(
-        _fold_sum(
-            [
-                F.element_at(vec_col, i + 1).cast("double")
-                * F.element_at(vec_col, i + 1).cast("double")
-                for i in range(dim)
-            ]
-        )
-    )
+    sq = F.transform(vec_col, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
 def _qnorm(q: list[float]) -> float:
@@ -206,13 +206,12 @@ def embedding_neardup_pairs(
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
-    dot = _fold_sum(
-        [
-            F.element_at(F.col(f"a.{vec_col}"), i + 1).cast("double")
-            * F.element_at(F.col(f"b.{vec_col}"), i + 1).cast("double")
-            for i in range(dim)
-        ]
+    prods = F.zip_with(
+        F.col(f"a.{vec_col}"),
+        F.col(f"b.{vec_col}"),
+        lambda x, y: x.cast("double") * y.cast("double"),
     )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
     na = _norm_fold(F.col(f"a.{vec_col}"), dim)
     nb = _norm_fold(F.col(f"b.{vec_col}"), dim)
     scored = pairs.select(
