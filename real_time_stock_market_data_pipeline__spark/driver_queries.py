@@ -811,6 +811,49 @@ FROM events
 GROUP BY 1, 4, 5
 """
 
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregation. The salt is internal —
+    the result (and therefore the oracle) is the plain GROUP BY."""
+    ev = _events(spark, sf_dir)
+    return relational.salted_agg(ev, ["event_type"], "value", n_salts=16)
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large×large equi-join (lineitem ⋈ orders), reduced to a
+    per-priority revenue summary so the checked output is small. The
+    salt spreads any hot orderkey over 8 join tasks; the join result
+    is row-identical to the unsalted join, which is what the oracle
+    runs."""
+    ensure_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = relational.salted_join(li, orders, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -935,6 +978,60 @@ WITH bkt AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
 FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ({cos}) >= 0.3
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def _coldot_sql(a: str, b: str) -> str:
+    """Left-associative column·column dot chain (same fold order as
+    similarity._dot_fold, so the doubles agree bitwise)."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+
+
+def _ivf_topk_oracle() -> str:
+    """IVF in plain SQL: centroids = lowest-id vectors, assignment =
+    row_number over (sim DESC, cell ASC) — the same argmax-with-lowest-
+    id-tiebreak the engine's array_max-over-(s, -i) computes. sim is
+    dot·(1/|c|): the row's own norm is a common factor, so it drops out
+    of the argmax, exactly as in similarity.ivf_assign."""
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+probes AS (
+  SELECT c.cell,
+         ROW_NUMBER() OVER (ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+  FROM centn c CROSS JOIN {_Q_SUB}
+)
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                 WHERE a.rn = 1
+                   AND a.cell IN (SELECT p.cell FROM probes p WHERE p.rn <= {n_p}))
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
 """
 
 
@@ -1119,8 +1216,11 @@ QUERIES: dict[str, QueryFn] = {
     "rollup_event_value": q_rollup_event_value,
     "cube_event_value": q_cube_event_value,
     "active_users_hourly": q_active_users_hourly,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "synthetic_ohlcv": q_synthetic_ohlcv,
     "cosine_topk_fast": q_cosine_topk_fast,
@@ -1163,8 +1263,11 @@ FROM events GROUP BY 1
     "rollup_event_value": _ROLLUP_ORACLE,
     "cube_event_value": _CUBE_ORACLE,
     "active_users_hourly": _ACTIVE_USERS_ORACLE,
+    "salted_agg": _SALTED_AGG_ORACLE,
+    "salted_join": _SALTED_JOIN_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),
+    "ivf_topk": _ivf_topk_oracle(),
     "embedding_neardup_pairs": _embedding_neardup_oracle(),
     # synthetic_ohlcv: rows-only — xxhash64 generator is Spark-side by design
     # cosine_topk_fast: intentionally no oracle — pandas-UDF float sums

@@ -98,6 +98,89 @@ def asof_join(
     return carried.filter(F.col("__tag") == 1).drop("__tag")
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant two-stage aggregation: count / exact sum / min /
+    max of ``value_col`` per ``keys``, computed as
+    ``groupBy(keys + salt)`` partials merged by a second
+    ``groupBy(keys)``.
+
+    The manual counterpart of AQE's skew-join splitting, for the *agg*
+    side: when one key holds a large fraction of all rows (hot symbol,
+    empty-string document, null user), a plain groupBy sends that whole
+    key to one reducer. Salting fans the hot key across ``n_salts``
+    reducers in stage 1; stage 2 merges ``n_salts`` partial rows per
+    key — O(distinct keys × n_salts) instead of O(rows of hottest key)
+    on the critical path.
+
+    The salt is deterministic (``xxhash64`` of ``salt_cols``, default:
+    all non-key columns), and every aggregate here is mergeable with
+    the sum carried in decimal, so the result is bit-identical to the
+    unsalted single-stage groupBy — which is exactly what the SQL
+    oracle runs. Map-side partial aggregation still applies to stage 1,
+    so the extra stage costs one (small) shuffle of partials, not a
+    second pass over the data.
+    """
+    ent = salt_cols or [c for c in df.columns if c not in keys]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ent]), F.lit(n_salts))
+    partial = (
+        df.groupBy(*keys, salt.alias("__salt"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__s"),
+            F.min(value_col).alias("__mn"),
+            F.max(value_col).alias("__mx"),
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.sum("__s").cast("double").alias("total_value"),
+            F.min("__mn").alias("min_value"),
+            F.max("__mx").alias("max_value"),
+        )
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed large×large equi-join: salt the (big, skewed) left side
+    into ``n_salts`` sub-keys, replicate the right side once per salt,
+    join on ``on + [salt]``.
+
+    A hot key on the left no longer lands in a single join task — its
+    rows spread over ``n_salts`` tasks, each holding a full copy of the
+    right side's rows for that key. Cost: the right side is read
+    ``n_salts``× (map-side explode, no extra shuffle of the left).
+    Result is row-identical to the plain join — each (l, r) match pairs
+    exactly once, on l's salt — so the oracle is the plain SQL join.
+
+    Prefer ``F.broadcast`` when the right side fits in memory and AQE
+    skew-join for moderate skew; this is the explicit fallback for the
+    hot-key × too-big-to-broadcast case. The left salt is deterministic
+    (hash of all left columns), keeping plans replayable.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")
+
+
 def set_union(a: DataFrame, b: DataFrame) -> DataFrame:
     """Set-semantics UNION (distinct)."""
     return a.unionByName(b).distinct()

@@ -222,6 +222,113 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+#: Default IVF geometry: 16 cells, probe the best 4 — candidate cost
+#: ≈ n_probe/n_centroids of the corpus per query at uniform cell fill.
+IVF_CENTROIDS_N = 16
+IVF_PROBES_N = 4
+
+
+def ivf_centroids(
+    embs: DataFrame,
+    n_centroids: int = IVF_CENTROIDS_N,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids``
+    lowest-id vectors, collected to the driver (the index *build* step —
+    a few KB, analogous to FAISS training; the corpus itself is never
+    collected). Deterministic seed vectors rather than k-means keeps
+    the cell assignment — and therefore the whole query result —
+    bit-reproducible by a SQL oracle; at 100 TB you'd swap in sampled
+    k-means centroids and re-run the (unchanged) assignment below."""
+    rows = (
+        embs.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _inv_norm(c: list[float]) -> float:
+    n = _qnorm(c)
+    return 1.0 / n if n > 0 else 0.0
+
+
+def ivf_assign(
+    vec_col: F.Column, centroids: list[list[float]]
+) -> F.Column:
+    """Nearest-centroid cell id by cosine. Since the row's own norm is
+    a common positive factor across centroids, argmax cosine ≡ argmax
+    dot(v, c)·(1/|c|) — one fold and one multiply per centroid, no
+    per-row sqrt. Ties take the lowest cell id (max over (sim, -id)
+    structs), matching the oracle's first-match CASE."""
+    scored = [
+        F.struct(
+            (_dot_fold(vec_col, c) * F.lit(_inv_norm(c))).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return -F.array_max(F.array(*scored))["ni"]
+
+
+def ivf_query_probes(
+    query: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest cells, with the same arithmetic
+    as ``ivf_assign`` (Python floats are IEEE doubles, so sims — and
+    tie-breaks — agree bitwise with the in-engine fold)."""
+
+    def fold_dot(c: list[float]) -> float:
+        acc = 0.0
+        first = True
+        for ci, qi in zip(c, query):
+            acc = ci * qi if first else acc + ci * qi
+            first = False
+        return acc
+
+    sims = [
+        (fold_dot(c) * _inv_norm(c), -i) for i, c in enumerate(centroids)
+    ]
+    return [-ni for _, ni in sorted(sims, reverse=True)[:n_probe]]
+
+
+def ivf_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS_N,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    centroid cell (map-side fold, no shuffle), score exactly only the
+    cells the query probes.
+
+    The complement of ``ann_topk``'s hyperplane LSH: IVF partitions by
+    data geometry (good when the corpus clusters), LSH by random
+    projections (no build step). With ``n_probe == n_centroids`` every
+    cell is scanned and the result equals ``cosine_topk`` exactly
+    (property-tested). At scale, write the corpus partitioned by cell
+    id (``write_parquet_partitioned(..., by=['cell'])``) and the probe
+    filter becomes partition pruning — the scan itself skips
+    1 - n_probe/n_centroids of the data."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    probes = ivf_query_probes(query, cents, n_probe)
+    cand = embs.filter(ivf_assign(F.col(vec_col), cents).isin(probes))
+    scored = cosine_scores(cand, query, vec_col)
+    return (
+        scored.select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_fast(
     embs: DataFrame,
     query: list[float],

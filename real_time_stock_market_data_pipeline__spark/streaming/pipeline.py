@@ -44,6 +44,30 @@ from real_time_stock_market_data_pipeline__spark.sinks import merge_upsert_parqu
 DEFAULT_WATERMARK = "1 minutes"
 DEFAULT_TRIGGER_SECONDS = 60
 
+#: State-store conf for large stateful streams (windowed aggs, dedup,
+#: applyInPandasWithState). The default HDFS-backed provider keeps all
+#: state on the JVM heap — fine for tests, an OOM risk once keyspace ×
+#: window count grows at 100 TB. RocksDB spills to local disk with
+#: changelog checkpointing, bounding heap regardless of state size.
+#: Runtime-settable (`spark.conf.set`) before the query starts; applied
+#: per-query via ``with_rocksdb_state``.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def with_rocksdb_state(spark: SparkSession) -> None:
+    """Switch subsequently-started streaming queries to the RocksDB
+    state store (the provider is read when a query starts, so set this
+    before ``.start()``; running queries are unaffected)."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+
 
 def read_file_stream(
     spark: SparkSession,

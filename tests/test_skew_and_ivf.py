@@ -1,0 +1,114 @@
+"""Skew-handling operators and the IVF ANN variant.
+
+The salted operators' contract is *result-invariance*: salting changes
+the physical distribution only, never the rows. Each test compares the
+salted plan against its plain counterpart exactly. The IVF tests pin
+the approximation contract: full probe ≡ brute force, partial probe ⊆
+assigned cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators import (
+    relational,
+    similarity,
+)
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = relational.salted_agg(ev, ["event_type"], "value", n_salts=16)
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_agg_two_stage_plan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    salted = relational.salted_agg(ev, ["event_type"], "value", n_salts=16)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    # two logical aggregations, each planned as partial+final = 4 nodes
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = relational.salted_join(li, orders, ["l_orderkey"], n_salts=8)
+    plain = li.join(orders, ["l_orderkey"])
+    assert _rows(salted.select(*sorted(salted.columns))) == _rows(
+        plain.select(*sorted(plain.columns))
+    )
+
+
+def test_salted_join_left_rows_not_replicated(spark, sf_dir):
+    # each left row carries ONE salt: row count matches the plain join
+    # even when n_salts changes
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    plain_n = li.join(orders, ["l_orderkey"]).count()
+    for n_salts in (1, 4):
+        assert (
+            relational.salted_join(li, orders, ["l_orderkey"], n_salts).count()
+            == plain_n
+        )
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    exact = similarity.cosine_topk(embs, q, k=10).collect()
+    full_probe = similarity.ivf_topk(
+        embs, q, k=10, n_centroids=16, n_probe=16
+    ).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full_probe]
+
+
+def test_ivf_partial_probe_subset_of_cells(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    cents = similarity.ivf_centroids(embs, 16)
+    probes = set(similarity.ivf_query_probes(q, cents, 4))
+    assert len(probes) == 4
+    got = similarity.ivf_topk(embs, q, k=10, n_probe=4, centroids=cents)
+    ids = [r["vec_id"] for r in got.collect()]
+    cells = (
+        embs.filter(F.col("vec_id").isin(ids))
+        .select(similarity.ivf_assign(F.col("embedding"), cents).alias("c"))
+        .collect()
+    )
+    assert {r["c"] for r in cells} <= probes
+
+
+def test_ivf_assign_deterministic_tiebreak(spark, sf_dir):
+    # duplicate centroids → identical sims; lowest cell id must win
+    embs = load_table(spark, sf_dir, "embeddings").limit(50)
+    cents = similarity.ivf_centroids(embs, 4)
+    dup = [cents[0], cents[0], cents[1], cents[1]]
+    cells = embs.select(
+        similarity.ivf_assign(F.col("embedding"), dup).alias("c")
+    ).collect()
+    assert {r["c"] for r in cells} <= {0, 2}

@@ -89,6 +89,41 @@ def test_streaming_restart_is_idempotent(spark, sf_dir):
     assert h1 == h2
 
 
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The RocksDB provider is a state-*storage* swap: a stateful
+    streaming aggregation must produce byte-identical results under
+    either provider (and actually run with RocksDB — this executes the
+    query, it doesn't just set the conf)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default_provider = spark.conf.get(key)
+
+    def run(out_dir: str) -> None:
+        src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+        q = pipeline.stream_window_metrics_append(
+            src,
+            target_path=f"{out_dir}/m",
+            checkpoint_path=f"{out_dir}/c",
+            symbol_col="event_type",
+            ts_col="ts",
+            price_col="value",
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_rocks_")
+    try:
+        pipeline.with_rocksdb_state(spark)
+        run(f"{tmp}/rocks")
+        spark.conf.set(key, default_provider)
+        run(f"{tmp}/heap")
+    finally:
+        spark.conf.set(key, default_provider)
+    rocks = spark.read.parquet(f"{tmp}/rocks/m")
+    heap = spark.read.parquet(f"{tmp}/heap/m")
+    cols = sorted(rocks.columns)
+    assert _hash_df(rocks.select(*cols)) == _hash_df(heap.select(*cols))
+
+
 def test_merge_upsert_parquet_updates_keys(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
     path = f"{tmp}/tbl"
