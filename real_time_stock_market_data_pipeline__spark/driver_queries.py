@@ -38,6 +38,7 @@ from real_time_stock_market_data_pipeline__spark.operators import (
     ohlcv,
     relational,
     similarity,
+    temporal,
     text,
 )
 from real_time_stock_market_data_pipeline__spark.session import ensure_engine_conf
@@ -854,6 +855,83 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
 
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch (discrete) + exact (continuous) quantiles per event_type.
+    Oracle: DuckDB quantile_disc / quantile_cont — verified bit-equal
+    (percentile_approx at this accuracy picks the same data values;
+    both engines interpolate quantile_cont identically)."""
+    ev = _events(spark, sf_dir)
+    return metrics.quantile_summary(ev, "event_type", "value")
+
+
+_QUANTILES_ORACLE = """
+SELECT event_type AS key,
+       quantile_disc(value, [0.25, 0.5, 0.75, 0.95]) AS q_disc,
+       quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS q_cont,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (no nested loop): events matched to value
+    bands [band·50, (band+1)·50), then summarized per band. The oracle
+    runs the literal BETWEEN join — the operator must reproduce it
+    exactly while hash-joining on buckets."""
+    ev = _events(spark, sf_dir)
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    joined = temporal.range_join(
+        ev.select("event_id", "value"), bands, "value", "lo", "hi", bucket_width=50.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT band, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+JOIN (SELECT range AS band, range * 50.0 AS lo, (range + 1) * 50.0 AS hi
+      FROM range(10)) bands
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def q_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate: hour computed from raw,
+    day from hour partials, week from day partials. The oracle
+    aggregates raw directly at every level, so the partial-derivation
+    shortcut is verified bit-exact, not assumed."""
+    ev = _events(spark, sf_dir)
+    return temporal.cascade_rollup(ev, "ts", "event_type", "value")
+
+
+_CASCADE_ROLLUP_ORACLE = """
+SELECT 'hour' AS level, event_type AS key, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day', event_type, date_trunc('day', ts), count(*),
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+       min(value), max(value)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'week', event_type, date_trunc('week', ts), count(*),
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+       min(value), max(value)
+FROM events GROUP BY 2, 3
+"""
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1218,6 +1296,9 @@ QUERIES: dict[str, QueryFn] = {
     "active_users_hourly": q_active_users_hourly,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
+    "range_join_bands": q_range_join_bands,
+    "cascade_rollup": q_cascade_rollup,
+    "value_quantiles": q_value_quantiles,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -1265,6 +1346,9 @@ FROM events GROUP BY 1
     "active_users_hourly": _ACTIVE_USERS_ORACLE,
     "salted_agg": _SALTED_AGG_ORACLE,
     "salted_join": _SALTED_JOIN_ORACLE,
+    "range_join_bands": _RANGE_JOIN_ORACLE,
+    "cascade_rollup": _CASCADE_ROLLUP_ORACLE,
+    "value_quantiles": _QUANTILES_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),

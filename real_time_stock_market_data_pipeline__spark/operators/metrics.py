@@ -138,3 +138,32 @@ def realtime_metrics(
         "total_volume_15m",
         "total_volume_1h",
     )
+
+
+def quantile_summary(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key distribution summary: discrete (sketch) and continuous
+    (exact, interpolated) quantiles of ``value_col``.
+
+    - ``q_disc`` uses ``percentile_approx`` — a mergeable
+      Greenwald-Khanna-style sketch: partitions build partial sketches,
+      the shuffle carries O(accuracy) per key, never the values. This
+      is the 100 TB path; at the default accuracy its picks coincide
+      with DuckDB's ``quantile_disc`` (both return actual data values),
+      which keeps the oracle exact on test scales.
+    - ``q_cont`` uses the exact ``percentile`` aggregate (sorts per
+      key) — interpolated quantiles for parity with SQL
+      ``quantile_cont``; the expensive exact reference, documented as
+      such.
+    """
+    q_arr = "array({})".format(", ".join(f"{q!r}D" for q in qs))
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.percentile_approx(value_col, list(qs), accuracy).alias("q_disc"),
+        F.expr(f"percentile({value_col}, {q_arr})").alias("q_cont"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,165 @@
+"""Interval / time-hierarchy operators: bucketized range join and
+cascading multi-resolution rollup.
+
+Neither exists in the reference (its only join is the equi-join J1,
+`src/spark/jobs/spark_stream_processor.py:197-204`); SURVEY.md §2.3 and
+the north-star brief name range joins and hypertable-style rollups as
+canonical extensions for tick/time-series data.
+
+Both are built so the *plan* survives 100 TB:
+
+- ``range_join`` never produces a nested-loop: both sides are mapped to
+  integer buckets and hash-joined on the bucket key, with the exact
+  range predicate applied post-join. Cost is O(matches + bucket
+  collisions), not O(|L|·|R|).
+- ``cascade_rollup`` computes the finest level once and derives every
+  coarser level by re-aggregating the (tiny) partials — the
+  continuous-aggregate trick: raw data is scanned exactly once no
+  matter how many resolutions are requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left points to right half-open intervals
+    (``lo <= point < hi``) without a nested loop.
+
+    Spark plans a bare ``l.p >= r.lo AND l.p < r.hi`` as
+    BroadcastNestedLoopJoin (or a cartesian) — O(|L|·|R|) at scale. We
+    instead quantize: a point joins bucket ``floor(p/w)``; an interval
+    is exploded to every bucket it overlaps; the equi-join on the
+    bucket id hash-partitions both sides, and the exact predicate then
+    trims edge buckets. Pick ``bucket_width`` near the typical interval
+    length: replication factor is ceil(len/w)+1 per interval, collision
+    cost is points-per-bucket × intervals-per-bucket.
+
+    Both inputs keep all their columns; column-name collisions must be
+    resolved by the caller (checked here).
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"range_join: overlapping column names {sorted(overlap)}")
+    w = float(bucket_width)
+    lb = F.floor(F.col(point_col) / w)
+    l = left.withColumn("__bucket", lb)
+    r = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w),
+                # hi is exclusive, but the interval still overlaps the
+                # bucket containing hi unless hi sits exactly on the
+                # bucket edge; sequence is inclusive so this is safe
+                # (the exact predicate trims the excess).
+                F.floor(F.col(hi_col) / w),
+            )
+        ),
+    )
+    joined = l.join(r, ["__bucket"], how).where(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bucket")
+
+
+#: Mergeable per-bucket partials: everything a coarser level needs to
+#: re-derive its own count/sum/min/max without touching raw rows.
+def _partial_aggs(value_col: str) -> list[F.Column]:
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__sum_dec"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    ]
+
+
+def _merge_aggs() -> list[F.Column]:
+    return [
+        F.sum("n").alias("n"),
+        F.sum("__sum_dec").alias("__sum_dec"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    ]
+
+
+def cascade_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    levels: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: count / exact sum / min /
+    max of ``value_col`` per ``key_col`` at several time resolutions,
+    where each coarser level is derived from the next finer level's
+    partials, not from the raw rows.
+
+    ``levels`` is a list of (name, truncation-unit) pairs, the first
+    being the finest (every other level must be a coarsening of it);
+    each unit a valid ``date_trunc`` field; default hour → day → week.
+    Output: one row per (level, key, bucket_start).
+
+    Scale: the raw table is aggregated exactly once, into the finest
+    level's partials (with map-side partial aggregation); each partial
+    row then fans out to the coarser buckets it feeds and one merge
+    aggregation finishes all levels. Adding resolutions costs
+    O(levels × fine buckets) — rounding error next to the raw scan at
+    100 TB. The decimal sum makes every level's total bit-equal to
+    aggregating raw directly — which is what the SQL oracle does, so
+    the derivation is *checked*, not assumed.
+    """
+    levels = levels or [("hour", "hour"), ("day", "day"), ("week", "week")]
+    fine_unit = levels[0][1]
+    fine = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(fine_unit, F.col(ts_col)).alias("bucket_start"),
+        )
+        .agg(*_partial_aggs(value_col))
+    )
+    # A naive per-level union would re-plan (and re-scan) the fine
+    # aggregation once per branch — Spark's exchange reuse does not
+    # collapse it (verified on the executed plan). Instead each fine
+    # partial row fans out to every level it feeds, and one merge
+    # aggregation finishes all levels: exactly one scan + two shuffles
+    # regardless of how many resolutions are requested.
+    lv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("level"),
+                    F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"),
+                )
+                for name, unit in levels
+            ]
+        )
+    ).alias("lv")
+    fanned = fine.select("key", "n", "__sum_dec", "min_value", "max_value", lv)
+    merged = (
+        fanned.groupBy(
+            F.col("lv.level").alias("level"),
+            F.col("key"),
+            F.col("lv.bucket_start").alias("bucket_start"),
+        )
+        .agg(*_merge_aggs())
+    )
+    return merged.select(
+        "level",
+        "key",
+        "bucket_start",
+        "n",
+        F.col("__sum_dec").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

@@ -1,0 +1,114 @@
+"""Range join and cascading rollup: semantics vs the naive form, and
+the plan properties that make them scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import plans
+from real_time_stock_market_data_pipeline__spark.operators import temporal
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+
+def _bands(spark, n=10, w=50.0):
+    return spark.range(n).select(
+        F.col("id").alias("band"),
+        (F.col("id") * w).alias("lo"),
+        ((F.col("id") + 1) * w).alias("hi"),
+    )
+
+
+def test_range_join_equals_naive_theta_join(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    bands = _bands(spark)
+    fast = temporal.range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    naive = ev.join(
+        bands, (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    cols = sorted(fast.columns)
+    assert sorted(map(tuple, fast.select(*cols).collect())) == sorted(
+        map(tuple, naive.select(*cols).collect())
+    )
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    fast = temporal.range_join(
+        ev, _bands(spark), "value", "lo", "hi", bucket_width=50.0
+    )
+    plans.assert_no_cartesian(fast)
+
+
+def test_range_join_bucket_width_invariance(spark, sf_dir):
+    # quantization granularity must never change the result
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value").limit(500)
+    bands = _bands(spark)
+    rows = None
+    for w in (7.0, 50.0, 400.0):
+        got = sorted(
+            map(
+                tuple,
+                temporal.range_join(ev, bands, "value", "lo", "hi", w)
+                .select("event_id", "band")
+                .collect(),
+            )
+        )
+        assert rows is None or got == rows
+        rows = got
+
+
+def test_range_join_rejects_column_overlap(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    with pytest.raises(ValueError, match="overlapping"):
+        temporal.range_join(
+            ev, ev.select("value", "event_id"), "value", "value", "event_id", 1.0
+        )
+
+
+def test_cascade_rollup_levels_consistent(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.cascade_rollup(ev, "ts", "event_type", "value").cache()
+    try:
+        # every level totals the same row population
+        per_level = {
+            r["level"]: (r["rows"], r["total"])
+            for r in out.groupBy("level")
+            .agg(
+                F.sum("n").alias("rows"),
+                F.sum(F.col("total_value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .collect()
+        }
+        assert len({v for v in per_level.values()}) == 1
+        # day level == aggregating raw at day granularity directly
+        direct_day = (
+            ev.groupBy(
+                F.col("event_type").alias("key"),
+                F.date_trunc("day", "ts").alias("bucket_start"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        cols = ["key", "bucket_start", "n", "total_value", "min_value", "max_value"]
+        assert sorted(
+            map(tuple, out.filter(F.col("level") == "day").select(*cols).collect())
+        ) == sorted(map(tuple, direct_day.select(*cols).collect()))
+    finally:
+        out.unpersist()
+
+
+def test_cascade_rollup_scans_raw_once(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = temporal.cascade_rollup(ev, "ts", "event_type", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one physical scan feeds all levels (fan-out happens on partials)
+    assert plan.count("Scan parquet") == 1
