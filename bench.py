@@ -21,19 +21,46 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+#: One representative per operator family (SURVEY §2 + extensions).
+#: Streaming queries are excluded (they need checkpoint dirs and a
+#: sink; bench measures pure executor-side query cost), as are the
+#: pandas-UDF paths (media_features, cosine_topk_fast) so the headline
+#: stays a JVM-plan number.
 BENCH_QUERIES = [
+    # OHLCV / window metrics
     "daily_metrics",
     "daily_metrics_lineitem",
     "topk_movers",
     "realtime_metrics",
+    "active_users_hourly",
+    "value_quantiles",
+    # dedup family
     "dedup_exact",
     "dedup_keep_last",
     "dedup_minhash_pairs",
+    "ngram_jaccard_pairs",
     "simhash",
+    # cleaning / relational / TPC-H-ish
     "tick_cast",
     "pricing_summary",
     "top_customers",
     "region_revenue",
+    "merge_upsert",
+    "asof_join",
+    "salted_join",
+    # temporal
+    "range_join_bands",
+    "cascade_rollup",
+    # similarity
+    "cosine_topk",
+    "ann_topk",
+    "ivf_topk",
+    "embedding_neardup_pairs",
+    # text analysis
+    "text_stats",
+    "token_count",
+    "lang_id",
+    "doc_fingerprint",
 ]
 
 

@@ -15,6 +15,9 @@ from pyspark.sql import functions as F
 from real_time_stock_market_data_pipeline__spark.operators.dedup import (
     normalized_text,
 )
+from real_time_stock_market_data_pipeline__spark.session import (
+    ensure_min_parallelism,
+)
 
 #: Tiny per-language stopword profiles for the n-gram/stopword
 #: language-ID heuristic. Order matters: argmax ties resolve in this
@@ -141,15 +144,27 @@ def doc_fingerprint(
     MinHash over character shingles — robust to word reordering at the
     edges, cheap, and portable). Documents shorter than ``gram`` chars
     fall back to the md5 of the whole normalized text."""
-    norm = normalized_text(text_col)
-    n = F.length(norm) - F.lit(gram - 1)
-    grams = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.md5(F.substring(norm, i.cast("int"), gram)),
-        ),
-    ).otherwise(F.array(F.md5(norm)))
-    return docs.select(
-        F.col(id_col), F.array_min(grams).alias("fingerprint")
+    # One md5 per character position: a transform(...) higher-order
+    # function would evaluate every hash interpreted (HOFs never enter
+    # whole-stage codegen — measured 62s→1.7s on the analogous MinHash
+    # restructure). Instead explode the positions to rows, hash with
+    # plain codegen expressions, and take min() — a map-side partial
+    # aggregate, so the shuffle carries one 32-char row per document.
+    # Position 0 is the short-document sentinel (md5 of the whole text).
+    norm_df = ensure_min_parallelism(docs).select(
+        F.col(id_col), normalized_text(text_col).alias("__norm")
+    )
+    n = F.length("__norm") - F.lit(gram - 1)
+    pos = F.explode(
+        F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(F.array(F.lit(0)))
+    )
+    exploded = norm_df.select(F.col(id_col), F.col("__norm"), pos.alias("i"))
+    h = F.when(
+        F.col("i") > 0,
+        F.md5(F.substring(F.col("__norm"), F.col("i"), F.lit(gram))),
+    ).otherwise(F.md5(F.col("__norm")))
+    return (
+        exploded.select(F.col(id_col), h.alias("__h"))
+        .groupBy(id_col)
+        .agg(F.min("__h").alias("fingerprint"))
     )
