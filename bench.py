@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     # OHLCV / window metrics
     "daily_metrics",
     "daily_metrics_lineitem",
+    "daily_returns",
     "topk_movers",
     "realtime_metrics",
     "active_users_hourly",

@@ -103,6 +103,41 @@ WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
 """
 
 
+def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.daily_returns(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_DAILY_RETURNS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT
+    event_type AS symbol,
+    CAST(ts AS DATE) AS date,
+    round(last_value(value) OVER w, 4) AS daily_close,
+    count(*) OVER w AS daily_volume
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, date, daily_close,
+       lag(daily_close) OVER ws AS prev_close,
+       CASE WHEN lag(daily_close) OVER ws <> 0
+            THEN (daily_close / lag(daily_close) OVER ws - 1) * 100 END
+         AS return_pct,
+       sum(daily_volume) OVER wc AS cum_volume
+FROM d
+WINDOW ws AS (PARTITION BY symbol ORDER BY date),
+       wc AS (PARTITION BY symbol ORDER BY date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlcv.daily_metrics(
         _events(spark, sf_dir),
@@ -1271,6 +1306,7 @@ QUERIES: dict[str, QueryFn] = {
     "daily_metrics": q_daily_metrics,
     "daily_metrics_window": q_daily_metrics_window,
     "daily_metrics_lineitem": q_daily_metrics_lineitem,
+    "daily_returns": q_daily_returns,
     "topk_movers": q_topk_movers,
     "realtime_metrics": q_realtime_metrics,
     "stream_realtime_metrics": q_stream_realtime_metrics,
@@ -1316,6 +1352,7 @@ ORACLES: dict[str, str] = {
     "daily_metrics": _DAILY_EVENTS_ORACLE,
     "daily_metrics_window": _DAILY_EVENTS_ORACLE,
     "daily_metrics_lineitem": _DAILY_LINEITEM_ORACLE,
+    "daily_returns": _DAILY_RETURNS_ORACLE,
     "topk_movers": _TOPK_ORACLE,
     "realtime_metrics": _REALTIME_ORACLE,
     "stream_realtime_metrics": _REALTIME_ORACLE,

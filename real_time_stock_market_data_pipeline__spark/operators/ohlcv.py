@@ -126,3 +126,39 @@ def topk_movers(daily: DataFrame, k: int = 10) -> DataFrame:
         )
         .limit(k)
     )
+
+
+def daily_returns(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Day-over-day return per symbol: previous close via ``lag``, the
+    return in percent, and a cumulative traded-volume running sum —
+    the classic sequential-window trio over the (already tiny)
+    daily_metrics output.
+
+    Scale: the window partitions by symbol over *daily* rows
+    (symbols × days, not ticks), so the sort under ``lag`` touches a
+    frame that is ~6 orders of magnitude smaller than the input at
+    100 TB. The running volume sum is integer arithmetic (exact); the
+    return division is a single IEEE op on already-rounded closes —
+    both engine-portable.
+    """
+    d = daily_metrics(ticks, symbol_col, ts_col, price_col, id_col, volume_col)
+    w = Window.partitionBy("symbol").orderBy("date")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("daily_close").over(w)
+    return d.select(
+        "symbol",
+        "date",
+        "daily_close",
+        prev.alias("prev_close"),
+        F.when(prev != 0, (F.col("daily_close") / prev - 1) * 100).alias(
+            "return_pct"
+        ),
+        F.sum("daily_volume").over(wc).alias("cum_volume"),
+    )

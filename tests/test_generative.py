@@ -116,3 +116,59 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert out.groupBy("user_id", "event_type").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # interval id
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        st.floats(min_value=0, max_value=60, allow_nan=False),  # length
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+POINTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.floats(min_value=-150, max_value=150, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(points=POINTS, intervals=INTERVALS, w=st.sampled_from([3.0, 17.0, 64.0]))
+@settings(**_SETTINGS)
+def test_range_join_law(spark, points, intervals, w):
+    """Bucketized range join ≡ the naive theta join for arbitrary
+    intervals (negative bounds, empty, zero-length) and bucket widths."""
+    from real_time_stock_market_data_pipeline__spark.operators import temporal
+
+    l = spark.createDataFrame(points, ["pid", "p"])
+    r = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, lo, ln in intervals], ["iid", "lo", "hi"]
+    )
+    fast = temporal.range_join(l, r, "p", "lo", "hi", bucket_width=w)
+    naive = l.join(r, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+    cols = ["pid", "iid"]
+    assert sorted(map(tuple, fast.select(*cols).collect())) == sorted(
+        map(tuple, naive.select(*cols).collect())
+    )
+
+
+@given(rows=ROWS, n_salts=st.sampled_from([1, 3, 16]))
+@settings(**_SETTINGS)
+def test_salted_agg_law(spark, rows, n_salts):
+    """Salting is invisible in the result for any salt count, incl. the
+    degenerate n_salts=1."""
+    df = _df(spark, rows)
+    salted = relational.salted_agg(df, ["k"], "v", n_salts=n_salts)
+    plain = df.groupBy(F.col("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+    )
+    h = lambda d: value_hash(d.columns, [tuple(r) for r in d.collect()])  # noqa: E731
+    assert h(salted) == h(plain)
