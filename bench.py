@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     # temporal
     "range_join_bands",
     "cascade_rollup",
+    "sessionize",
     # similarity
     "cosine_topk",
     "ann_topk",

@@ -909,6 +909,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30 min), ordinal ids, exact
+    integer-microsecond durations."""
+    ev = _events(spark, sf_dir)
+    return temporal.sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+_SESSIONIZE_ORACLE = """
+WITH flags AS (
+  SELECT user_id AS key, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT key, ts,
+         sum(new_s) OVER (PARTITION BY key ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flags
+)
+SELECT key, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+FROM sess GROUP BY key, session_id
+"""
+
+
 def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range join (no nested loop): events matched to value
     bands [band·50, (band+1)·50), then summarized per band. The oracle
@@ -1334,6 +1366,7 @@ QUERIES: dict[str, QueryFn] = {
     "salted_join": q_salted_join,
     "range_join_bands": q_range_join_bands,
     "cascade_rollup": q_cascade_rollup,
+    "sessionize": q_sessionize,
     "value_quantiles": q_value_quantiles,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
@@ -1385,6 +1418,7 @@ FROM events GROUP BY 1
     "salted_join": _SALTED_JOIN_ORACLE,
     "range_join_bands": _RANGE_JOIN_ORACLE,
     "cascade_rollup": _CASCADE_ROLLUP_ORACLE,
+    "sessionize": _SESSIONIZE_ORACLE,
     "value_quantiles": _QUANTILES_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),

@@ -20,7 +20,7 @@ Both are built so the *plan* survives 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -162,4 +162,55 @@ def cascade_rollup(
         F.col("__sum_dec").cast("double").alias("total_value"),
         "min_value",
         "max_value",
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events of one key belong
+    to the same session while the inter-event gap is ≤ ``gap_seconds``;
+    a larger gap opens a new session. Output is one row per session:
+    (key, session_id, session_start, session_end, n_events,
+    duration_us), session_id numbering sessions per key from 1 in time
+    order.
+
+    The standard two-window construction: flag rows whose gap from the
+    previous event exceeds the threshold (``lag``), then running-sum
+    the flags into session ids. ``id_col`` breaks event-time ties so
+    the ordering — and therefore every downstream number — is total
+    and engine-portable. All arithmetic is integer micros (exact).
+
+    Scale: both windows and the final groupBy partition by the session
+    key; Spark's window frames stream (O(1) state per key), so the
+    cost is one shuffle + per-key sort — the same shape Structured
+    Streaming's ``session_window`` uses for its native variant. For
+    the *streaming* path prefer ``F.session_window`` with a watermark;
+    this batch operator exists so the result is exactly reproducible
+    by the SQL oracle (session_window emits struct bounds instead of
+    ordinal ids).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_s = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    sess = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.sum(new_s).over(wrun).alias("session_id"),
+    )
+    return sess.groupBy("key", "session_id").agg(
+        F.min("__ts").alias("session_start"),
+        F.max("__ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("__ts")) - F.unix_micros(F.min("__ts"))).alias(
+            "duration_us"
+        ),
     )

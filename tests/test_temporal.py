@@ -112,3 +112,40 @@ def test_cascade_rollup_scans_raw_once(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one physical scan feeds all levels (fan-out happens on partials)
     assert plan.count("Scan parquet") == 1
+
+
+def test_sessionize_gap_laws(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    gap_s = 1800
+    out = temporal.sessionize(ev, "user_id", "ts", "event_id", gap_s).cache()
+    try:
+        # sessions partition the events: counts add up
+        assert (
+            out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+        )
+        # consecutive sessions of one key are separated by > gap
+        # (session N+1 starts more than gap after session N ends)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy("session_id")
+        viol = (
+            out.withColumn("prev_end", F.lag("session_end").over(w))
+            .filter(
+                F.col("prev_end").isNotNull()
+                & (
+                    F.unix_micros("session_start") - F.unix_micros("prev_end")
+                    <= gap_s * 1_000_000
+                )
+            )
+            .count()
+        )
+        assert viol == 0
+        # session ids are 1..n per key, no holes
+        ids = out.groupBy("key").agg(
+            F.min("session_id").alias("lo"),
+            F.max("session_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        assert ids.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+    finally:
+        out.unpersist()
