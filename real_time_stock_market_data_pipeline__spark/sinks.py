@@ -138,3 +138,31 @@ def merge_upsert_parquet(
             os.rename(tmp, path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_cols`` at write time (optionally
+    sorted within buckets).
+
+    This is the *pre-shuffled* layout for repeated co-located joins:
+    two tables bucketed by the same key with the same bucket count
+    join with **zero Exchange** — the shuffle was paid once at write
+    time instead of on every query. The plan property is asserted in
+    tests (`test_streaming_sinks.test_bucketed_join_has_no_shuffle`).
+    At 100 TB this converts the nightly fact⋈fact join from the
+    cluster's largest shuffle into a local merge per bucket; pick
+    ``n_buckets`` so a bucket of the bigger table fits an executor
+    (buckets are not splittable — too few buckets caps parallelism).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

@@ -186,6 +186,38 @@ def test_kafka_writer_shapes_keyed_json(spark, sf_dir):
     assert writer is not None
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    must join without any Exchange — the write-time shuffle replaces
+    the query-time one."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        sinks.write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+        sinks.write_bucketed(orders, "bkt_orders", ["o_orderkey"], 4, ["o_orderkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the co-located join is still the correct join
+        assert joined.count() == li.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
 def test_input_ready_gate(spark, sf_dir, tmp_path):
     assert sinks.input_ready(spark, f"{sf_dir}/events.parquet")
     assert not sinks.input_ready(spark, str(tmp_path / "nope"))
