@@ -232,6 +232,42 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_sessionize(
+    source: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming gap-based sessionization via the native
+    ``F.session_window`` — dynamic-gap session state merged
+    incrementally, closed and emitted once the watermark passes
+    (append mode). The streaming twin of ``operators.temporal.
+    sessionize``; bounds semantics differ by definition —
+    ``session_window.end`` is last event + gap, while the batch
+    operator reports the last event itself — so the equivalence test
+    compares session starts and event counts.
+
+    Scale: state per key is one open session (merged in place), purged
+    by the watermark; the shuffle is on the session key only.
+    """
+    gap = f"{gap_seconds} seconds"
+    return (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_close"),
+            "n_events",
+        )
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     servers: str,

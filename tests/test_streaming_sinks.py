@@ -186,6 +186,40 @@ def test_kafka_writer_shapes_keyed_json(spark, sf_dir):
     assert writer is not None
 
 
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window streaming sessions == batch sessionize on
+    the same drained fixture: same (key, session_start, n_events)
+    rows. (Bounds close at last+gap in streaming by definition, so
+    ends are not compared.)"""
+    from real_time_stock_market_data_pipeline__spark.operators import temporal
+
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        pipeline.stream_sessionize(src, "user_id", "ts", gap_seconds=1800)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "m"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "m")).select(
+        "key", "session_start", "n_events"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = temporal.sessionize(ev, "user_id", "ts", "event_id", 1800).select(
+        "key", "session_start", "n_events"
+    )
+    # append mode withholds sessions still open at end-of-input (the
+    # watermark never passes them): streamed ⊆ batch, and every
+    # emitted session matches the batch row exactly
+    srows = sorted(map(tuple, streamed.collect()))
+    brows = sorted(map(tuple, batch.collect()))
+    assert set(srows) <= set(brows)
+    assert len(srows) >= 0.9 * len(brows)
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """Two tables bucketed on the join key with equal bucket counts
     must join without any Exchange — the write-time shuffle replaces
