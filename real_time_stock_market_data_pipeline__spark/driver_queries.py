@@ -909,6 +909,34 @@ FROM events GROUP BY event_type
 """
 
 
+def q_topk_days_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 busiest days per symbol (volume desc, date
+    desc tiebreak — a total order, so ranks are deterministic)."""
+    d = ohlcv.daily_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    ).select("symbol", "date", "daily_volume")
+    return relational.topk_per_group(d, ["symbol"], ["daily_volume", "date"], 3)
+
+
+_TOPK_PER_GROUP_ORACLE = """
+WITH d AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date,
+         count(*) AS daily_volume
+  FROM events GROUP BY 1, 2
+)
+SELECT symbol, date, daily_volume, rank FROM (
+  SELECT symbol, date, daily_volume,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY daily_volume DESC, date DESC) AS rank
+  FROM d
+) WHERE rank <= 3
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (30 min), ordinal ids, exact
     integer-microsecond durations."""
@@ -1367,6 +1395,7 @@ QUERIES: dict[str, QueryFn] = {
     "range_join_bands": q_range_join_bands,
     "cascade_rollup": q_cascade_rollup,
     "sessionize": q_sessionize,
+    "topk_days_per_symbol": q_topk_days_per_symbol,
     "value_quantiles": q_value_quantiles,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
@@ -1419,6 +1448,7 @@ FROM events GROUP BY 1
     "range_join_bands": _RANGE_JOIN_ORACLE,
     "cascade_rollup": _CASCADE_ROLLUP_ORACLE,
     "sessionize": _SESSIONIZE_ORACLE,
+    "topk_days_per_symbol": _TOPK_PER_GROUP_ORACLE,
     "value_quantiles": _QUANTILES_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),

@@ -268,3 +268,30 @@ def windowed_distinct_actives(
         .withColumn("window_end", F.col("window.end"))
         .drop("window")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group under a total order (`row_number` ≤ k).
+    ``order_cols`` must make the order total (add a unique id as the
+    last column) or ranks — and therefore rows — are partition-luck.
+
+    Scale: one shuffle on ``group_cols``; Spark inserts a per-partition
+    rank-limit below the exchange for row_number ≤ k filters
+    (WindowGroupLimit), so each mapper ships at most k rows per group,
+    not the group's whole history.
+    """
+    order = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .withColumnRenamed("__rank", "rank")
+    )

@@ -76,3 +76,11 @@ def test_projection_pruning_reads_only_needed_columns(spark, sf_dir):
     seg = plan.split("ReadSchema")[1][:200]
     assert "l_orderkey" in seg and "l_quantity" in seg
     assert "l_comment" not in seg and "l_extendedprice" not in seg
+
+
+def test_topk_per_group_rank_limit_pushed(spark, sf_dir):
+    """row_number <= k must plan as WindowGroupLimit (partial below the
+    exchange + final above): mappers ship at most k rows per group."""
+    df = driver_queries.q_topk_days_per_symbol(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2
