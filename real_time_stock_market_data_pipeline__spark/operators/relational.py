@@ -127,7 +127,10 @@ def salted_agg(
     second pass over the data.
     """
     ent = salt_cols or [c for c in df.columns if c not in keys]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in ent]), F.lit(n_salts))
+    # xxhash64() needs ≥1 arg; with no non-key columns every row of a
+    # key is identical anyway, so a constant salt loses nothing
+    salt_src = [F.col(c) for c in ent] or [F.lit(0)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     partial = (
         df.groupBy(*keys, salt.alias("__salt"))
         .agg(

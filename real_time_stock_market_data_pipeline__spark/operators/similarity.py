@@ -319,6 +319,12 @@ def ivf_topk(
     cents = centroids if centroids is not None else ivf_centroids(
         embs, n_centroids, id_col, vec_col
     )
+    if not cents:  # empty corpus → empty top-k, same schema
+        return (
+            cosine_scores(embs, query, vec_col)
+            .select(F.col(id_col), F.col("cosine"))
+            .limit(0)
+        )
     probes = ivf_query_probes(query, cents, n_probe)
     cand = embs.filter(ivf_assign(F.col(vec_col), cents).isin(probes))
     scored = cosine_scores(cand, query, vec_col)

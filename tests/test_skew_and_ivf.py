@@ -112,3 +112,22 @@ def test_ivf_assign_deterministic_tiebreak(spark, sf_dir):
         similarity.ivf_assign(F.col("embedding"), dup).alias("c")
     ).collect()
     assert {r["c"] for r in cells} <= {0, 2}
+
+
+def test_ivf_topk_empty_corpus(spark, sf_dir):
+    embs = load_table(spark, sf_dir, "embeddings").filter(F.lit(False))
+    out = similarity.ivf_topk(embs, [1.0] * 64, k=5)
+    assert out.columns == ["vec_id", "cosine"]
+    assert out.count() == 0
+
+
+def test_salted_agg_keys_cover_all_columns(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    salted = relational.salted_agg(ev, ["event_type", "value"], "value")
+    plain = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    assert _rows(salted) == _rows(plain)
