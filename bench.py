@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_customers",
     "region_revenue",
+    "shipping_priority",
     "merge_upsert",
     "asof_join",
     "salted_join",

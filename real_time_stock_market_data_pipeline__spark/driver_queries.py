@@ -598,6 +598,39 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: date-filtered fact⋈fact join, grouped revenue,
+    global top-10. Both date filters push to the parquet scans; the
+    per-row revenue product is one IEEE multiply, then decimal-summed
+    (order-independent), so the ranking is engine-exact."""
+    cutoff = F.to_timestamp(F.lit("2000-01-01"))
+    orders = _table("orders")(spark, sf_dir).filter(F.col("o_orderdate") < cutoff)
+    li = _table("lineitem")(spark, sf_dir).filter(F.col("l_shipdate") > cutoff)
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SHIPPING_PRIORITY_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '2000-01-01'
+  AND l_shipdate > TIMESTAMP '2000-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
 def q_stream_realtime_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full streaming path (file stream → watermark → foreachBatch
     dual-window metrics → keyed parquet MERGE upsert), drained with an
@@ -1383,6 +1416,7 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "region_revenue": q_region_revenue,
+    "shipping_priority": q_shipping_priority,
     "merge_upsert": q_merge_upsert,
     "asof_join": q_asof_join,
     "set_ops": q_set_ops,
@@ -1436,6 +1470,7 @@ FROM events GROUP BY 1
     "pricing_summary": _PRICING_ORACLE,
     "top_customers": _TOP_CUSTOMERS_ORACLE,
     "region_revenue": _REGION_REVENUE_ORACLE,
+    "shipping_priority": _SHIPPING_PRIORITY_ORACLE,
     "merge_upsert": _MERGE_ORACLE,
     "asof_join": _ASOF_ORACLE,
     "set_ops": _SET_OPS_ORACLE,

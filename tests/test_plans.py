@@ -84,3 +84,10 @@ def test_topk_per_group_rank_limit_pushed(spark, sf_dir):
     df = driver_queries.q_topk_days_per_symbol(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_shipping_priority_pushes_both_date_filters(spark, sf_dir):
+    plan = _plan(driver_queries.q_shipping_priority(spark, sf_dir))
+    pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_shipdate" in s for s in pushed)
