@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     # text analysis
     "text_stats",
     "token_count",
+    "term_stats",
     "lang_id",
     "doc_fingerprint",
 ]

@@ -1343,6 +1343,20 @@ FROM s
 """
 
 
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_stats(_table("documents")(spark, sf_dir))
+
+
+_TERM_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split({_NORM.format(col="text")}, ' ')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM t WHERE term <> '' GROUP BY term
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_table("documents")(spark, sf_dir))
 
@@ -1439,6 +1453,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk_fast": q_cosine_topk_fast,
     "text_stats": q_text_stats,
     "token_count": q_token_count,
+    "term_stats": q_term_stats,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
@@ -1494,6 +1509,7 @@ FROM events GROUP BY 1
     # are order-dependent; the driver records a rows-only check
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
+    "term_stats": _TERM_STATS_ORACLE,
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_features": _media_features_oracle(),

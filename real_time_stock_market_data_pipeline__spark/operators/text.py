@@ -168,3 +168,26 @@ def doc_fingerprint(
         .groupBy(id_col)
         .agg(F.min("__h").alias("fingerprint"))
     )
+
+
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus term statistics: term frequency (total occurrences) and
+    document frequency per normalized token — the tokenize → explode →
+    groupBy aggregation SURVEY §2.10 names, and the building block for
+    tf-idf / vocabulary pruning in a training-data pipeline.
+
+    Scale: explode keeps rows in their input partition; the groupBy
+    partially aggregates tf map-side. df (count distinct doc ids per
+    term) shuffles (term, doc_id) pairs once — for web-scale corpora
+    swap in approx_count_distinct to shuffle constant-size HLL sketches
+    instead.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
