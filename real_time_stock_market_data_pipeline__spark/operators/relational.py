@@ -252,18 +252,29 @@ def windowed_distinct_actives(
     ts_col: str,
     duration: str = "1 hour",
     group_col: str | None = None,
+    approx_rsd: float | None = None,
 ) -> DataFrame:
     """Distinct active keys per tumbling window (± per group) — the
     'distinct active symbols per window' metric SURVEY.md §2.4 names.
-    Exact count_distinct; swap in approx_count_distinct(rsd) at the
-    call site when a sketch is acceptable at 100 TB (HLL merges
-    map-side and shuffles a constant-size sketch instead of the key
-    set)."""
+
+    Exact ``count_distinct`` by default (oracle-checkable). Pass
+    ``approx_rsd`` to switch to the HyperLogLog++ sketch
+    (``approx_count_distinct``): the 100 TB path — sketches merge
+    map-side and the shuffle carries a constant-size register set per
+    (window, group) instead of the key set. The error contract
+    (relative error ≲ rsd) is asserted in tests; the sketch variant is
+    deliberately NOT oracle-registered because HLL implementations
+    differ across engines."""
     keys = [F.window(F.col(ts_col), duration).alias("window")]
     if group_col:
         keys.append(F.col(group_col).alias(group_col))
+    actives = (
+        F.approx_count_distinct(key_col, approx_rsd)
+        if approx_rsd is not None
+        else F.countDistinct(key_col)
+    )
     out = df.groupBy(*keys).agg(
-        F.countDistinct(key_col).alias("active_keys"),
+        actives.alias("active_keys"),
         F.count(F.lit(1)).alias("events"),
     )
     return (

@@ -131,3 +131,26 @@ def test_salted_agg_keys_cover_all_columns(spark, sf_dir):
         F.max("value").alias("max_value"),
     )
     assert _rows(salted) == _rows(plain)
+
+
+def test_approx_actives_within_error_bound(spark, sf_dir):
+    """HLL sketch variant stays within ~5x its configured rsd of the
+    exact distinct counts (generous bound: rsd is a std-dev, not a
+    max), and the shuffle carries sketches, not keys."""
+    ev = load_table(spark, sf_dir, "events")
+    rsd = 0.05
+    exact = {
+        (r["window_start"], r["event_type"]): r["active_keys"]
+        for r in relational.windowed_distinct_actives(
+            ev, "user_id", "ts", "1 hour", "event_type"
+        ).collect()
+    }
+    approx = {
+        (r["window_start"], r["event_type"]): r["active_keys"]
+        for r in relational.windowed_distinct_actives(
+            ev, "user_id", "ts", "1 hour", "event_type", approx_rsd=rsd
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 5 * rsd * ex), (k, ex, approx[k])
