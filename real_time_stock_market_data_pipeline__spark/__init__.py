@@ -15,17 +15,23 @@ as a reusable DataFrame/Structured-Streaming library:
                       drift, SURVEY.md §1.3)
 - ``sources``       : batch readers (parquet/CSV, partition-pruned)
 - ``functions``     : scalar/cleaning/derivation column expressions
-- ``operators``     : OHLCV daily metrics, dual sliding-window
-                      realtime metrics, top-k, dedup family (exact /
+- ``operators``     : OHLCV daily metrics + returns, dual sliding-window
+                      realtime metrics, top-k (global + per-group),
+                      quantile summaries, dedup family (exact /
                       keep-last / MinHash-LSH / n-gram-Jaccard /
                       SimHash), similarity search (exact + LSH ANN +
-                      pandas-UDF fast path), text analysis, merge-
-                      upsert, as-of join, set ops, pivot, rollup,
-                      multimodal feature plumbing
+                      IVF-flat + pandas-UDF fast path), text analysis
+                      (stats / tokens / terms / lang-ID / fingerprints),
+                      merge-upsert, as-of join, range join, sessionize,
+                      cascading rollup, salted skew agg/join, set ops,
+                      pivot, rollup/cube, multimodal feature plumbing
 - ``streaming``     : file/rate/Kafka sources, watermarked windows,
-                      foreachBatch dual-window metrics + keyed upsert
-- ``sinks``         : partitioned parquet/CSV writers, Kafka producer,
-                      parquet merge-upsert, availability gate
+                      foreachBatch dual-window metrics + keyed upsert,
+                      session windows, streaming dedup, stateful VWAP,
+                      RocksDB state-store option
+- ``sinks``         : partitioned parquet/CSV writers, bucketed tables,
+                      Kafka producer, parquet merge-upsert,
+                      availability gate
 - ``plans``         : plan-inspection asserts (no-cartesian,
                       broadcast, pushdown)
 - ``driver_queries``: every operator as an oracle-checked query
