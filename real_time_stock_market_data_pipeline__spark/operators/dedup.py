@@ -359,7 +359,12 @@ def simhash(
     """
     # md5 runs inside the generator (once per token); the 16 nibble
     # extractions above reference the generated attribute, so the hash
-    # is never duplicated per nibble.
+    # is never duplicated per nibble. Moving the md5 to a plain
+    # post-explode projection LOOKS like it would win codegen, but
+    # CollapseProject then inlines it into each of the 16 nibble
+    # expressions — 16 md5s per token, measured 3x slower. The
+    # interpreted-per-element HOF behind an optimizer barrier is the
+    # cheaper evil here.
     toks = ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.explode(
