@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "term_stats",
     "lang_id",
     "doc_fingerprint",
+    "hash_split",
 ]
 
 

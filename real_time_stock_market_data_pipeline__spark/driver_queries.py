@@ -37,6 +37,7 @@ from real_time_stock_market_data_pipeline__spark.operators import (
     metrics,
     ohlcv,
     relational,
+    sampling,
     similarity,
     temporal,
     text,
@@ -1343,6 +1344,30 @@ FROM s
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split of the corpus keyed on doc_id —
+    identical membership at any parallelism and in any md5-capable
+    engine (df.sample can't give either property)."""
+    docs = _table("documents")(spark, sf_dir)
+    return sampling.hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+def _hash_split_oracle() -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH b AS (SELECT doc_id, ({decode}) % 1000000 AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_stats(_table("documents")(spark, sf_dir))
 
@@ -1454,6 +1479,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "term_stats": q_term_stats,
+    "hash_split": q_hash_split,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
@@ -1510,6 +1536,7 @@ FROM events GROUP BY 1
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
     "term_stats": _TERM_STATS_ORACLE,
+    "hash_split": _hash_split_oracle(),
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_features": _media_features_oracle(),

@@ -1,0 +1,69 @@
+"""Deterministic sampling and dataset splitting.
+
+``df.sample`` draws per-partition pseudo-random rows: the selection
+changes with partitioning, repartition order, and AQE re-plans —
+useless for reproducible train/val/test splits and impossible to
+oracle-check. These operators instead derive the randomness from the
+*row identity*: a 32-bit uniform hash of the id column (first 8 hex
+chars of md5). The same row lands in the same split on any cluster, at
+any parallelism, in any engine with md5 — which is how a 100 TB corpus
+keeps its split stable while files are re-bucketed, and how the DuckDB
+oracle replays the exact membership.
+
+(No reference counterpart; SURVEY.md §2.10 scope — a training-data
+pipeline primitive.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space for fractions: 1e6 buckets → fractions are exact to 1e-6.
+HASH_BUCKETS = 1_000_000
+
+
+def hash_bucket(col: F.Column, n_buckets: int = HASH_BUCKETS) -> F.Column:
+    """Uniform deterministic bucket in [0, n_buckets) from the md5 of
+    the stringified column. Map-side, codegen, engine-portable."""
+    h32 = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return h32 % n_buckets
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, n_buckets: int = HASH_BUCKETS
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``id_col``.
+
+    Membership is a pure function of the id: re-running, re-partitioning,
+    or scaling the cluster returns the *same* rows (unlike
+    ``df.sample``). Filter is map-side — no shuffle, no state."""
+    return df.filter(hash_bucket(F.col(id_col), n_buckets) < int(fraction * n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: list[tuple[str, float]] | None = None,
+    n_buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Assign every row a split label by hash range — the reproducible
+    train/val/test split. ``weights`` is an ordered (label, fraction)
+    list summing to ≤ 1 (any remainder goes to the last label).
+
+    Adds ``bucket`` and ``split`` columns; rows never move, so the
+    split is a zero-shuffle projection and downstream writers can
+    ``partitionBy('split')``."""
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    b = hash_bucket(F.col(id_col), n_buckets)
+    expr = F.lit(weights[-1][0])
+    cum = 0.0
+    thresholds = []
+    for label, w in weights[:-1]:
+        cum += w
+        thresholds.append((label, int(cum * n_buckets)))
+    for label, t in reversed(thresholds):
+        expr = F.when(b < t, F.lit(label)).otherwise(expr)
+    return df.withColumn("bucket", b).withColumn("split", expr)
