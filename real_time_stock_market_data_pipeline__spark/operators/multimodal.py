@@ -135,3 +135,87 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, use_stub: bool | None = None
+) -> DataFrame:
+    """Resize plumbing (MEDIA_SCHEMA → MEDIA_SCHEMA): Arrow-batched,
+    payload-in/payload-out, metadata updated to the target dims. The
+    pixel kernel is stubbed (deterministic digest-derived bytes) when
+    codec libs are absent — the batching, schema, and partitioning
+    behavior are the real thing; swap ``_decode_real``-style kernels in
+    production. Payloads never shuffle: resize runs where the scan runs.
+    """
+    stub = (not _HAVE_CODECS) if use_stub is None else use_stub
+    if not stub:
+        _decode_real(b"", "image")  # loud, deliberate: no codecs here
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"resize:{width}x{height}:".encode()
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                hashlib.sha256(tag + (p or b"")).digest() for p in pdf["payload"]
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return media.mapInPandas(resize, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, use_stub: bool | None = None
+) -> DataFrame:
+    """Frame sampling (MEDIA_SCHEMA → FRAMES_SCHEMA): one row per
+    sampled frame at ``every_ms`` intervals — the one-to-many
+    ``mapInPandas`` shape (a Python UDTF without the UDTF registration
+    overhead). Frame count = duration_ms // every_ms + 1, or a single
+    frame when duration is unknown. Stub kernel emits digest-derived
+    frame bytes; the fan-out, schema, and batch shapes are real.
+
+    Scale: output rows stay in the input partition (no shuffle); the
+    expansion factor is bounded by duration/every_ms — pick the rate so
+    frames-per-task fits memory, exactly as with any explode.
+    """
+    stub = (not _HAVE_CODECS) if use_stub is None else use_stub
+    if not stub:
+        _decode_real(b"", "video")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = 1 if pd.isna(dur) else int(dur) // every_ms + 1
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    payloads.append(
+                        hashlib.sha256(
+                            b"frame:%d:" % i + (p or b"")
+                        ).digest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(gen, schema=FRAMES_SCHEMA)

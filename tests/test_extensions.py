@@ -92,3 +92,51 @@ def test_media_features_stub_deterministic(spark, sf_dir):
     assert len(r0["features"]) == multimodal.FEATURE_DIM
     assert all(0.0 <= f <= 1.0 for f in r0["features"])
     assert len(r0["content_sha"]) == 64
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.resize_media(media, 64, 64)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    # deterministic: same input → same payload bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in multimodal.resize_media(
+        media, 64, 64
+    ).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+
+
+def test_sample_frames_count_and_no_shuffle(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.media_from_documents(docs).withColumn(
+        "duration_ms", (F.col("media_id") % 5).cast("int") * 1000
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    assert frames.schema == multimodal.FRAMES_SCHEMA
+    per = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in media.select("media_id", "duration_ms").collect():
+        assert per[r["media_id"]] == r["duration_ms"] // 1000 + 1
+    # no-shuffle property asserted without the test fixture's limit()
+    # (a global limit plans its own Exchange)
+    full = multimodal.media_from_documents(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn("duration_ms", F.lit(2000))
+    plan = (
+        multimodal.sample_frames(full, every_ms=1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
