@@ -293,3 +293,51 @@ def read_kafka_stream(
         F.col("key").cast("string").alias("symbol_key"),
         F.from_json(F.col("value").cast("string"), schema).alias("payload"),
     ).select("symbol_key", "payload.*")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int = 0,
+    upper_s: int = 60,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """True stream-stream inner join: match right rows whose event time
+    lies in ``[left_ts - lower_s, left_ts + upper_s]`` per key — the
+    tick⋈quote correlation the reference could only approximate inside
+    foreachBatch (SURVEY §2.3 J1 restriction applies to joining two
+    streaming *aggregations*, not two streams).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can size and purge the join
+    state: left rows are held at most ``upper_s`` + watermark, right
+    rows ``lower_s`` + watermark. Without the time bounds the state
+    would grow forever — that is the 100 TB failure this wrapper makes
+    unrepresentable. ``left_ts``/``right_ts`` must be distinct names;
+    all other column names must not collide (checked).
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap or left_ts == right_ts:
+        raise ValueError(
+            f"stream_interval_join: column collisions {sorted(overlap)}; "
+            "rename non-key columns so both sides stay addressable"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(
+        key, "__rkey"
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) - F.expr(f"INTERVAL {lower_s} SECONDS")
+        )
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner").drop("__rkey")

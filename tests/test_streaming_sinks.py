@@ -261,3 +261,46 @@ def test_rate_source_builds(spark):
     df = pipeline.read_rate_stream(spark)
     assert df.isStreaming
     assert set(df.columns) == {"ts", "symbol", "price", "volume"}
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join drained with availableNow == the
+    same interval join on the static frames (inner join, both sides
+    complete at drain)."""
+    def src():
+        return pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+
+    left = src().select(
+        F.col("event_type"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = src().select(
+        F.col("event_type"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = pipeline.stream_interval_join(
+        left, right, "event_type", "l_ts", "r_ts", lower_s=0, upper_s=30
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "m"))
+        .option("checkpointLocation", str(tmp_path / "c"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(str(tmp_path / "m"))
+    ev = load_table(spark, sf_dir, "events")
+    bl = ev.select("event_type", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id"))
+    br = ev.select(
+        F.col("event_type").alias("rk"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    batch = bl.join(
+        br,
+        (F.col("event_type") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 SECONDS")),
+    ).drop("rk")
+    cols = sorted(streamed.columns)
+    assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
+        map(tuple, batch.select(*cols).collect())
+    )
