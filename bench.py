@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "lang_id",
     "doc_fingerprint",
     "hash_split",
+    "chunk_documents",
 ]
 
 

@@ -1344,6 +1344,27 @@ FROM s
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        _table("documents")(spark, sf_dir), chunk_chars=200, overlap=40
+    )
+
+
+_CHUNK_ORACLE = """
+WITH n AS (
+  SELECT doc_id, text, length(text) AS ln,
+         CASE WHEN length(text) <= 200 THEN 1
+              ELSE (length(text) - 40 + 159) // 160 END AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text,
+       CAST(n_chunks AS INT) AS n_chunks
+FROM n, unnest(range(n.n_chunks)) AS t(i)
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split of the corpus keyed on doc_id —
     identical membership at any parallelism and in any md5-capable
@@ -1479,6 +1500,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_stats": q_text_stats,
     "token_count": q_token_count,
     "term_stats": q_term_stats,
+    "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1536,6 +1558,7 @@ FROM events GROUP BY 1
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
     "term_stats": _TERM_STATS_ORACLE,
+    "chunk_documents": _CHUNK_ORACLE,
     "hash_split": _hash_split_oracle(),
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,

@@ -191,3 +191,47 @@ def term_stats(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct(id_col).alias("df"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the training/RAG preparation step (context packing, embedding
+    units). Chunk *i* covers ``[i·stride, i·stride + chunk_chars)``
+    with ``stride = chunk_chars - overlap``; documents at most
+    ``chunk_chars`` long yield one chunk.
+
+    Pure integer arithmetic + substring: deterministic, engine-
+    portable, and SQL-oracle-checkable. Scale: explode stays in the
+    input partition (no shuffle); expansion factor ≈ len/stride is
+    bounded by construction.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("chunk_documents: overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    ln = F.length(F.col(text_col))
+    # integer chunk count: (len - overlap + stride - 1) // stride
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1)).otherwise(
+        F.floor((ln - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+    )
+    exploded = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.substring(
+            F.col(text_col),
+            (F.col("chunk_idx") * stride + 1).cast("int"),
+            chunk_chars,
+        ).alias("chunk_text"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+    )

@@ -44,3 +44,21 @@ def test_hash_split_no_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_reconstructs_text(spark, sf_dir):
+    """Dropping each chunk's overlap tail and concatenating must give
+    back the original text — the no-gap/no-loss chunking property."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    chunks = T.chunk_documents(docs, chunk_chars=200, overlap=40)
+    stride = 160
+    got = {}
+    for r in chunks.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"]
+    for r in docs.collect():
+        parts = got[r["doc_id"]]
+        n = len(parts)
+        rebuilt = "".join(parts[i][:stride] for i in range(n - 1)) + parts[n - 1]
+        assert rebuilt == r["text"], r["doc_id"]
