@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: executed-plan property table for the headline
+queries (scans / exchanges / join strategies / pushdown), the receipts
+behind the plan-assert tests."""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PICKS = [
+    "daily_metrics", "daily_returns", "realtime_metrics", "topk_days_per_symbol",
+    "pricing_summary", "region_revenue", "shipping_priority", "salted_agg",
+    "salted_join", "range_join_bands", "cascade_rollup", "sessionize",
+    "dedup_exact", "dedup_minhash_pairs", "cosine_topk", "ann_topk", "ivf_topk",
+    "term_stats", "doc_fingerprint", "hash_split", "chunk_documents",
+]
+
+
+def main() -> None:
+    from real_time_stock_market_data_pipeline__spark import driver_queries as dq
+    from real_time_stock_market_data_pipeline__spark.session import get_spark
+
+    spark = get_spark("plandoc", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.01"
+
+    rows = []
+    for name in PICKS:
+        p = (
+            dq.QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        rows.append(
+            (
+                name,
+                p.count("Scan parquet"),
+                p.count("Exchange") - p.count("ReusedExchange"),
+                p.count("BroadcastHashJoin"),
+                p.count("SortMergeJoin"),
+                p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin"),
+                "yes" if re.search(r"PushedFilters: \[[^\]]", p) else "-",
+            )
+        )
+
+    lines = [
+        "# PLANS — executed-plan properties of the headline queries",
+        "",
+        "Generated against sf0.01 with `queryExecution().executedPlan()`;",
+        "regenerate with `python scripts/gen_plans_md.py`. The invariants the",
+        "tests assert (no nested loops, broadcast dims, pushdown, single-scan",
+        "rollup, WindowGroupLimit) are visible here as counts.",
+        "",
+        "| query | parquet scans | exchanges | broadcast HJ | sort-merge J "
+        "| nested-loop/cartesian | pushed filters |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |")
+    lines += [
+        "",
+        "Notes: `exchanges` counts physical shuffles (ReusedExchange excluded).",
+        "`salted_join`'s broadcast is AQE's choice at this scale; at production",
+        "scale the same plan hash-joins on (key, salt). Zero rows in the",
+        "nested-loop column is the load-bearing property for 100 TB.",
+        "",
+    ]
+    Path(__file__).resolve().parent.parent.joinpath("PLANS.md").write_text(
+        "\n".join(lines)
+    )
+    print(f"wrote PLANS.md ({len(rows)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
