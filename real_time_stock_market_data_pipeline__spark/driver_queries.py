@@ -131,7 +131,7 @@ SELECT symbol, date, daily_close,
        CASE WHEN lag(daily_close) OVER ws <> 0
             THEN (daily_close / lag(daily_close) OVER ws - 1) * 100 END
          AS return_pct,
-       sum(daily_volume) OVER wc AS cum_volume
+       CAST(sum(daily_volume) OVER wc AS BIGINT) AS cum_volume
 FROM d
 WINDOW ws AS (PARTITION BY symbol ORDER BY date),
        wc AS (PARTITION BY symbol ORDER BY date
@@ -926,20 +926,30 @@ GROUP BY o_orderpriority
 
 
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch (discrete) + exact (continuous) quantiles per event_type.
-    Oracle: DuckDB quantile_disc / quantile_cont — verified bit-equal
-    (percentile_approx at this accuracy picks the same data values;
-    both engines interpolate quantile_cont identically)."""
+    """Sketch (discrete) + exact (continuous) quantiles per event_type,
+    in long form (one row per key × quantile level — array cells don't
+    canonicalize portably). Oracle: DuckDB quantile_disc /
+    quantile_cont — verified bit-equal (percentile_approx at this
+    accuracy picks the same data values; both engines interpolate
+    quantile_cont identically)."""
     ev = _events(spark, sf_dir)
-    return metrics.quantile_summary(ev, "event_type", "value")
+    return metrics.quantile_summary_long(ev, "event_type", "value")
 
 
 _QUANTILES_ORACLE = """
-SELECT event_type AS key,
-       quantile_disc(value, [0.25, 0.5, 0.75, 0.95]) AS q_disc,
-       quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS q_cont,
-       count(*) AS n
-FROM events GROUP BY event_type
+WITH s AS (
+  SELECT event_type AS key,
+         quantile_disc(value, [0.25, 0.5, 0.75, 0.95]) AS qd,
+         quantile_cont(value, [0.25, 0.5, 0.75, 0.95]) AS qc,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT key,
+       unnest(CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[])) AS q_level,
+       unnest(qd) AS q_disc,
+       unnest(qc) AS q_cont,
+       n
+FROM s
 """
 
 
@@ -989,9 +999,9 @@ WITH flags AS (
 ),
 sess AS (
   SELECT key, ts,
-         sum(new_s) OVER (PARTITION BY key ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY key ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flags
 )
 SELECT key, session_id,
@@ -1424,11 +1434,23 @@ FROM n
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/mapInPandas feature extraction, scalarized for the driver:
+    the library API returns an ``array<float>`` features column, but
+    array cells don't canonicalize portably, so the registered query
+    projects f0..f7 scalar columns (same values, same plan below the
+    projection)."""
     from real_time_stock_market_data_pipeline__spark.operators import multimodal
 
     ensure_engine_conf(spark)
     media = multimodal.media_from_documents(_table("documents")(spark, sf_dir))
-    return multimodal.extract_media_features(media, use_stub=True)
+    feat = multimodal.extract_media_features(media, use_stub=True)
+    return feat.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "content_sha",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 def _media_features_oracle() -> str:
@@ -1438,7 +1460,7 @@ def _media_features_oracle() -> str:
             f"(strpos('0123456789abcdef', substr(sha, {8 * i + j + 1}, 1)) - 1) * {16 ** (7 - j)}"
             for j in range(8)
         )
-        + ") / 4294967296.0 AS FLOAT)"
+        + f") / 4294967296.0 AS FLOAT) AS f{i}"
         for i in range(8)
     )
     return f"""
@@ -1446,7 +1468,7 @@ WITH m AS (SELECT doc_id AS media_id, 'image' AS kind,
                   octet_length(encode(text)) AS n_bytes,
                   sha256(text) AS sha
            FROM documents)
-SELECT media_id, kind, n_bytes, sha AS content_sha, [{feats}] AS features
+SELECT media_id, kind, n_bytes, sha AS content_sha, {feats}
 FROM m
 """
 

@@ -167,3 +167,36 @@ def quantile_summary(
         F.expr(f"percentile({value_col}, {q_arr})").alias("q_cont"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def quantile_summary_long(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """:func:`quantile_summary` in long form: one row per
+    (key, quantile level) instead of array columns.
+
+    Strictly better relational shape for downstream SQL consumers (and
+    for any harness that canonicalizes rows — array cells don't sort or
+    hash portably). Same sketch/exact aggregates underneath: the
+    explode happens on the tiny aggregated frame (|keys| × |qs| rows),
+    so the 100 TB cost profile is identical to the wide form."""
+    wide = quantile_summary(df, key_col, value_col, qs, accuracy)
+    levels = F.array(*[F.lit(float(q)) for q in qs])
+    zipped = F.arrays_zip(
+        levels.alias("q_level"),
+        F.col("q_disc").alias("q_disc"),
+        F.col("q_cont").alias("q_cont"),
+    )
+    return wide.select(
+        "key", "n", F.explode(zipped).alias("z")
+    ).select(
+        "key",
+        F.col("z.q_level").alias("q_level"),
+        F.col("z.q_disc").alias("q_disc"),
+        F.col("z.q_cont").alias("q_cont"),
+        "n",
+    )

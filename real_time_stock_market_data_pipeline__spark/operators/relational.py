@@ -59,17 +59,28 @@ def asof_join(
 
     Implementation is the scalable union-and-carry pattern: tag both
     inputs, sort per key by (event time, tag) with right-before-left on
-    ties, and carry the last non-null right value forward with
-    ``last(..., ignorenulls=True)`` over a running frame. One shuffle,
-    one sort — no range-explosion, no per-row subquery, and Spark's
-    window frame streams so state per key is O(1).
+    ties, and carry the latest right ROW forward as a single struct
+    with ``last(..., ignorenulls=True)`` over a running frame — the
+    struct is non-null for every right row, so a genuinely NULL field
+    in the latest right row is preserved (carrying fields individually
+    would skip it and resurrect an older value). One shuffle, one
+    sort — no range-explosion, no per-row subquery, and Spark's window
+    frame streams so state per key is O(1).
     """
     lcols = left.columns
+    collide = set(right_vals) & set(lcols)
+    if collide:
+        raise ValueError(
+            f"asof_join: right_vals collide with left columns: {sorted(collide)}"
+        )
+    rv_struct = F.struct(*[F.col(c) for c in right_vals])
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast(
+            right.select(rv_struct.alias("__rv")).schema["__rv"].dataType
+        ).alias("__rv"),
     )
     r = right.select(
         *[
@@ -80,7 +91,7 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        rv_struct.alias("__rv"),
     )
     w = (
         Window.partitionBy(*on)
@@ -90,12 +101,15 @@ def asof_join(
     carried = l.unionByName(r).select(
         *lcols,
         F.col("__tag"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in right_vals
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
-    return carried.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        carried.filter(F.col("__tag") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__rv.{c}").alias(c) for c in right_vals],
+        )
+    )
 
 
 def salted_agg(
@@ -157,6 +171,7 @@ def salted_join(
     on: list[str],
     n_salts: int = 8,
     how: str = "inner",
+    row_mix: bool = False,
 ) -> DataFrame:
     """Skewed large×large equi-join: salt the (big, skewed) left side
     into ``n_salts`` sub-keys, replicate the right side once per salt,
@@ -172,11 +187,17 @@ def salted_join(
     Prefer ``F.broadcast`` when the right side fits in memory and AQE
     skew-join for moderate skew; this is the explicit fallback for the
     hot-key × too-big-to-broadcast case. The left salt is deterministic
-    (hash of all left columns), keeping plans replayable.
+    (hash of all left columns), keeping plans replayable — which means
+    *fully identical duplicate left rows* all hash to one salt and
+    still share a task. When the skew IS duplicated hot rows, pass
+    ``row_mix=True`` to mix ``monotonically_increasing_id()`` into the
+    salt (spreads duplicates; stable for deterministic scans, but not
+    replayable under input reordering — hence opt-in).
     """
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
-    ).cast("int")
+    salt_src = [F.col(c) for c in left.columns]
+    if row_mix:
+        salt_src.append(F.monotonically_increasing_id())
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts)).cast("int")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

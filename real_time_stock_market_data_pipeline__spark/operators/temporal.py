@@ -36,6 +36,13 @@ def range_join(
     """Join left points to right half-open intervals
     (``lo <= point < hi``) without a nested loop.
 
+    Only ``how='inner'`` is supported: the bucketization applies the
+    exact range predicate as a post-join filter, which would silently
+    discard the null-extended rows an outer join produces (and keep
+    duplicate bucket matches for preserved rows). Raising beats a
+    wrong answer; an outer variant needs the predicate inside the join
+    condition plus interval-replica dedup.
+
     Spark plans a bare ``l.p >= r.lo AND l.p < r.hi`` as
     BroadcastNestedLoopJoin (or a cartesian) — O(|L|·|R|) at scale. We
     instead quantize: a point joins bucket ``floor(p/w)``; an interval
@@ -48,6 +55,11 @@ def range_join(
     Both inputs keep all their columns; column-name collisions must be
     resolved by the caller (checked here).
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join: only how='inner' is supported (the post-join "
+            "range filter breaks outer-join null extension)"
+        )
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"range_join: overlapping column names {sorted(overlap)}")

@@ -3,12 +3,27 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` on DuckDB over the same parquet tables, then compares
-row count, column names, and an order-insensitive value hash (columns
-sorted by name, rows sorted, values canonicalized). Any red row here
-will be red in CORRECTNESS_r{N}.json — run this before committing
-registry changes.
+row count, column names, and TWO order-insensitive value hashes:
+
+- **raw mode** — per-value ``canon()`` on raw fetched rows (the
+  original local gate);
+- **pandas mode** — both sides converted to pandas
+  (``toPandas()`` / ``fetchdf()``), columns sorted, ``sort_values``
+  over all columns, sha256 of ``to_csv``. This mirrors the round
+  driver's canonicalizer and catches what raw mode cannot: DuckDB
+  HUGEINT output (windowed integer SUMs) arrives as float64 and
+  renders ``5.0`` vs Spark's ``5``, and array-typed cells crash
+  ``sort_values`` exactly as they crash the driver.
+
+Any red row here will be red in CORRECTNESS_r{N}.json — run this
+before committing registry changes.
+
+``--describe`` additionally DESCRIBEs every oracle in DuckDB and
+flags output columns typed HUGEINT or ``[]``/STRUCT/MAP — the two
+classes the driver harness cannot canonicalize.
 
 Usage: python scripts/check_correctness.py [--sf DIR] [--only name,...]
+                                           [--describe] [--no-pandas]
 """
 
 from __future__ import annotations
@@ -28,6 +43,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+BAD_ORACLE_TYPES = ("HUGEINT", "[]", "STRUCT", "MAP")
+
+
+def describe_sweep(con, oracles: dict[str, str]) -> int:
+    """Flag oracle output types the driver's pandas canonicalizer
+    mangles (HUGEINT → float64) or crashes on (nested types)."""
+    bad = 0
+    for name, sql in oracles.items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            print(f"DESCRIBE-FAIL {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        for col, typ, *_ in rows:
+            if any(t in typ.upper() for t in BAD_ORACLE_TYPES):
+                print(f"BAD-TYPE {name}.{col}: {typ}")
+                bad += 1
+    return bad
+
+
+def pandas_canon_hash(pdf) -> str:
+    """Driver-mirroring canonical hash: sorted columns, sort_values
+    over all columns, sha256 of the CSV rendering. Raises TypeError on
+    unsortable cells (arrays) — the same failure the driver reports."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return hashlib.sha256(pdf.to_csv(index=False).encode()).hexdigest()[:16]
 
 
 def canon(v) -> str:
@@ -62,13 +107,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--describe", action="store_true")
+    ap.add_argument("--no-pandas", action="store_true")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from real_time_stock_market_data_pipeline__spark.session import get_spark
-
-    spark = get_spark("check-correctness")
-    spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
     for t in TABLES:
@@ -78,6 +122,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    if args.describe:
+        n_bad = describe_sweep(con, oracles)
+        print(f"describe sweep: {n_bad} bad oracle output columns")
+        if n_bad:
+            return 1
+
+    spark = get_spark("check-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -123,6 +177,16 @@ def main() -> int:
                     if a != b:
                         print(f"      first diff:\n      spark: {a}\n      duck : {b}")
                         break
+        if not problems and not args.no_pandas:
+            # driver-mirroring pandas canonicalization
+            try:
+                sph = pandas_canon_hash(sdf.toPandas())
+                oph = pandas_canon_hash(con.execute(oracles[name]).df())
+            except Exception as e:
+                problems.append(f"pandas-canon err: {type(e).__name__}: {e}")
+            else:
+                if sph != oph:
+                    problems.append(f"pandas-hash spark={sph} duck={oph}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
