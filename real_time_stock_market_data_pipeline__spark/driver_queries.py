@@ -1474,6 +1474,87 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Partition-pruned batch scan (S2), exercised end-to-end
+# --------------------------------------------------------------------------
+
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: write events into a ``year=/month=/day=`` hive
+    layout (P15 partition keys, reference `batch_data_consumer.py:76` /
+    `spark_batch_processor.py:42-69`), then read it back with a
+    partition predicate. The predicate lands in the scan's
+    PartitionFilters (plan-asserted in tests/test_plans.py): at 100 TB
+    the filter skips directories, it doesn't read-then-drop rows. The
+    oracle applies the same predicate to the raw table — pruning must
+    be invisible to the result."""
+    import os
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark import sinks
+
+    ev = _events(spark, sf_dir)
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_partitioned",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    part = ev.select(
+        "event_id", "event_type", "value", *cleaning.date_parts("ts")
+    )
+    sinks.write_parquet_partitioned(
+        part, dest, ["year", "month", "day"], mode="overwrite"
+    )
+    return (
+        spark.read.parquet(dest)
+        .where(F.col("day").between(10, 12))
+        .select("event_id", "event_type", "value", "year", "month", "day")
+    )
+
+
+_PARTITIONED_SCAN_ORACLE = """
+SELECT event_id, event_type, value,
+       CAST(year(ts) AS INT) AS year,
+       CAST(month(ts) AS INT) AS month,
+       CAST(day(ts) AS INT) AS day
+FROM events
+WHERE day(ts) BETWEEN 10 AND 12
+"""
+
+
+# --------------------------------------------------------------------------
+# Kafka wire codec (batch-testable decode of the broker-bound source)
+# --------------------------------------------------------------------------
+
+
+def q_kafka_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka consumer's value-decode semantics, oracle-checked
+    without a broker: events → ``sinks.encode_keyed_json`` (the
+    producer wire shape, reference `src/kafka/producer`) →
+    ``streaming.pipeline.decode_keyed_json`` (the consumer projection,
+    reference `realtime_data_consumer.py:92`). The decode is the exact
+    function `read_kafka_stream` applies to the broker frame, so only
+    the ``.format("kafka")`` builder lines remain unexecuted in this
+    container. Round-trip is lossless (micro-precision timestampFormat,
+    shortest-repr doubles), hence the oracle is the identity
+    projection."""
+    from real_time_stock_market_data_pipeline__spark import sinks
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    wire = sinks.encode_keyed_json(ev, key_col="event_type")
+    return pipeline.decode_keyed_json(wire, ev.schema)
+
+
+_KAFKA_DECODE_ORACLE = """
+SELECT event_type AS symbol_key,
+       event_id, ts, user_id, event_type, value, props
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1527,6 +1608,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
+    "kafka_decode": q_kafka_decode,
+    "partitioned_scan": q_partitioned_scan,
 }
 
 ORACLES: dict[str, str] = {
@@ -1585,4 +1668,6 @@ FROM events GROUP BY 1
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_features": _media_features_oracle(),
+    "kafka_decode": _KAFKA_DECODE_ORACLE,
+    "partitioned_scan": _PARTITIONED_SCAN_ORACLE,
 }

@@ -53,6 +53,28 @@ def write_csv_partitioned(
     w.csv(path)
 
 
+#: Microsecond-precision ISO-8601 for JSON-encoded timestamps: the
+#: default JSON timestamp pattern keeps only millis, which would make
+#: encode→decode lossy for micro-timestamped ticks.
+JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def encode_keyed_json(df: DataFrame, key_col: str) -> DataFrame:
+    """Kafka wire shape: (key string, value json-of-full-row) — the
+    reference's ``producer.produce(key=symbol, value=json.dumps(row))``
+    (`src/kafka/producer/*`). Factored out of :func:`kafka_writer` so
+    the encoding is batch-testable without a broker; inverse of
+    ``streaming.pipeline.decode_keyed_json`` (round-trip tested and
+    oracle-checked via the ``kafka_decode`` registered query)."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"timestampFormat": JSON_TS_FMT},
+        ).alias("value"),
+    )
+
+
 def kafka_writer(
     df: DataFrame, servers: str, topic: str, key_col: str
 ):
@@ -63,10 +85,7 @@ def kafka_writer(
     Returned unsaved so callers (and tests) can inspect it; actually
     writing requires the spark-sql-kafka package on the classpath.
     """
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
-    )
+    payload = encode_keyed_json(df, key_col)
     return (
         payload.write.format("kafka")
         .option("kafka.bootstrap.servers", servers)
@@ -116,11 +135,22 @@ def merge_upsert_parquet(
 
     Read-merge-swap: merge the batch with the current table state
     (left-anti + union, `relational.merge_upsert`), write to a fresh
-    directory, atomically swap. Local-FS implementation of the
-    reference's staged MERGE; the swap keeps re-runs idempotent the
-    same way the MERGE key did. On Delta/Iceberg this whole function
-    is `MERGE INTO` and the swap disappears.
+    directory, swap. Local-FS implementation of the reference's staged
+    MERGE; the swap keeps re-runs idempotent the same way the MERGE
+    key did. On Delta/Iceberg this whole function is `MERGE INTO` and
+    the swap disappears.
+
+    Crash-safety: POSIX cannot atomically swap two directories, so the
+    two renames leave a window where ``path`` is absent and the data
+    lives only at ``path + '.old'``. This function assumes a SINGLE
+    WRITER and self-heals: on entry, if ``path`` is missing but the
+    ``.old`` directory survives, it is renamed back before merging.
+    Concurrent readers can still observe the gap — use a table format
+    with a transaction log when readers are live during writes.
     """
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)  # recover from a crash mid-swap
     if input_ready(spark, path):
         current = spark.read.parquet(path)
         merged = merge_upsert(current, batch.select(*current.columns), keys)
@@ -129,7 +159,6 @@ def merge_upsert_parquet(
     tmp = tempfile.mkdtemp(prefix="merge_upsert_", dir=os.path.dirname(path) or ".")
     try:
         merged.write.mode("overwrite").parquet(tmp)
-        old = path + ".old"
         if os.path.exists(path):
             os.rename(path, old)
             os.rename(tmp, path)

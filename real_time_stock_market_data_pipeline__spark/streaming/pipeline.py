@@ -268,6 +268,25 @@ def stream_sessionize(
     )
 
 
+def decode_keyed_json(df: DataFrame, schema, key_alias: str = "symbol_key") -> DataFrame:
+    """Kafka value-decode projection: (key, value-json) → typed columns
+    — the declarative twin of the reference consumer's per-message
+    ``json.loads`` (`realtime_data_consumer.py:92`). Factored out of
+    :func:`read_kafka_stream` so the decode semantics are batch-testable
+    and oracle-checked (``kafka_decode`` registered query) without a
+    broker; inverse of ``sinks.encode_keyed_json``. Works unchanged on
+    a batch frame or a streaming Kafka source — both carry binary/
+    string ``key``/``value`` columns."""
+    from real_time_stock_market_data_pipeline__spark.sinks import JSON_TS_FMT
+
+    return df.select(
+        F.col("key").cast("string").alias(key_alias),
+        F.from_json(
+            F.col("value").cast("string"), schema, {"timestampFormat": JSON_TS_FMT}
+        ).alias("payload"),
+    ).select(key_alias, "payload.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     servers: str,
@@ -281,7 +300,9 @@ def read_kafka_stream(
     and their buffer-100-or-60s micro-batching (T9), which the trigger
     interval + ``maxOffsetsPerTrigger`` replace. Requires the
     spark-sql-kafka package on the classpath (not present in this
-    container; construction is covered by tests via the plan only)."""
+    container), but only the builder lines below are broker-bound: the
+    decode projection is :func:`decode_keyed_json`, batch-tested and
+    oracle-checked."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
@@ -289,10 +310,7 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.col("key").cast("string").alias("symbol_key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("payload"),
-    ).select("symbol_key", "payload.*")
+    return decode_keyed_json(raw, schema)
 
 
 def stream_interval_join(

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Regenerate PLANS.md: executed-plan property table for the headline
-queries (scans / exchanges / join strategies / pushdown), the receipts
-behind the plan-assert tests."""
+"""Regenerate PLANS.md: executed-plan property table for EVERY
+registered query (scans / exchanges / join strategies / pushdown), the
+receipts behind the plan-assert tests."""
 
 from __future__ import annotations
 
@@ -10,14 +10,6 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-PICKS = [
-    "daily_metrics", "daily_returns", "realtime_metrics", "topk_days_per_symbol",
-    "pricing_summary", "region_revenue", "shipping_priority", "salted_agg",
-    "salted_join", "range_join_bands", "cascade_rollup", "sessionize",
-    "dedup_exact", "dedup_minhash_pairs", "cosine_topk", "ann_topk", "ivf_topk",
-    "term_stats", "doc_fingerprint", "hash_split", "chunk_documents",
-]
 
 
 def main() -> None:
@@ -29,7 +21,7 @@ def main() -> None:
     sf = "/root/testdata/sf0.01"
 
     rows = []
-    for name in PICKS:
+    for name in dq.QUERIES:
         p = (
             dq.QUERIES[name](spark, sf)
             ._jdf.queryExecution()
@@ -49,12 +41,14 @@ def main() -> None:
         )
 
     lines = [
-        "# PLANS — executed-plan properties of the headline queries",
+        "# PLANS — executed-plan properties of every registered query",
         "",
         "Generated against sf0.01 with `queryExecution().executedPlan()`;",
         "regenerate with `python scripts/gen_plans_md.py`. The invariants the",
         "tests assert (no nested loops, broadcast dims, pushdown, single-scan",
-        "rollup, WindowGroupLimit) are visible here as counts.",
+        "rollup, WindowGroupLimit — plus the blanket no-cartesian sweep in",
+        "tests/test_plans.py) are visible here as counts. Streaming-backed",
+        "entries show the plan of their batch result frame.",
         "",
         "| query | parquet scans | exchanges | broadcast HJ | sort-merge J "
         "| nested-loop/cartesian | pushed filters |",

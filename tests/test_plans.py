@@ -91,3 +91,24 @@ def test_shipping_priority_pushes_both_date_filters(spark, sf_dir):
     pushed = [seg[:200] for seg in plan.split("PushedFilters")[1:]]
     assert any("o_orderdate" in s for s in pushed)
     assert any("l_shipdate" in s for s in pushed)
+
+
+def test_partitioned_scan_query_prunes(spark, sf_dir):
+    """The registered S2 query's day-predicate must reach the scan as a
+    PartitionFilter (directory skip), not a post-scan Filter."""
+    df = driver_queries.q_partitioned_scan(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_no_registered_query_plans_a_cartesian(spark, sf_dir):
+    """Blanket 100 TB guard: no registered query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — the two shapes whose
+    cost is O(|L|x|R|) and which AQE cannot rescue. Sweeps every
+    queries() entry (streaming-backed entries return their batch result
+    frame, whose plan is checked the same way)."""
+    for name, fn in driver_queries.QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -177,13 +177,46 @@ def test_kafka_writer_shapes_keyed_json(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").limit(5)
     writer = sinks.kafka_writer(ev, "localhost:9092", "ticks", key_col="event_type")
     # the configured writer's underlying frame must be (key, value) JSON
-    payload = ev.select(
-        F.col("event_type").cast("string").alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in ev.columns])).alias("value"),
-    )
-    rows = payload.collect()
+    rows = sinks.encode_keyed_json(ev, "event_type").collect()
     assert all(r["value"].startswith("{") and '"event_id"' in r["value"] for r in rows)
     assert writer is not None
+
+
+def test_kafka_codec_roundtrip_is_lossless(spark, sf_dir):
+    """decode_keyed_json must exactly invert encode_keyed_json — the
+    producer wire shape and the consumer decode the Kafka source
+    applies, minus the broker. Micro-precision timestamps and doubles
+    must survive the JSON hop bit-for-bit."""
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    wire = sinks.encode_keyed_json(ev, key_col="event_type")
+    back = pipeline.decode_keyed_json(wire, ev.schema)
+    assert back.columns == ["symbol_key"] + ev.columns
+    orig = sorted(map(tuple, ev.collect()))
+    got = sorted(r[1:] for r in map(tuple, back.collect()))
+    assert got == orig
+
+
+def test_merge_upsert_parquet_recovers_from_crashed_swap(spark, sf_dir):
+    """A crash between the two swap renames leaves data only at
+    path + '.old'; the next merge_upsert_parquet call must recover it
+    before merging (single-writer self-healing)."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="rtsmdp_t_")
+    path = f"{tmp}/tbl"
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    first = ev.filter(F.col("event_id") < 50)
+    sinks.merge_upsert_parquet(spark, first, path, keys=["event_id"])
+    # simulate the crash window: table dir gone, data stranded at .old
+    os.rename(path, path + ".old")
+    updated = ev.filter(F.col("event_id") < 20).withColumn("value", F.lit(-1.0))
+    sinks.merge_upsert_parquet(spark, updated, path, keys=["event_id"])
+    out = spark.read.parquet(path)
+    assert out.count() == first.count()  # recovered rows survived
+    assert out.filter(F.col("value") == -1.0).count() == updated.count()
+    assert not os.path.exists(path + ".old")
 
 
 def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
