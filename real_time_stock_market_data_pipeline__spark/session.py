@@ -47,6 +47,51 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def s3a_conf_from_env(env: dict[str, str] | None = None) -> dict[str, str]:
+    """Optional object-store profile: the reference wires MinIO via S3A
+    with hard-coded credentials (`spark_stream_processor.py:46-53`);
+    here the same settings come from the environment and are returned
+    as ``spark.hadoop.*`` conf so they apply at builder time (no live
+    endpoint needed, nothing set unless configured).
+
+    Env vars: ``SPARK_GRAFT_S3_ENDPOINT`` (required for the profile to
+    activate), ``SPARK_GRAFT_S3_ACCESS_KEY`` / ``SPARK_GRAFT_S3_SECRET_KEY``
+    (optional — omit to use the default provider chain, e.g. instance
+    roles), ``SPARK_GRAFT_S3_SSL`` (default ``false`` — MinIO-style
+    endpoints), ``SPARK_GRAFT_S3_PATH_STYLE`` (default ``true``).
+    Returns ``{}`` when no endpoint is configured, so callers can
+    always merge it.
+    """
+    e = os.environ if env is None else env
+    endpoint = e.get("SPARK_GRAFT_S3_ENDPOINT")
+    if not endpoint:
+        return {}
+    conf = {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access": e.get(
+            "SPARK_GRAFT_S3_PATH_STYLE", "true"
+        ),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": e.get(
+            "SPARK_GRAFT_S3_SSL", "false"
+        ),
+    }
+    access, secret = e.get("SPARK_GRAFT_S3_ACCESS_KEY"), e.get(
+        "SPARK_GRAFT_S3_SECRET_KEY"
+    )
+    if access and secret:
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.access.key": access,
+                "spark.hadoop.fs.s3a.secret.key": secret,
+                "spark.hadoop.fs.s3a.aws.credentials.provider": (
+                    "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+                ),
+            }
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "rtsmdp-spark",
     master: str | None = None,
@@ -63,6 +108,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
     )
     for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in s3a_conf_from_env().items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
