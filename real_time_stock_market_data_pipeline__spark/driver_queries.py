@@ -1429,6 +1429,188 @@ FROM n
 """
 
 # --------------------------------------------------------------------------
+# Training-data pipeline: PII scrub, tf-idf, decontamination, packing,
+# per-domain caps
+# --------------------------------------------------------------------------
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents seeded with deterministic synthetic
+    PII (the corpus itself is clean words): every 7th doc gets an
+    email + long number appended, identically on both sides, so the
+    masking and the counts are actually exercised."""
+    docs = _table("documents")(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel 55512340"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.pii_redact(seeded)
+
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com tel 55512340' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{text.EMAIL_PATTERN}')) AS n_emails,
+       len(regexp_extract_all(
+             regexp_replace(text, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{text.LONG_NUM_PATTERN}')) AS n_long_numbers,
+       regexp_replace(
+         regexp_replace(text, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+         '{text.LONG_NUM_PATTERN}', '<NUM>', 'g') AS clean_text
+FROM seeded
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_table("documents")(spark, sf_dir))
+
+
+_TFIDF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term <> '' GROUP BY doc_id, term
+),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfx USING (term), nd
+)
+SELECT doc_id, term, tf, tfidf, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark leakage filter: every 20th doc plays the benchmark
+    set; documents sharing any word 5-gram with it are flagged.
+    Benchmark members are trivially contaminated (self-overlap) —
+    kept in the output as the sanity floor."""
+    docs = _table("documents")(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return text.decontaminate(docs, bench)
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, md5(gram) AS gram_hash FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) - 4 > 0
+                  THEN list_transform(range(1, len(toks) - 4 + 1),
+                         i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                  ELSE [array_to_string(toks, ' ')] END) AS gram
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  )
+),
+bh AS (SELECT DISTINCT gram_hash FROM g WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM g JOIN bh USING (gram_hash) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → count tokens → pack into 256-token bins per source
+    shard, ordered by (doc_id, chunk_idx) — the context-window
+    sharding step downstream of chunk_documents (same 200/40 chunk
+    geometry as the chunk_documents query)."""
+    docs = _table("documents")(spark, sf_dir)
+    chunks = text.chunk_documents(docs, chunk_chars=200, overlap=40)
+    tokens = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
+    ).join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+    return text.token_pack(
+        tokens, ["source"], ["doc_id", "chunk_idx"], "n_tokens", budget=256
+    )
+
+
+_TOKEN_PACK_ORACLE = """
+WITH n AS (
+  SELECT doc_id, text, length(text) AS ln,
+         CASE WHEN length(text) <= 200 THEN 1
+              ELSE (length(text) - 40 + 159) // 160 END AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text
+  FROM n, unnest(range(n.n_chunks)) AS t(i)
+),
+tok AS (
+  SELECT d.source, c.doc_id, c.chunk_idx,
+         len(string_split(c.chunk_text, ' ')) AS n_tokens
+  FROM c JOIN documents d ON c.doc_id = d.doc_id
+),
+packed AS (
+  SELECT source, doc_id, chunk_idx, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER w, 0) AS BIGINT) AS prior
+  FROM tok
+  WINDOW w AS (PARTITION BY source ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT source, doc_id, chunk_idx, n_tokens,
+       prior // 256 AS bin_id, prior % 256 AS bin_offset
+FROM packed
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota: keep the 10 largest docs per source
+    (n_chars desc, doc_id desc tiebreak) — the de-domination cap a
+    corpus builder applies so one crawl domain can't flood training.
+    Same WindowGroupLimit shape as topk_days_per_symbol, over the
+    documents table."""
+    docs = _table("documents")(spark, sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return relational.topk_per_group(
+        docs, ["source"], ["n_chars", "doc_id"], 10
+    )
+
+
+_DOMAIN_CAP_ORACLE = """
+SELECT doc_id, source, n_chars, rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC) AS rank
+  FROM documents
+) WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal plumbing (stubbed decode, real Arrow/mapInPandas pipeline)
 # --------------------------------------------------------------------------
 
@@ -1610,6 +1792,11 @@ QUERIES: dict[str, QueryFn] = {
     "media_features": q_media_features,
     "kafka_decode": q_kafka_decode,
     "partitioned_scan": q_partitioned_scan,
+    "pii_redact": q_pii_redact,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "decontaminate": q_decontaminate,
+    "token_pack": q_token_pack,
+    "domain_cap": q_domain_cap,
 }
 
 ORACLES: dict[str, str] = {
@@ -1670,4 +1857,9 @@ FROM events GROUP BY 1
     "media_features": _media_features_oracle(),
     "kafka_decode": _KAFKA_DECODE_ORACLE,
     "partitioned_scan": _PARTITIONED_SCAN_ORACLE,
+    "pii_redact": _PII_ORACLE,
+    "tfidf_top_terms": _TFIDF_ORACLE,
+    "decontaminate": _DECONTAMINATE_ORACLE,
+    "token_pack": _TOKEN_PACK_ORACLE,
+    "domain_cap": _DOMAIN_CAP_ORACLE,
 }

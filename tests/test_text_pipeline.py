@@ -1,0 +1,96 @@
+"""Law tests for the training-data text operators: PII scrubbing,
+tf-idf ranking, decontamination, and token packing. The oracle gate
+checks value equality against DuckDB; these pin the *invariants* that
+must hold under any refactor."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators import text
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+
+def test_pii_redact_masks_everything_it_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk or call 5551234567"),
+            (2, "two mails a@b.io c@d.org and digits 12345678901"),
+            (3, "clean text, short number 123456 stays"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_long_numbers"] == 1
+    assert "<EMAIL>" in out[1]["clean_text"] and "<NUM>" in out[1]["clean_text"]
+    assert out[2]["n_emails"] == 2 and out[2]["n_long_numbers"] == 1
+    # 6-digit run is below the long-number threshold: left intact
+    assert out[3]["n_emails"] == 0 and out[3]["n_long_numbers"] == 0
+    assert out[3]["clean_text"] == "clean text, short number 123456 stays"
+    # nothing maskable survives in any clean_text
+    residue = text.pii_redact(
+        text.pii_redact(docs).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+    )
+    assert residue.filter(
+        (F.col("n_emails") > 0) | (F.col("n_long_numbers") > 0)
+    ).count() == 0
+
+
+def test_tfidf_top_terms_ranks_are_dense_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.tfidf_top_terms(docs, k=3)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("rank").alias("ranks"),
+    )
+    bad = per_doc.filter(
+        (F.col("n") > 3) | (F.array_min("ranks") != 1)
+    ).count()
+    assert bad == 0
+    # a common word (high df) must not outrank a rarer one with equal tf
+    assert out.filter(F.col("tfidf") < 0).count() == 0  # smoothed idf >= 0 here
+
+
+def test_decontaminate_flags_exact_copies_and_spares_unique_text(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different sentence with unique vocabulary"),
+            (3, "the quick brown fox jumps over something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.decontaminate(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] > 0  # exact copy
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["contaminated"]  # shares the 5-gram prefix
+    assert out[3]["n_hits"] < out[1]["n_hits"]
+
+
+def test_token_pack_offsets_are_exact_and_order_preserving(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        F.lit("all").alias("shard"),
+    )
+    packed = text.token_pack(
+        chunks, ["shard"], ["doc_id", "chunk_idx"], "n_tokens", budget=128
+    )
+    rows = packed.orderBy("doc_id", "chunk_idx").collect()
+    # replay the prefix sum: bin/offset must match exact integer math
+    prior = 0
+    for r in rows:
+        assert r["bin_id"] == prior // 128, r
+        assert r["bin_offset"] == prior % 128, r
+        prior += r["n_tokens"]
+    # bins start at 0 and are contiguous
+    bins = sorted({r["bin_id"] for r in rows})
+    assert bins == list(range(len(bins)))
