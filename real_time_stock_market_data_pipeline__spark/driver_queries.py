@@ -1586,6 +1586,61 @@ FROM packed
 """
 
 
+def q_token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy (first-fit) packing twin of token_pack: stateful
+    applyInPandas per source shard, oracle-checked against a DuckDB
+    recursive CTE that replays the same walk declaratively."""
+    docs = _table("documents")(spark, sf_dir)
+    chunks = text.chunk_documents(docs, chunk_chars=200, overlap=40)
+    tokens = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split(F.col("chunk_text"), " ")).alias("n_tokens"),
+    ).join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+    return text.token_pack_greedy(
+        tokens, ["source"], ["doc_id", "chunk_idx"], "n_tokens", budget=256
+    )
+
+
+_TOKEN_PACK_GREEDY_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT d.source, c.doc_id, c.chunk_idx,
+         len(string_split(c.chunk_text, ' ')) AS n_tokens
+  FROM (
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 200 THEN 1
+                  ELSE (length(text) - 40 + 159) // 160 END AS n_chunks
+      FROM documents
+    ) n, unnest(range(n.n_chunks)) AS t(i)
+  ) c JOIN documents d ON c.doc_id = d.doc_id
+),
+ordered AS (
+  SELECT source, doc_id, chunk_idx, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM tok
+),
+walk AS (
+  SELECT source, doc_id, chunk_idx, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.chunk_idx, o.n_tokens, o.rn,
+         CASE WHEN w.bin_fill + w.n_tokens + o.n_tokens > 256
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.bin_fill + w.n_tokens + o.n_tokens > 256
+              THEN CAST(0 AS BIGINT)
+              ELSE w.bin_fill + w.n_tokens END
+  FROM walk w JOIN ordered o
+    ON o.source = w.source AND o.rn = w.rn + 1
+)
+SELECT source, doc_id, chunk_idx, n_tokens, bin_id, bin_fill FROM walk
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document quota: keep the 10 largest docs per source
     (n_chars desc, doc_id desc tiebreak) — the de-domination cap a
@@ -1796,6 +1851,7 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "decontaminate": q_decontaminate,
     "token_pack": q_token_pack,
+    "token_pack_greedy": q_token_pack_greedy,
     "domain_cap": q_domain_cap,
 }
 
@@ -1861,5 +1917,6 @@ FROM events GROUP BY 1
     "tfidf_top_terms": _TFIDF_ORACLE,
     "decontaminate": _DECONTAMINATE_ORACLE,
     "token_pack": _TOKEN_PACK_ORACLE,
+    "token_pack_greedy": _TOKEN_PACK_GREEDY_ORACLE,
     "domain_cap": _DOMAIN_CAP_ORACLE,
 }

@@ -298,6 +298,15 @@ def ngram_jaccard_pairs(
     shingles) and keep pairs above threshold. Cost is
     O(candidates × shingles), independent of corpus size. The same
     ``k`` is used for candidate generation and verification.
+
+    Tuning history (sf0.1, local[32], best-of-3 warm): (1) persisting
+    the bands frame broke ReuseExchange and ran 2–4× slower; (2)
+    replacing the bucketed self-join with a per-bucket
+    ``collect_set`` + pair explosion measured 6.2–6.7 s vs 4.3–5.2 s
+    for this shape — and would additionally materialize whole
+    pathological buckets in executor memory where the join streams
+    them. The self-join plateau is evidence-backed; don't revisit
+    without new measurements.
     """
     cand = dedup_minhash_pairs(docs, id_col, text_col, shingle_k=k)
     # shingle arrays only for documents that appear in a candidate pair

@@ -413,3 +413,50 @@ def token_pack(
         F.floor(prior / budget).cast("bigint").alias("bin_id"),
         (prior % budget).cast("bigint").alias("bin_offset"),
     )
+
+
+def token_pack_greedy(
+    chunks: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """First-fit sequential packing: a bin closes when the next chunk
+    would overflow it, so no chunk straddles a boundary (an oversize
+    chunk gets a bin to itself). The data-dependent bin reset is a
+    running state no window frame expresses, so this is the package's
+    canonical ``applyInPandas`` stateful operator: one shuffle on
+    ``group_cols``, then a vectorized per-group pass in Arrow batches —
+    state is O(1) per group, never per corpus.
+
+    The plain-SQL twin is :func:`token_pack` (offset packing); this
+    variant is oracle-checked against a DuckDB *recursive CTE* that
+    walks each group row-by-row, so the imperative semantics are
+    pinned by an independent declarative engine.
+    """
+    import pandas as pd
+
+    base = chunks.select(*group_cols, *order_cols, token_col)
+    schema_out = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields
+    )
+    schema_out += ", bin_id bigint, bin_fill bigint"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        bin_ids, fills = [], []
+        bin_id, fill = 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = 0
+            bin_ids.append(bin_id)
+            fills.append(fill)
+            fill += t
+        pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+        pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+        return pdf
+
+    return base.groupBy(*group_cols).applyInPandas(pack, schema=schema_out)

@@ -94,3 +94,40 @@ def test_token_pack_offsets_are_exact_and_order_preserving(spark, sf_dir):
     # bins start at 0 and are contiguous
     bins = sorted({r["bin_id"] for r in rows})
     assert bins == list(range(len(bins)))
+
+
+def test_token_pack_greedy_never_overflows_a_shared_bin(spark, sf_dir):
+    """First-fit law: a bin's total exceeds the budget only when it
+    holds a single oversize chunk; bin ids are contiguous per group and
+    bin_fill replays the within-bin prefix sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        (F.col("doc_id") % 4).alias("shard"),
+    )
+    budget = 64
+    packed = text.token_pack_greedy(
+        chunks, ["shard"], ["doc_id", "chunk_idx"], "n_tokens", budget=budget
+    )
+    per_bin = (
+        packed.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in per_bin:
+        assert r["total"] <= budget or r["n"] == 1, r
+    # replay per group: fill is the running total within the bin
+    for shard in range(4):
+        rows = (
+            packed.filter(F.col("shard") == shard)
+            .orderBy("doc_id", "chunk_idx")
+            .collect()
+        )
+        bin_id, fill = 0, 0
+        for r in rows:
+            if fill > 0 and fill + r["n_tokens"] > budget:
+                bin_id, fill = bin_id + 1, 0
+            assert (r["bin_id"], r["bin_fill"]) == (bin_id, fill), r
+            fill += r["n_tokens"]
