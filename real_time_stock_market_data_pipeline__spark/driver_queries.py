@@ -1586,6 +1586,25 @@ FROM packed
 """
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, long form (label, dim) — exact
+    under the quantize-then-decimal-sum recipe, so the oracle matches
+    bitwise at any parallelism."""
+    return similarity.embedding_centroids(
+        _table("embeddings")(spark, sf_dir)
+    )
+
+
+_EMBEDDING_CENTROIDS_ORACLE = """
+SELECT label, i AS dim,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,
+       count(*) AS n
+FROM embeddings, unnest(range(1, 65)) AS t(i)
+GROUP BY label, i
+"""
+
+
 def q_token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy (first-fit) packing twin of token_pack: stateful
     applyInPandas per source shard, oracle-checked against a DuckDB
@@ -1853,6 +1872,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pack": q_token_pack,
     "token_pack_greedy": q_token_pack_greedy,
     "domain_cap": q_domain_cap,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLES: dict[str, str] = {
@@ -1919,4 +1939,5 @@ FROM events GROUP BY 1
     "token_pack": _TOKEN_PACK_ORACLE,
     "token_pack_greedy": _TOKEN_PACK_GREEDY_ORACLE,
     "domain_cap": _DOMAIN_CAP_ORACLE,
+    "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE,
 }

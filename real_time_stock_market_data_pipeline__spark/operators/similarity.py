@@ -364,3 +364,41 @@ def cosine_topk_fast(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_centroids(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding centroids in long form: one row per
+    (group, dimension) with the mean of that coordinate — the class
+    prototype / cluster-seed aggregation of a training pipeline
+    (and the k-means update step, run declaratively).
+
+    Determinism recipe: float sums are partition-order-dependent, and
+    decimal casts of raw floats round differently across engines — so
+    each coordinate is first quantized with ``round(x, round_digits)``
+    (identical half-up semantics in Spark and DuckDB), then summed as
+    an exact DECIMAL (lossless for already-quantized values), then
+    divided once in IEEE doubles. The centroid of the quantized vectors
+    is bit-identical in any engine at any parallelism.
+
+    Scale: posexplode keeps rows in their input partition; the groupBy
+    partially aggregates map-side, so the shuffle carries
+    |groups| × dims decimal partials — independent of corpus size.
+    """
+    e = embs.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    q = F.round(F.col("val").cast("double"), round_digits).cast(
+        "decimal(18,6)"
+    )
+    return (
+        e.groupBy(F.col(group_col), (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            (F.sum(q).cast("double") / F.count(F.lit(1))).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
