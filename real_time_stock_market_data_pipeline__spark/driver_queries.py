@@ -1252,6 +1252,45 @@ LIMIT 10
 """
 
 
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One declarative Lloyd iteration seeded with the IVF coarse
+    quantizer (16 lowest-id vectors): nearest-centroid assignment is a
+    map-side fold, the centroid update a partially-aggregated groupBy.
+    The oracle replays assignment (row_number argmax with the same
+    tiebreak) and the quantized-mean update in SQL."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(embs)
+    return similarity.kmeans_step(embs, cents)
+
+
+def _kmeans_step_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+members AS (SELECT cell, embedding FROM assign WHERE rn = 1)
+SELECT cell, i AS dim,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,
+       count(*) AS n
+FROM members, unnest(range(1, 65)) AS t(i)
+GROUP BY cell, i
+"""
+
+
 def q_synthetic_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 deterministic generator → the engine's own daily-metrics
     shape; rows-only (xxhash64 is Spark-specific, by design — the
@@ -1873,6 +1912,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pack_greedy": q_token_pack_greedy,
     "domain_cap": q_domain_cap,
     "embedding_centroids": q_embedding_centroids,
+    "kmeans_step": q_kmeans_step,
 }
 
 ORACLES: dict[str, str] = {
@@ -1940,4 +1980,5 @@ FROM events GROUP BY 1
     "token_pack_greedy": _TOKEN_PACK_GREEDY_ORACLE,
     "domain_cap": _DOMAIN_CAP_ORACLE,
     "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE,
+    "kmeans_step": _kmeans_step_oracle(),
 }

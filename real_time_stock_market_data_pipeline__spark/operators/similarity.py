@@ -402,3 +402,32 @@ def embedding_centroids(
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def kmeans_step(
+    embs: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration, declaratively: assign every vector to its
+    nearest centroid by cosine (:func:`ivf_assign` — a pure map-side
+    fold over literal centroids, no shuffle, no join) and recompute
+    each cell's centroid as the quantized coordinate mean
+    (:func:`embedding_centroids`). Long-form output:
+    (cell, dim, centroid, n).
+
+    The iterative algorithm is a loop over this step with the returned
+    centroids fed back in — each iteration is one scan + one partial-
+    aggregated shuffle of |cells| × dims decimal partials, which is the
+    shape Lloyd's update takes on a 1000-executor cluster. Both halves
+    are engine-exact (argmax-with-tiebreak folds; quantize-then-
+    decimal-sum means), so a SQL oracle replays the whole step bitwise.
+    """
+    assigned = embs.select(
+        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        F.col(vec_col),
+    )
+    return embedding_centroids(
+        assigned, group_col="cell", vec_col=vec_col, round_digits=round_digits
+    )

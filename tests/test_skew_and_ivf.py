@@ -154,3 +154,30 @@ def test_approx_actives_within_error_bound(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(2, 5 * rsd * ex), (k, ex, approx[k])
+
+
+def test_kmeans_step_iterates_with_feedback(spark, sf_dir):
+    """The Lloyd loop contract: step output (long form) reshapes into
+    the next iteration's centroid list; membership counts always sum to
+    the corpus and cells stay in range across iterations."""
+    from collections import defaultdict
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    total = embs.count()
+    cents = similarity.ivf_centroids(embs)
+    for _ in range(2):
+        out = similarity.kmeans_step(embs, cents)
+        rows = out.orderBy("cell", "dim").collect()
+        by_cell = defaultdict(list)
+        counts = {}
+        for r in rows:
+            by_cell[r["cell"]].append(r["centroid"])
+            counts[r["cell"]] = r["n"]
+        assert sum(counts.values()) == total
+        assert all(0 <= c < similarity.IVF_CENTROIDS_N for c in by_cell)
+        assert all(len(v) == len(cents[0]) for v in by_cell.values())
+        # non-empty cells feed the next iteration
+        cents = [by_cell[c] for c in sorted(by_cell)]
+    assert len(cents) >= 2  # clustering didn't collapse to one cell
