@@ -953,6 +953,30 @@ FROM s
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier clipping at the [0.05, 0.95] sketch
+    quantiles; oracle = DuckDB quantile_disc band + CASE clamp (both
+    engines pick actual data values, verified bit-equal)."""
+    ev = _events(spark, sf_dir)
+    return metrics.winsorize(ev, "event_type", "value", "event_id")
+
+
+_WINSORIZE_ORACLE = """
+WITH bands AS (
+  SELECT event_type AS k,
+         quantile_disc(value, 0.05) AS lo_band,
+         quantile_disc(value, 0.95) AS hi_band
+  FROM events GROUP BY event_type
+)
+SELECT event_id, event_type AS key, value,
+       CASE WHEN value < lo_band THEN lo_band
+            WHEN value > hi_band THEN hi_band
+            ELSE value END AS clipped,
+       lo_band, hi_band
+FROM events JOIN bands ON event_type = k
+"""
+
+
 def q_topk_days_per_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k: the 3 busiest days per symbol (volume desc, date
     desc tiebreak — a total order, so ranks are deterministic)."""
@@ -1889,6 +1913,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": q_sessionize,
     "topk_days_per_symbol": q_topk_days_per_symbol,
     "value_quantiles": q_value_quantiles,
+    "winsorize": q_winsorize,
     "cosine_topk": q_cosine_topk,
     "ann_topk": q_ann_topk,
     "ivf_topk": q_ivf_topk,
@@ -1956,6 +1981,7 @@ FROM events GROUP BY 1
     "sessionize": _SESSIONIZE_ORACLE,
     "topk_days_per_symbol": _TOPK_PER_GROUP_ORACLE,
     "value_quantiles": _QUANTILES_ORACLE,
+    "winsorize": _WINSORIZE_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),

@@ -169,6 +169,49 @@ def quantile_summary(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-key outlier clipping: values outside the key's
+    [``lo_q``, ``hi_q``] quantile band are clamped to the band edge —
+    the robust-statistics pre-filter a metrics/training pipeline runs
+    before aggregation so fat-tailed ticks can't dominate.
+
+    Band edges come from the mergeable ``percentile_approx`` sketch
+    (actual data values — matches SQL ``quantile_disc`` exactly at
+    this accuracy), computed in one pass and joined back **broadcast**:
+    the per-key band frame is |keys| rows, so at 100 TB the clip is a
+    map-side hash join + one CASE, no second shuffle of the data.
+    Output keeps the raw value alongside the clipped one plus the band,
+    so downstream can audit the clamping.
+    """
+    bands = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.percentile_approx(value_col, lo_q, accuracy).alias("lo_band"),
+        F.percentile_approx(value_col, hi_q, accuracy).alias("hi_band"),
+    )
+    joined = df.select(id_col, key_col, value_col).join(
+        F.broadcast(bands), F.col(key_col) == F.col("__k")
+    )
+    v = F.col(value_col)
+    clipped = F.when(v < F.col("lo_band"), F.col("lo_band")).when(
+        v > F.col("hi_band"), F.col("hi_band")
+    ).otherwise(v)
+    return joined.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        v.alias("value"),
+        clipped.alias("clipped"),
+        "lo_band",
+        "hi_band",
+    )
+
+
 def quantile_summary_long(
     df: DataFrame,
     key_col: str,

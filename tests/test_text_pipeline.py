@@ -131,3 +131,21 @@ def test_token_pack_greedy_never_overflows_a_shared_bin(spark, sf_dir):
                 bin_id, fill = bin_id + 1, 0
             assert (r["bin_id"], r["bin_fill"]) == (bin_id, fill), r
             fill += r["n_tokens"]
+
+
+def test_winsorize_clamps_only_outside_band(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    out = metrics.winsorize(ev, "event_type", "value", "event_id")
+    assert out.filter(
+        (F.col("clipped") < F.col("lo_band"))
+        | (F.col("clipped") > F.col("hi_band"))
+    ).count() == 0
+    assert out.filter(
+        F.col("value").between(F.col("lo_band"), F.col("hi_band"))
+        & (F.col("clipped") != F.col("value"))
+    ).count() == 0
+    # roughly 10% of rows clamp at a 5/95 band (loose bound)
+    n, clamped = out.count(), out.filter(F.col("clipped") != F.col("value")).count()
+    assert 0 < clamped < 0.2 * n
