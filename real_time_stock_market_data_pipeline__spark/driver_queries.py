@@ -1462,6 +1462,44 @@ FROM b
 """
 
 
+#: Per-source sampling fractions for the stratified-sample query:
+#: keep all of src0, half of src1, a quarter of src2, 10% elsewhere.
+_STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus re-balancing: per-source keep fractions via id-hash
+    ranges — one map-side CASE filter, membership stable under any
+    partitioning and replayed exactly by the SQL oracle."""
+    docs = _table("documents")(spark, sf_dir)
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "source", _STRATA_FRACTIONS, _STRATA_DEFAULT
+    ).select("doc_id", "source")
+
+
+def _stratified_sample_oracle() -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {int(f * sampling.HASH_BUCKETS)}"
+        for s, f in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         ({decode}) % {sampling.HASH_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, source FROM b
+WHERE bucket < CASE {whens}
+               ELSE {int(_STRATA_DEFAULT * sampling.HASH_BUCKETS)} END
+"""
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.term_stats(_table("documents")(spark, sf_dir))
 
@@ -1925,6 +1963,7 @@ QUERIES: dict[str, QueryFn] = {
     "term_stats": q_term_stats,
     "chunk_documents": q_chunk_documents,
     "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
@@ -1994,6 +2033,7 @@ FROM events GROUP BY 1
     "term_stats": _TERM_STATS_ORACLE,
     "chunk_documents": _CHUNK_ORACLE,
     "hash_split": _hash_split_oracle(),
+    "stratified_sample": _stratified_sample_oracle(),
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_features": _media_features_oracle(),

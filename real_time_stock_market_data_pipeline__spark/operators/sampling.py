@@ -43,6 +43,37 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(id_col), n_buckets) < int(fraction * n_buckets))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    n_buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic stratified sample: each stratum keeps its own
+    fraction of rows (by id-hash range) — the corpus re-balancing step
+    (downsample the over-represented crawl, keep all of the rare
+    high-quality source) a training pipeline runs before mixing.
+
+    Strata not named in ``fractions`` keep ``default_fraction``.
+    Membership stays a pure function of (id, stratum fraction): stable
+    under re-partitioning and replayable by any md5-capable engine.
+    The filter is a map-side CASE over the hash bucket — no shuffle,
+    no per-stratum pass; sampling 1000 strata costs the same one scan.
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"stratified_hash_sample: fraction {frac} for {s!r}")
+    b = hash_bucket(F.col(id_col), n_buckets)
+    threshold = F.lit(int(default_fraction * n_buckets))
+    for s, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(int(frac * n_buckets))
+        ).otherwise(threshold)
+    return df.filter(b < threshold)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
