@@ -336,6 +336,33 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand"
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH pair graph via iterative
+    min-label propagation (Pregel-style, localCheckpoint-truncated);
+    oracle = recursive-CTE transitive closure of the same edges."""
+    return dedup.neardup_clusters(_table("documents")(spark, sf_dir))
+
+
+_NEARDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+reach AS (
+  SELECT u AS src, u AS dst FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _table("documents")(spark, sf_dir), threshold=0.5
@@ -1927,6 +1954,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_last": q_dedup_keep_last,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
     "tick_cast": q_tick_cast,
@@ -1996,6 +2024,7 @@ FROM events GROUP BY 1
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_keep_last": _KEEP_LAST_ORACLE,
     "dedup_minhash_pairs": _MINHASH_ORACLE,
+    "neardup_clusters": _NEARDUP_CLUSTERS_ORACLE,
     "ngram_jaccard_pairs": _JACCARD_ORACLE,
     "simhash": _simhash_oracle(),
     "tick_cast": _TICK_CAST_ORACLE,

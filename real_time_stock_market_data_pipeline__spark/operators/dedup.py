@@ -416,3 +416,73 @@ def simhash(
         *[F.substring(F.lit(_HEX), F.col(f"o{p}") + 1, 1) for p in range(16)]
     )
     return hexed.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iters: int = 15,
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the LSH
+    candidate-pair graph, labeling every document with the minimum doc
+    id of its component — the step that turns pairwise matches into
+    the keep-one-per-group dedup decision. Output:
+    (id, cluster_id, is_canonical) for every document; singletons are
+    their own canonical cluster.
+
+    Iterative min-label propagation (the Pregel pattern, declaratively):
+    each round joins labels to the symmetric edge list and takes the
+    per-vertex min over self + neighbors; converges in O(component
+    diameter) rounds — near-dup components are small cliques, so
+    usually 2-3. Each round is one equi-join + one partial-aggregated
+    groupBy; ``localCheckpoint`` truncates the growing lineage, which
+    is what keeps a 100-iteration run planable at scale. The driver
+    only ever sees one integer per round (the changed-label count used
+    as the fixpoint test). Raises if ``max_iters`` rounds don't
+    converge rather than returning wrong labels.
+
+    Oracle-checked against a DuckDB recursive CTE computing the
+    transitive closure of the same edge set (exact, engine-portable —
+    closure size is bounded by sum of component sizes squared, fine at
+    validation scale; the label-propagation side is the one that
+    scales).
+    """
+    pairs = dedup_minhash_pairs(
+        docs, id_col, text_col, perms, band_rows, shingle_k
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    # edges are reused every round: materialize once, free the lineage
+    edges = edges.localCheckpoint(eager=True)
+    labels = docs.select(F.col(id_col).alias("u"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        nbr_labels = edges.join(
+            labels.select(F.col("u").alias("v"), F.col("label")), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.unionByName(nbr_labels)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias(id_col),
+                F.col("label").alias("cluster_id"),
+                (F.col("label") == F.col("u")).alias("is_canonical"),
+            )
+    raise RuntimeError(
+        f"neardup_clusters: no fixpoint after {max_iters} rounds "
+        "(component diameter exceeds max_iters — raise it)"
+    )

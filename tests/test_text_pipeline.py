@@ -149,3 +149,30 @@ def test_winsorize_clamps_only_outside_band(spark, sf_dir):
     # roughly 10% of rows clamp at a 5/95 band (loose bound)
     n, clamped = out.count(), out.filter(F.col("clipped") != F.col("value")).count()
     assert 0 < clamped < 0.2 * n
+
+
+def test_neardup_clusters_agree_with_pairs(spark, sf_dir):
+    """Component law: both endpoints of every LSH pair share a cluster;
+    every cluster's id is the minimum doc id it contains; every doc is
+    labeled exactly once."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_minhash_pairs(docs)
+    clusters = dedup.neardup_clusters(docs)
+    assert clusters.count() == docs.count()
+    assert clusters.select("doc_id").distinct().count() == docs.count()
+    ca = clusters.select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("ca")
+    )
+    cb = clusters.select(
+        F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("cb")
+    )
+    assert pairs.join(ca, "id_a").join(cb, "id_b").filter(
+        F.col("ca") != F.col("cb")
+    ).count() == 0
+    mins = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("m"))
+    assert mins.filter(F.col("cluster_id") != F.col("m")).count() == 0
+    # exactly one canonical doc per cluster
+    canon = clusters.filter("is_canonical").groupBy("cluster_id").count()
+    assert canon.filter(F.col("count") != 1).count() == 0
