@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from real_time_stock_market_data_pipeline__spark.functions import cleaning
 from real_time_stock_market_data_pipeline__spark.operators import (
     dedup,
+    indicators,
     metrics,
     ohlcv,
     relational,
@@ -1939,6 +1940,279 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# Technical indicators (operators.indicators) — the analytics layer
+# above the reference's daily_change (spark_batch_processor.py:100-101)
+# --------------------------------------------------------------------------
+
+#: Shared oracle CTE body: the per-(symbol, day) close series — the
+#: proven-green `daily_metrics` close, projected to three columns.
+_DAILY_CLOSE_CTE = """
+  SELECT DISTINCT
+    event_type AS symbol,
+    CAST(ts AS DATE) AS date,
+    round(last_value(value) OVER w, 4) AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def _daily_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.daily_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    ).select("symbol", "date", F.col("daily_close").alias("close"))
+
+
+def q_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.sma_crossover(
+        _daily_close(spark, sf_dir), short=5, long=20, close_col="close"
+    )
+
+
+_SMA_CROSSOVER_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+s AS (
+  SELECT symbol, date, close,
+         round(CAST(sum(CAST(close AS DECIMAL(18,6))) OVER ws AS DOUBLE)
+               / count(*) OVER ws, 6) AS sma_short,
+         round(CAST(sum(CAST(close AS DECIMAL(18,6))) OVER wl AS DOUBLE)
+               / count(*) OVER wl, 6) AS sma_long,
+         row_number() OVER wn AS rn
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+),
+sig AS (
+  SELECT symbol, date, close, sma_short, sma_long,
+         CASE WHEN sma_short > sma_long THEN 1
+              WHEN sma_short < sma_long THEN -1 ELSE 0 END AS signal
+  FROM s WHERE rn >= 20
+)
+SELECT symbol, date, close, sma_short, sma_long, signal,
+       CASE WHEN lag(signal) OVER wp IS NULL THEN 0
+            WHEN signal = 1 AND lag(signal) OVER wp <= 0 THEN 1
+            WHEN signal = -1 AND lag(signal) OVER wp >= 0 THEN -1
+            ELSE 0 END AS cross
+FROM sig
+WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+"""
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.bollinger_bands(
+        _daily_close(spark, sf_dir), n=20, k=2.0, close_col="close"
+    )
+
+
+_BOLLINGER_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+b AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS mid,
+         count(*) OVER w AS n,
+         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(close AS DECIMAL(18,6)) * CAST(close AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS sxx,
+         row_number() OVER wn AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+),
+c AS (
+  SELECT symbol, date, close, mid, rn,
+         CASE WHEN n >= 2
+              THEN sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END AS sd
+  FROM b
+)
+SELECT symbol, date, close,
+       round(mid, 6) AS bb_mid,
+       round(mid + 2.0 * sd, 6) AS bb_upper,
+       round(mid - 2.0 * sd, 6) AS bb_lower,
+       round(CASE WHEN mid + 2.0 * sd <> mid - 2.0 * sd
+                  THEN (close - (mid - 2.0 * sd))
+                       / ((mid + 2.0 * sd) - (mid - 2.0 * sd)) END, 6) AS pct_b,
+       round(CASE WHEN mid <> 0
+                  THEN ((mid + 2.0 * sd) - (mid - 2.0 * sd)) / mid END, 6)
+         AS bandwidth
+FROM c WHERE rn >= 20
+"""
+
+
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.rsi(_daily_close(spark, sf_dir), n=14, close_col="close")
+
+
+_RSI_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+delta AS (
+  SELECT symbol, date, close,
+         round(greatest(close - lag(close) OVER wl, 0.0), 6) AS gain,
+         round(greatest(-(close - lag(close) OVER wl), 0.0), 6) AS loss
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM delta WHERE gain IS NOT NULL),
+r AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(gain AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS avg_gain,
+         CAST(sum(CAST(loss AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS avg_loss,
+         row_number() OVER wn AS rn
+  FROM f
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(avg_gain, 6) AS avg_gain,
+       round(avg_loss, 6) AS avg_loss,
+       round(CASE WHEN avg_loss = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 6) AS rsi
+FROM r WHERE rn >= 14
+"""
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.drawdown(_daily_close(spark, sf_dir), close_col="close")
+
+
+_DRAWDOWN_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE})
+SELECT symbol, date, close,
+       max(close) OVER w AS peak_close,
+       CASE WHEN max(close) OVER w <> 0
+            THEN round(close / max(close) OVER w - 1, 6) END AS drawdown
+FROM d
+WINDOW w AS (PARTITION BY symbol ORDER BY date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.realized_volatility(
+        _daily_close(spark, sf_dir), trading_days=252, close_col="close"
+    )
+
+
+_VOLATILITY_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+lr AS (
+  SELECT symbol, round(ln(close / lag(close) OVER wl), 6) AS lr
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM lr WHERE lr IS NOT NULL),
+a AS (
+  SELECT symbol, count(*) AS n_returns,
+         CAST(sum(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(lr AS DECIMAL(18,6)) * CAST(lr AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM f GROUP BY symbol
+)
+SELECT symbol, n_returns,
+       round(CASE WHEN n_returns >= 2
+                  THEN sqrt(greatest((sxx - sx * sx / n_returns)
+                                     / (n_returns - 1), 0.0)) END, 6) AS vol_daily,
+       round((CASE WHEN n_returns >= 2
+                   THEN sqrt(greatest((sxx - sx * sx / n_returns)
+                                      / (n_returns - 1), 0.0)) END)
+             * sqrt(252.0), 6) AS vol_annual
+FROM a
+"""
+
+
+def q_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.pairwise_correlation(
+        _daily_close(spark, sf_dir), close_col="close"
+    )
+
+
+_PAIRWISE_CORR_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r AS (
+  SELECT symbol, date, round(close / lag(close) OVER wl - 1, 6) AS ret
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM r WHERE ret IS NOT NULL),
+g AS (
+  SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+         count(*) AS n_days,
+         CAST(sum(CAST(a.ret AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(b.ret AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(a.ret AS DECIMAL(18,6)) * CAST(b.ret AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxy,
+         CAST(sum(CAST(a.ret AS DECIMAL(18,6)) * CAST(a.ret AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(b.ret AS DECIMAL(18,6)) * CAST(b.ret AS DECIMAL(18,6)))
+              AS DOUBLE) AS syy
+  FROM f a JOIN f b ON a.date = b.date AND a.symbol < b.symbol
+  GROUP BY 1, 2
+)
+SELECT symbol_a, symbol_b, n_days,
+       round(CASE WHEN sqrt(n_days * sxx - sx * sx)
+                       * sqrt(n_days * syy - sy * sy) <> 0
+                  THEN (n_days * sxy - sx * sy)
+                       / (sqrt(n_days * sxx - sx * sx)
+                          * sqrt(n_days * syy - sy * sy)) END, 6) AS corr
+FROM g
+"""
+
+
+def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.ema_macd(
+        _daily_close(spark, sf_dir), fast=12, slow=26, signal=9, close_col="close"
+    )
+
+
+# EMA recursion replayed declaratively: DuckDB recursive CTE walking
+# each symbol's close series by row_number, with the identical
+# two-multiply-one-add update (same operand order → same IEEE doubles).
+_EMA_MACD_ORACLE = f"""
+WITH RECURSIVE d AS ({_DAILY_CLOSE_CTE}),
+b AS (
+  SELECT symbol, date, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+rec AS (
+  SELECT symbol, date, close, rn,
+         close AS ema_fast, close AS ema_slow,
+         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS macd_signal
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.close, b.rn,
+         2.0/13 * b.close + (1 - 2.0/13) * r.ema_fast,
+         2.0/27 * b.close + (1 - 2.0/27) * r.ema_slow,
+         (2.0/13 * b.close + (1 - 2.0/13) * r.ema_fast)
+           - (2.0/27 * b.close + (1 - 2.0/27) * r.ema_slow),
+         2.0/10 * ((2.0/13 * b.close + (1 - 2.0/13) * r.ema_fast)
+                   - (2.0/27 * b.close + (1 - 2.0/27) * r.ema_slow))
+           + (1 - 2.0/10) * r.macd_signal
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date, close,
+       round(ema_fast, 6) AS ema_fast,
+       round(ema_slow, 6) AS ema_slow,
+       round(macd, 6) AS macd,
+       round(macd_signal, 6) AS macd_signal,
+       round(macd - macd_signal, 6) AS macd_hist
+FROM rec
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2005,6 +2279,13 @@ QUERIES: dict[str, QueryFn] = {
     "domain_cap": q_domain_cap,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_step": q_kmeans_step,
+    "sma_crossover": q_sma_crossover,
+    "bollinger": q_bollinger,
+    "rsi": q_rsi,
+    "drawdown": q_drawdown,
+    "realized_volatility": q_realized_volatility,
+    "pairwise_correlation": q_pairwise_correlation,
+    "ema_macd": q_ema_macd,
 }
 
 ORACLES: dict[str, str] = {
@@ -2076,4 +2357,11 @@ FROM events GROUP BY 1
     "domain_cap": _DOMAIN_CAP_ORACLE,
     "embedding_centroids": _EMBEDDING_CENTROIDS_ORACLE,
     "kmeans_step": _kmeans_step_oracle(),
+    "sma_crossover": _SMA_CROSSOVER_ORACLE,
+    "bollinger": _BOLLINGER_ORACLE,
+    "rsi": _RSI_ORACLE,
+    "drawdown": _DRAWDOWN_ORACLE,
+    "realized_volatility": _VOLATILITY_ORACLE,
+    "pairwise_correlation": _PAIRWISE_CORR_ORACLE,
+    "ema_macd": _EMA_MACD_ORACLE,
 }

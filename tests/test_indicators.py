@@ -1,0 +1,134 @@
+"""Laws for the technical-indicator operators (operators.indicators).
+
+The bit-exact oracle equivalence lives in the driver gate
+(`scripts/check_correctness.py`); these tests pin the *semantic*
+invariants that an oracle mismatch alone would not localize.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.driver_queries import (
+    _daily_close,
+    q_bollinger,
+    q_drawdown,
+    q_ema_macd,
+    q_pairwise_correlation,
+    q_rsi,
+    q_sma_crossover,
+)
+from real_time_stock_market_data_pipeline__spark.operators import indicators
+
+
+@pytest.fixture(scope="module")
+def daily(spark, sf_dir):
+    df = _daily_close(spark, sf_dir)
+    df.cache().count()
+    return df
+
+
+def test_sma_signal_matches_sign(spark, sf_dir):
+    rows = q_sma_crossover(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (r.sma_short > r.sma_long) - (r.sma_short < r.sma_long)
+        assert r.signal == expect
+        assert r.cross in (-1, 0, 1)
+
+
+def test_sma_warmup_rows_dropped(daily):
+    out = indicators.sma_crossover(daily, short=3, long=7, close_col="close")
+    per_sym_in = {r.symbol: r.n for r in daily.groupBy("symbol").agg(F.count("*").alias("n")).collect()}
+    per_sym_out = {
+        r.symbol: r.n
+        for r in out.groupBy("symbol").agg(F.count("*").alias("n")).collect()
+    }
+    for sym, n_in in per_sym_in.items():
+        assert per_sym_out.get(sym, 0) == max(0, n_in - 6)
+
+
+def test_bollinger_band_ordering(spark, sf_dir):
+    for r in q_bollinger(spark, sf_dir).collect():
+        assert r.bb_lower <= r.bb_mid <= r.bb_upper
+        # %B is the close's position inside the band
+        if r.pct_b is not None and 0 <= r.pct_b <= 1:
+            assert r.bb_lower - 1e-6 <= r.close <= r.bb_upper + 1e-6
+
+
+def test_rsi_bounds_and_flat_series(spark, sf_dir):
+    rows = q_rsi(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.rsi <= 100.0 for r in rows)
+    # constant series → no gains, no losses → RSI pegs at 100 by convention
+    flat = spark.createDataFrame(
+        [("X", f"2024-01-{d:02d}", 10.0) for d in range(1, 21)],
+        "symbol string, date string, close string",
+    ).select("symbol", F.col("date").cast("date").alias("date"), F.col("close").cast("double").alias("close"))
+    out = indicators.rsi(flat, n=5, close_col="close").collect()
+    assert out and all(r.rsi == 100.0 for r in out)
+
+
+def test_drawdown_nonpositive_and_peak_monotone(spark, sf_dir):
+    rows = q_drawdown(spark, sf_dir).collect()
+    assert rows
+    peaks: dict[str, float] = {}
+    for r in sorted(rows, key=lambda r: (r.symbol, r.date)):
+        assert r.drawdown <= 0.0
+        assert r.close <= r.peak_close
+        if r.symbol in peaks:
+            assert r.peak_close >= peaks[r.symbol]
+        peaks[r.symbol] = r.peak_close
+
+
+def test_pairwise_correlation_bounds_and_self_corr(spark, sf_dir, daily):
+    rows = q_pairwise_correlation(spark, sf_dir).collect()
+    n_sym = daily.select("symbol").distinct().count()
+    assert len(rows) == n_sym * (n_sym - 1) // 2
+    assert all(-1.0 - 1e-9 <= r.corr <= 1.0 + 1e-9 for r in rows if r.corr is not None)
+    # a series correlates perfectly with itself: feed two copies
+    twin = daily.select("symbol", "date", "close").union(
+        daily.select(F.concat(F.col("symbol"), F.lit("~b")).alias("symbol"), "date", "close")
+    )
+    out = {
+        (r.symbol_a, r.symbol_b): r.corr
+        for r in indicators.pairwise_correlation(twin, close_col="close").collect()
+    }
+    for r in daily.select("symbol").distinct().collect():
+        assert out[(r.symbol, r.symbol + "~b")] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ema_macd_identity_and_seed(spark, sf_dir):
+    rows = q_ema_macd(spark, sf_dir).collect()
+    by_sym: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.symbol, r.date)):
+        by_sym.setdefault(r.symbol, []).append(r)
+    for series in by_sym.values():
+        first = series[0]
+        # seed: both EMAs start at close₀, so macd and signal start at 0
+        assert first.ema_fast == first.ema_slow == round(first.close, 6)
+        assert first.macd == 0.0 and first.macd_signal == 0.0
+        for r in series:
+            assert math.isclose(r.macd, r.ema_fast - r.ema_slow, abs_tol=2e-6)
+            assert math.isclose(r.macd_hist, r.macd - r.macd_signal, abs_tol=2e-6)
+
+
+def test_ema_converges_to_constant():
+    # EMA of a constant series is that constant, every span
+    import pandas as pd  # noqa: F401  (applyInPandas path)
+
+    from real_time_stock_market_data_pipeline__spark.session import get_spark
+
+    spark = get_spark("rtsmdp-tests", shuffle_partitions=8)
+    flat = spark.createDataFrame(
+        [("X", f"2024-02-{d:02d}", 42.0) for d in range(1, 28)],
+        "symbol string, date string, close double",
+    ).select("symbol", F.col("date").cast("date").alias("date"), "close")
+    out = indicators.ema_macd(flat, close_col="close").collect()
+    assert out
+    for r in out:
+        assert r.ema_fast == 42.0 and r.ema_slow == 42.0
+        assert r.macd == 0.0 and r.macd_signal == 0.0 and r.macd_hist == 0.0
