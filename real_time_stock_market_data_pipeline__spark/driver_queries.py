@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.functions import cleaning
 from real_time_stock_market_data_pipeline__spark.operators import (
+    behavior,
     dedup,
     indicators,
     metrics,
@@ -2213,6 +2214,120 @@ FROM rec
 
 
 # --------------------------------------------------------------------------
+# User-behavior analytics (operators.behavior)
+# --------------------------------------------------------------------------
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.funnel_conversion(
+        _events(spark, sf_dir), stages=["view", "click", "purchase"]
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH u1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+u2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM u1
+),
+u3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM u2
+),
+d AS (SELECT DISTINCT user_id, t1, t2, t3 FROM u3)
+SELECT count(t1) AS n_view_users,
+       count(t2) AS n_click_users,
+       count(t3) AS n_purchase_users,
+       round(CASE WHEN count(t1) > 0
+                  THEN CAST(count(t2) AS DOUBLE) / count(t1) END, 6)
+         AS rate_view_to_click,
+       round(CASE WHEN count(t2) > 0
+                  THEN CAST(count(t3) AS DOUBLE) / count(t2) END, 6)
+         AS rate_click_to_purchase
+FROM d
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.cohort_retention(_events(spark, sf_dir))
+
+
+_COHORT_ORACLE = """
+WITH f AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+),
+d AS (
+  SELECT DISTINCT user_id, cohort_day,
+         datediff('day', cohort_day, day) AS day_offset
+  FROM f
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return behavior.first_touch_attribution(
+        _events(spark, sf_dir), conversion_type="purchase"
+    )
+
+
+_FIRST_TOUCH_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id) AS converted
+  FROM events
+)
+SELECT event_type AS first_touch,
+       count(*) AS n_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(CAST(sum(converted) AS BIGINT) AS DOUBLE) / count(*), 6)
+         AS conversion_rate
+FROM o WHERE rn = 1
+GROUP BY 1
+"""
+
+
+def q_volume_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("symbol"), F.to_date("ts").alias("date")
+        )
+        .agg(F.count(F.lit(1)).alias("daily_volume"))
+    )
+    return behavior.rank_stats(
+        daily, part_col="symbol", value_col="daily_volume", tiebreak_col="date"
+    )
+
+
+_VOLUME_RANK_ORACLE = """
+WITH d AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date,
+         count(*) AS daily_volume
+  FROM events GROUP BY 1, 2
+)
+SELECT symbol, date, daily_volume,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_dist,
+       ntile(4) OVER w AS tile
+FROM d
+WINDOW w AS (PARTITION BY symbol ORDER BY daily_volume, date)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2286,6 +2401,10 @@ QUERIES: dict[str, QueryFn] = {
     "realized_volatility": q_realized_volatility,
     "pairwise_correlation": q_pairwise_correlation,
     "ema_macd": q_ema_macd,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "first_touch": q_first_touch,
+    "volume_rank": q_volume_rank,
 }
 
 ORACLES: dict[str, str] = {
@@ -2364,4 +2483,8 @@ FROM events GROUP BY 1
     "realized_volatility": _VOLATILITY_ORACLE,
     "pairwise_correlation": _PAIRWISE_CORR_ORACLE,
     "ema_macd": _EMA_MACD_ORACLE,
+    "funnel_conversion": _FUNNEL_ORACLE,
+    "cohort_retention": _COHORT_ORACLE,
+    "first_touch": _FIRST_TOUCH_ORACLE,
+    "volume_rank": _VOLUME_RANK_ORACLE,
 }

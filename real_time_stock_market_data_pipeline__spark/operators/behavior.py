@@ -1,0 +1,146 @@
+"""User-behavior analytics over event streams: funnels, cohort
+retention, attribution, and distribution ranks.
+
+The reference pipeline stops at per-symbol price metrics; these are
+the event-table analytics any production deployment of such a pipeline
+grows next (the events table carries user_id/event_type exactly for
+this). All operators are single-pass window/groupBy compositions:
+
+- per-user state is computed with windows partitioned by ``user_id``
+  (one shuffle keyed on a high-cardinality column — skew-safe), then
+  collapsed with DISTINCT/agg;
+- no self-joins, no collects; output cardinality is bounded by
+  users × stages (funnel), cohorts × horizon (retention), or event
+  types (attribution) — tiny relative to input at any scale.
+
+Counts are integers and ratios are single IEEE divisions, so every
+operator has a bit-exact DuckDB oracle (`driver_queries.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel conversion: a user reaches stage *k* only via an
+    event at or after their stage *k−1* arrival time (the standard
+    strictly-sequenced funnel, computed without a per-stage self-join).
+
+    Implementation: one window pass per stage over the same
+    ``user_id`` partitioning (Spark reuses the single exchange; each
+    pass adds a ``min(CASE WHEN …)`` arrival time), then one DISTINCT
+    collapse to a per-user row and a global aggregate. Returns a
+    single row: per-stage reached-user counts plus step conversion
+    ratios.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least two stages")
+    w = Window.partitionBy(user_col)
+    cur = events.select(user_col, type_col, ts_col)
+    prev_t: F.Column | None = None
+    t_cols: list[str] = []
+    for i, stage in enumerate(stages):
+        cond = F.col(type_col) == stage
+        if prev_t is not None:
+            cond = cond & (F.col(ts_col) >= prev_t)
+        t_name = f"t{i + 1}"
+        cur = cur.withColumn(t_name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = F.col(t_name)
+        t_cols.append(t_name)
+    per_user = cur.select(user_col, *t_cols).distinct()
+    aggs = [F.count(t).alias(f"n_{stage}_users") for t, stage in zip(t_cols, stages)]
+    for i in range(1, len(stages)):
+        prev_n = F.count(t_cols[i - 1])
+        cur_n = F.count(t_cols[i])
+        aggs.append(
+            F.round(
+                F.when(prev_n > 0, cur_n.cast("double") / prev_n), 6
+            ).alias(f"rate_{stages[i - 1]}_to_{stages[i]}")
+        )
+    return per_user.agg(*aggs)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    day, counted on each later active day offset. One window pass for
+    the cohort day, a DISTINCT to (user, offset), one aggregate."""
+    w = Window.partitionBy(user_col)
+    day = F.to_date(ts_col)
+    enriched = events.select(
+        F.col(user_col).alias("user_id"),
+        day.alias("day"),
+        F.min(day).over(w).alias("cohort_day"),
+    )
+    per = enriched.select(
+        "user_id", "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+    ).distinct()
+    return per.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch attribution: credit each user's conversion to their
+    very first event type. ``row_number`` (ordered, id tiebreak) and
+    the converted flag share one ``user_id`` exchange; the rn=1 filter
+    plans as WindowGroupLimit, so only one row per user survives the
+    window."""
+    wo = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    wu = Window.partitionBy(user_col)
+    flagged = events.select(
+        F.col(type_col).alias("first_touch"),
+        F.row_number().over(wo).alias("rn"),
+        F.max(
+            F.when(F.col(type_col) == conversion_type, F.lit(1)).otherwise(F.lit(0))
+        )
+        .over(wu)
+        .alias("converted"),
+    ).where(F.col("rn") == 1)
+    n = F.count(F.lit(1))
+    conv = F.sum("converted")
+    return flagged.groupBy("first_touch").agg(
+        n.alias("n_users"),
+        conv.alias("n_converted"),
+        F.round(conv.cast("double") / n, 6).alias("conversion_rate"),
+    )
+
+
+def rank_stats(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 4,
+) -> DataFrame:
+    """Distribution ranks within each partition: ``percent_rank``,
+    ``cume_dist``, and ``ntile`` buckets over a total ordering
+    (value, tiebreak). Pure rank arithmetic — integer ratios with one
+    double division each — so it is engine-exact by construction."""
+    w = Window.partitionBy(part_col).orderBy(F.col(value_col), F.col(tiebreak_col))
+    return df.select(
+        F.col(part_col),
+        F.col(tiebreak_col),
+        F.col(value_col),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+    )

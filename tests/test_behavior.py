@@ -1,0 +1,69 @@
+"""Semantic laws for operators.behavior (oracle equivalence is pinned
+by the driver gate; these localize what a hash mismatch would not)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.driver_queries import (
+    q_cohort_retention,
+    q_first_touch,
+    q_funnel_conversion,
+    q_volume_rank,
+)
+from real_time_stock_market_data_pipeline__spark.operators import behavior
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    row = q_funnel_conversion(spark, sf_dir).collect()[0]
+    assert row.n_view_users >= row.n_click_users >= row.n_purchase_users
+    assert 0 <= row.rate_view_to_click <= 1
+    assert 0 <= row.rate_click_to_purchase <= 1
+
+
+def test_funnel_strict_ordering(spark):
+    # click BEFORE the first view must not count as view→click
+    rows = [
+        (1, "click", "2024-01-01 00:00:00"),
+        (1, "view", "2024-01-02 00:00:00"),
+        (2, "view", "2024-01-01 00:00:00"),
+        (2, "click", "2024-01-02 00:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = behavior.funnel_conversion(ev, stages=["view", "click"]).collect()[0]
+    assert out.n_view_users == 2
+    assert out.n_click_users == 1  # only user 2's click follows a view
+
+
+def test_cohort_day_zero_covers_all_users(spark, sf_dir):
+    rows = q_cohort_retention(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.day_offset >= 0
+        by_cohort.setdefault(r.cohort_day, {})[r.day_offset] = r.n_users
+    for cohort, offsets in by_cohort.items():
+        # every user is active on their own first day
+        assert 0 in offsets
+        # retention at any offset never exceeds the cohort's size
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_first_touch_partitions_users(spark, sf_dir):
+    rows = q_first_touch(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r.n_converted <= r.n_users
+        assert abs(r.conversion_rate - r.n_converted / r.n_users) < 1e-9
+
+
+def test_volume_rank_bounds(spark, sf_dir):
+    rows = q_volume_rank(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pct_rank <= 1.0
+        assert 0.0 < r.cume_dist <= 1.0
+        assert 1 <= r.tile <= 4
