@@ -41,6 +41,7 @@ from real_time_stock_market_data_pipeline__spark.operators import (
     relational,
     sampling,
     similarity,
+    sketches,
     temporal,
     text,
 )
@@ -2328,6 +2329,90 @@ WINDOW w AS (PARTITION BY symbol ORDER BY daily_volume, date)
 
 
 # --------------------------------------------------------------------------
+# Text repetition quality + cardinality sketch
+# --------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(_table("documents")(spark, sf_dir))
+
+
+_REPETITION_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, string_split({_NORM.format(col="text")}, ' ') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM n
+),
+g AS (
+  SELECT doc_id, 'w' AS kind, toks[pos] AS gram FROM t
+  UNION ALL
+  SELECT doc_id, 'b', toks[pos] || ' ' || toks[pos + 1]
+  FROM t WHERE pos + 1 <= len(toks)
+  UNION ALL
+  SELECT doc_id, 'g', toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]
+                      || ' ' || toks[pos + 3] || ' ' || toks[pos + 4]
+  FROM t WHERE pos + 4 <= len(toks)
+),
+c AS (SELECT doc_id, kind, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+  CAST(sum(CASE WHEN kind = 'w' THEN cnt END) AS BIGINT) AS n_words,
+  round(CAST(max(CASE WHEN kind = 'w' THEN cnt END) AS DOUBLE)
+        / CAST(sum(CASE WHEN kind = 'w' THEN cnt END) AS BIGINT), 6)
+    AS top_word_frac,
+  round(CASE WHEN CAST(sum(CASE WHEN kind = 'b' THEN cnt END) AS BIGINT) > 0
+             THEN CAST(max(CASE WHEN kind = 'b' THEN cnt END) AS DOUBLE)
+                  / CAST(sum(CASE WHEN kind = 'b' THEN cnt END) AS BIGINT)
+        END, 6) AS top_bigram_frac,
+  round(CASE WHEN CAST(sum(CASE WHEN kind = 'g' THEN cnt END) AS BIGINT) > 0
+             THEN CAST(coalesce(
+                    sum(CASE WHEN kind = 'g' AND cnt >= 2 THEN cnt END),
+                    0) AS DOUBLE)
+                  / CAST(sum(CASE WHEN kind = 'g' THEN cnt END) AS BIGINT)
+        END, 6) AS dup_5gram_frac
+FROM c GROUP BY doc_id
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.kmv_distinct(
+        _events(spark, sf_dir), key_col="user_id", group_col="event_type", k=64
+    )
+
+
+def _kmv_oracle() -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h16, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    est = (
+        "CASE WHEN max(CASE WHEN rn <= 64 THEN rn END) < 64"
+        " THEN CAST(max(CASE WHEN rn <= 64 THEN rn END) AS DOUBLE)"
+        " ELSE 63.0 / (CAST(max(CASE WHEN rn <= 64 THEN h END) AS DOUBLE)"
+        " / 1152921504606846976.0) END"
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type AS grp,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h16
+  FROM events
+),
+hs AS (SELECT DISTINCT grp, CAST({decode} AS BIGINT) AS h FROM b),
+r AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hs
+)
+SELECT grp,
+       count(*) AS n_exact,
+       round({est}, 4) AS n_est,
+       round(abs(({est}) - count(*)) / count(*), 4) AS rel_err
+FROM r GROUP BY grp
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2405,6 +2490,8 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": q_cohort_retention,
     "first_touch": q_first_touch,
     "volume_rank": q_volume_rank,
+    "repetition_stats": q_repetition_stats,
+    "kmv_distinct": q_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -2487,4 +2574,6 @@ FROM events GROUP BY 1
     "cohort_retention": _COHORT_ORACLE,
     "first_touch": _FIRST_TOUCH_ORACLE,
     "volume_rank": _VOLUME_RANK_ORACLE,
+    "repetition_stats": _REPETITION_ORACLE,
+    "kmv_distinct": _kmv_oracle(),
 }

@@ -460,3 +460,80 @@ def token_pack_greedy(
         return pdf
 
     return base.groupBy(*group_cols).applyInPandas(pack, schema=schema_out)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the
+    fraction of tokens taken by the most frequent word, by the most
+    frequent bigram, and the fraction of 5-gram positions covered by a
+    duplicated 5-gram (Rae et al. 2021's repetition filters, §A1.1).
+
+    Shape: one ``posexplode`` of the normalized tokens, n-grams built
+    with ``lead`` over the per-doc position order (state O(n) per doc —
+    the token array is never replicated per row, unlike an
+    index-carrying explode), one (doc, kind, gram) count, one
+    conditional aggregate back to a doc row. Two shuffles total, both
+    keyed on doc_id.
+    """
+    toks = _toks(text_col)
+    t = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = t.select(
+        F.col(id_col),
+        F.col("tok"),
+        *[F.lead("tok", i).over(w).alias(f"l{i}") for i in (1, 2, 3, 4)],
+    )
+    l1, l2, l3, l4 = (F.col(f"l{i}") for i in (1, 2, 3, 4))
+    grams = (
+        seq.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("w").alias("kind"), F.col("tok").alias("gram")),
+                    F.struct(
+                        F.lit("b").alias("kind"),
+                        F.when(
+                            l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit("g").alias("kind"),
+                        F.when(
+                            l4.isNotNull(),
+                            F.concat_ws(" ", F.col("tok"), l1, l2, l3, l4),
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("kg"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("kg.kind").alias("kind"),
+            F.col("kg.gram").alias("gram"),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    cnt = grams.groupBy(id_col, "kind", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    is_w = F.col("kind") == "w"
+    is_b = F.col("kind") == "b"
+    is_g = F.col("kind") == "g"
+    n_w = F.sum(F.when(is_w, F.col("cnt")))
+    n_b = F.sum(F.when(is_b, F.col("cnt")))
+    n_g = F.sum(F.when(is_g, F.col("cnt")))
+    max_w = F.max(F.when(is_w, F.col("cnt")))
+    max_b = F.max(F.when(is_b, F.col("cnt")))
+    dup_g = F.coalesce(
+        F.sum(F.when(is_g & (F.col("cnt") >= 2), F.col("cnt"))), F.lit(0)
+    )
+    return cnt.groupBy(id_col).agg(
+        n_w.cast("bigint").alias("n_words"),
+        F.round(max_w.cast("double") / n_w, 6).alias("top_word_frac"),
+        F.round(
+            F.when(n_b > 0, max_b.cast("double") / n_b), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(n_g > 0, dup_g.cast("double") / n_g), 6
+        ).alias("dup_5gram_frac"),
+    )
