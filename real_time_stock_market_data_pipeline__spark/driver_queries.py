@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.functions import cleaning
@@ -2413,6 +2413,213 @@ FROM r GROUP BY grp
 
 
 # --------------------------------------------------------------------------
+# Relational extension pack — TPC-H-analogue shapes the base queries
+# don't cover: outer-join double aggregation (Q13), conditional joined
+# aggregate (Q14), grouped distinct count over a join (Q16), multi-hop
+# top-k (Q10), window-derived correlated threshold (Q17), scalar
+# subquery + anti-join (Q22). All revenue math uses the exact-decimal
+# recipe proven by pricing_summary.
+# --------------------------------------------------------------------------
+
+
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customers LEFT JOIN orders, orders-per-customer, then
+    the distribution of those counts. The join and the first aggregation
+    share the c_custkey partitioning — one shuffle each side, no second
+    exchange before the per-customer count."""
+    customer = _table("customer")(spark, sf_dir)
+    orders = _table("orders")(spark, sf_dir)
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_CUSTOMER_ORDER_COUNTS_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers FROM c GROUP BY n_orders
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional share of revenue from promo parts —
+    broadcast dim join, two exact-decimal sums, one double division."""
+    li = _table("lineitem")(spark, sf_dir)
+    part = _table("part")(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+    total = F.sum(rev).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * F.coalesce(promo, F.lit(0.0)) / total, 6).alias(
+            "promo_pct"
+        ),
+        total.alias("total_revenue"),
+    )
+
+
+_PROMO_REVENUE_ORACLE = """
+SELECT round(100.0 * coalesce(CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+         END) AS DOUBLE), 0.0)
+       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE), 6) AS promo_pct,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_supplier_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct suppliers per (brand, type, size), using
+    lineitem as the part-supplier bridge. Distinct aggregation over a
+    broadcast join — the two-phase distinct keeps partials map-side."""
+    li = _table("lineitem")(spark, sf_dir)
+    part = _table("part")(spark, sf_dir)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SUPPLIER_TYPE_COUNTS_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returned items per customer, top 20.
+    Fact-side filter first (pushed to the scan), one shuffle join on
+    orderkey, broadcast dims, deterministic top-k (custkey tiebreak)."""
+    li = _table("lineitem")(spark, sf_dir).where(F.col("l_returnflag") == "R")
+    orders = _table("orders")(spark, sf_dir)
+    customer = _table("customer")(spark, sf_dir)
+    nation = _table("nation")(spark, sf_dir)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+_RETURNED_ITEM_REVENUE_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from orders far below a part's average
+    quantity. The per-part average is a window over the already-joined
+    fact rows (single lineage — no re-scan second aggregation, cf. the
+    tfidf df-as-window pattern), the brand filter prunes parts before
+    the broadcast."""
+    li = _table("lineitem")(spark, sf_dir)
+    brand_parts = (
+        _table("part")(spark, sf_dir)
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    joined = li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+    wp = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp)
+    )
+    flagged = joined.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        avg_qty.alias("avg_qty"),
+    ).where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return flagged.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_SMALL_QUANTITY_ORACLE = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+w AS (
+  SELECT *,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+              OVER (PARTITION BY l_partkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM j
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM w WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers above the average positive balance with no
+    *finalized* ('F') orders, per nation. Exercises the SQL surface
+    directly: a scalar subquery (planned as an independent subquery
+    stage, not a join) and NOT EXISTS (planned as a left-anti hash
+    join). The status predicate keeps the anti-join selective on this
+    data (every customer has *some* order)."""
+    ensure_engine_conf(spark)
+    for t in ("customer", "orders", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_IDLE_RICH_SQL)
+
+
+_IDLE_RICH_SQL = """
+SELECT n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY n_name
+"""
+
+# identical ANSI text runs on both engines
+_IDLE_RICH_ORACLE = _IDLE_RICH_SQL
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2492,6 +2699,12 @@ QUERIES: dict[str, QueryFn] = {
     "volume_rank": q_volume_rank,
     "repetition_stats": q_repetition_stats,
     "kmv_distinct": q_kmv_distinct,
+    "customer_order_counts": q_customer_order_counts,
+    "promo_revenue": q_promo_revenue,
+    "supplier_type_counts": q_supplier_type_counts,
+    "returned_item_revenue": q_returned_item_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 ORACLES: dict[str, str] = {
@@ -2576,4 +2789,10 @@ FROM events GROUP BY 1
     "volume_rank": _VOLUME_RANK_ORACLE,
     "repetition_stats": _REPETITION_ORACLE,
     "kmv_distinct": _kmv_oracle(),
+    "customer_order_counts": _CUSTOMER_ORDER_COUNTS_ORACLE,
+    "promo_revenue": _PROMO_REVENUE_ORACLE,
+    "supplier_type_counts": _SUPPLIER_TYPE_COUNTS_ORACLE,
+    "returned_item_revenue": _RETURNED_ITEM_REVENUE_ORACLE,
+    "small_quantity_revenue": _SMALL_QUANTITY_ORACLE,
+    "idle_rich_customers": _IDLE_RICH_ORACLE,
 }
