@@ -2620,6 +2620,77 @@ _IDLE_RICH_ORACLE = _IDLE_RICH_SQL
 
 
 # --------------------------------------------------------------------------
+# Streaming EMA (stateful twin of indicators.ema_macd)
+# --------------------------------------------------------------------------
+
+
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EMA over daily closes, drained with
+    availableNow into a memory sink; display rounding happens in the
+    final batch projection (engine-identical half-up)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    ticks = src.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+        F.col("event_id").alias("id"),
+    )
+    out = stateful.stream_ema_daily(ticks, span=12)
+    tmp = tempfile.mkdtemp(prefix="ema_q_")
+    name = "stream_ema_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "symbol",
+        F.col("date").cast("date").alias("date"),
+        F.round("close", 4).alias("close"),
+        F.round("ema", 6).alias("ema"),
+    )
+
+
+_STREAM_EMA_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT DISTINCT
+    event_type AS symbol,
+    CAST(ts AS DATE) AS date,
+    last_value(value) OVER w AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+b AS (
+  SELECT symbol, date, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+rec AS (
+  SELECT symbol, date, close, rn, close AS ema FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.close, b.rn,
+         2.0/13 * b.close + (1 - 2.0/13) * r.ema
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date, round(close, 4) AS close, round(ema, 6) AS ema FROM rec
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2705,6 +2776,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_item_revenue": q_returned_item_revenue,
     "small_quantity_revenue": q_small_quantity_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "stream_ema": q_stream_ema,
 }
 
 ORACLES: dict[str, str] = {
@@ -2795,4 +2867,5 @@ FROM events GROUP BY 1
     "returned_item_revenue": _RETURNED_ITEM_REVENUE_ORACLE,
     "small_quantity_revenue": _SMALL_QUANTITY_ORACLE,
     "idle_rich_customers": _IDLE_RICH_ORACLE,
+    "stream_ema": _STREAM_EMA_ORACLE,
 }

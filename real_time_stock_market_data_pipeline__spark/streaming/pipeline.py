@@ -74,12 +74,18 @@ def read_file_stream(
     path: str,
     fmt: str = "parquet",
     schema=None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """S1: file-based stream with a declared schema (mandatory for
     streaming reads; inferred from the at-rest data when not given).
     Handles the driver's TIMESTAMP(NANOS) parquet the same way the
     batch reader does. A single-file path is wrapped in a temp
-    directory (the streaming source tails directories)."""
+    directory (the streaming source tails directories).
+
+    ``max_files_per_trigger`` is the file source's native backpressure
+    valve: it bounds how much a micro-batch ingests, so a backlogged
+    directory drains in controlled steps instead of one giant batch
+    (``availableNow`` honors it too, draining in several batches)."""
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
     import os
@@ -90,6 +96,8 @@ def read_file_stream(
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if fmt == "csv":
         reader = reader.option("header", "true")
     df = reader.load(path)
