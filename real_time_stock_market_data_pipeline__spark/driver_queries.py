@@ -2691,6 +2691,135 @@ SELECT symbol, date, round(close, 4) AS close, round(ema, 6) AS ema FROM rec
 
 
 # --------------------------------------------------------------------------
+# TWAP / histogram / anomaly / profiling
+# --------------------------------------------------------------------------
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.twap_daily(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_TWAP_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS pq,
+         coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), 0) AS w_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id)
+)
+SELECT symbol, date,
+       round(CASE WHEN sum(w_us) > 0
+                  THEN CAST(sum(CAST(pq AS DECIMAL(24,6))
+                                * CAST(w_us AS DECIMAL(12,0))) AS DOUBLE)
+                       / sum(w_us)
+                  ELSE CAST(sum(pq) AS DOUBLE) / count(*) END, 6) AS twap,
+       CAST(sum(w_us) AS BIGINT) AS span_us,
+       count(*) AS n_ticks
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.value_histogram(
+        _events(spark, sf_dir), key_col="event_type", value_col="value", width=10.0
+    )
+
+
+_VALUE_HISTOGRAM_ORACLE = """
+WITH c AS (
+  SELECT event_type AS "key",
+         CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT "key", bucket, bucket * CAST(10.0 AS DOUBLE) AS bucket_lo, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY "key") AS BIGINT), 6) AS share
+FROM c
+"""
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.to_date("ts").alias("date"), "value"
+    )
+    return metrics.zscore_anomalies(
+        base,
+        key_cols=["event_type", "date"],
+        value_col="value",
+        id_cols=["event_id"],
+        z_threshold=3.0,
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH b AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS date, value FROM events
+),
+s AS (
+  SELECT *, count(*) OVER w AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+              OVER w AS DOUBLE) AS sxx
+  FROM b WINDOW w AS (PARTITION BY event_type, date)
+),
+z AS (
+  SELECT event_id, event_type, date, value,
+         round(CASE WHEN (CASE WHEN n >= 2 THEN
+                   sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END) > 0
+               THEN (value - sx / n)
+                    / (CASE WHEN n >= 2 THEN
+                       sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0.0)) END)
+               END, 4) AS zscore
+  FROM s
+)
+SELECT * FROM z WHERE abs(zscore) > 3.0
+"""
+
+_PROFILE_NUMERIC = ["event_id", "user_id", "value"]
+_PROFILE_CATEGORICAL = ["event_type", "props"]
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.profile_columns(
+        _events(spark, sf_dir),
+        numeric_cols=_PROFILE_NUMERIC,
+        categorical_cols=_PROFILE_CATEGORICAL,
+    )
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    for c in _PROFILE_NUMERIC + _PROFILE_CATEGORICAL:
+        aggs.append(f"count({c}) AS nn_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+    for c in _PROFILE_NUMERIC:
+        aggs.append(f"min(CAST({c} AS DOUBLE)) AS min_{c}")
+        aggs.append(f"max(CAST({c} AS DOUBLE)) AS max_{c}")
+    branches = []
+    for c in _PROFILE_NUMERIC + _PROFILE_CATEGORICAL:
+        is_num = c in _PROFILE_NUMERIC
+        mn = f"min_{c}" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"max_{c}" if is_num else "CAST(NULL AS DOUBLE)"
+        branches.append(
+            f"SELECT '{c}' AS \"column\", n_rows,"
+            f" n_rows - nn_{c} AS n_null, nd_{c} AS n_distinct,"
+            f" {mn} AS min_val, {mx} AS max_val FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM events)\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2777,6 +2906,10 @@ QUERIES: dict[str, QueryFn] = {
     "small_quantity_revenue": q_small_quantity_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "stream_ema": q_stream_ema,
+    "twap": q_twap,
+    "value_histogram": q_value_histogram,
+    "zscore_anomalies": q_zscore_anomalies,
+    "profile_events": q_profile_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -2868,4 +3001,8 @@ FROM events GROUP BY 1
     "small_quantity_revenue": _SMALL_QUANTITY_ORACLE,
     "idle_rich_customers": _IDLE_RICH_ORACLE,
     "stream_ema": _STREAM_EMA_ORACLE,
+    "twap": _TWAP_ORACLE,
+    "value_histogram": _VALUE_HISTOGRAM_ORACLE,
+    "zscore_anomalies": _ZSCORE_ORACLE,
+    "profile_events": _profile_oracle(),
 }

@@ -243,3 +243,108 @@ def quantile_summary_long(
         F.col("z.q_cont").alias("q_cont"),
         "n",
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    width: float = 10.0,
+) -> DataFrame:
+    """Fixed-width histogram per key: bucket index, bucket lower bound,
+    count, and the key-relative share. The share divides by a windowed
+    total over the already-aggregated frame (same partitioning — no
+    extra exchange), the df-as-window pattern."""
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(value_col) / F.lit(width)).cast("bigint")
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wk = Window.partitionBy("key")
+    total = F.sum("n").over(wk)
+    return counts.select(
+        "key",
+        "bucket",
+        (F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+        "n",
+        F.round(F.col("n").cast("double") / total, 6).alias("share"),
+    )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z_threshold`` sample
+    standard deviations from their group mean. Mean and stddev come
+    from exact DECIMAL sums over an unordered group window (one
+    exchange, no sort frame), so the flag is partition-independent —
+    the monitoring primitive a tick pipeline runs next to its metrics
+    job."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    d = F.col(value_col).cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(d).over(w).cast("double")
+    sxx = F.sum(d * d).over(w).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    sd = F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    z = F.when(sd > 0, (F.col(value_col) - mean) / sd)
+    return (
+        df.select(
+            *id_cols,
+            *key_cols,
+            F.col(value_col),
+            F.round(z, 4).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > z_threshold)
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str] | None = None,
+) -> DataFrame:
+    """Long-form data-profiling summary: one row per column with row /
+    null / distinct counts and (for numeric columns) min and max.
+
+    Single-pass conditional aggregation per column folded into ONE
+    global aggregate (no per-column jobs, no union of re-scans), then
+    an explode to long form — profiling a 100 TB table costs exactly
+    one scan. Distinct counts use the built-in two-phase
+    count(DISTINCT) expansion.
+    """
+    categorical_cols = categorical_cols or []
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in numeric_cols + categorical_cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    entries = []
+    for c in numeric_cols + categorical_cols:
+        is_num = c in numeric_cols
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.col("_n_rows") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.col(f"_min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_val"
+                ),
+                (F.col(f"_max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_val"
+                ),
+            )
+        )
+    return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

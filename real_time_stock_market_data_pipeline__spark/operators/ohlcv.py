@@ -162,3 +162,53 @@ def daily_returns(
         ),
         F.sum("daily_volume").over(wc).alias("cum_volume"),
     )
+
+
+def twap_daily(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-(symbol, day) time-weighted average price: each tick's price
+    is weighted by its holding time (microseconds until the next tick
+    of the same symbol-day; the last tick carries no weight, so the
+    integral runs first→last tick).
+
+    Exactness: weights are integer microseconds, prices are quantized
+    to 6 decimals, and the weighted sum runs in DECIMAL — the single
+    closing division is the only float op, so the result is
+    partition-independent and replayable in SQL. Days whose total
+    weight is zero (one tick, or all ticks on one timestamp) fall back
+    to the exact unweighted mean.
+
+    One window pass (lead) and one aggregation, both on the same
+    (symbol, day) keys.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col)
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    weight = F.lead(us).over(w) - us
+    pq = F.round(F.col(price_col), 6).cast("decimal(18,6)")
+    base = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        day.alias("date"),
+        pq.alias("pq"),
+        F.coalesce(weight, F.lit(0)).alias("w_us"),
+    )
+    sum_w = F.sum("w_us")
+    # weight enters the product as DECIMAL(18,0) so both engines stay in
+    # exact decimal arithmetic (a raw BIGINT operand would promote the
+    # product differently across engines)
+    wavg = (
+        F.sum(F.col("pq") * F.col("w_us").cast("decimal(18,0)")).cast("double")
+        / sum_w
+    )
+    mean = F.sum("pq").cast("double") / F.count(F.lit(1))
+    return base.groupBy("symbol", "date").agg(
+        F.round(F.when(sum_w > 0, wavg).otherwise(mean), 6).alias("twap"),
+        sum_w.alias("span_us"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

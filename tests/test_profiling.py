@@ -1,0 +1,88 @@
+"""Laws for TWAP, histogram, z-score anomaly, and profiling operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.driver_queries import (
+    q_daily_metrics,
+    q_twap,
+    q_value_histogram,
+)
+from real_time_stock_market_data_pipeline__spark.operators import metrics, ohlcv
+
+
+def test_twap_within_daily_range(spark, sf_dir):
+    twap = {(r.symbol, r.date): r.twap for r in q_twap(spark, sf_dir).collect()}
+    for r in q_daily_metrics(spark, sf_dir).collect():
+        t = twap[(r.symbol, r.date)]
+        assert r.daily_low - 1e-6 <= t <= r.daily_high + 1e-6
+
+
+def test_twap_weights_time_not_ticks(spark):
+    # price 10 held for 9s, then price 100 for 1s, then closes at 50:
+    # TWAP = (10*9 + 100*1) / 10 = 19 — a tick-average would say 53.3
+    rows = [
+        ("X", "2024-01-01 00:00:00", 10.0, 1),
+        ("X", "2024-01-01 00:00:09", 100.0, 2),
+        ("X", "2024-01-01 00:00:10", 50.0, 3),
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, ts string, price double, id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = ohlcv.twap_daily(ticks, id_col="id").collect()[0]
+    assert out.twap == pytest.approx(19.0)
+    assert out.span_us == 10_000_000
+    # single-tick day falls back to the price itself
+    one = spark.createDataFrame(
+        [("Y", "2024-01-01 00:00:00", 42.5, 1)],
+        "symbol string, ts string, price double, id bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = ohlcv.twap_daily(one, id_col="id").collect()[0]
+    assert r.twap == 42.5 and r.span_us == 0
+
+
+def test_histogram_partitions_rows(spark, sf_dir):
+    rows = q_value_histogram(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r.n for r in rows) == ev.count()
+    by_key: dict = {}
+    for r in rows:
+        assert r.bucket_lo == r.bucket * 10.0
+        by_key.setdefault(r.key, 0.0)
+        by_key[r.key] += r.share
+    for total in by_key.values():
+        assert total == pytest.approx(1.0, abs=1e-3)  # rounded shares
+
+
+def test_zscore_flags_planted_outlier(spark):
+    rows = [(i, "X", "2024-01-01", 100.0 + (i % 7) * 0.1) for i in range(50)]
+    rows.append((99, "X", "2024-01-01", 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, date string, value double"
+    ).withColumn("date", F.col("date").cast("date"))
+    out = metrics.zscore_anomalies(
+        df, key_cols=["event_type", "date"], value_col="value", id_cols=["event_id"]
+    ).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].zscore > 3
+
+
+def test_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 5.0, None), (4, 7.5, "a")],
+        "id bigint, x double, cat string",
+    )
+    out = {
+        r.column: r
+        for r in metrics.profile_columns(
+            df, numeric_cols=["id", "x"], categorical_cols=["cat"]
+        ).collect()
+    }
+    assert out["id"].n_rows == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 4 and out["id"].min_val == 1.0
+    assert out["x"].n_null == 1 and out["x"].n_distinct == 2
+    assert out["x"].max_val == 7.5
+    assert out["cat"].n_null == 1 and out["cat"].n_distinct == 2
+    assert out["cat"].min_val is None and out["cat"].max_val is None
