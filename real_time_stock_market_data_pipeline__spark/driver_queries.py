@@ -2820,6 +2820,227 @@ def _profile_oracle() -> str:
 
 
 # --------------------------------------------------------------------------
+# Market microstructure / feed health / data forensics
+# --------------------------------------------------------------------------
+
+
+def q_tick_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.tick_gaps(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        min_gap_seconds=3600,
+        id_col="event_id",
+    )
+
+
+_TICK_GAPS_ORACLE = """
+WITH t AS (
+  SELECT event_type AS "key", ts,
+         lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT "key", ts AS gap_start, nxt AS gap_end,
+       epoch_us(nxt) - epoch_us(ts) AS gap_us
+FROM t WHERE epoch_us(nxt) - epoch_us(ts) >= 3600000000
+"""
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.resample_ffill(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        id_col="event_id",
+    )
+
+
+_RESAMPLE_FFILL_ORACLE = """
+WITH t AS (
+  SELECT event_type AS "key",
+         make_timestamp(epoch_us(ts) - (epoch_us(ts) % 21600000000)) AS bucket_ts,
+         ts, event_id, value
+  FROM events
+),
+cells AS (
+  SELECT "key", bucket_ts, value AS lastv, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY "key", bucket_ts
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY "key", bucket_ts) AS n
+    FROM t) WHERE rn = 1
+),
+ext AS (SELECT "key", min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM cells GROUP BY 1),
+grid AS (
+  SELECT "key",
+         unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS bucket_ts
+  FROM ext
+)
+SELECT g."key", g.bucket_ts,
+       last_value(c.lastv IGNORE NULLS)
+         OVER (PARTITION BY g."key" ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       coalesce(c.n, 0) AS n_ticks
+FROM grid g LEFT JOIN cells c
+  ON c."key" = g."key" AND c.bucket_ts = g.bucket_ts
+"""
+
+
+def q_daily_extreme_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv.daily_extreme_times(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_DAILY_EXTREME_TIMES_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         round(value, 6) AS pq
+  FROM events
+),
+h AS (SELECT symbol, date, pq, ts,
+        row_number() OVER (PARTITION BY symbol, date
+                           ORDER BY pq DESC, ts ASC, event_id DESC) AS rn
+      FROM t),
+l AS (SELECT symbol, date, pq, ts,
+        row_number() OVER (PARTITION BY symbol, date
+                           ORDER BY pq ASC, ts ASC, event_id ASC) AS rn
+      FROM t),
+n AS (SELECT symbol, date, count(*) AS n_ticks FROM t GROUP BY 1, 2)
+SELECT n.symbol, n.date,
+       h.pq AS daily_high, h.ts AS high_ts,
+       l.pq AS daily_low, l.ts AS low_ts, n.n_ticks
+FROM n
+JOIN h ON h.symbol = n.symbol AND h.date = n.date AND h.rn = 1
+JOIN l ON l.symbol = n.symbol AND l.date = n.date AND l.rn = 1
+"""
+
+
+def q_tick_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.tick_rule(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_TICK_RULE_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         round(value, 6) AS pq
+  FROM events
+),
+s AS (
+  SELECT symbol, date, ts, event_id,
+         CASE WHEN pq > lag(pq) OVER w THEN 1
+              WHEN pq < lag(pq) OVER w THEN -1 END AS raw
+  FROM t WINDOW w AS (PARTITION BY symbol, date ORDER BY ts, event_id)
+),
+c AS (
+  SELECT symbol, date,
+         last_value(raw IGNORE NULLS)
+           OVER (PARTITION BY symbol, date ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM s
+)
+SELECT symbol, date,
+       count(CASE WHEN side = 1 THEN 1 END) AS n_buy,
+       count(CASE WHEN side = -1 THEN 1 END) AS n_sell,
+       count(CASE WHEN side IS NULL THEN 1 END) AS n_unclassified,
+       round(CAST(count(CASE WHEN side = 1 THEN 1 END) AS DOUBLE)
+             / greatest(count(side), 1), 6) AS buy_ratio
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = ohlcv.daily_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+    wl = Window.partitionBy("symbol").orderBy("date")
+    prev = F.lag("daily_close").over(wl)
+    ret = F.when(prev != 0, F.col("daily_close") / prev - 1)
+    base = daily.select(
+        "symbol", "date", F.round(ret, 6).alias("ret")
+    ).where(F.col("ret").isNotNull())
+    return indicators.rolling_beta(base, window_days=10)
+
+
+_ROLLING_BETA_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type AS symbol, CAST(ts AS DATE) AS date,
+    round(last_value(value) OVER w, 4) AS daily_close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+r AS (
+  SELECT symbol, date,
+    round(CASE WHEN lag(daily_close) OVER ws <> 0
+          THEN daily_close / lag(daily_close) OVER ws - 1 END, 6) AS ret
+  FROM d WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+b AS (SELECT symbol, date, CAST(ret AS DECIMAL(18,6)) AS x
+      FROM r WHERE ret IS NOT NULL),
+m AS (SELECT date,
+        CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS y
+      FROM b GROUP BY 1),
+j AS (SELECT b.symbol, b.date, b.x, m.y FROM b JOIN m USING (date)),
+s AS (
+  SELECT symbol, date, x, y,
+    count(*) OVER w AS n,
+    CAST(sum(x) OVER w AS DOUBLE) AS sx,
+    CAST(sum(y) OVER w AS DOUBLE) AS sy,
+    CAST(sum(x * y) OVER w AS DOUBLE) AS sxy,
+    CAST(sum(y * y) OVER w AS DOUBLE) AS syy
+  FROM j WINDOW w AS (PARTITION BY symbol ORDER BY date
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date, CAST(x AS DOUBLE) AS ret, CAST(y AS DOUBLE) AS market_ret,
+  round(CASE WHEN (syy - sy * sy / n) / (n - 1) > 0
+        THEN ((sxy - sx * sy / n) / (n - 1))
+             / ((syy - sy * sy / n) / (n - 1)) END, 6) AS beta
+FROM s WHERE n = 10
+"""
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metrics.benford_digits(
+        _events(spark, sf_dir), key_col="event_type", value_col="value"
+    )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT event_type AS "key",
+         regexp_extract(CAST(CAST(abs(value) AS DECIMAL(18,6)) AS VARCHAR),
+                        '[1-9]') AS digit
+  FROM events
+),
+c AS (SELECT "key", digit, count(*) AS n FROM d
+      WHERE digit <> '' GROUP BY 1, 2)
+SELECT "key", CAST(digit AS INT) AS digit, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY "key"), 6)
+         AS share,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_expected
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2910,6 +3131,12 @@ QUERIES: dict[str, QueryFn] = {
     "value_histogram": q_value_histogram,
     "zscore_anomalies": q_zscore_anomalies,
     "profile_events": q_profile_events,
+    "tick_gaps": q_tick_gaps,
+    "resample_ffill": q_resample_ffill,
+    "daily_extreme_times": q_daily_extreme_times,
+    "tick_rule": q_tick_rule,
+    "rolling_beta": q_rolling_beta,
+    "benford_digits": q_benford_digits,
 }
 
 ORACLES: dict[str, str] = {
@@ -3005,4 +3232,10 @@ FROM events GROUP BY 1
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,
     "zscore_anomalies": _ZSCORE_ORACLE,
     "profile_events": _profile_oracle(),
+    "tick_gaps": _TICK_GAPS_ORACLE,
+    "resample_ffill": _RESAMPLE_FFILL_ORACLE,
+    "daily_extreme_times": _DAILY_EXTREME_TIMES_ORACLE,
+    "tick_rule": _TICK_RULE_ORACLE,
+    "rolling_beta": _ROLLING_BETA_ORACLE,
+    "benford_digits": _BENFORD_ORACLE,
 }

@@ -384,3 +384,113 @@ def ema_macd(
         F.round("macd_signal", 6).alias("macd_signal"),
         F.round(F.col("macd") - F.col("macd_signal"), 6).alias("macd_hist"),
     )
+
+
+def tick_rule(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Lee-Ready tick-rule trade classification, aggregated per
+    (symbol, day): a tick printing above the previous price is
+    buyer-initiated (+1), below is seller-initiated (-1), and an
+    unchanged print inherits the last non-zero direction (the
+    zero-tick rule). Ticks before the first price change stay
+    unclassified.
+
+    Classification state resets at the day boundary (the previous
+    session's close does not classify the open), which also bounds
+    each window partition to one symbol-day — the partition-size cap
+    that keeps the sort cheap at 100 TB.
+
+    Two window passes over the same (symbol, day) partitioning — lag
+    for the raw sign, ``last(ignorenulls)`` to carry it through
+    zero-ticks — then one groupBy on the identical keys: a single
+    exchange end-to-end.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col).alias("date")
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pq = F.round(F.col(price_col), 6)
+    prev = F.lag(pq).over(w)
+    raw = F.when(pq > prev, 1).when(pq < prev, -1)  # NULL on ties/first
+    side = F.last(raw, ignorenulls=True).over(wrun)
+    classified = ticks.select(
+        F.col(symbol_col).alias("symbol"), day, side.alias("side")
+    )
+    return classified.groupBy("symbol", "date").agg(
+        F.count(F.when(F.col("side") == 1, 1)).alias("n_buy"),
+        F.count(F.when(F.col("side") == -1, 1)).alias("n_sell"),
+        F.count(F.when(F.col("side").isNull(), 1)).alias("n_unclassified"),
+        F.round(
+            F.count(F.when(F.col("side") == 1, 1)).cast("double")
+            / F.greatest(
+                F.count(F.when(F.col("side").isNotNull(), 1)), F.lit(1)
+            ),
+            6,
+        ).alias("buy_ratio"),
+    )
+
+
+def rolling_beta(
+    daily: DataFrame,
+    key_col: str = "symbol",
+    date_col: str = "date",
+    ret_col: str = "ret",
+    window_days: int = 20,
+) -> DataFrame:
+    """Rolling market beta per symbol: cov(symbol, market) / var(market)
+    over the trailing ``window_days`` rows, where the market return for
+    a date is the exact cross-sectional mean of all symbols' returns.
+
+    Plan: one per-date aggregate builds the (tiny) market series, which
+    joins back to the daily rows broadcast — no second shuffle of the
+    big side — then one (symbol)-partitioned window computes the
+    rolling DECIMAL sums (x, y, xy, y²). Only full windows are emitted.
+
+    Exactness: returns are quantized to 6 dp before the DECIMAL cast,
+    covariance and variance come out of integer-exact decimal sums with
+    one double division each, and the final ratio is the only
+    float-float division — bit-identical across partitionings and
+    engines.
+    """
+    rq = F.round(F.col(ret_col), 6).cast("decimal(18,6)")
+    market = daily.groupBy(F.col(date_col).alias("__mdate")).agg(
+        (F.sum(rq).cast("double") / F.count(F.lit(1))).alias("__mret_raw")
+    )
+    market = market.select(
+        "__mdate", F.round("__mret_raw", 6).cast("decimal(18,6)").alias("__mret")
+    )
+    joined = daily.join(
+        F.broadcast(market), F.col(date_col) == F.col("__mdate"), "inner"
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(date_col)
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    x = rq
+    y = F.col("__mret")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxy = F.sum(x * y).over(w).cast("double")
+    syy = F.sum(y * y).over(w).cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1))
+    var = (syy - sy * sy / n) / (n - F.lit(1))
+    beta = F.when(var > 0, cov / var)
+    return (
+        joined.select(
+            F.col(key_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            F.round(F.col(ret_col), 6).alias("ret"),
+            F.col("__mret").cast("double").alias("market_ret"),
+            F.round(beta, 6).alias("beta"),
+            n.alias("n_days"),
+        )
+        .where(F.col("n_days") == window_days)
+        .drop("n_days")
+    )

@@ -348,3 +348,44 @@ def profile_columns(
             )
         )
     return wide.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def benford_digits(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """First-significant-digit distribution per key, with the Benford
+    expectation log10(1 + 1/d) alongside — the classic fabricated-data
+    / corrupted-feed screen, run as one groupBy over the raw table.
+
+    The leading digit is extracted *lexically*: the value is cast to
+    DECIMAL(18,6) (half-up, lossless for tick data) and rendered as a
+    string, and the first character in [1-9] is the first significant
+    digit. This sidesteps log10/pow float paths entirely, so the digit
+    is bit-identical in any engine; zero and null values drop out (no
+    significant digit).
+    """
+    from pyspark.sql import Window
+
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("decimal(18,6)").cast("string"),
+        "[1-9]",
+        0,
+    )
+    counts = (
+        df.select(F.col(key_col).alias("key"), digit.alias("digit"))
+        .where(F.col("digit") != "")
+        .groupBy("key", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wk = Window.partitionBy("key")
+    share = F.col("n").cast("double") / F.sum("n").over(wk)
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.select(
+        "key",
+        F.col("digit").cast("int").alias("digit"),
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_expected"),
+    )

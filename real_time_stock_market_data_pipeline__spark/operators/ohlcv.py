@@ -212,3 +212,44 @@ def twap_daily(
         sum_w.alias("span_us"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def daily_extreme_times(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-(symbol, day) high/low *with the time each extreme printed*
+    — the argmax companion to ``daily_metrics`` (the reference stops at
+    the extreme values themselves, `spark_batch_processor.py:88-96`).
+
+    Ties are deterministic: the *earliest* tick at the extreme price
+    wins (then smallest ``id_col``). Implemented as plain ``min``/
+    ``max`` over an ordering struct — (price, -micros) maximized picks
+    max price then min time — so the whole operator is one groupBy
+    with full map-side partial aggregation: no window sort over raw
+    ticks, no second exchange, the argmax shape that survives 100 TB.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    tie = [F.col(id_col)] if id_col else []
+    pq = F.round(F.col(price_col), 6).alias("p")
+    hi_key = F.struct(pq, (-us).alias("nus"), *tie, F.col(ts_col).alias("ts"))
+    lo_key = F.struct(pq, us.alias("us"), *tie, F.col(ts_col).alias("ts"))
+    out = ticks.groupBy(
+        F.col(symbol_col).alias("symbol"), F.to_date(ts_col).alias("date")
+    ).agg(
+        F.max(hi_key).alias("__hi"),
+        F.min(lo_key).alias("__lo"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    return out.select(
+        "symbol",
+        "date",
+        F.col("__hi")["p"].alias("daily_high"),
+        F.col("__hi")["ts"].alias("high_ts"),
+        F.col("__lo")["p"].alias("daily_low"),
+        F.col("__lo")["ts"].alias("low_ts"),
+        "n_ticks",
+    )

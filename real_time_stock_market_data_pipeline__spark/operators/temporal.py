@@ -226,3 +226,104 @@ def sessionize(
             "duration_us"
         ),
     )
+
+
+def tick_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_seconds: float,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Feed-outage report: per key, every consecutive-tick interval of
+    at least ``min_gap_seconds``. The monitoring twin of ``sessionize``
+    — where sessionize groups rows *between* gaps, this returns the
+    gaps themselves (start, end, length) so an operator can page on
+    data-feed silence (the reference has no such check; its consumer
+    just flushes whatever arrived, `realtime_data_consumer.py:65-67`).
+
+    One window pass (``lead`` over the key partition), integer-exact
+    microsecond arithmetic, and the threshold filter runs on the window
+    output — per-key state is O(1), so the plan is the same at 100 TB.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    gap_us = F.unix_micros(nxt) - F.unix_micros(F.col(ts_col))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("gap_start"),
+            nxt.alias("gap_end"),
+            gap_us.alias("gap_us"),
+        )
+        .where(F.col("gap_us") >= int(min_gap_seconds * 1_000_000))
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Resample an irregular tick stream onto a regular per-key grid,
+    carrying the last observed value forward into empty buckets — the
+    gap-filling `time_bucket_gapfill`/`locf` primitive of time-series
+    stores, absent from both the reference and Spark's built-ins.
+
+    Plan (all keyed by ``key``, so one shuffle lineage end-to-end):
+
+    1. bucket every tick to its grid cell and keep the last tick per
+       cell (``max_by`` against a (ts, id) struct — full map-side
+       partial aggregation, no window sort over raw ticks);
+    2. derive each key's grid extent from the *aggregated* cells (tiny)
+       and explode ``sequence(lo, hi, step)`` into the dense grid —
+       per-key grid size is bounded by time span / step, independent of
+       tick volume;
+    3. left-join cells onto the grid (same key partitioning) and
+       forward-fill with ``last(ignorenulls)`` over an unbounded
+       preceding frame — O(1) state per key.
+
+    Empty leading cells (before the key's first tick) cannot exist
+    because the grid starts at the first occupied bucket.
+    """
+    ord_key = (
+        F.struct(F.col(ts_col), F.col(id_col)) if id_col else F.struct(F.col(ts_col))
+    )
+    step_us = step_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    # integer-exact bucketing (us - us % step) — no double-division path
+    bucket = F.timestamp_micros(us - (us % F.lit(step_us)))
+    cells = df.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket_ts")
+    ).agg(
+        F.max_by(F.col(value_col), ord_key).alias("__last_in_bucket"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    grid = (
+        cells.groupBy("key")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr(f"INTERVAL {int(step_seconds)} SECOND")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    wff = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(cells, ["key", "bucket_ts"], "left")
+    return joined.select(
+        "key",
+        "bucket_ts",
+        F.last("__last_in_bucket", ignorenulls=True).over(wff).alias("value"),
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
+    )

@@ -1,0 +1,137 @@
+"""Laws for the microstructure / feed-health operators: tick_gaps,
+resample_ffill, daily_extreme_times, tick_rule, rolling_beta,
+benford_digits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.driver_queries import (
+    q_benford_digits,
+    q_daily_extreme_times,
+    q_daily_metrics,
+    q_resample_ffill,
+    q_rolling_beta,
+    q_tick_gaps,
+)
+from real_time_stock_market_data_pipeline__spark.operators import (
+    indicators,
+    temporal,
+)
+
+
+def _ticks(spark, rows):
+    return spark.createDataFrame(
+        rows, "symbol string, ts string, price double, id bigint"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tick_gaps_are_consecutive_and_above_threshold(spark, sf_dir):
+    gaps = q_tick_gaps(spark, sf_dir).collect()
+    assert gaps, "sf0.001 events must contain >=1h gaps"
+    for g in gaps:
+        assert g.gap_us >= 3600 * 1_000_000
+        assert g.gap_end > g.gap_start
+
+
+def test_resample_ffill_grid_is_dense_and_filled(spark, sf_dir):
+    out = q_resample_ffill(spark, sf_dir)
+    step = 21600 * 1_000_000
+    rows = sorted(
+        out.collect(), key=lambda r: (r.key, r.bucket_ts)
+    )
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    for key, rs in by_key.items():
+        # dense regular grid, no holes
+        for a, b in zip(rs, rs[1:]):
+            assert (
+                b.bucket_ts - a.bucket_ts
+            ).total_seconds() * 1_000_000 == step, key
+        # every grid cell carries a value (grid starts at first tick)
+        assert all(r.value is not None for r in rs)
+        # empty buckets exist and inherit the previous value
+        empties = [i for i, r in enumerate(rs) if r.n_ticks == 0]
+        for i in empties:
+            assert i > 0
+            assert rs[i].value == rs[i - 1].value
+
+
+def test_resample_ffill_carries_last_tick_of_bucket(spark):
+    df = _ticks(
+        spark,
+        [
+            ("X", "2024-01-01 00:00:01", 1.0, 1),
+            ("X", "2024-01-01 00:00:02", 2.0, 2),  # last of bucket 0
+            # bucket 1 empty
+            ("X", "2024-01-01 00:02:05", 9.0, 3),
+        ],
+    )
+    out = temporal.resample_ffill(
+        df, key_col="symbol", ts_col="ts", value_col="price",
+        step_seconds=60, id_col="id",
+    )
+    rows = sorted(out.collect(), key=lambda r: r.bucket_ts)
+    assert [r.value for r in rows] == [2.0, 2.0, 9.0]
+    assert [r.n_ticks for r in rows] == [2, 0, 1]
+
+
+def test_daily_extremes_match_daily_metrics(spark, sf_dir):
+    ext = {
+        (r.symbol, r.date): r for r in q_daily_extreme_times(spark, sf_dir).collect()
+    }
+    for m in q_daily_metrics(spark, sf_dir).collect():
+        e = ext[(m.symbol, m.date)]
+        # daily_metrics rounds to 4, extreme times to 6
+        assert round(e.daily_high, 4) == pytest.approx(m.daily_high)
+        assert round(e.daily_low, 4) == pytest.approx(m.daily_low)
+        assert e.low_ts != e.high_ts or e.daily_high == e.daily_low
+
+
+def test_tick_rule_zero_tick_inherits_direction(spark):
+    df = _ticks(
+        spark,
+        [
+            ("X", "2024-01-01 00:00:00", 10.0, 1),  # unclassified
+            ("X", "2024-01-01 00:00:01", 11.0, 2),  # +1
+            ("X", "2024-01-01 00:00:02", 11.0, 3),  # zero-tick -> +1
+            ("X", "2024-01-01 00:00:03", 10.0, 4),  # -1
+            ("X", "2024-01-01 00:00:04", 10.0, 5),  # zero-tick -> -1
+        ],
+    )
+    out = indicators.tick_rule(df, id_col="id").collect()[0]
+    assert (out.n_buy, out.n_sell, out.n_unclassified) == (2, 2, 1)
+    assert out.buy_ratio == pytest.approx(0.5)
+
+
+def test_rolling_beta_of_market_vs_itself_is_one(spark):
+    # two symbols with identical returns: market == each symbol, beta == 1
+    rows = []
+    vals = [0.01, -0.02, 0.03, 0.005, -0.01, 0.02, 0.0, 0.01]
+    for sym in ("A", "B"):
+        for i, v in enumerate(vals):
+            rows.append((sym, f"2024-01-{i + 1:02d}", v))
+    daily = spark.createDataFrame(rows, "symbol string, date string, ret double")
+    daily = daily.withColumn("date", F.col("date").cast("date"))
+    out = indicators.rolling_beta(daily, window_days=4).collect()
+    assert out, "complete windows expected"
+    for r in out:
+        assert r.beta == pytest.approx(1.0, abs=1e-9)
+
+
+def test_rolling_beta_driver_rows_have_complete_windows(spark, sf_dir):
+    out = q_rolling_beta(spark, sf_dir)
+    assert out.count() > 0
+    assert {r.symbol for r in out.select("symbol").distinct().collect()}
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = q_benford_digits(spark, sf_dir).collect()
+    by_key: dict[str, float] = {}
+    for r in rows:
+        assert 1 <= r.digit <= 9
+        by_key[r.key] = by_key.get(r.key, 0.0) + r.share
+    for key, s in by_key.items():
+        assert s == pytest.approx(1.0, abs=1e-4), key
