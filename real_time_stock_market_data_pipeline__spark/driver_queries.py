@@ -3040,6 +3040,130 @@ FROM c
 """
 
 
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.interarrival_stats(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH t AS (
+  SELECT event_type AS "key",
+         epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS gap_us
+  FROM events
+),
+g AS (SELECT "key", gap_us, CAST(gap_us AS HUGEINT) AS d
+      FROM t WHERE gap_us IS NOT NULL)
+SELECT "key", count(*) AS n_gaps,
+  round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS mean_gap_us,
+  round(CASE WHEN count(*) >= 2 THEN sqrt(greatest(
+    (CAST(sum(d * d) AS DOUBLE)
+     - CAST(sum(d) AS DOUBLE) * CAST(sum(d) AS DOUBLE) / count(*))
+    / (count(*) - 1), 0.0)) END, 6) AS stddev_gap_us,
+  min(gap_us) AS min_gap_us,
+  max(gap_us) AS max_gap_us,
+  quantile_disc(gap_us, 0.5) AS p5_gap_us,
+  quantile_disc(gap_us, 0.95) AS p95_gap_us
+FROM g GROUP BY 1
+"""
+
+
+def q_duplicate_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temporal.duplicate_ticks(
+        _events(spark, sf_dir),
+        key_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        granularity="minute",
+    )
+
+
+_DUPLICATE_TICKS_ORACLE = """
+SELECT event_type AS "key", date_trunc('minute', ts) AS cell_ts,
+       count(*) AS n_dups, min(event_id) AS first_id,
+       max(event_id) AS last_id
+FROM events GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+def q_intraday_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.intraday_vol(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_INTRADAY_VOL_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date,
+         round(value, 6) AS pq, ts, event_id
+  FROM events
+),
+r AS (
+  SELECT symbol, date,
+         CAST(round(CASE WHEN pq > 0 AND lag(pq) OVER w > 0
+               THEN ln(pq / lag(pq) OVER w) END, 6) AS DECIMAL(18,6)) AS lr
+  FROM t WINDOW w AS (PARTITION BY symbol, date ORDER BY ts, event_id)
+)
+SELECT symbol, date, count(*) AS n_returns,
+       round(CAST(sum(lr * lr) AS DOUBLE), 6) AS realized_var,
+       round(sqrt(CAST(sum(lr * lr) AS DOUBLE)), 6) AS realized_vol
+FROM r WHERE lr IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return indicators.roll_spread(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_ROLL_SPREAD_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         round(value, 6) AS pq
+  FROM events
+),
+d AS (
+  SELECT symbol, date, ts, event_id,
+         round(pq - lag(pq) OVER w, 6) AS dp
+  FROM t WINDOW w AS (PARTITION BY symbol, date ORDER BY ts, event_id)
+),
+p AS (
+  SELECT symbol, date, dp AS x,
+         lag(dp) OVER (PARTITION BY symbol, date ORDER BY ts, event_id) AS y
+  FROM d
+),
+s AS (
+  SELECT symbol, date, count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2
+)
+SELECT symbol, date, n AS n_pairs,
+  round(CASE WHEN n >= 2
+        THEN (sxy - sx * sy / n) / (n - 1) END, 6) AS serial_cov,
+  round(CASE WHEN n >= 2 AND (sxy - sx * sy / n) / (n - 1) < 0
+        THEN 2 * sqrt(-((sxy - sx * sy / n) / (n - 1))) END, 6)
+    AS roll_spread
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3137,6 +3261,10 @@ QUERIES: dict[str, QueryFn] = {
     "tick_rule": q_tick_rule,
     "rolling_beta": q_rolling_beta,
     "benford_digits": q_benford_digits,
+    "interarrival_stats": q_interarrival_stats,
+    "duplicate_ticks": q_duplicate_ticks,
+    "intraday_vol": q_intraday_vol,
+    "roll_spread": q_roll_spread,
 }
 
 ORACLES: dict[str, str] = {
@@ -3238,4 +3366,8 @@ FROM events GROUP BY 1
     "tick_rule": _TICK_RULE_ORACLE,
     "rolling_beta": _ROLLING_BETA_ORACLE,
     "benford_digits": _BENFORD_ORACLE,
+    "interarrival_stats": _INTERARRIVAL_ORACLE,
+    "duplicate_ticks": _DUPLICATE_TICKS_ORACLE,
+    "intraday_vol": _INTRADAY_VOL_ORACLE,
+    "roll_spread": _ROLL_SPREAD_ORACLE,
 }

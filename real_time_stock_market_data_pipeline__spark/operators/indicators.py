@@ -494,3 +494,93 @@ def rolling_beta(
         .where(F.col("n_days") == window_days)
         .drop("n_days")
     )
+
+
+def intraday_vol(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-(symbol, day) realized variance/volatility from *tick*
+    log-returns — the intraday companion to ``realized_volatility``
+    (which works on daily closes): rv = Σ ln(p_t/p_{t-1})² within the
+    session, the standard high-frequency volatility estimator.
+
+    Log returns are guarded (both prices > 0, CASE WHEN — ANSI-safe),
+    quantized to 6 dp, and squared/summed in DECIMAL, so the sum is
+    order-independent; ``ln`` and the final ``sqrt`` are libm-identical
+    across engines. The lag window and the groupBy share the
+    (symbol, day) keys — one exchange end-to-end, partitions bounded
+    by one symbol-day.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col).alias("date")
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    pq = F.round(F.col(price_col), 6)
+    prev = F.lag(pq).over(w)
+    lr = F.round(
+        F.when((pq > 0) & (prev > 0), F.log(pq / prev)), 6
+    )
+    rets = ticks.select(
+        F.col(symbol_col).alias("symbol"), day, lr.alias("lr")
+    ).where(F.col("lr").isNotNull())
+    d = _dec(F.col("lr"))
+    rv = F.sum(d * d).cast("double")
+    return rets.groupBy("symbol", "date").agg(
+        F.count(F.lit(1)).alias("n_returns"),
+        F.round(rv, 6).alias("realized_var"),
+        F.round(F.sqrt(rv), 6).alias("realized_vol"),
+    )
+
+
+def roll_spread(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Roll (1984) implied bid-ask spread per (symbol, day):
+    s = 2·√(−cov(Δp_t, Δp_{t−1})) from the first-order serial
+    covariance of consecutive price changes — the classic estimate of
+    effective spread from trade prices alone, no quote data needed.
+    NULL when the serial covariance is non-negative (the estimator is
+    undefined there) or fewer than two change-pairs exist.
+
+    Price changes are computed on 6-dp-quantized prices and re-rounded
+    (fixed-order double arithmetic), then the covariance comes out of
+    DECIMAL sums of x, y, xy with one double division — partition-
+    independent and bit-identical in SQL. Lag windows and the groupBy
+    all ride the same (symbol, day) partitioning: one exchange.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col).alias("date")
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    pq = F.round(F.col(price_col), 6)
+    dp = F.round(pq - F.lag(pq).over(w), 6)
+    base = ticks.select(
+        F.col(symbol_col).alias("symbol"), day,
+        F.col(ts_col).alias("__ts"),
+        *([F.col(id_col).alias("__id")] if id_col else []),
+        dp.alias("dp"),
+    )
+    worder = [F.col("__ts")] + ([F.col("__id")] if id_col else [])
+    w2 = Window.partitionBy("symbol", "date").orderBy(*worder)
+    dpl = F.lag(F.col("dp")).over(w2)
+    pairs = base.select(
+        "symbol", "date", F.col("dp").alias("x"), dpl.alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    dx, dy = _dec(F.col("x")), _dec(F.col("y"))
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxy = F.sum(dx * dy).cast("double")
+    cov = (sxy - sx * sy / n) / (n - F.lit(1))
+    spread = F.when((n >= 2) & (cov < 0), 2 * F.sqrt(-cov))
+    return pairs.groupBy("symbol", "date").agg(
+        n.alias("n_pairs"),
+        F.round(F.when(n >= 2, cov), 6).alias("serial_cov"),
+        F.round(spread, 6).alias("roll_spread"),
+    )

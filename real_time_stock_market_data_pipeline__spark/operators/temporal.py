@@ -327,3 +327,85 @@ def resample_ffill(
         F.last("__last_in_bucket", ignorenulls=True).over(wff).alias("value"),
         F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str | None = None,
+    quantiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Per-key inter-arrival-time distribution: count, exact mean /
+    sample stddev, min / max, and sketch quantiles of the microsecond
+    gap between consecutive events — the feed-health dashboard row
+    behind ``tick_gaps`` (which reports individual outages; this
+    reports the distribution they're outliers of).
+
+    Gaps are integer microseconds (``unix_micros`` difference); the
+    moment sums run over a DECIMAL(18,0) view — a squared hour-scale
+    gap (3.6e9 µs)² ≈ 1.3e19 already overflows int64, and ANSI mode
+    would throw — so they are exact at any parallelism. The quantiles
+    use the mergeable ``percentile_approx`` sketch, which picks actual
+    data values and therefore matches SQL ``quantile_disc`` exactly.
+    One window pass for ``lead`` and one groupBy, both on ``key``: a
+    single shuffle lineage.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    gap = F.unix_micros(F.lead(F.col(ts_col)).over(w)) - F.unix_micros(
+        F.col(ts_col)
+    )
+    gaps = (
+        df.select(F.col(key_col).alias("key"), gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+    )
+    d = F.col("gap_us").cast("decimal(18,0)")
+    n = F.count(F.lit(1))
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    qcols = [
+        F.percentile_approx("gap_us", q, 10000).alias(
+            f"p{str(q).replace('0.', '')}_gap_us"
+        )
+        for q in quantiles
+    ]
+    return gaps.groupBy("key").agg(
+        n.alias("n_gaps"),
+        F.round(sx / n, 6).alias("mean_gap_us"),
+        F.round(F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))), 6).alias(
+            "stddev_gap_us"
+        ),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        *qcols,
+    )
+
+
+def duplicate_ticks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    granularity: str = "minute",
+) -> DataFrame:
+    """Duplicate-arrival forensics: every (key, truncated-timestamp)
+    cell holding more than one event, with the span of ids involved —
+    the screen for replayed feeds / double-ingested files that exact
+    row-dedup (``dedup.dedup_exact``) can't see because the payloads
+    differ.
+
+    One groupBy on (key, date_trunc) with min/max/count partials —
+    full map-side combine, HAVING pushed after the agg, no window sort.
+    """
+    cell = F.date_trunc(granularity, F.col(ts_col))
+    return (
+        df.groupBy(F.col(key_col).alias("key"), cell.alias("cell_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("first_id"),
+            F.max(id_col).alias("last_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
