@@ -41,6 +41,12 @@ ENGINE_CONF: dict[str, str] = {
     # reads it as a long with this flag (converted losslessly by
     # functions.cleaning.event_time_from_nanos)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # tz-naive parquet timestamps (pandas/pyarrow default, and the
+    # driver's current events.parquet `ts`) would otherwise surface as
+    # TIMESTAMP_NTZ, which `withWatermark`/`unix_micros` reject; with
+    # the session pinned to UTC, reading them as plain TIMESTAMP is the
+    # value-identical interpretation
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # streaming: carried over from the reference's graceful-shutdown conf
     # (`spark_stream_processor.py:35`)
     "spark.streaming.stopGracefullyOnShutdown": "true",

@@ -42,18 +42,27 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str | None, name: str) -> DataFrame:
     """One synthetic table (TESTDATA.md): `{sf_dir}/{name}.parquet`.
 
-    ``events`` needs special handling: its parquet `ts` column is
-    TIMESTAMP(NANOS), unreadable by Spark unless
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set here defensively —
-    the correctness driver hands us its own session) and converted back
-    to a proper timestamp, losslessly for the µs-aligned driver data.
+    ``events`` needs special handling: its parquet `ts` column has
+    shipped in two shapes across driver generations — TIMESTAMP(NANOS)
+    (unreadable by Spark unless
+    ``spark.sql.legacy.parquet.nanosAsLong=true``, then converted back
+    to a timestamp, losslessly for µs-aligned data) and tz-naive
+    ``timestamp[us]`` (surfacing as TIMESTAMP_NTZ unless
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false``). Both confs
+    are set here defensively — the correctness driver hands us its own
+    session — and both shapes are normalized to a plain TIMESTAMP
+    column (session tz is UTC, so the NTZ cast is value-identical).
     """
     sf_dir = sf_dir or default_sf_dir()
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", event_time_from_nanos("ts"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", df["ts"].cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -101,8 +101,14 @@ def read_file_stream(
     if fmt == "csv":
         reader = reader.option("header", "true")
     df = reader.load(path)
-    if "ts" in df.columns and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", event_time_from_nanos("ts"))
+    elif ts_type == "timestamp_ntz":
+        # tz-naive parquet (pandas/pyarrow default): withWatermark
+        # rejects TIMESTAMP_NTZ; session tz is UTC so the cast is
+        # value-identical
+        df = df.withColumn("ts", df["ts"].cast("timestamp"))
     return df
 
 
