@@ -290,6 +290,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact k-gram Jaccard over LSH candidate pairs only.
 
@@ -299,8 +300,23 @@ def ngram_jaccard_pairs(
     O(candidates × shingles), independent of corpus size. The same
     ``k`` is used for candidate generation and verification.
 
+    ``materialize=True`` (default) eagerly ``localCheckpoint``s the two
+    small intermediates that downstream references would otherwise
+    re-derive from scratch — the candidate pairs (referenced 3×: the id
+    union twice, the verify join once) and the per-candidate shingle
+    arrays (referenced 2×: once per join side). Without it the lazy
+    plan re-reads the corpus 12× / shuffles 31× (PLANS.md r4); with it
+    the corpus is scanned twice (LSH pipeline + shingle build) and the
+    re-referenced frames are collision-sized. At 100 TB re-scanning the
+    corpus per reference is the dominant cost, so materializing the
+    KB–MB-scale candidate set is the scale-safe shape (same pattern as
+    ``neardup_clusters``'s edge frame). Set ``materialize=False`` for a
+    fully-lazy single-action plan.
+
     Tuning history (sf0.1, local[32], best-of-3 warm): (1) persisting
-    the bands frame broke ReuseExchange and ran 2–4× slower; (2)
+    the *bands* frame broke ReuseExchange and ran 2–4× slower — the
+    checkpoint here is post-join, below the self-join's exchange reuse,
+    which is why it wins where that attempt lost; (2)
     replacing the bucketed self-join with a per-bucket
     ``collect_set`` + pair explosion measured 6.2–6.7 s vs 4.3–5.2 s
     for this shape — and would additionally materialize whole
@@ -313,6 +329,8 @@ def ngram_jaccard_pairs(
     measurements.
     """
     cand = dedup_minhash_pairs(docs, id_col, text_col, shingle_k=k)
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
     # shingle arrays only for documents that appear in a candidate pair
     # (a left-semi prefilter): exact verification cost scales with the
     # collision volume, not the corpus — and the interpreted
@@ -325,6 +343,8 @@ def ngram_jaccard_pairs(
     sh = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), shingles(text_col, k).alias("sh")
     )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     j = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
