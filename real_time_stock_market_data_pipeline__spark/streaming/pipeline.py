@@ -307,23 +307,32 @@ def read_kafka_stream(
     topic: str,
     schema,
     starting_offsets: str = "earliest",
+    source_format: str = "kafka",
+    extra_options: dict | None = None,
 ) -> DataFrame:
     """S3/S4: Kafka source → JSON-decoded typed columns — subsumes the
     reference's two hand-rolled consumer loops
     (`realtime_data_consumer.py:61-143`, `batch_data_consumer.py:46-100`)
     and their buffer-100-or-60s micro-batching (T9), which the trigger
-    interval + ``maxOffsetsPerTrigger`` replace. Requires the
-    spark-sql-kafka package on the classpath (not present in this
-    container), but only the builder lines below are broker-bound: the
-    decode projection is :func:`decode_keyed_json`, batch-tested and
-    oracle-checked."""
-    raw = (
-        spark.readStream.format("kafka")
+    interval + ``maxOffsetsPerTrigger`` replace.
+
+    The real ``kafka`` format needs the spark-sql-kafka package on the
+    classpath; ``source_format`` lets integration tests substitute the
+    wire-identical in-process stand-in
+    (:mod:`~real_time_stock_market_data_pipeline__spark.streaming.mock_kafka`),
+    running this function's whole body — builder, options, decode —
+    under a real streaming query with no broker. ``extra_options``
+    passes through source-specific knobs (``maxOffsetsPerTrigger``,
+    ``kafka.security.protocol``, the mock's ``messages``...)."""
+    reader = (
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     return decode_keyed_json(raw, schema)
 
 

@@ -1,0 +1,158 @@
+"""S3/S4 source-path integration evidence without a broker.
+
+`read_kafka_stream` was previously only codec-tested (its decode
+projection on batch frames). These tests run its ENTIRE body — the
+readStream builder with Kafka options, the wire schema, the decode
+projection — under real streaming queries, against the in-process
+`mock_kafka` Python data source that presents the exact spark-sql-kafka
+wire schema. The producer side is the real `sinks.encode_keyed_json`,
+so the round trip is: engine encode → wire bytes → streaming source →
+engine decode, i.e. the reference's
+`stream_data_producer.py:126-131` → `realtime_data_consumer.py:92` loop
+minus only the network.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark import sinks
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+from real_time_stock_market_data_pipeline__spark.streaming import mock_kafka, pipeline
+
+
+@pytest.fixture(scope="module")
+def wire_messages(spark, sf_dir):
+    """Producer side: real tick rows through the real encoder."""
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(50)
+    msgs = [
+        {"key": r["key"], "value": r["value"]}
+        for r in sinks.encode_keyed_json(ev, key_col="event_type").collect()
+    ]
+    return ev, msgs
+
+
+def _drain_to_memory(stream, name: str):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_read_kafka_stream_roundtrips_through_wire(spark, wire_messages):
+    ev, msgs = wire_messages
+    mock_kafka.register(spark)
+    decoded = pipeline.read_kafka_stream(
+        spark,
+        servers="mock:9092",  # accepted and ignored by the stand-in
+        topic="ticks",
+        schema=ev.schema,
+        source_format="mock_kafka",
+        extra_options={"messages": json.dumps(msgs)},
+    )
+    assert decoded.isStreaming
+    _drain_to_memory(decoded, "mock_kafka_out")
+    got = spark.table("mock_kafka_out")
+    assert got.columns == ["symbol_key"] + ev.columns
+    orig = sorted(map(tuple, ev.collect()))
+    back = sorted(r[1:] for r in map(tuple, got.collect()))
+    assert back == orig  # timestamps and doubles survive the JSON hop
+
+
+def test_mock_source_presents_kafka_wire_schema(spark, wire_messages):
+    """The stand-in's raw output must match the spark-sql-kafka source
+    contract exactly — that equivalence is what makes the round-trip
+    test evidence for the real source path."""
+    _, msgs = wire_messages
+    mock_kafka.register(spark)
+    raw = (
+        spark.readStream.format("mock_kafka")
+        .option("subscribe", "ticks")
+        .option("messages", json.dumps(msgs))
+        .load()
+    )
+    assert raw.schema == mock_kafka.KAFKA_WIRE_SCHEMA
+    _drain_to_memory(raw, "mock_kafka_raw")
+    rows = spark.table("mock_kafka_raw").orderBy("offset").collect()
+    assert len(rows) == len(msgs)
+    assert rows[0]["topic"] == "ticks"
+    assert isinstance(rows[0]["key"], (bytes, bytearray))
+    assert [r["offset"] for r in rows] == list(range(len(msgs)))
+
+
+def test_mock_source_drains_in_bounded_batches(spark, wire_messages):
+    """messagesPerBatch is the stand-in's maxOffsetsPerTrigger: a
+    continuously-triggered query must deliver everything exactly once
+    across multiple micro-batches (availableNow snapshots only the
+    first batch against a simple stream reader, so this polls a running
+    query — the production trigger shape)."""
+    import time
+
+    ev, msgs = wire_messages
+    mock_kafka.register(spark)
+    decoded = pipeline.read_kafka_stream(
+        spark,
+        servers="mock:9092",
+        topic="ticks",
+        schema=ev.schema,
+        source_format="mock_kafka",
+        extra_options={"messages": json.dumps(msgs), "messagesPerBatch": "7"},
+    )
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("mock_kafka_batched")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("mock_kafka_batched").count() >= len(msgs):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("mock_kafka_batched")
+    assert got.count() == len(msgs)
+    assert got.select("event_id").distinct().count() == len(msgs)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2  # the drain really crossed micro-batches
+
+
+def test_kafka_stream_feeds_realtime_metrics_sink(spark, wire_messages, tmp_path):
+    """Kafka-shaped source composed with the engine's T1–T10 sink: the
+    reference's full consume→window→upsert chain, brokerless."""
+    ev, msgs = wire_messages
+    mock_kafka.register(spark)
+    decoded = pipeline.read_kafka_stream(
+        spark,
+        servers="mock:9092",
+        topic="ticks",
+        schema=ev.schema,
+        source_format="mock_kafka",
+        extra_options={"messages": json.dumps(msgs)},
+    )
+    q = pipeline.stream_realtime_metrics(
+        decoded,
+        target_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        symbol_col="symbol_key",
+        ts_col="ts",
+        price_col="value",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    assert {"symbol", "window_start"} <= set(out.columns)
+    avg_col = next(c for c in out.columns if c.startswith("moving_avg"))
+    assert out.filter(F.col(avg_col).isNull()).count() == 0
