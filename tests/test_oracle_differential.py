@@ -35,6 +35,6 @@ def test_matches_oracle(name, spark, duck, sf_dir):
 
 def test_every_query_has_oracle_or_reason():
     missing = set(driver_queries.QUERIES) - set(driver_queries.ORACLES)
-    # intentional rows-only queries: pandas-UDF float path (summation
-    # order), Spark-side xxhash64 generator (engine fixture by design)
-    assert missing == {"cosine_topk_fast", "synthetic_ohlcv"}, missing
+    # the one intentional rows-only query: the Spark-side xxhash64
+    # generator is an engine fixture by design (no cross-engine replay)
+    assert missing == {"synthetic_ohlcv"}, missing
