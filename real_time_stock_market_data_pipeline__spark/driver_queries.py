@@ -1381,6 +1381,121 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Provider ingestion normalization + calendar backfill (S5 logic, exercised)
+# --------------------------------------------------------------------------
+
+
+def _daily_provider_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV of events reshaped to the generic (symbol, date,
+    open..volume) schema — input fixture for normalize/backfill."""
+    daily = ohlcv.daily_metrics(
+        _events(spark, sf_dir),
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+    return daily.select(
+        "symbol",
+        "date",
+        F.col("daily_open").alias("open"),
+        F.col("daily_high").alias("high"),
+        F.col("daily_low").alias("low"),
+        F.col("daily_close").alias("close"),
+        F.col("daily_volume").alias("volume"),
+    )
+
+
+def q_provider_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference fetcher's rename → date-normalize → symbol-stamp →
+    column-order → batch-stamp chain (`batch_data_producer.py:76-98`)
+    exercised end-to-end: a provider-shaped frame (yfinance
+    capitalization + extra columns that must be dropped) built
+    deterministically from the events table, normalized by
+    ``sources.external.normalize_provider_ohlcv``."""
+    from real_time_stock_market_data_pipeline__spark.sources import external
+
+    ensure_engine_conf(spark)
+    provider = (
+        _daily_provider_shape(spark, sf_dir)
+        .filter(F.col("symbol") == "click")
+        .select(
+            F.col("date").cast("timestamp").alias("Date"),
+            F.col("open").alias("Open"),
+            F.col("high").alias("High"),
+            F.col("low").alias("Low"),
+            F.col("close").alias("Close"),
+            F.col("volume").alias("Volume"),
+            F.lit(0.0).alias("Dividends"),
+            F.lit(0.0).alias("Stock Splits"),
+        )
+    )
+    return external.normalize_provider_ohlcv(
+        provider, symbol="CLICK", batch_id="B0001", batch_date="2024-02-01"
+    )
+
+
+_PROVIDER_NORMALIZE_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE})
+SELECT 'CLICK' AS symbol, date,
+       daily_open AS open, daily_high AS high, daily_low AS low,
+       daily_close AS close, daily_volume AS volume,
+       'B0001' AS batch_id, DATE '2024-02-01' AS batch_date
+FROM d WHERE symbol = 'click'
+"""
+
+
+def q_ohlcv_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: knock deterministic holes into the daily
+    table (every day-of-month divisible by 3), then
+    ``ohlcv.backfill_ohlcv_calendar`` forward-fills them with
+    carried-close rows flagged ``is_backfilled``. The oracle replays
+    the skeleton (per-symbol generate_series), the left join, and the
+    IGNORE NULLS forward fill in SQL."""
+    ensure_engine_conf(spark)
+    sparse = _daily_provider_shape(spark, sf_dir).filter(
+        F.dayofmonth("date") % 3 != 0
+    )
+    return ohlcv.backfill_ohlcv_calendar(sparse)
+
+
+_OHLCV_BACKFILL_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+sparse AS (
+  SELECT symbol, date, daily_open AS open, daily_high AS high,
+         daily_low AS low, daily_close AS close, daily_volume AS volume
+  FROM d WHERE extract(day FROM date) % 3 <> 0
+),
+cal AS (
+  SELECT symbol, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE) AS date
+  FROM (SELECT symbol, min(date) AS d0, max(date) AS d1
+        FROM sparse GROUP BY 1)
+),
+j AS (
+  SELECT c.symbol, c.date, s.open, s.high, s.low, s.close, s.volume
+  FROM cal c LEFT JOIN sparse s ON c.symbol = s.symbol AND c.date = s.date
+),
+f AS (
+  SELECT symbol, date, open, high, low, close, volume,
+         last_value(close IGNORE NULLS) OVER (
+           PARTITION BY symbol ORDER BY date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+  FROM j
+)
+SELECT symbol, date,
+  coalesce(open, carried) AS open,
+  coalesce(high, carried) AS high,
+  coalesce(low, carried) AS low,
+  carried AS close,
+  coalesce(volume, 0) AS volume,
+  close IS NULL AS is_backfilled
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
@@ -3241,9 +3356,13 @@ QUERIES: dict[str, QueryFn] = {
     "roll_spread": q_roll_spread,
     # first-ever oracle this round (was rows-only)
     "cosine_topk_fast": q_cosine_topk_fast,
-    # rows-only by design (engine-side generator) — keeps its driver row
+    # new this round: provider ingestion normalization (S5 logic)
+    "provider_normalize": q_provider_normalize,
+    # ---- position 51+: next window rotation / veterans (local gate) ----
+    # new this round; waits for the next window rotation
+    "ohlcv_backfill": q_ohlcv_backfill,
+    # rows-only by design (engine-side generator); had its driver row in r4
     "synthetic_ohlcv": q_synthetic_ohlcv,
-    # ---- position 51+: multiply-green veterans (local gate covers) ----
     "daily_metrics": q_daily_metrics,
     "daily_metrics_window": q_daily_metrics_window,
     "daily_metrics_lineitem": q_daily_metrics_lineitem,
@@ -3337,6 +3456,8 @@ FROM events GROUP BY 1
     "winsorize": _WINSORIZE_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "cosine_topk_fast": _COSINE_TOPK_FAST_ORACLE,
+    "provider_normalize": _PROVIDER_NORMALIZE_ORACLE,
+    "ohlcv_backfill": _OHLCV_BACKFILL_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
     "embedding_neardup_pairs": _embedding_neardup_oracle(),

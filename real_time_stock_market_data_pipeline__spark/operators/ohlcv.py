@@ -253,3 +253,50 @@ def daily_extreme_times(
         F.col("__lo")["ts"].alias("low_ts"),
         "n_ticks",
     )
+
+
+def backfill_ohlcv_calendar(
+    df: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+) -> DataFrame:
+    """Densify a daily OHLCV table onto each symbol's full calendar
+    (min..max date), synthesizing carry-forward rows for missing days:
+    close forward-filled from the last traded day, open/high/low set to
+    that carried close, volume 0, flagged ``is_backfilled`` — the gap
+    handling the reference's yfinance backfill loop left implicit
+    (`batch_data_producer.py:65-98` refetches whole periods; a
+    warehouse consumer still sees holes on non-traded days).
+
+    Scale: the calendar skeleton is built from a per-symbol min/max
+    aggregate (|symbols| rows — map-side partial agg, tiny shuffle),
+    exploded to one row per (symbol, calendar day), then left-joined
+    back on (symbol, date) and forward-filled with a per-symbol ordered
+    window. Every shuffle is keyed by symbol (+date); per-symbol window
+    size is bounded by the calendar span, not the corpus.
+    """
+    cal = (
+        df.groupBy(symbol_col)
+        .agg(F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1"))
+        .select(
+            F.col(symbol_col),
+            F.explode(F.sequence(F.col("__d0"), F.col("__d1"))).alias(date_col),
+        )
+    )
+    joined = cal.join(df, [symbol_col, date_col], "left")
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("close", ignorenulls=True).over(w)
+    return joined.select(
+        F.col(symbol_col),
+        F.col(date_col),
+        F.coalesce("open", carried).alias("open"),
+        F.coalesce("high", carried).alias("high"),
+        F.coalesce("low", carried).alias("low"),
+        carried.alias("close"),
+        F.coalesce("volume", F.lit(0)).alias("volume"),
+        F.col("close").isNull().alias("is_backfilled"),
+    )

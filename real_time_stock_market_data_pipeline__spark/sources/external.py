@@ -84,3 +84,64 @@ def synthetic_ohlcv(
         F.round(c, 2).alias("close"),
         (h("v") % 1_000_000 + 1000).alias("volume"),
     )
+
+
+#: Provider → engine column names, the reference fetcher's rename map
+#: (`batch_data_producer.py:76-83`). Extra provider columns
+#: (Dividends, Stock Splits, Adj Close...) are dropped by the select.
+PROVIDER_RENAME = {
+    "Date": "date",
+    "Open": "open",
+    "High": "high",
+    "Low": "low",
+    "Close": "close",
+    "Volume": "volume",
+}
+
+
+def normalize_provider_ohlcv(
+    df: DataFrame,
+    symbol: str | None = None,
+    batch_id: str | None = None,
+    batch_date: str | None = None,
+) -> DataFrame:
+    """Normalize a provider-shaped OHLCV frame (yfinance's
+    ``Date/Open/High/Low/Close/Volume`` capitalization, possibly with
+    extra columns) to the engine schema — the exercised equivalent of
+    the reference fetcher's rename → date-format → symbol-stamp →
+    column-order → batch-stamp chain (`batch_data_producer.py:76-98`).
+
+    Differences by design: the date lands as a DATE column (the
+    reference's ``strftime("%Y-%m-%d")`` string is a Kafka-JSON
+    serialization detail, applied by ``sinks.encode_keyed_json`` at
+    the wire); the batch stamps are caller-supplied values, not
+    ``now()``, so runs are reproducible and idempotently re-ingestable.
+
+    Works on a Spark DataFrame (e.g. ``spark.createDataFrame`` of the
+    provider's pandas output, or any re-ingested raw dump). Purely
+    narrow (rename/cast/literal) — no shuffle at any scale.
+    """
+    out = df
+    for src, dst in PROVIDER_RENAME.items():
+        if src in out.columns:
+            out = out.withColumnRenamed(src, dst)
+    missing = [c for c in ("date", "open", "high", "low", "close", "volume")
+               if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"normalize_provider_ohlcv: input lacks {missing} after rename "
+            f"(columns: {df.columns})"
+        )
+    out = out.withColumn("date", F.col("date").cast("date"))
+    if symbol is not None and "symbol" not in out.columns:
+        out = out.withColumn("symbol", F.lit(symbol))
+    cols = list(OHLCV_COLUMNS)
+    if batch_id is not None:
+        out = out.withColumn("batch_id", F.lit(batch_id))
+        cols.append("batch_id")
+    if batch_date is not None:
+        out = out.withColumn(
+            "batch_date", F.lit(batch_date).cast("date")
+        )
+        cols.append("batch_date")
+    return out.select(*cols)
