@@ -18,6 +18,10 @@ instead of docker-exec'ing a hand-wired script chain.
 from __future__ import annotations
 
 import argparse
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +32,8 @@ from real_time_stock_market_data_pipeline__spark.session import get_spark
 from real_time_stock_market_data_pipeline__spark.sources.registry import (
     read_partitioned,
 )
+
+logger = logging.getLogger(__name__)
 
 
 def batch_daily_job(
@@ -114,6 +120,133 @@ def stream_job(
     q.awaitTermination()
 
 
+@dataclass
+class Step:
+    """One task of a linear pipeline DAG, with the reference DAG's
+    per-task semantics (`src/airflow/dags/historical.py:7-14`): up to
+    ``retries`` re-attempts with ``retry_delay_s`` between them, and a
+    failure (after retries) halting every downstream task."""
+
+    name: str
+    fn: Callable[[], object]
+    retries: int = 1
+    retry_delay_s: float = 0.0
+
+
+@dataclass
+class StepResult:
+    name: str
+    ok: bool
+    attempts: int
+    elapsed_s: float
+    value: object = None
+    error: str | None = None
+
+
+@dataclass
+class PipelineRun:
+    results: list[StepResult] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return all(r.ok for r in self.results)
+
+    def value(self, name: str) -> object:
+        return next(r.value for r in self.results if r.name == name)
+
+
+def run_pipeline(steps: list[Step], fail_fast: bool = True) -> PipelineRun:
+    """Linear-DAG runner: the engine-side equivalent of the reference's
+    Airflow chain `fetch >> gate >> process >> load >> complete`
+    (`historical.py:17-66`) — same dependency shape (a ``>>`` chain is
+    a sequence), same retry policy, without requiring a scheduler.
+    Real deployments can still split the steps across Airflow tasks by
+    invoking the CLI per step; this runner exists so the full chain is
+    testable and runnable as one ``python -m`` invocation.
+    """
+    run = PipelineRun()
+    for step in steps:
+        t0, attempts, value, err = time.time(), 0, None, None
+        while attempts <= step.retries:
+            attempts += 1
+            try:
+                value = step.fn()
+                err = None
+                break
+            except Exception as e:  # noqa: BLE001 — step boundary
+                err = f"{type(e).__name__}: {e}"
+                logger.warning(
+                    "step %s attempt %d/%d failed: %s",
+                    step.name, attempts, step.retries + 1, err,
+                )
+                if attempts <= step.retries and step.retry_delay_s:
+                    time.sleep(step.retry_delay_s)
+        res = StepResult(
+            name=step.name,
+            ok=err is None,
+            attempts=attempts,
+            elapsed_s=round(time.time() - t0, 3),
+            value=value,
+            error=err,
+        )
+        run.results.append(res)
+        logger.info(
+            "step %s: %s (%d attempt(s), %.3fs)",
+            step.name, "ok" if res.ok else "FAILED", attempts, res.elapsed_s,
+        )
+        if not res.ok and fail_fast:
+            break
+    return run
+
+
+def historical_pipeline(
+    spark: SparkSession,
+    raw_path: str,
+    output_path: str,
+    warehouse_path: str,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+    volume_col: str | None = None,
+    ingest: Callable[[], object] | None = None,
+) -> PipelineRun:
+    """The reference's whole historical DAG as one composable run:
+    ingest (optional, e.g. a provider fetch writing ``raw_path``) →
+    availability gate (S7, the `check_minio_file.py` step) → batch
+    process (`spark_batch_processor.py`) → warehouse load
+    (`load_to_snowflake.py`) → completion marker. Each step carries the
+    reference's retry-once policy; a red step halts the chain."""
+    steps = [
+        Step("gate", lambda: _require_input(spark, raw_path)),
+        Step(
+            "process",
+            lambda: batch_daily_job(
+                spark,
+                raw_path,
+                output_path,
+                warehouse_path=warehouse_path,
+                symbol_col=symbol_col,
+                ts_col=ts_col,
+                price_col=price_col,
+                id_col=id_col,
+                volume_col=volume_col,
+            ),
+        ),
+        Step("load_check", lambda: spark.read.parquet(warehouse_path).count()),
+        Step("complete", lambda: "complete"),
+    ]
+    if ingest is not None:
+        steps.insert(0, Step("ingest", ingest))
+    return run_pipeline(steps)
+
+
+def _require_input(spark: SparkSession, path: str) -> bool:
+    if not sinks.input_ready(spark, path):
+        raise RuntimeError(f"input gate: no readable rows at {path} (S7)")
+    return True
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="rtsmdp-jobs")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -136,8 +269,28 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--symbol-col", default="symbol")
     s.add_argument("--ts-col", default="ts")
     s.add_argument("--price-col", default="price")
+    h = sub.add_parser("historical")
+    h.add_argument("--raw", required=True)
+    h.add_argument("--output", required=True)
+    h.add_argument("--warehouse", required=True)
+    h.add_argument("--symbol-col", default="symbol")
+    h.add_argument("--ts-col", default="ts")
+    h.add_argument("--price-col", default="price")
     args = ap.parse_args(argv)
     spark = get_spark("rtsmdp-job")
+    if args.cmd == "historical":
+        run = historical_pipeline(
+            spark,
+            args.raw,
+            args.output,
+            args.warehouse,
+            symbol_col=args.symbol_col,
+            ts_col=args.ts_col,
+            price_col=args.price_col,
+        )
+        for r in run.results:
+            print(f"{r.name}: {'ok' if r.ok else 'FAILED'} ({r.error or r.value})")
+        return 0 if run.ok else 1
     if args.cmd == "batch":
         n = batch_daily_job(
             spark,

@@ -103,3 +103,85 @@ def test_stream_job_end_to_end(spark, sf_dir):
         out.groupBy("symbol", "window_start").count().filter(F.col("count") > 1).count()
         == 0
     )
+
+
+def test_run_pipeline_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    run = jobs.run_pipeline([jobs.Step("flaky", flaky, retries=1)])
+    assert run.ok
+    assert run.results[0].attempts == 2
+    assert run.value("flaky") == "ok"
+
+
+def test_run_pipeline_halts_downstream_on_failure():
+    ran = []
+
+    def boom():
+        raise RuntimeError("hard failure")
+
+    run = jobs.run_pipeline(
+        [
+            jobs.Step("a", lambda: ran.append("a")),
+            jobs.Step("b", boom, retries=1),
+            jobs.Step("c", lambda: ran.append("c")),
+        ]
+    )
+    assert not run.ok
+    assert [r.name for r in run.results] == ["a", "b"]  # c never ran
+    assert run.results[1].attempts == 2
+    assert "hard failure" in run.results[1].error
+    assert ran == ["a"]
+
+
+def test_historical_pipeline_full_chain(spark, sf_dir):
+    """fetch → gate → process → load → complete, the reference DAG
+    (`historical.py:17-66`) as one run: ingest writes raw partitioned
+    parquet, the gate sees it, batch processes to daily metrics, the
+    load check counts warehouse rows, completion marker emitted."""
+    tmp = tempfile.mkdtemp(prefix="dag_")
+    raw = os.path.join(tmp, "raw")
+    out = os.path.join(tmp, "daily")
+    wh = os.path.join(tmp, "warehouse")
+
+    def ingest():
+        _partitioned_input(spark, sf_dir, tmp)  # writes tmp/raw
+        return raw
+
+    run = jobs.historical_pipeline(
+        spark,
+        raw,
+        out,
+        wh,
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+        ingest=ingest,
+    )
+    assert run.ok, [r.error for r in run.results]
+    assert [r.name for r in run.results] == [
+        "ingest", "gate", "process", "load_check", "complete",
+    ]
+    assert run.value("process") > 0
+    assert run.value("load_check") == run.value("process")
+    assert run.value("complete") == "complete"
+
+
+def test_historical_pipeline_gate_blocks_empty_input(spark):
+    tmp = tempfile.mkdtemp(prefix="dag_empty_")
+    run = jobs.historical_pipeline(
+        spark,
+        os.path.join(tmp, "missing_raw"),
+        os.path.join(tmp, "daily"),
+        os.path.join(tmp, "warehouse"),
+    )
+    assert not run.ok
+    assert [r.name for r in run.results] == ["gate"]  # halted at the gate
+    assert "input gate" in run.results[0].error
