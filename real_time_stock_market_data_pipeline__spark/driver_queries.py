@@ -366,6 +366,34 @@ FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
 """
 
 
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-canonical dedup decision applied to the corpus: one
+    document per near-dup cluster plus singletons, payload columns
+    intact (text dropped here only to keep the driver hash light)."""
+    return dedup.dedup_corpus(_table("documents")(spark, sf_dir)).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+_DEDUP_CORPUS_ORACLE = f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+reach AS (
+  SELECT u AS src, u AS dst FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+WHERE coalesce(c.cluster_id, d.doc_id) = d.doc_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         _table("documents")(spark, sf_dir), threshold=0.5
@@ -1306,6 +1334,66 @@ LIMIT 10
 """
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
+    query vectors via the IVF cell equi-join (never a cartesian). The
+    oracle replays cell assignment, per-query probe ranking, the cell
+    join, and the per-query row_number top-k in SQL."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 4)
+    return similarity.ivf_knn_join(embs, queries, k=3)
+
+
+def _knn_join_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    dot_eq = _coldot_sql("e.embedding", "p.qe")
+    ne = _coldot_sql("e.embedding", "e.embedding")
+    nq = _coldot_sql("p.qe", "p.qe")
+    cos = (
+        f"CASE WHEN sqrt({ne}) > 0 AND sqrt({nq}) > 0 "
+        f"THEN ({dot_eq}) / (sqrt({ne}) * sqrt({nq})) END"
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+corpus AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+qp AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.query_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN centn c
+  ) WHERE rn <= {n_p}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS nn_id, {cos} AS cosine
+  FROM qp p JOIN corpus e ON p.cell = e.cell
+)
+SELECT query_id, nn_id, cosine FROM (
+  SELECT query_id, nn_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC NULLS LAST, nn_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One declarative Lloyd iteration seeded with the IVF coarse
     quantizer (16 lowest-id vectors): nearest-centroid assignment is a
@@ -1530,6 +1618,22 @@ SELECT doc_id, n_chars, n_words,
     + (1 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 5, 1.0)) * 0.15,
   4) AS quality_score
 FROM t
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating applied: documents clearing the composite-score
+    and word-count thresholds — the filter between scoring and
+    training-set assembly."""
+    return text.quality_filter(
+        _table("documents")(spark, sf_dir), min_score=0.8, min_words=30
+    )
+
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH s AS ({_TEXT_STATS_ORACLE})
+SELECT doc_id, n_words, quality_score
+FROM s WHERE quality_score >= 0.8 AND n_words >= 30
 """
 
 
@@ -3359,8 +3463,11 @@ QUERIES: dict[str, QueryFn] = {
     # new this round: provider ingestion normalization (S5 logic)
     "provider_normalize": q_provider_normalize,
     # ---- position 51+: next window rotation / veterans (local gate) ----
-    # new this round; waits for the next window rotation
+    # new this round; wait for the next window rotation
     "ohlcv_backfill": q_ohlcv_backfill,
+    "knn_join": q_knn_join,
+    "dedup_corpus": q_dedup_corpus,
+    "quality_filter": q_quality_filter,
     # rows-only by design (engine-side generator); had its driver row in r4
     "synthetic_ohlcv": q_synthetic_ohlcv,
     "daily_metrics": q_daily_metrics,
@@ -3458,6 +3565,9 @@ FROM events GROUP BY 1
     "cosine_topk_fast": _COSINE_TOPK_FAST_ORACLE,
     "provider_normalize": _PROVIDER_NORMALIZE_ORACLE,
     "ohlcv_backfill": _OHLCV_BACKFILL_ORACLE,
+    "knn_join": _knn_join_oracle(),
+    "dedup_corpus": _DEDUP_CORPUS_ORACLE,
+    "quality_filter": _QUALITY_FILTER_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
     "embedding_neardup_pairs": _embedding_neardup_oracle(),

@@ -510,3 +510,22 @@ def neardup_clusters(
         f"neardup_clusters: no fixpoint after {max_iters} rounds "
         "(component diameter exceeds max_iters — raise it)"
     )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **cluster_kwargs,
+) -> DataFrame:
+    """The end-to-end near-dup dedup decision applied: keep exactly one
+    document (the minimum-id canonical) per near-duplicate cluster and
+    every singleton — the cleaned-corpus output a training pipeline
+    actually consumes, composed from :func:`neardup_clusters`.
+
+    Returns the input rows (all columns) for canonical documents only.
+    The keep-set is a left-semi join on the id, so no document payload
+    is shuffled through the clustering — only (id, label) pairs."""
+    clusters = neardup_clusters(docs, id_col, text_col, **cluster_kwargs)
+    keep = clusters.filter(F.col("is_canonical")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

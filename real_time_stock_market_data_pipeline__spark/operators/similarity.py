@@ -26,7 +26,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -430,4 +430,94 @@ def kmeans_step(
     )
     return embedding_centroids(
         assigned, group_col="cell", vec_col=vec_col, round_digits=round_digits
+    )
+
+
+def ivf_knn_join(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS_N,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Batched ANN join: the ``k`` nearest corpus vectors for EVERY row
+    of a query frame — the retrieval / dedup-against-a-reference-set
+    primitive a training pipeline runs at corpus scale (``ivf_topk``
+    answers one ad-hoc query; this answers a million).
+
+    Shape: corpus rows get their IVF cell map-side (one fold per
+    centroid, no shuffle); each query row expands to its ``n_probe``
+    nearest cells (sorted struct array sliced then exploded — same
+    (sim, lowest-id) tiebreak as ``ivf_assign``); the two sides meet in
+    an **equi-join on the cell id** with the query side broadcast — a
+    hash join over n_probe/n_centroids of the corpus per query, never a
+    cartesian. Exact cosine runs per candidate; per-query top-k is a
+    row_number window (WindowGroupLimit pushes the limit into the
+    sort). Output: (query_id, nn_id, cosine), ≤ k rows per query.
+
+    Scale: broadcast assumes a bounded query batch (the usual case —
+    stream the rest in batches); the corpus is scanned once whatever
+    the batch size. Skewed cells are AQE's skew-join problem, and the
+    k-means-seeded variant (`ivf_centroids` swap-in) balances them at
+    build time.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    if not cents:
+        return (
+            queries.select(
+                F.col(q_id_col).alias("query_id"),
+                F.col(q_id_col).alias("nn_id"),
+                F.lit(None).cast("double").alias("cosine"),
+            ).limit(0)
+        )
+    dim = len(cents[0])
+    corpus = embs.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(F.col(vec_col), cents).alias("__cell"),
+    )
+    # per-query probe cells: the same (sim, -cell) structs ivf_assign
+    # ranks, sorted descending and sliced to n_probe, then exploded to
+    # one (query, cell) row each
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_fold(F.col(q_vec_col), c) * F.lit(_inv_norm(c))).alias("s"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).alias("__qv"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        ).alias("__p"),
+    ).select("query_id", "__qv", (-F.col("__p.ni")).alias("__cell"))
+    cand = corpus.join(F.broadcast(probes), "__cell")
+    prods = F.zip_with(
+        F.col("__cv"), F.col("__qv"), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    nc, nq = _norm_fold(F.col("__cv"), dim), _norm_fold(F.col("__qv"), dim)
+    scored_cand = cand.select(
+        "query_id",
+        "nn_id",
+        F.when((nc > 0) & (nq > 0), dot / (nc * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    return (
+        scored_cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )

@@ -537,3 +537,23 @@ def repetition_stats(
             F.when(n_g > 0, dup_g.cast("double") / n_g), 6
         ).alias("dup_5gram_frac"),
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_score: float = 0.5,
+    min_words: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality gating, applied: keep documents whose composite
+    :func:`text_stats` quality score and word count clear thresholds —
+    the filter step between scoring and training-set assembly. Output:
+    (id, n_words, quality_score) for the kept documents; semi-join the
+    result back to the corpus for payloads. Same single-scan shape as
+    ``text_stats`` (narrow expressions only), so the gate adds no
+    shuffle at any scale."""
+    st = text_stats(docs, id_col=id_col, text_col=text_col)
+    return st.filter(
+        (F.col("quality_score") >= min_score) & (F.col("n_words") >= min_words)
+    ).select(id_col, "n_words", "quality_score")

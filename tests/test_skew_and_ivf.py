@@ -181,3 +181,64 @@ def test_kmeans_step_iterates_with_feedback(spark, sf_dir):
         # non-empty cells feed the next iteration
         cents = [by_cell[c] for c in sorted(by_cell)]
     assert len(cents) >= 2  # clustering didn't collapse to one cell
+
+
+def test_knn_join_full_probe_equals_per_query_brute_force(spark, sf_dir):
+    """With n_probe == n_centroids the cell equi-join sees the whole
+    corpus, so each query's top-k must equal cosine_topk for that
+    query vector — the exactness anchor for the batched ANN join."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_knn_join(
+        embs, queries, k=5,
+        n_probe=similarity.IVF_CENTROIDS_N,  # probe everything
+    )
+    got = {
+        qid: [(r["nn_id"], round(r["cosine"], 9)) for r in rows]
+        for qid, rows in _group_by_query(out.collect()).items()
+    }
+    for qrow in queries.orderBy("vec_id").collect():
+        want = [
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in similarity.cosine_topk(
+                embs, [float(x) for x in qrow["embedding"]], k=5
+            ).collect()
+        ]
+        assert got[qrow["vec_id"]] == want
+
+
+def _group_by_query(rows):
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for q in by_q:
+        by_q[q].sort(key=lambda r: (-(r["cosine"] or -2), r["nn_id"]))
+    return by_q
+
+
+def test_knn_join_bounded_output_and_no_cartesian(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 4)
+    out = similarity.ivf_knn_join(embs, queries, k=3)
+    counts = out.groupBy("query_id").count().collect()
+    assert 0 < len(counts) <= 4
+    assert all(r["count"] <= 3 for r in counts)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_empty_corpus_schema(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    empty = embs.filter(F.lit(False))
+    out = similarity.ivf_knn_join(empty, embs.limit(2), k=3)
+    assert out.columns == ["query_id", "nn_id", "cosine"]
+    assert out.count() == 0

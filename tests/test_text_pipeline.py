@@ -176,3 +176,31 @@ def test_neardup_clusters_agree_with_pairs(spark, sf_dir):
     # exactly one canonical doc per cluster
     canon = clusters.filter("is_canonical").groupBy("cluster_id").count()
     assert canon.filter(F.col("count") != 1).count() == 0
+
+
+def test_dedup_corpus_keeps_exactly_canonicals(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = dedup.dedup_corpus(docs)
+    clusters = dedup.neardup_clusters(docs)
+    n_canon = clusters.filter(F.col("is_canonical")).count()
+    assert corpus.count() == n_canon < docs.count()
+    assert corpus.columns == docs.columns  # payload intact
+    # kept ids are exactly the canonical labels
+    kept = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    canon = {r["doc_id"] for r in clusters.filter(F.col("is_canonical")).collect()}
+    assert kept == canon
+
+
+def test_quality_filter_monotone_in_threshold(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    loose = text.quality_filter(docs, min_score=0.0, min_words=0)
+    tight = text.quality_filter(docs, min_score=0.8, min_words=30)
+    n_loose, n_tight = loose.count(), tight.count()
+    assert n_loose == docs.count()  # zero thresholds keep everything
+    assert 0 < n_tight < n_loose
+    rows = tight.collect()
+    assert all(r["quality_score"] >= 0.8 and r["n_words"] >= 30 for r in rows)
