@@ -17,36 +17,31 @@ from pyspark.sql import functions as F
 OHLCV_COLUMNS = ["symbol", "date", "open", "high", "low", "close", "volume"]
 
 
-def fetch_ohlcv_history(symbols: list[str], period: str = "1y"):
-    """S5: per-symbol daily OHLCV via yfinance (pandas frames, renamed
-    to the engine schema like `batch_data_producer.py:76-83`). Not
-    available in this container — raises with guidance."""
+def fetch_ohlcv_history(
+    spark: SparkSession, symbols: list[str], period: str = "1y"
+) -> DataFrame:
+    """S5: per-symbol daily OHLCV via yfinance, normalized through the
+    tested :func:`normalize_provider_ohlcv` chain (rename → date →
+    symbol stamp → column order, `batch_data_producer.py:76-98`). Only
+    the network fetch itself is broker-bound; everything after
+    ``createDataFrame`` is the exercised engine path. Not available in
+    this container — raises with guidance."""
     try:
-        import yfinance  # noqa: F401
+        import yfinance as yf
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
             "yfinance is not installed in this environment; use "
             "synthetic_ohlcv() for deterministic fixtures or run this "
             "ingestion step where yfinance is available"
         ) from e
-    frames = []
+    out: DataFrame | None = None  # pragma: no cover - needs network
     for sym in symbols:  # pragma: no cover - needs network
-        import yfinance as yf
-
         h = yf.Ticker(sym).history(period=period).reset_index()
-        h = h.rename(
-            columns={
-                "Date": "date",
-                "Open": "open",
-                "High": "high",
-                "Low": "low",
-                "Close": "close",
-                "Volume": "volume",
-            }
-        )
-        h["symbol"] = sym
-        frames.append(h[OHLCV_COLUMNS])
-    return frames
+        norm = normalize_provider_ohlcv(spark.createDataFrame(h), symbol=sym)
+        out = norm if out is None else out.unionByName(norm)
+    if out is None:  # pragma: no cover
+        raise ValueError("fetch_ohlcv_history: empty symbol list")
+    return out
 
 
 def synthetic_ohlcv(

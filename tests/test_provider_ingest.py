@@ -79,3 +79,8 @@ def test_backfill_is_calendar_dense_per_symbol(spark, sf_dir):
         (F.datediff(F.max("date"), F.min("date")) + 1).alias("days"),
     )
     assert span.filter(F.col("n") != F.col("days")).count() == 0
+
+
+def test_fetch_ohlcv_history_gate_is_loud(spark):
+    with pytest.raises(NotImplementedError, match="yfinance"):
+        external.fetch_ohlcv_history(spark, ["AAPL"])
