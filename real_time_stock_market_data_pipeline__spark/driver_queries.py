@@ -1334,6 +1334,23 @@ LIMIT 10
 """
 
 
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index materialized as a parquet cell-partition layout, then
+    probed with partition pruning (PartitionFilters plan-asserted in
+    tests) — result identical to ``ivf_topk``, so it shares that
+    oracle. The write-then-read happens inside the query, like
+    ``partitioned_scan``."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    cents = similarity.ivf_write_index(embs, path)
+    return similarity.ivf_topk_indexed(
+        spark, path, _query_vector(spark, sf_dir), cents, k=10
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
     query vectors via the IVF cell equi-join (never a cartesian). The
@@ -3466,6 +3483,7 @@ QUERIES: dict[str, QueryFn] = {
     # new this round; wait for the next window rotation
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
     "dedup_corpus": q_dedup_corpus,
     "quality_filter": q_quality_filter,
     # rows-only by design (engine-side generator); had its driver row in r4
@@ -3566,6 +3584,7 @@ FROM events GROUP BY 1
     "provider_normalize": _PROVIDER_NORMALIZE_ORACLE,
     "ohlcv_backfill": _OHLCV_BACKFILL_ORACLE,
     "knn_join": _knn_join_oracle(),
+    "ivf_topk_indexed": _ivf_topk_oracle(),
     "dedup_corpus": _DEDUP_CORPUS_ORACLE,
     "quality_filter": _QUALITY_FILTER_ORACLE,
     "ann_topk": _ann_topk_oracle(),

@@ -521,3 +521,54 @@ def ivf_knn_join(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_write_index(
+    embs: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = IVF_CENTROIDS_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Materialize the IVF index *as a partition layout*: assign each
+    vector its cell map-side and write parquet partitioned by ``cell``.
+    Returns the centroids (the only state a reader needs — KBs,
+    store them next to the index).
+
+    This is the at-rest form of the index the in-memory ``ivf_topk``
+    docstring promises: once cells are directories, a probe filter is
+    partition *pruning* — the scan never opens 1 - n_probe/n_centroids
+    of the data. One full scan + one shuffle-free write; re-run to
+    rebuild after drift."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    embs.withColumn("cell", ivf_assign(F.col(vec_col), cents)).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF index (``ivf_write_index`` layout):
+    the probe-cell predicate lands in the scan's PartitionFilters
+    (plan-asserted in tests), so only n_probe cell directories are
+    read. Result ≡ ``ivf_topk`` with the same centroids."""
+    probes = ivf_query_probes(query, centroids, n_probe)
+    cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    scored = cosine_scores(cand, query, vec_col)
+    return (
+        scored.select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

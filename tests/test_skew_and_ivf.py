@@ -242,3 +242,27 @@ def test_knn_join_empty_corpus_schema(spark, sf_dir):
     out = similarity.ivf_knn_join(empty, embs.limit(2), k=3)
     assert out.columns == ["query_id", "nn_id", "cosine"]
     assert out.count() == 0
+
+
+def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
+    """ivf_write_index + ivf_topk_indexed: the materialized cell layout
+    must (a) return exactly ivf_topk's result for the same centroids
+    and (b) push the probe predicate into the scan's PartitionFilters —
+    at scale the filter skips cell directories, it doesn't read rows."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cents = similarity.ivf_write_index(embs, path)
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow["embedding"]]
+
+    indexed = similarity.ivf_topk_indexed(spark, path, query, cents, k=10)
+    in_memory = similarity.ivf_topk(embs, query, k=10, centroids=cents)
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in in_memory.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
