@@ -204,3 +204,39 @@ def test_quality_filter_monotone_in_threshold(spark, sf_dir):
     assert 0 < n_tight < n_loose
     rows = tight.collect()
     assert all(r["quality_score"] >= 0.8 and r["n_words"] >= 30 for r in rows)
+
+
+def test_text_operators_compose_with_streams(spark, sf_dir, tmp_path):
+    """text_stats / quality_filter are narrow (no aggregation), so the
+    same library calls must run unchanged on a streaming frame — the
+    composability contract that lets the LLM-pipeline operators sit
+    behind a file or Kafka source without a batch rewrite."""
+    import os
+
+    from real_time_stock_market_data_pipeline__spark.operators import text
+
+    src_dir = str(tmp_path / "docs_stream")
+    os.makedirs(src_dir)
+    load_table(spark, sf_dir, "documents").limit(100).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .parquet(src_dir)
+    )
+    gated = text.quality_filter(stream, min_score=0.0, min_words=0)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("stream_quality")
+    want = text.quality_filter(
+        spark.read.parquet(src_dir), min_score=0.0, min_words=0
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
