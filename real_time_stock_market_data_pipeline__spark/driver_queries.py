@@ -421,6 +421,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_table("documents")(spark, sf_dir))
 
 
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pair extraction via 4-block banding (exact recall for
+    Hamming ≤ 3 by pigeonhole) — the engine joins 16-bit block buckets;
+    the oracle can afford the plain all-pairs Hamming join because the
+    two are provably the same set."""
+    return dedup.simhash_neardup_pairs(_table("documents")(spark, sf_dir))
+
+
+def _simhash_neardup_oracle() -> str:
+    ham = " + ".join(
+        "bit_count(xor(CAST(strpos('0123456789abcdef', substr(a.simhash, {i}, 1)) - 1 AS BIGINT),"
+        " CAST(strpos('0123456789abcdef', substr(b.simhash, {i}, 1)) - 1 AS BIGINT)))".format(
+            i=i + 1
+        )
+        for i in range(16)
+    )
+    return f"""
+WITH s AS ({_simhash_oracle()})
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(({ham}) AS INTEGER) AS hamming
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+
 def _simhash_oracle() -> str:
     """Mirror of operators.dedup.simhash, generated with the same
     nibble/bit loops."""
@@ -3485,6 +3511,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_join": q_knn_join,
     "ivf_topk_indexed": q_ivf_topk_indexed,
     "dedup_corpus": q_dedup_corpus,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "quality_filter": q_quality_filter,
     # rows-only by design (engine-side generator); had its driver row in r4
     "synthetic_ohlcv": q_synthetic_ohlcv,
@@ -3586,6 +3613,7 @@ FROM events GROUP BY 1
     "knn_join": _knn_join_oracle(),
     "ivf_topk_indexed": _ivf_topk_oracle(),
     "dedup_corpus": _DEDUP_CORPUS_ORACLE,
+    "simhash_neardup_pairs": _simhash_neardup_oracle(),
     "quality_filter": _QUALITY_FILTER_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),

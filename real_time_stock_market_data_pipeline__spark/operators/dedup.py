@@ -529,3 +529,75 @@ def dedup_corpus(
     clusters = neardup_clusters(docs, id_col, text_col, **cluster_kwargs)
     keep = clusters.filter(F.col("is_canonical")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a < id_b, hamming ≤
+    ``max_hamming``) over the 64-bit fingerprints — the pair-extraction
+    step that completes the SimHash tier (fingerprints alone don't
+    dedup anything).
+
+    Candidates come from 4-block banding (Manku et al., WWW'07): the
+    fingerprint splits into four 16-bit blocks; by pigeonhole, any pair
+    within Hamming distance 3 agrees on at least one whole block, so
+    the block-equality join has **exact recall** for ``max_hamming ≤
+    3`` while joining on 16-bit bucket keys instead of all pairs (cost
+    Σ bucket², never corpus²; same scale shape as the MinHash band
+    join). The exact Hamming distance — a per-nibble XOR popcount, all
+    codegen integer ops — then trims false candidates.
+
+    For ``max_hamming > 3`` recall becomes approximate (documented, not
+    silent: a ValueError forces the caller to acknowledge via
+    ``allow_partial_recall`` — kept simple here by refusing).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_neardup_pairs: 4-block banding guarantees recall only "
+            f"for max_hamming <= 3 (got {max_hamming}); raise the block "
+            "count or use dedup_minhash_pairs for looser similarity"
+        )
+    fp = simhash(docs, id_col=id_col, text_col=text_col)
+    blocks = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring("simhash", 4 * b + 1, 4).alias("block"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select(id_col, "simhash", "bd.block_idx", "bd.block")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.block_idx") == F.col("b.block_idx"))
+        & (F.col("a.block") == F.col("b.block"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    ).distinct()
+    nib = lambda col, i: (  # noqa: E731
+        F.instr(F.lit(_HEX), F.substring(col, i + 1, 1)) - F.lit(1)
+    ).cast("bigint")
+    hamming = sum(
+        F.bit_count(nib("sh_a", i).bitwiseXOR(nib("sh_b", i)))
+        for i in range(16)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -5,6 +5,7 @@ must hold under any refactor."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.operators import text
@@ -240,3 +241,26 @@ def test_text_operators_compose_with_streams(spark, sf_dir, tmp_path):
         spark.read.parquet(src_dir), min_score=0.0, min_words=0
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_simhash_neardup_pairs_finds_near_identical_docs(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, "  " + base.upper() + "  "),  # normalizes to identical tokens
+        (3, "completely different subject matter about spark physical plans"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2), (1, 3), (2, 3)} for p in got)
+    rows_h = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert rows_h[(1, 2)] == 0  # identical token sets → identical fingerprints
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_neardup_pairs(docs, max_hamming=5)
