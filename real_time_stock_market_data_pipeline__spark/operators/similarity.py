@@ -12,8 +12,8 @@ Three tiers:
                          candidate cost is corpus_fraction ≈ 2^-planes.
 - ``cosine_topk_fast`` — Arrow-batched pandas UDF (NumPy dot), the
                          throughput variant for wide scans; float sums
-                         are order-dependent so it is registered with a
-                         rows-only check, not a value oracle.
+                         are order-dependent so its oracle compares
+                         cosines quantized at 6 digits, not bitwise.
 
 Scale notes: the query vector is a plan literal (broadcast by value);
 brute force is one scan + one top-k reduce (no shuffle of the corpus);
@@ -344,9 +344,10 @@ def cosine_topk_fast(
 ) -> DataFrame:
     """Throughput variant: Arrow-batched pandas UDF, NumPy dot per
     batch. Float accumulation order makes the last ulp
-    partition-dependent, so this is checked rows-only (ranking ties at
-    double precision are astronomically unlikely to flip top-k in
-    practice, but we do not promise bitwise oracle equality)."""
+    partition-dependent, so the registered oracle compares cosines
+    quantized at 6 digits (ranking ties at double precision are
+    astronomically unlikely to flip top-k in practice, but we do not
+    promise bitwise equality with the SQL fold)."""
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.linalg.norm(q))
 
