@@ -1680,6 +1680,31 @@ FROM s WHERE quality_score >= 0.8 AND n_words >= 30
 """
 
 
+def q_sentence_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sentence_dedup_stats(_table("documents")(spark, sf_dir))
+
+
+_SENTENCE_DEDUP_ORACLE = """
+WITH sent AS (
+  SELECT DISTINCT doc_id, md5(s) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '. ')) AS s
+    FROM documents
+  )
+  WHERE length(s) > 0
+),
+counts AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sent GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_sentences,
+  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+    AS shared_fraction
+FROM sent JOIN counts USING (h) GROUP BY 1
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count(_table("documents")(spark, sf_dir))
 
@@ -3512,6 +3537,7 @@ QUERIES: dict[str, QueryFn] = {
     "ivf_topk_indexed": q_ivf_topk_indexed,
     "dedup_corpus": q_dedup_corpus,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
     # rows-only by design (engine-side generator); had its driver row in r4
     "synthetic_ohlcv": q_synthetic_ohlcv,
@@ -3614,6 +3640,7 @@ FROM events GROUP BY 1
     "ivf_topk_indexed": _ivf_topk_oracle(),
     "dedup_corpus": _DEDUP_CORPUS_ORACLE,
     "simhash_neardup_pairs": _simhash_neardup_oracle(),
+    "sentence_dedup_stats": _SENTENCE_DEDUP_ORACLE,
     "quality_filter": _QUALITY_FILTER_ORACLE,
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),

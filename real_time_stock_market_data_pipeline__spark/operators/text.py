@@ -557,3 +557,49 @@ def quality_filter(
     return st.filter(
         (F.col("quality_score") >= min_score) & (F.col("n_words") >= min_words)
     ).select(id_col, "n_words", "quality_score")
+
+
+def sentence_dedup_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Cross-document duplicated-sentence stats: for each document, how
+    many of its distinct sentences also appear (verbatim, after
+    normalization) in at least one *other* document — the sub-document
+    dedup signal used to strip boilerplate before training
+    (complementary to ``repetition_stats``, which is within-document).
+
+    Output: (id, n_sentences, n_shared, shared_fraction). Sentences
+    are the ``'. '``-split of the normalized text, deduped per doc.
+
+    Scale: sentences explode within their input partition and shuffle
+    as 32-hex md5 keys (never sentence text); the document-frequency
+    aggregate is map-side partial; the join back is hash-keyed. Cost is
+    linear in corpus sentence count.
+    """
+    from real_time_stock_market_data_pipeline__spark.operators.dedup import (
+        normalized_text,
+    )
+
+    sent = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(normalized_text(text_col), r"\. "))
+            ).alias("s"),
+        )
+        .filter(F.length("s") > 0)
+        .select(F.col(id_col), F.md5("s").alias("h"))
+    )
+    counts = sent.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        sent.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)), 4
+            ).alias("shared_fraction"),
+        )
+    )

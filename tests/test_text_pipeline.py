@@ -264,3 +264,17 @@ def test_simhash_neardup_pairs_finds_near_identical_docs(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.simhash_neardup_pairs(docs, max_hamming=5)
+
+
+def test_sentence_dedup_stats_detects_cross_doc_boilerplate(spark):
+    rows = [
+        (1, "unique alpha sentence one. shared boilerplate footer text here"),
+        (2, "unique beta sentence two. shared boilerplate footer text here"),
+        (3, "totally independent content with no shared parts at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.sentence_dedup_stats(docs).collect()}
+    assert out[1]["n_sentences"] == 2 and out[1]["n_shared"] == 1
+    assert out[1]["shared_fraction"] == 0.5
+    assert out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0 and out[3]["shared_fraction"] == 0.0
