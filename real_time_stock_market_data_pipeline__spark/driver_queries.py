@@ -1477,15 +1477,53 @@ GROUP BY cell, i
 
 
 def q_synthetic_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6 deterministic generator → the engine's own daily-metrics
-    shape; rows-only (xxhash64 is Spark-specific, by design — the
-    generator is an engine-side fixture, not data semantics)."""
+    """S6 deterministic generator (`stream_data_producer.py:73-110`
+    contract: per-symbol daily OHLCV with high ≥ max(open, close) ≥
+    min(open, close) ≥ low). The generator derives all entropy from
+    md5("<id>:<seed>:<salt>") and builds prices in integer cents, so
+    the DuckDB oracle replays it bit-identically — this was the one
+    registered query without an oracle through round 5."""
     from real_time_stock_market_data_pipeline__spark.sources.external import (
         synthetic_ohlcv,
     )
 
     ensure_engine_conf(spark)
     return synthetic_ohlcv(spark, days=30)
+
+
+# Replays sources/external.py:synthetic_ohlcv(days=30, seed=42,
+# base=100.0) exactly: same md5 keys, same integer-cent arithmetic,
+# same final /100.0 double division (bit-identical IEEE in both
+# engines because every operand is an exact integer).
+_SYNTHETIC_OHLCV_ORACLE = """
+WITH g AS (SELECT id FROM range(150) t(id)),
+h AS (
+  SELECT id,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:o'), 1, 8) AS BIGINT) AS ho,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:s'), 1, 8) AS BIGINT) AS hs,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:c'), 1, 8) AS BIGINT) AS hc,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:v'), 1, 8) AS BIGINT) AS hv
+  FROM g
+),
+c AS (
+  SELECT id,
+    10000 + ho % 10000 AS o_c,
+    hs % 500 AS s_c,
+    10000 + ho % 10000 + hc % 1000 - 500 AS c_c,
+    hv % 1000000 + 1000 AS volume
+  FROM h
+)
+SELECT
+  list_extract(['AAPL','MSFT','GOOG','AMZN','TSLA'],
+               CAST(id % 5 AS INT) + 1) AS symbol,
+  DATE '2024-01-01' + CAST(id // 5 AS INT) AS "date",
+  o_c / 100.0 AS open,
+  (greatest(o_c, c_c) + s_c) / 100.0 AS high,
+  (least(o_c, c_c) - s_c) / 100.0 AS low,
+  c_c / 100.0 AS close,
+  volume
+FROM c
+"""
 
 
 def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3645,9 +3683,7 @@ FROM events GROUP BY 1
     "ann_topk": _ann_topk_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
     "embedding_neardup_pairs": _embedding_neardup_oracle(),
-    # synthetic_ohlcv: rows-only — xxhash64 generator is Spark-side by design
-    # cosine_topk_fast: intentionally no oracle — pandas-UDF float sums
-    # are order-dependent; the driver records a rows-only check
+    "synthetic_ohlcv": _SYNTHETIC_OHLCV_ORACLE,
     "text_stats": _TEXT_STATS_ORACLE,
     "token_count": _TOKEN_COUNT_ORACLE,
     "term_stats": _TERM_STATS_ORACLE,

@@ -55,7 +55,15 @@ def synthetic_ohlcv(
 
     One `spark.range(days * len(symbols))` with hash-derived pseudo-
     random columns — same seed ⇒ same table on any cluster layout; no
-    Python loops, no driver-side data."""
+    Python loops, no driver-side data.
+
+    The per-row entropy is the first 32 bits of
+    ``md5("<id>:<seed>:<salt>")`` — engine-portable (DuckDB replays the
+    identical bytes; see the ``synthetic_ohlcv`` oracle), unlike the
+    earlier xxhash64 form which was Spark-only. All prices are built in
+    integer cents and divided by 100.0 at the end, so no float rounding
+    mode can diverge between engines (matching the MINHASH-constant
+    portability pattern in ``operators/dedup.py``)."""
     symbols = symbols or ["AAPL", "MSFT", "GOOG", "AMZN", "TSLA"]
     sym_arr = F.array(*[F.lit(s) for s in symbols])
     n = days * len(symbols)
@@ -63,20 +71,31 @@ def synthetic_ohlcv(
         F.element_at(sym_arr, (F.col("id") % len(symbols) + 1).cast("int")).alias(
             "symbol"
         ),
-        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") / len(symbols)).cast("int")).alias("date"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            F.floor(F.col("id") / len(symbols)).cast("int"),
+        ).alias("date"),
         F.col("id"),
     )
-    h = lambda salt: F.abs(F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt)))  # noqa: E731
-    o = F.lit(base_price) + (h("o") % 10000) / F.lit(100.0)
-    spread = (h("s") % 500) / F.lit(100.0)
-    c = o + (h("c") % 1000) / F.lit(100.0) - F.lit(5.0)
+
+    def h(salt: str) -> F.Column:
+        key = F.concat_ws(
+            ":", F.col("id").cast("string"), F.lit(str(seed)), F.lit(salt)
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+
+    base_cents = int(round(base_price * 100))
+    o_c = F.lit(base_cents) + h("o") % 10000
+    spread_c = h("s") % 500
+    c_c = o_c + h("c") % 1000 - F.lit(500)
+    cents = F.lit(100.0)
     return df.select(
         "symbol",
         "date",
-        F.round(o, 2).alias("open"),
-        F.round(F.greatest(o, c) + spread, 2).alias("high"),
-        F.round(F.least(o, c) - spread, 2).alias("low"),
-        F.round(c, 2).alias("close"),
+        (o_c / cents).alias("open"),
+        ((F.greatest(o_c, c_c) + spread_c) / cents).alias("high"),
+        ((F.least(o_c, c_c) - spread_c) / cents).alias("low"),
+        (c_c / cents).alias("close"),
         (h("v") % 1_000_000 + 1000).alias("volume"),
     )
 

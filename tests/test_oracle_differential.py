@@ -1,5 +1,6 @@
 """DuckDB-oracle differential tests (SURVEY.md §5 item 1) for a
-representative slice of the registry; the full 29-query sweep runs in
+representative slice of the registry; the full registry-wide sweep
+(every entry in ``driver_queries.QUERIES``) runs in
 scripts/check_correctness.py and in the round driver itself."""
 
 from __future__ import annotations
@@ -34,7 +35,8 @@ def test_matches_oracle(name, spark, duck, sf_dir):
 
 
 def test_every_query_has_oracle_or_reason():
+    # every registered query now has a DuckDB oracle — synthetic_ohlcv,
+    # the last rows-only holdout, gained one when its generator moved
+    # from xxhash64 to engine-portable md5/integer-cent arithmetic
     missing = set(driver_queries.QUERIES) - set(driver_queries.ORACLES)
-    # the one intentional rows-only query: the Spark-side xxhash64
-    # generator is an engine fixture by design (no cross-engine replay)
-    assert missing == {"synthetic_ohlcv"}, missing
+    assert missing == set(), missing
