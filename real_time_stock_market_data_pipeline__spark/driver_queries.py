@@ -2199,6 +2199,64 @@ FROM m
 """
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (no codec library): deterministic binary
+    PPM / PCM WAV payloads built per doc_id, then byte-level header
+    parsing + pixel/sample statistics in Arrow-batched ``mapInPandas``
+    (`operators/multimodal.py:decode_media`). The oracle replays the
+    decoded features from the closed-form byte spec — so a parsing bug
+    (endianness, header offset, channel interleave) breaks the hash."""
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    return multimodal.decode_media(multimodal.synthetic_media(docs))
+
+
+# Replays multimodal._ppm_bytes/_wav_bytes + decode_media: images are
+# w=4+d%5 × h=3+d%7 with interleaved-RGB byte j = (d*7+j*11)%256;
+# audio is n=160+d%100 samples of ((d*13+i*17)%2003)-1001 at 8 kHz.
+# All sums exact integers; rms = sqrt(ssq/n) is correctly-rounded IEEE
+# in both engines.
+_MEDIA_DECODE_ORACLE = """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS j FROM img),
+imgf AS (
+  SELECT doc_id, w, h,
+         sum(CASE WHEN j % 3 = 0 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_r,
+         sum(CASE WHEN j % 3 = 1 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_g,
+         sum(CASE WHEN j % 3 = 2 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+),
+aud AS (SELECT doc_id, 160 + doc_id % 100 AS n FROM documents WHERE doc_id % 2 = 1),
+smp AS (
+  SELECT doc_id, n, ((doc_id * 13 + unnest(range(0, n)) * 17) % 2003) - 1001 AS s
+  FROM aud
+),
+audf AS (
+  SELECT doc_id, n, max(abs(s)) AS peak, sum(s * s) AS ssq
+  FROM smp GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id, 'image' AS kind, 'ppm' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS duration_ms, CAST(NULL AS INT) AS peak,
+       CAST(NULL AS DOUBLE) AS rms
+FROM imgf
+UNION ALL
+SELECT doc_id, 'audio', 'wav', NULL, NULL, NULL, NULL, NULL, NULL,
+       CAST(n AS BIGINT), 8000, CAST(n * 1000 // 8000 AS INT),
+       CAST(peak AS INT), sqrt(CAST(ssq AS DOUBLE) / n)
+FROM audf
+"""
+
+
 # --------------------------------------------------------------------------
 # Partition-pruned batch scan (S2), exercised end-to-end
 # --------------------------------------------------------------------------
@@ -3520,6 +3578,7 @@ QUERIES: dict[str, QueryFn] = {
     # never driver-checked (round-4 additions landed past position 50)
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
+    "media_decode": q_media_decode,
     "kafka_decode": q_kafka_decode,
     "partitioned_scan": q_partitioned_scan,
     "pii_redact": q_pii_redact,
@@ -3693,6 +3752,7 @@ FROM events GROUP BY 1
     "lang_id": _lang_id_oracle(),
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_features": _media_features_oracle(),
+    "media_decode": _MEDIA_DECODE_ORACLE,
     "kafka_decode": _KAFKA_DECODE_ORACLE,
     "partitioned_scan": _PARTITIONED_SCAN_ORACLE,
     "pii_redact": _PII_ORACLE,

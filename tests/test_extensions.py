@@ -111,6 +111,84 @@ def test_resize_media_plumbing(spark, sf_dir):
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
 
 
+def test_decode_ppm_known_answer():
+    """Hand-built 2×1 P6 with a comment line: pixel 0 = (1,2,3),
+    pixel 1 = (250, 251, 252) — decoded sums must match by hand."""
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    d = _decode_ppm(payload)
+    assert d["width"] == 2 and d["height"] == 1 and d["n_pixels"] == 2
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (251, 253, 255)
+
+
+def test_decode_wav_known_answer():
+    """Stdlib-written WAV with samples [3, -4, 0]: peak 4,
+    rms = sqrt((9+16+0)/3), duration 0 ms at 8 kHz."""
+    import io
+    import wave
+    from array import array
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_wav,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(array("h", [3, -4, 0]).tobytes())
+    d = _decode_wav(buf.getvalue())
+    assert d["n_samples"] == 3 and d["sample_rate"] == 8000
+    assert d["peak"] == 4
+    assert d["rms"] == (25 / 3) ** 0.5
+    assert d["duration_ms"] == 0
+
+
+def test_decode_media_rejects_garbage():
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    with _pytest.raises(ValueError, match="truncated PPM body"):
+        _decode_ppm(b"P6\n4 4\n255\nshort")
+    with _pytest.raises(ValueError, match="P6 magic"):
+        _decode_ppm(b"JFIF....")
+
+
+def test_decode_media_end_to_end(spark, sf_dir):
+    """synthetic_media → decode_media round trip: metadata emitted at
+    generation time must equal what the byte-level parse recovers."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = multimodal.synthetic_media(docs)
+    dec = multimodal.decode_media(media)
+    joined = media.select(
+        "media_id", "kind", "width", "height", "duration_ms"
+    ).join(
+        dec.select(
+            "media_id",
+            F.col("width").alias("dw"),
+            F.col("height").alias("dh"),
+            F.col("duration_ms").alias("dd"),
+            "fmt",
+        ),
+        "media_id",
+    )
+    for r in joined.collect():
+        assert r["fmt"] == ("ppm" if r["kind"] == "image" else "wav")
+        assert r["dw"] == r["width"] and r["dh"] == r["height"]
+        assert r["dd"] == r["duration_ms"]
+
+
 def test_sample_frames_count_and_no_shuffle(spark, sf_dir):
     from pyspark.sql import functions as F
 
