@@ -101,12 +101,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must always emit
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    total = round(sum(timings.values()), 3)
+    # A failed query must not flatter the headline: with any error the
+    # sum of the surviving timings is NOT comparable to an all-green
+    # run, so `value` goes null and `failed_queries` says why.
+    total = round(sum(timings.values()), 3) if not errors else None
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "failed_queries": len(errors),
         "sf": sf,
     }
     if errors:

@@ -3087,6 +3087,113 @@ SELECT symbol, date, round(close, 4) AS close, round(ema, 6) AS ema FROM rec
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (T-family / A4 streaming twin):
+    ``dropDuplicatesWithinWatermark`` on (event_type, date) over the
+    event file stream, drained with availableNow into a memory sink.
+    Only the key columns are projected — the non-key columns of the
+    "first" occurrence are arrival-order-dependent by definition, so
+    the registered result is the deterministic key set (= batch
+    DISTINCT, which is the oracle)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    keyed = src.select("event_type", "ts", F.to_date("ts").alias("date"))
+    out = pipeline.stream_dedup_within_watermark(
+        keyed, ["event_type", "date"], ts_col="ts"
+    ).select("event_type", "date")
+    tmp = tempfile.mkdtemp(prefix="sdedup_q_")
+    name = "stream_dedup_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT event_type, CAST(ts AS DATE) AS date FROM events
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True stream-stream interval join: view events ⋈ purchase events
+    per user where the purchase lands within [view_ts, view_ts+3600s] —
+    both sides are live streams (two tails of the event file stream),
+    state bounded by the watermark + time bounds
+    (`streaming/pipeline.py:stream_interval_join`). Drained with
+    availableNow; the oracle is the plain batch time-range join, which
+    the streamed inner join must reproduce exactly."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    src1 = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    src2 = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    views = src1.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = src2.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = pipeline.stream_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=3600,
+    )
+    tmp = tempfile.mkdtemp(prefix="sij_q_")
+    name = "stream_interval_join_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "view_ts",
+        "view_id",
+        "purchase_ts",
+        "purchase_id",
+        "purchase_value",
+    )
+
+
+_STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT l.user_id, l.view_ts, l.view_id,
+       r.purchase_ts, r.purchase_id, r.purchase_value
+FROM (SELECT user_id, ts AS view_ts, event_id AS view_id
+      FROM events WHERE event_type = 'view') l
+JOIN (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.purchase_ts >= l.view_ts
+ AND r.purchase_ts <= l.view_ts + INTERVAL 3600 SECOND
+"""
+
+
 # --------------------------------------------------------------------------
 # TWAP / histogram / anomaly / profiling
 # --------------------------------------------------------------------------
@@ -3572,13 +3679,73 @@ FROM s
 # that window; multiply-green veterans cede their slots and keep local
 # coverage.
 QUERIES: dict[str, QueryFn] = {
-    # previously red (NTZ root cause, fixed this round) — prove it
+    # ---- first-50 driver window: every query with no green driver
+    # ---- row yet (new this round or first-ever oracle) ...
+    "synthetic_ohlcv": q_synthetic_ohlcv,
+    "media_decode": q_media_decode,
+    "stream_dedup": q_stream_dedup,
+    "stream_interval_join": q_stream_interval_join,
+    "ohlcv_backfill": q_ohlcv_backfill,
+    "knn_join": q_knn_join,
+    "ivf_topk_indexed": q_ivf_topk_indexed,
+    "dedup_corpus": q_dedup_corpus,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "sentence_dedup_stats": q_sentence_dedup_stats,
+    "quality_filter": q_quality_filter,
+    # ---- ... then the longest-unverified veterans (last driver row:
+    # ---- round 4); round-5-verified queries cede their slots
+    "daily_metrics": q_daily_metrics,
+    "daily_metrics_window": q_daily_metrics_window,
+    "daily_metrics_lineitem": q_daily_metrics_lineitem,
+    "daily_returns": q_daily_returns,
+    "topk_movers": q_topk_movers,
+    "realtime_metrics": q_realtime_metrics,
+    "stream_running_vwap": q_stream_running_vwap,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keep_last": q_dedup_keep_last,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "region_revenue": q_region_revenue,
+    "shipping_priority": q_shipping_priority,
+    "merge_upsert": q_merge_upsert,
+    "asof_join": q_asof_join,
+    "set_ops": q_set_ops,
+    "pivot_event_counts": q_pivot_event_counts,
+    "rollup_event_value": q_rollup_event_value,
+    "cube_event_value": q_cube_event_value,
+    "active_users_hourly": q_active_users_hourly,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "range_join_bands": q_range_join_bands,
+    "cascade_rollup": q_cascade_rollup,
+    "topk_days_per_symbol": q_topk_days_per_symbol,
+    "value_quantiles": q_value_quantiles,
+    "winsorize": q_winsorize,
+    "cosine_topk": q_cosine_topk,
+    "ann_topk": q_ann_topk,
+    "ivf_topk": q_ivf_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "term_stats": q_term_stats,
+    "chunk_documents": q_chunk_documents,
+    "stratified_sample": q_stratified_sample,
+    "lang_id": q_lang_id,
+    # ---- position 51+: local gate only this round (stable veterans:
+    # ---- pure-projection r4 queries, then the full round-5-green set)
+    "tick_cast": q_tick_cast,
+    "normalize_symbol": q_normalize_symbol,
+    "date_parts": q_date_parts,
+    "json_field": q_json_field,
+    "text_stats": q_text_stats,
+    "token_count": q_token_count,
+    "hash_split": q_hash_split,
     "sessionize": q_sessionize,
     "stream_realtime_metrics": q_stream_realtime_metrics,
-    # never driver-checked (round-4 additions landed past position 50)
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
-    "media_decode": q_media_decode,
     "kafka_decode": q_kafka_decode,
     "partitioned_scan": q_partitioned_scan,
     "pii_redact": q_pii_redact,
@@ -3623,67 +3790,8 @@ QUERIES: dict[str, QueryFn] = {
     "duplicate_ticks": q_duplicate_ticks,
     "intraday_vol": q_intraday_vol,
     "roll_spread": q_roll_spread,
-    # first-ever oracle this round (was rows-only)
     "cosine_topk_fast": q_cosine_topk_fast,
-    # new this round: provider ingestion normalization (S5 logic)
     "provider_normalize": q_provider_normalize,
-    # ---- position 51+: next window rotation / veterans (local gate) ----
-    # new this round; wait for the next window rotation
-    "ohlcv_backfill": q_ohlcv_backfill,
-    "knn_join": q_knn_join,
-    "ivf_topk_indexed": q_ivf_topk_indexed,
-    "dedup_corpus": q_dedup_corpus,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "sentence_dedup_stats": q_sentence_dedup_stats,
-    "quality_filter": q_quality_filter,
-    # rows-only by design (engine-side generator); had its driver row in r4
-    "synthetic_ohlcv": q_synthetic_ohlcv,
-    "daily_metrics": q_daily_metrics,
-    "daily_metrics_window": q_daily_metrics_window,
-    "daily_metrics_lineitem": q_daily_metrics_lineitem,
-    "daily_returns": q_daily_returns,
-    "topk_movers": q_topk_movers,
-    "realtime_metrics": q_realtime_metrics,
-    "stream_running_vwap": q_stream_running_vwap,
-    "dedup_exact": q_dedup_exact,
-    "dedup_keep_last": q_dedup_keep_last,
-    "dedup_minhash_pairs": q_dedup_minhash_pairs,
-    "neardup_clusters": q_neardup_clusters,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash": q_simhash,
-    "tick_cast": q_tick_cast,
-    "normalize_symbol": q_normalize_symbol,
-    "date_parts": q_date_parts,
-    "json_field": q_json_field,
-    "pricing_summary": q_pricing_summary,
-    "top_customers": q_top_customers,
-    "region_revenue": q_region_revenue,
-    "shipping_priority": q_shipping_priority,
-    "merge_upsert": q_merge_upsert,
-    "asof_join": q_asof_join,
-    "set_ops": q_set_ops,
-    "pivot_event_counts": q_pivot_event_counts,
-    "rollup_event_value": q_rollup_event_value,
-    "cube_event_value": q_cube_event_value,
-    "active_users_hourly": q_active_users_hourly,
-    "salted_agg": q_salted_agg,
-    "salted_join": q_salted_join,
-    "range_join_bands": q_range_join_bands,
-    "cascade_rollup": q_cascade_rollup,
-    "topk_days_per_symbol": q_topk_days_per_symbol,
-    "value_quantiles": q_value_quantiles,
-    "winsorize": q_winsorize,
-    "cosine_topk": q_cosine_topk,
-    "ann_topk": q_ann_topk,
-    "ivf_topk": q_ivf_topk,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "text_stats": q_text_stats,
-    "token_count": q_token_count,
-    "term_stats": q_term_stats,
-    "chunk_documents": q_chunk_documents,
-    "hash_split": q_hash_split,
-    "stratified_sample": q_stratified_sample,
-    "lang_id": q_lang_id,
 }
 
 ORACLES: dict[str, str] = {
@@ -3783,6 +3891,8 @@ FROM events GROUP BY 1
     "small_quantity_revenue": _SMALL_QUANTITY_ORACLE,
     "idle_rich_customers": _IDLE_RICH_ORACLE,
     "stream_ema": _STREAM_EMA_ORACLE,
+    "stream_dedup": _STREAM_DEDUP_ORACLE,
+    "stream_interval_join": _STREAM_INTERVAL_JOIN_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,
     "zscore_anomalies": _ZSCORE_ORACLE,

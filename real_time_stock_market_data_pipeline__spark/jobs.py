@@ -152,7 +152,21 @@ class PipelineRun:
         return all(r.ok for r in self.results)
 
     def value(self, name: str) -> object:
-        return next(r.value for r in self.results if r.name == name)
+        """Result value of the named step. Raises ``KeyError`` when the
+        step never ran (e.g. halted upstream by fail_fast) and
+        ``RuntimeError`` when it ran and failed — a failed step's None
+        must not read like a legitimate result."""
+        for r in self.results:
+            if r.name == name:
+                if not r.ok:
+                    raise RuntimeError(
+                        f"step {name!r} failed after {r.attempts} "
+                        f"attempt(s): {r.error}"
+                    )
+                return r.value
+        raise KeyError(
+            f"step {name!r} has no result (never ran — halted upstream?)"
+        )
 
 
 def run_pipeline(steps: list[Step], fail_fast: bool = True) -> PipelineRun:

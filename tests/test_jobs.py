@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark import jobs
@@ -138,6 +139,11 @@ def test_run_pipeline_halts_downstream_on_failure():
     assert run.results[1].attempts == 2
     assert "hard failure" in run.results[1].error
     assert ran == ["a"]
+    # value() must not silently return None for failed/never-ran steps
+    with pytest.raises(RuntimeError, match="failed after 2"):
+        run.value("b")
+    with pytest.raises(KeyError, match="never ran"):
+        run.value("c")
 
 
 def test_historical_pipeline_full_chain(spark, sf_dir):

@@ -207,3 +207,64 @@ def test_mock_source_restart_resumes_exactly_once(spark, wire_messages, tmp_path
     got = spark.read.parquet(out_dir)
     assert got.count() == len(msgs)  # nothing lost, nothing duplicated
     assert got.select("event_id").distinct().count() == len(msgs)
+
+
+def test_read_kafka_stream_builds_real_kafka_source_options(spark, wire_messages):
+    """The ONE line the mock path can't execute is the default
+    ``format("kafka")`` + option wiring (spark-sql-kafka jar absent
+    from this container). Drive the full function body with a recording
+    reader: assert the exact format string and source options the real
+    broker path would receive, while load() hands back genuine wire
+    rows so the decode projection still executes and round-trips."""
+    ev, msgs = wire_messages
+
+    class RecordingReader:
+        def __init__(self, df):
+            self._df = df
+            self.fmt = None
+            self.options: dict[str, str] = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.options[k] = v
+            return self
+
+        def load(self):
+            return self._df
+
+    class FakeSpark:
+        def __init__(self, reader):
+            self._reader = reader
+
+        @property
+        def readStream(self):
+            return self._reader
+
+    wire = sinks.encode_keyed_json(ev, key_col="event_type")
+    reader = RecordingReader(wire)
+    decoded = pipeline.read_kafka_stream(
+        FakeSpark(reader),
+        servers="broker1:9092,broker2:9092",
+        topic="ticks",
+        schema=ev.schema,
+        starting_offsets="latest",
+        extra_options={"maxOffsetsPerTrigger": "5000"},
+    )
+
+    # exactly what a real spark-sql-kafka source would be handed
+    assert reader.fmt == "kafka"
+    assert reader.options == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+    # and the decode projection after load() still round-trips the wire
+    got = {r["event_id"]: r for r in decoded.collect()}
+    for r in ev.collect():
+        assert got[r["event_id"]]["symbol_key"] == r["event_type"]
+        assert got[r["event_id"]]["value"] == r["value"]
+        assert got[r["event_id"]]["ts"] == r["ts"]
