@@ -3180,6 +3180,69 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` streaming sessionization drained
+    with availableNow (`streaming/pipeline.py:stream_sessionize`).
+    Append mode only emits sessions the final watermark has closed, so
+    the oracle reproduces BOTH the gap-merge semantics (split when the
+    inter-event gap exceeds 1800 s — same rule as the batch
+    ``sessionize``) and the emission filter: session_close (last event
+    + gap) at or before max(ts) minus the 1-minute watermark delay.
+    The withheld tail is exactly the still-open sessions."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    out = pipeline.stream_sessionize(src, "user_id", "ts", gap_seconds=1800)
+    tmp = tempfile.mkdtemp(prefix="ssess_q_")
+    name = "stream_sessionize_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# Gap-split (>1800 s, the session_window merge rule) then emission
+# filter at the final watermark (ms-floored max event time - 60 s).
+# The fixture has no event pair exactly on either boundary, so the
+# inequality choices are pinned by the empirical equality sweep run
+# when this oracle was added (4 emission forms × 2 split forms all
+# agreed with the drained stream).
+_STREAM_SESSIONIZE_ORACLE = """
+WITH flags AS (
+  SELECT user_id AS key, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT key, ts, sum(new_s) OVER (PARTITION BY key ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flags
+),
+g AS (
+  SELECT key, min(ts) AS session_start,
+         max(ts) + INTERVAL 1800 SECOND AS session_close,
+         count(*) AS n_events
+  FROM sess GROUP BY key, sid
+),
+w AS (SELECT max(ts) AS mx FROM events)
+SELECT g.key, g.session_start, g.session_close, g.n_events
+FROM g, w
+WHERE epoch_ms(g.session_close) <= epoch_ms(w.mx) - 60000
+"""
+
+
 _STREAM_INTERVAL_JOIN_ORACLE = """
 SELECT l.user_id, l.view_ts, l.view_id,
        r.purchase_ts, r.purchase_id, r.purchase_value
@@ -3685,6 +3748,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_decode": q_media_decode,
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
+    "stream_sessionize": q_stream_sessionize,
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
     "ivf_topk_indexed": q_ivf_topk_indexed,
@@ -3893,6 +3957,7 @@ FROM events GROUP BY 1
     "stream_ema": _STREAM_EMA_ORACLE,
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_ORACLE,
+    "stream_sessionize": _STREAM_SESSIONIZE_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,
     "zscore_anomalies": _ZSCORE_ORACLE,

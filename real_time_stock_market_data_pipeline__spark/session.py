@@ -158,3 +158,87 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
             "for oracle-reproducible windows and date truncation"
         )
     return spark
+
+
+def scale_profile(
+    executors: int = 1000,
+    executor_cores: int = 4,
+    scan_partition_mb: int = 256,
+    shuffle_target_mb: int = 128,
+    broadcast_mb: int = 64,
+) -> dict[str, str]:
+    """The 100 TB / 1000-executor configuration, as executable code.
+
+    Every scattered scale note in the repo (AQE re-planning, RocksDB
+    streaming state, broadcast thresholds, partition sizing) lands here
+    as one conf dict, sized from the cluster shape instead of hand
+    constants. Merge it over the session via
+    ``get_spark(extra_conf=scale_profile(...))`` (builder time) or
+    ``apply_scale_profile(spark)`` (live session, runtime-settable
+    subset).
+
+    Sizing math, for the defaults (100 TB input, 4000 cores):
+
+    - **Scan tasks**: ``maxPartitionBytes`` 256 MB → ~400k scan splits
+      over 100 TB — ~100 waves over 4000 cores, plenty of scheduling
+      granularity without task-launch overhead dominating.
+    - **Shuffle partitions**: 3× total cores statically; AQE then
+      coalesces every post-shuffle stage to ``advisoryPartitionSizeInBytes``
+      (128 MB) from runtime statistics, so the static number only needs
+      to be "comfortably more than cores", never tuned per-query.
+    - **Broadcast**: 64 MB covers every dimension table in the model
+      (region/nation/supplier/part at SF where lineitem is 100 TB-scale
+      fact data) without risking driver OOM — ~64 MB × cores of
+      executor heap is the real constraint, and 4-core executors keep
+      that bounded.
+    - **Skew**: AQE splits any post-shuffle partition >2× the median
+      (and >256 MB) — the runtime complement to the explicit salting
+      operators (`operators/relational.py`).
+    - **Streaming state**: RocksDB state store with changelog
+      checkpointing — state spills to local disk instead of executor
+      heap, checkpoint uploads are incremental deltas; required once
+      streaming-dedup/join state no longer fits memory.
+    """
+    cores = executors * executor_cores
+    mb = 1024 * 1024
+    profile = {
+        **ENGINE_CONF,
+        "spark.sql.shuffle.partitions": str(3 * cores),
+        "spark.sql.files.maxPartitionBytes": str(scan_partition_mb * mb),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            shuffle_target_mb * mb
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(broadcast_mb * mb),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            2 * shuffle_target_mb * mb
+        ),
+        # scan-side partial aggregation for min/max/count-over-parquet
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # columnar writes at scale: zstd ~ snappy speed at better ratio
+        "spark.sql.parquet.compression.codec": "zstd",
+        # pandas-UDF paths: bound Arrow batch memory per task
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+    from real_time_stock_market_data_pipeline__spark.streaming.pipeline import (
+        ROCKSDB_STATE_CONF,
+    )
+
+    profile.update(ROCKSDB_STATE_CONF)
+    return profile
+
+
+def apply_scale_profile(spark: SparkSession, **kwargs) -> dict[str, str]:
+    """Apply the runtime-settable subset of :func:`scale_profile` to a
+    live session; returns the previous values of every key it changed
+    (so tests — or a cautious operator — can restore them)."""
+    prev: dict[str, str] = {}
+    for k, v in scale_profile(**kwargs).items():
+        if not spark.conf.isModifiable(k):
+            continue
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None  # type: ignore[assignment]
+        spark.conf.set(k, v)
+    return prev
