@@ -1536,15 +1536,18 @@ def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     out = similarity.cosine_topk_fast(
-        load_table(spark, sf_dir, "embeddings"), q, k=10
+        load_table(spark, sf_dir, "embeddings"), q, k=10, rank_digits=6
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+# Ranks on the 6-digit-quantized cosine (ties → vec_id) on BOTH sides,
+# so a near-tie at the rank-k boundary cannot produce a member-set
+# mismatch between NumPy-BLAS and SQL-fold summation orders.
 _COSINE_TOPK_FAST_ORACLE = f"""
 SELECT vec_id, round({_COSINE_QE}, 6) AS cosine
 FROM embeddings CROSS JOIN {_Q_SUB}
-ORDER BY {_COSINE_QE} DESC NULLS LAST, vec_id
+ORDER BY round({_COSINE_QE}, 6) DESC NULLS LAST, vec_id
 LIMIT 10
 """
 
@@ -2528,6 +2531,90 @@ SELECT symbol, n_returns,
                                       / (n_returns - 1), 0.0)) END)
              * sqrt(252.0), 6) AS vol_annual
 FROM a
+"""
+
+
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average True Range over the daily OHLCV series (Cutler-style
+    SMA of TR; `operators/indicators.py:atr`)."""
+    return indicators.atr(q_daily_metrics(spark, sf_dir), n=14)
+
+
+_ATR_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol, date, daily_close AS close,
+         round(CASE WHEN lag(daily_close) OVER wl IS NULL
+                    THEN daily_high - daily_low
+                    ELSE greatest(
+                        daily_high - daily_low,
+                        abs(daily_high - lag(daily_close) OVER wl),
+                        abs(daily_low - lag(daily_close) OVER wl)) END,
+               6) AS tr
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+r AS (
+  SELECT symbol, date, close, tr,
+         CAST(sum(CAST(tr AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS atr,
+         row_number() OVER wn AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close, tr, round(atr, 6) AS atr FROM r WHERE rn >= 14
+"""
+
+
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume — all-integer signed running volume
+    (`operators/indicators.py:obv`)."""
+    return indicators.obv(q_daily_metrics(spark, sf_dir))
+
+
+_OBV_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+s AS (
+  SELECT symbol, date, daily_close AS close,
+         CAST(daily_volume AS BIGINT) AS volume,
+         CASE WHEN round(daily_close - lag(daily_close) OVER wl, 6) > 0
+              THEN CAST(daily_volume AS BIGINT)
+              WHEN round(daily_close - lag(daily_close) OVER wl, 6) < 0
+              THEN -CAST(daily_volume AS BIGINT)
+              ELSE 0 END AS signed_volume
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close, volume, signed_volume,
+       CAST(sum(signed_volume) OVER (PARTITION BY symbol ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM s
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (`operators/behavior.py:event_transitions`)."""
+    return behavior.event_transitions(_events(spark, sf_dir))
+
+
+_EVENT_TRANSITIONS_ORACLE = """
+WITH p AS (
+  SELECT event_type AS from_event,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_event
+  FROM events
+),
+c AS (
+  SELECT from_event, to_event, count(*) AS n
+  FROM p WHERE to_event IS NOT NULL GROUP BY from_event, to_event
+)
+SELECT from_event, to_event, n,
+       CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_event)
+                                AS DOUBLE) AS p
+FROM c
 """
 
 
@@ -3749,6 +3836,9 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup": q_stream_dedup,
     "stream_interval_join": q_stream_interval_join,
     "stream_sessionize": q_stream_sessionize,
+    "atr": q_atr,
+    "obv": q_obv,
+    "event_transitions": q_event_transitions,
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
     "ivf_topk_indexed": q_ivf_topk_indexed,
@@ -3958,6 +4048,9 @@ FROM events GROUP BY 1
     "stream_dedup": _STREAM_DEDUP_ORACLE,
     "stream_interval_join": _STREAM_INTERVAL_JOIN_ORACLE,
     "stream_sessionize": _STREAM_SESSIONIZE_ORACLE,
+    "atr": _ATR_ORACLE,
+    "obv": _OBV_ORACLE,
+    "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,
     "zscore_anomalies": _ZSCORE_ORACLE,

@@ -144,3 +144,43 @@ def rank_stats(
         F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
         F.ntile(n_tiles).over(w).alias("tile"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition statistics over per-user event
+    sequences: for every ordered (from_event → to_event) pair of
+    consecutive events of one user, the transition count and its
+    probability given the source state.
+
+    The sequence order is total ((ts, id) tie-break) so counts are
+    engine-portable. The probability is one double division of two
+    exact counts — deterministic IEEE.
+
+    Scale: one shuffle on the user key for the ``lead`` window, then a
+    partial-aggregated groupBy on (from, to) — the classic
+    sessionless clickstream-model shape; no state beyond the window
+    frame. The per-source totals ride along via a second window over
+    the already-aggregated (tiny) transition matrix, not the raw
+    events.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_event"),
+        F.lead(type_col).over(w).alias("to_event"),
+    ).where(F.col("to_event").isNotNull())
+    counts = pairs.groupBy("from_event", "to_event").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wsrc = Window.partitionBy("from_event")
+    return counts.select(
+        "from_event",
+        "to_event",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
+    )

@@ -584,3 +584,89 @@ def roll_spread(
         F.round(F.when(n >= 2, cov), 6).alias("serial_cov"),
         F.round(spread, 6).alias("roll_spread"),
     )
+
+
+def atr(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Average True Range (Cutler-style simple moving average of TR;
+    Wilder's recursive smoothing belongs with the EMA family).
+
+    TR_t = max(high-low, |high - prev_close|, |low - prev_close|),
+    falling back to the plain high-low range on each symbol's first
+    day (no previous close). The prev-close fallback is written as an
+    explicit ``when`` rather than relying on ``greatest`` null
+    handling, which differs between engines. TR is quantized to 6
+    decimals before the exact DECIMAL rolling average (same
+    portability rules as :func:`rsi`); rows before the n-day window
+    fills are dropped.
+
+    Scale: one shuffle on symbol, streaming window frames — O(n) state
+    per key regardless of series length.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    prev_close = F.lag(close_col).over(wlag)
+    hi, lo = F.col(high_col), F.col(low_col)
+    tr = F.when(prev_close.isNull(), hi - lo).otherwise(
+        F.greatest(hi - lo, F.abs(hi - prev_close), F.abs(lo - prev_close))
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        F.round(tr, 6).alias("tr"),
+    )
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            "tr",
+            F.round(_roll_avg(F.col("tr"), w), 6).alias("atr"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )
+
+
+def obv(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+    volume_col: str = "daily_volume",
+) -> DataFrame:
+    """On-Balance Volume: running sum of volume signed by the daily
+    close direction (up day +volume, down day -volume, flat or first
+    day 0). With integer volumes the whole series is exact integer
+    arithmetic — no float path at all, so the oracle replays it
+    bit-identically under any partitioning.
+
+    Scale: one shuffle on symbol; the running sum is a streaming
+    window frame (O(1) state per key).
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    diff = F.round(F.col(close_col) - F.lag(close_col).over(wlag), 6)
+    signed = (
+        F.when(diff > 0, F.col(volume_col))
+        .when(diff < 0, -F.col(volume_col))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        F.col(volume_col).cast("long").alias("volume"),
+        signed.alias("signed_volume"),
+    ).withColumn("obv", F.sum("signed_volume").over(wrun))

@@ -341,13 +341,16 @@ def cosine_topk_fast(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rank_digits: int | None = None,
 ) -> DataFrame:
     """Throughput variant: Arrow-batched pandas UDF, NumPy dot per
     batch. Float accumulation order makes the last ulp
     partition-dependent, so the registered oracle compares cosines
-    quantized at 6 digits (ranking ties at double precision are
-    astronomically unlikely to flip top-k in practice, but we do not
-    promise bitwise equality with the SQL fold)."""
+    quantized at 6 digits. With ``rank_digits`` set, the top-k ranking
+    itself runs on the quantized cosine (ties broken by id) — then two
+    engines that agree on the quantized values agree on the *member
+    set* too, closing the near-tie-at-rank-k hole that full-precision
+    ranking leaves open when summation orders differ."""
     q = np.asarray(query, dtype=np.float64)
     qn = float(np.linalg.norm(q))
 
@@ -360,9 +363,12 @@ def cosine_topk_fast(
             sims = np.where(norms > 0, dots / (norms * qn), np.nan)
         return pd.Series(sims)
 
+    rank = F.col("cosine")
+    if rank_digits is not None:
+        rank = F.round(rank, rank_digits)
     return (
         embs.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .orderBy(rank.desc(), F.col(id_col))
         .limit(k)
     )
 

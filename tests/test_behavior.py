@@ -67,3 +67,22 @@ def test_volume_rank_bounds(spark, sf_dir):
         assert 0.0 <= r.pct_rank <= 1.0
         assert 0.0 < r.cume_dist <= 1.0
         assert 1 <= r.tile <= 4
+
+
+def test_event_transitions_probabilities(spark, sf_dir):
+    """Per-source probabilities sum to 1; total transition count equals
+    events minus one per user (consecutive-pair count)."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_event_transitions,
+    )
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    df = q_event_transitions(spark, sf_dir)
+    per_src = df.groupBy("from_event").agg(F.sum("p").alias("tot"))
+    for r in per_src.collect():
+        assert abs(r.tot - 1.0) < 1e-9
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert df.agg(F.sum("n")).first()[0] == ev.count() - n_users

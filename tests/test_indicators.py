@@ -132,3 +132,41 @@ def test_ema_converges_to_constant():
     for r in out:
         assert r.ema_fast == 42.0 and r.ema_slow == 42.0
         assert r.macd == 0.0 and r.macd_signal == 0.0 and r.macd_hist == 0.0
+
+
+def test_atr_dominates_daily_range(spark, sf_dir):
+    """TR ≥ high-low by construction, so ATR ≥ 0 and every TR must be
+    at least that day's range; hand-check the gap-day case."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_atr
+
+    rows = q_atr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.tr >= 0 and r.atr >= 0
+
+    base = [
+        ("A", "2024-01-01", 10.0, 8.0, 9.0),
+        ("A", "2024-01-02", 20.0, 19.0, 19.5),  # gap up: TR from prev close
+    ]
+    df = spark.createDataFrame(
+        base, ["symbol", "date", "daily_high", "daily_low", "daily_close"]
+    ).withColumn("date", F.col("date").cast("date"))
+    out = {r["date"].isoformat(): r for r in indicators.atr(df, n=1).collect()}
+    assert out["2024-01-01"]["tr"] == 2.0  # first day: high - low
+    assert out["2024-01-02"]["tr"] == 11.0  # |high - prev_close| dominates
+
+
+def test_obv_telescopes_to_signed_sum(spark, sf_dir):
+    """Final OBV per symbol == sum of its signed volumes; flat/first
+    days contribute zero."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_obv
+
+    df = q_obv(spark, sf_dir)
+    final = df.groupBy("symbol").agg(
+        F.max_by("obv", "date").alias("last_obv"),
+        F.sum("signed_volume").alias("total_signed"),
+    )
+    for r in final.collect():
+        assert r.last_obv == r.total_signed
+    firsts = df.groupBy("symbol").agg(F.min_by("signed_volume", "date").alias("sv"))
+    assert all(r.sv == 0 for r in firsts.collect())
