@@ -2594,6 +2594,42 @@ FROM s
 """
 
 
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over the daily OHLCV series
+    (`operators/indicators.py:stochastic_oscillator`)."""
+    return indicators.stochastic_oscillator(q_daily_metrics(spark, sf_dir))
+
+
+_STOCHASTIC_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+kk AS (
+  SELECT symbol, date, daily_close AS close,
+         round(CASE WHEN max(daily_high) OVER w <> min(daily_low) OVER w
+                    THEN 100.0 * (daily_close - min(daily_low) OVER w)
+                         / (max(daily_high) OVER w - min(daily_low) OVER w)
+               END, 6) AS pct_k,
+         row_number() OVER wn AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM kk WHERE rn >= 14),
+dd AS (
+  SELECT symbol, date, close, pct_k,
+         CASE WHEN count(pct_k) OVER wd = 3
+              THEN round(CAST(sum(CAST(pct_k AS DECIMAL(18,6))) OVER wd
+                              AS DOUBLE) / count(*) OVER wd, 6) END AS pct_d,
+         row_number() OVER wn2 AS rn2
+  FROM f
+  WINDOW wd AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         wn2 AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close, pct_k, pct_d FROM dd WHERE rn2 >= 3
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (`operators/behavior.py:event_transitions`)."""
@@ -3171,6 +3207,61 @@ rec AS (
   FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
 )
 SELECT symbol, date, round(close, 4) AS close, round(ema, 6) AS ema FROM rec
+"""
+
+
+def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2/T5/T7/K2 native append path: watermarked sliding-window
+    aggregation written as partitioned parquet, drained availableNow
+    (`streaming/pipeline.py:stream_window_metrics_append`). Append
+    emits a window only once the watermark passes its end, so the
+    oracle = epoch-bucket window replay + the emission filter
+    (window_end ≤ ms-floored max event time − 60 s watermark)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    tmp = tempfile.mkdtemp(prefix="swa_q_")
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.col("value").alias("price"),
+    )
+    q = pipeline.stream_window_metrics_append(
+        src,
+        target_path=f"{tmp}/out",
+        checkpoint_path=f"{tmp}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "symbol", "window_start", "window_end", "moving_avg_price", "n_events"
+    )
+
+
+_STREAM_WINDOW_APPEND_ORACLE = """
+WITH e AS (
+  SELECT event_type AS symbol, ts, round(value, 6) AS price FROM events
+),
+w AS (
+  SELECT symbol, price,
+         make_timestamp((epoch_us(ts) // 300000000 - g.i) * 300000000)
+           AS window_start
+  FROM e, (SELECT unnest(range(0, 3)) AS i) g
+),
+a AS (
+  SELECT symbol, window_start,
+         window_start + INTERVAL 15 MINUTE AS window_end,
+         CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+           AS moving_avg_price,
+         count(*) AS n_events
+  FROM w GROUP BY symbol, window_start
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT a.symbol, a.window_start, a.window_end, a.moving_avg_price, a.n_events
+FROM a, mx
+WHERE epoch_ms(a.window_end) <= epoch_ms(mx.m) - 60000
 """
 
 
@@ -3838,6 +3929,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_sessionize": q_stream_sessionize,
     "atr": q_atr,
     "obv": q_obv,
+    "stochastic": q_stochastic,
+    "stream_window_append": q_stream_window_append,
     "event_transitions": q_event_transitions,
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
@@ -4050,6 +4143,8 @@ FROM events GROUP BY 1
     "stream_sessionize": _STREAM_SESSIONIZE_ORACLE,
     "atr": _ATR_ORACLE,
     "obv": _OBV_ORACLE,
+    "stochastic": _STOCHASTIC_ORACLE,
+    "stream_window_append": _STREAM_WINDOW_APPEND_ORACLE,
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,

@@ -670,3 +670,68 @@ def obv(
         F.col(volume_col).cast("long").alias("volume"),
         signed.alias("signed_volume"),
     ).withColumn("obv", F.sum("signed_volume").over(wrun))
+
+
+def stochastic_oscillator(
+    daily: DataFrame,
+    n: int = 14,
+    d_periods: int = 3,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Stochastic oscillator: %K = 100·(close − lowest low) /
+    (highest high − lowest low) over the n-day window; %D = simple
+    d-period moving average of %K.
+
+    Rolling min/max are exact on the (already 4-rounded) inputs; %K is
+    one fixed-order double expression, quantized to 6 decimals before
+    the exact DECIMAL %D average (the same quantize-then-decimal rule
+    every indicator here follows). A flat window (high == low) yields
+    NULL %K, and %D ignores nothing — its window must be full of
+    non-null %K rows to emit (rows before either window fills are
+    dropped).
+
+    Scale: one shuffle on symbol, streaming frames — O(n) state.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    lo_n = F.min(low_col).over(w)
+    hi_n = F.max(high_col).over(w)
+    k = F.when(
+        hi_n != lo_n,
+        F.lit(100.0) * (F.col(close_col) - lo_n) / (hi_n - lo_n),
+    )
+    base = (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            F.col(close_col).alias("close"),
+            F.round(k, 6).alias("pct_k"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+    )
+    wd = (
+        Window.partitionBy("symbol")
+        .orderBy("date")
+        .rowsBetween(-(d_periods - 1), 0)
+    )
+    wrn = Window.partitionBy("symbol").orderBy("date")
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            "pct_k",
+            F.when(
+                F.count(F.col("pct_k")).over(wd) == d_periods,
+                F.round(_roll_avg(F.col("pct_k"), wd), 6),
+            ).alias("pct_d"),
+            F.row_number().over(wrn).alias("rn2"),
+        )
+        .where(F.col("rn2") >= d_periods)
+        .drop("rn2")
+    )

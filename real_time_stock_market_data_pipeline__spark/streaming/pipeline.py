@@ -206,14 +206,22 @@ def stream_window_metrics_append(
             F.window(F.col(ts_col), duration, slide).alias("window"),
         )
         .agg(
-            F.avg(price_col).alias("moving_avg_price"),
+            # exact average (decimal sum / count, the package-wide rule
+            # from metrics._exact_avg): float avg state would make the
+            # result depend on arrival order, which no oracle — and no
+            # restarted stream — could reproduce
+            F.sum(F.round(F.col(price_col), 6).cast("decimal(18,6)")).alias(
+                "_psum"
+            ),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
             "symbol",
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            "moving_avg_price",
+            (F.col("_psum").cast("double") / F.col("n_events")).alias(
+                "moving_avg_price"
+            ),
             "n_events",
         )
     )

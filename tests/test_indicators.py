@@ -170,3 +170,31 @@ def test_obv_telescopes_to_signed_sum(spark, sf_dir):
         assert r.last_obv == r.total_signed
     firsts = df.groupBy("symbol").agg(F.min_by("signed_volume", "date").alias("sv"))
     assert all(r.sv == 0 for r in firsts.collect())
+
+
+def test_stochastic_bounds_and_extremes(spark, sf_dir):
+    """%K and %D live in [0, 100]; closing exactly at the window's
+    extreme pins %K to the bound."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_stochastic,
+    )
+
+    rows = q_stochastic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.pct_k is not None:
+            assert 0.0 <= r.pct_k <= 100.0
+        if r.pct_d is not None:
+            assert 0.0 <= r.pct_d <= 100.0
+
+    base = [
+        ("A", f"2024-01-{d:02d}", 10.0 + d, 8.0 + d, 10.0 + d) for d in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        base, ["symbol", "date", "daily_high", "daily_low", "daily_close"]
+    ).withColumn("date", F.col("date").cast("date"))
+    out = indicators.stochastic_oscillator(df, n=3, d_periods=2)
+    # close == rolling max(high) every day -> %K pinned at 100
+    for r in out.collect():
+        assert r.pct_k == 100.0
+        assert r.pct_d == 100.0
