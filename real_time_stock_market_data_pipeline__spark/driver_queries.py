@@ -2654,6 +2654,105 @@ FROM c
 """
 
 
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance over the customer dimension
+    (`operators/relational.py:scd2_apply`): every third customer moves
+    to a new market segment effective 2024-06-15 (old version closed,
+    new version opened); every 3k+1-th customer receives a *no-op*
+    update (identical attributes — must not version); the rest are
+    untouched. The oracle is the closed-form union of the three
+    outcomes."""
+    ensure_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    eff = F.lit("2024-06-15").cast("date").alias("effective_date")
+    changed_u = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"), "c_acctbal", eff
+    )
+    noop_u = cust.filter(F.col("c_custkey") % 3 == 1).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", eff
+    )
+    return relational.scd2_apply(
+        current,
+        changed_u.unionByName(noop_u),
+        key_cols=["c_custkey"],
+        attr_cols=["c_mktsegment", "c_acctbal"],
+    )
+
+
+_SCD2_ORACLE = """
+WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       DATE '2024-01-01' AS valid_from,
+       CASE WHEN c_custkey % 3 = 0 THEN DATE '2024-06-15' END AS valid_to,
+       c_custkey % 3 <> 0 AS is_current
+FROM base
+UNION ALL
+SELECT c_custkey, 'MOVED', c_acctbal, DATE '2024-06-15', NULL, TRUE
+FROM base WHERE c_custkey % 3 = 0
+"""
+
+
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the event stream
+    (`operators/metrics.py:data_expectations`): four row-level rules in
+    one full-table pass plus a key-uniqueness rule. Rule semantics are
+    SQL three-valued (a NULL condition is not a violation — write
+    rules null-safely), which is exactly what the oracle's
+    ``CASE WHEN NOT(...)`` replays."""
+    ensure_engine_conf(spark)
+    ev = _events(spark, sf_dir)
+    return metrics.data_expectations(
+        ev,
+        rules={
+            "value_not_null": F.col("value").isNotNull(),
+            "value_nonnegative": F.col("value") >= 0,
+            "known_event_type": F.col("event_type").isin(
+                "click", "view", "purchase", "signup", "error"
+            ),
+            "value_below_250": F.col("value") < 250,
+        },
+        unique_keys=["event_id"],
+    )
+
+
+_DATA_EXPECTATIONS_ORACLE = """
+WITH s AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT (value IS NOT NULL) THEN 1 ELSE 0 END) AS r1,
+    sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS r2,
+    sum(CASE WHEN NOT (event_type IN
+        ('click','view','purchase','signup','error')) THEN 1 ELSE 0 END) AS r3,
+    sum(CASE WHEN NOT (value < 250) THEN 1 ELSE 0 END) AS r4
+  FROM events
+),
+u AS (
+  SELECT sum(c - 1) AS viol, sum(c) AS n
+  FROM (SELECT event_id, count(*) AS c FROM events GROUP BY event_id)
+)
+SELECT 'value_not_null' AS rule, n AS n_rows,
+       CAST(r1 AS BIGINT) AS violations, r1 = 0 AS passed FROM s
+UNION ALL
+SELECT 'value_nonnegative', n, CAST(r2 AS BIGINT), r2 = 0 FROM s
+UNION ALL
+SELECT 'known_event_type', n, CAST(r3 AS BIGINT), r3 = 0 FROM s
+UNION ALL
+SELECT 'value_below_250', n, CAST(r4 AS BIGINT), r4 = 0 FROM s
+UNION ALL
+SELECT 'unique(event_id)', CAST(n AS BIGINT), CAST(viol AS BIGINT),
+       viol = 0 FROM u
+"""
+
+
 def q_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indicators.pairwise_correlation(
         _daily_close(spark, sf_dir), close_col="close"
@@ -3931,6 +4030,8 @@ QUERIES: dict[str, QueryFn] = {
     "obv": q_obv,
     "stochastic": q_stochastic,
     "stream_window_append": q_stream_window_append,
+    "scd2_apply": q_scd2_apply,
+    "data_expectations": q_data_expectations,
     "event_transitions": q_event_transitions,
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
@@ -4145,6 +4246,8 @@ FROM events GROUP BY 1
     "obv": _OBV_ORACLE,
     "stochastic": _STOCHASTIC_ORACLE,
     "stream_window_append": _STREAM_WINDOW_APPEND_ORACLE,
+    "scd2_apply": _SCD2_ORACLE,
+    "data_expectations": _DATA_EXPECTATIONS_ORACLE,
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,

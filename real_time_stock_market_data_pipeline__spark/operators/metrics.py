@@ -389,3 +389,68 @@ def benford_digits(
         F.round(share, 6).alias("share"),
         F.round(expected, 6).alias("benford_expected"),
     )
+
+
+def data_expectations(
+    df: DataFrame,
+    rules: dict[str, F.Column],
+    unique_keys: list[str] | None = None,
+) -> DataFrame:
+    """Declarative data-quality gate (deequ-style, engine-native): each
+    rule is a row-level boolean expression; the result is one row per
+    rule with total rows, violation count, and a pass flag.
+
+    All row-level rules evaluate in a SINGLE full-table pass — one
+    global conditional aggregate, the same one-scan-per-100 TB shape as
+    :func:`profile_columns` — then pivot to long form via a tiny
+    in-plan explode of the (rules × 1) summary row. ``unique_keys``
+    adds a ``unique(<keys>)`` rule counting rows beyond the first per
+    key; uniqueness is not row-local, so it costs one extra
+    key-partitioned aggregate over the same scan lineage (map-side
+    combine; the violation count is Σ(count−1) over duplicated keys).
+
+    Use at the head of a pipeline as an input gate (fail when any
+    ``passed`` is false — see ``sinks.input_ready`` for the
+    availability twin) or at the tail as a publish gate.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        )
+    summary = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(name).alias("violations")
+            )
+            for name in rules
+        ]
+    )
+    out = (
+        summary.select("__n", F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("__n").alias("n_rows"),
+            F.col("r.violations").alias("violations"),
+            (F.col("r.violations") == 0).alias("passed"),
+        )
+    )
+    if unique_keys:
+        dup = (
+            df.groupBy(*unique_keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).alias("__groups"),
+                F.sum(F.col("__c") - 1).cast("long").alias("violations"),
+                F.sum("__c").alias("__n"),
+            )
+            .select(
+                F.lit(f"unique({','.join(unique_keys)})").alias("rule"),
+                F.col("__n").cast("long").alias("n_rows"),
+                "violations",
+                (F.col("violations") == 0).alias("passed"),
+            )
+        )
+        out = out.unionByName(dup)
+    return out

@@ -330,3 +330,83 @@ def topk_per_group(
         .filter(F.col("__rank") <= k)
         .withColumnRenamed("__rank", "rank")
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_date",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 maintenance: apply a batch of
+    keyed attribute updates to a versioned dimension, closing the
+    previous version and opening a new one — history is never
+    rewritten. The warehouse-grade upgrade of :func:`merge_upsert`
+    (which overwrites; no reference counterpart — the reference's
+    MERGE is Type 1).
+
+    Per update row, compared against the key's *open* version:
+
+    - attributes identical → no-op (no new version, nothing closed),
+    - attributes differ → open version closed at ``effective_col``
+      (``valid_to`` set, ``is_current`` false) and a new open version
+      inserted,
+    - key absent from the dimension → new open version inserted.
+
+    ``updates`` must carry one row per key per batch (enforce upstream
+    with ``dedup_keep_last``). All four legs are set-level: one key
+    join to classify updates, one semi/anti split of the open
+    versions, unions at the end — the joins shuffle (or broadcast —
+    AQE decides; update batches are usually tiny vs the dimension) on
+    the key only, history rows pass through untouched.
+    """
+    live = current.filter(F.col(current_col))
+    history = current.filter(~F.col(current_col))
+
+    u = updates.alias("u")
+    c = live.alias("c")
+    differs = F.lit(False)
+    for a in attr_cols:
+        differs = differs | ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+    joined = u.join(c, key_cols, "left")
+    # new key (no open version) or attribute change → takes effect
+    is_new_key = F.col(f"c.{from_col}").isNull()
+    changed = joined.filter(is_new_key | differs)
+
+    new_versions = changed.select(
+        *key_cols,
+        *[F.col(f"u.{a}").alias(a) for a in attr_cols],
+        F.col(f"u.{effective_col}").alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+        F.lit(True).alias(current_col),
+    )
+    # close the open versions of changed existing keys, stamping the
+    # update's effective date
+    closing_keys = changed.filter(~is_new_key).select(
+        *key_cols, F.col(f"u.{effective_col}").alias("__eff")
+    )
+    closed = (
+        live.join(closing_keys, key_cols, "inner")
+        .select(
+            *key_cols,
+            *attr_cols,
+            F.col(from_col),
+            F.col("__eff").alias(to_col),
+            F.lit(False).alias(current_col),
+        )
+    )
+    untouched = live.join(
+        closing_keys.select(*key_cols), key_cols, "left_anti"
+    ).select(*key_cols, *attr_cols, from_col, to_col, current_col)
+
+    out_cols = [*key_cols, *attr_cols, from_col, to_col, current_col]
+    return (
+        history.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(untouched)
+        .unionByName(new_versions)
+    )

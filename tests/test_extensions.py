@@ -218,3 +218,75 @@ def test_sample_frames_count_and_no_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_scd2_apply_laws(spark):
+    """Versioning laws: a changed key gets exactly one open + one
+    closed version; a no-op update versions nothing; re-applying the
+    same batch is a fixpoint (attrs now match the open versions)."""
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01", None, True),
+            (2, "B", "2024-01-01", None, True),
+            (2, "Z", "2023-01-01", "2024-01-01", False),  # history
+        ],
+        ["k", "seg", "valid_from", "valid_to", "is_current"],
+    ).select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2", "2024-06-15"), (2, "B", "2024-06-15"), (3, "C", "2024-06-15")],
+        ["k", "seg", "effective_date"],
+    ).withColumn("effective_date", F.col("effective_date").cast("date"))
+
+    out = relational.scd2_apply(current, updates, ["k"], ["seg"])
+    rows = {(r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "A", "2024-01-01", "2024-06-15", False),   # closed
+        (1, "A2", "2024-06-15", "None", True),          # new version
+        (2, "B", "2024-01-01", "None", True),           # no-op survives open
+        (2, "Z", "2023-01-01", "2024-01-01", False),    # history untouched
+        (3, "C", "2024-06-15", "None", True),           # brand-new key
+    }
+    # fixpoint: same batch again changes nothing
+    again = relational.scd2_apply(out, updates, ["k"], ["seg"])
+    rows2 = {(r.k, r.seg, str(r.valid_from), str(r.valid_to), r.is_current)
+             for r in again.collect()}
+    assert rows2 == rows
+    # exactly one open version per live key
+    open_per_key = (
+        out.filter("is_current").groupBy("k").count().filter("count > 1").count()
+    )
+    assert open_per_key == 0
+
+
+def test_data_expectations_hand_case(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (4, 3.0)], ["id", "v"]
+    )
+    out = {
+        r.rule: r
+        for r in metrics.data_expectations(
+            df,
+            rules={
+                "v_not_null": F.col("v").isNotNull(),
+                "v_nonneg": F.col("v") >= 0,
+            },
+            unique_keys=["id"],
+        ).collect()
+    }
+    assert out["v_not_null"].violations == 1 and not out["v_not_null"].passed
+    # NULL condition is not a violation (three-valued semantics)
+    assert out["v_nonneg"].violations == 1
+    assert out["unique(id)"].violations == 1
+    assert out["unique(id)"].n_rows == 4
+    assert all(r.n_rows == 4 for r in out.values())
