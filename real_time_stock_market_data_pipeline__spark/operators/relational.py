@@ -341,6 +341,7 @@ def scd2_apply(
     from_col: str = "valid_from",
     to_col: str = "valid_to",
     current_col: str = "is_current",
+    materialize: bool = True,
 ) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 maintenance: apply a batch of
     keyed attribute updates to a versioned dimension, closing the
@@ -358,11 +359,19 @@ def scd2_apply(
     - key absent from the dimension → new open version inserted.
 
     ``updates`` must carry one row per key per batch (enforce upstream
-    with ``dedup_keep_last``). All four legs are set-level: one key
-    join to classify updates, one semi/anti split of the open
-    versions, unions at the end — the joins shuffle (or broadcast —
-    AQE decides; update batches are usually tiny vs the dimension) on
-    the key only, history rows pass through untouched.
+    with ``dedup_keep_last``). All legs are set-level: one key join to
+    classify updates, one inner/anti split of the open versions,
+    unions at the end — the joins shuffle (or broadcast — AQE decides;
+    update batches are usually tiny vs the dimension) on the key only,
+    and history rows pass through untouched.
+
+    ``materialize=True`` (default) eagerly ``localCheckpoint``s the
+    classified change set, which three downstream legs reference (new
+    versions, the closing join, the untouched anti join) — lazily it
+    would re-run the updates⋈dimension classification join per leg.
+    The change set is update-batch-sized, the cheapest thing in the
+    plan to pin (same rationale as the dedup pipeline's candidate
+    materialization).
     """
     live = current.filter(F.col(current_col))
     history = current.filter(~F.col(current_col))
@@ -374,20 +383,26 @@ def scd2_apply(
         differs = differs | ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
     joined = u.join(c, key_cols, "left")
     # new key (no open version) or attribute change → takes effect
-    is_new_key = F.col(f"c.{from_col}").isNull()
-    changed = joined.filter(is_new_key | differs)
+    changed = joined.filter(F.col(f"c.{from_col}").isNull() | differs).select(
+        *key_cols,
+        *[F.col(f"u.{a}").alias(a) for a in attr_cols],
+        F.col(f"u.{effective_col}").alias("__eff"),
+        F.col(f"c.{from_col}").isNull().alias("__new_key"),
+    )
+    if materialize:
+        changed = changed.localCheckpoint(eager=True)
 
     new_versions = changed.select(
         *key_cols,
-        *[F.col(f"u.{a}").alias(a) for a in attr_cols],
-        F.col(f"u.{effective_col}").alias(from_col),
+        *attr_cols,
+        F.col("__eff").alias(from_col),
         F.lit(None).cast("date").alias(to_col),
         F.lit(True).alias(current_col),
     )
     # close the open versions of changed existing keys, stamping the
     # update's effective date
-    closing_keys = changed.filter(~is_new_key).select(
-        *key_cols, F.col(f"u.{effective_col}").alias("__eff")
+    closing_keys = changed.filter(~F.col("__new_key")).select(
+        *key_cols, "__eff"
     )
     closed = (
         live.join(closing_keys, key_cols, "inner")
