@@ -3904,11 +3904,11 @@ WITH t AS (
 g AS (SELECT "key", gap_us, CAST(gap_us AS HUGEINT) AS d
       FROM t WHERE gap_us IS NOT NULL)
 SELECT "key", count(*) AS n_gaps,
-  round(CAST(sum(d) AS DOUBLE) / count(*), 6) AS mean_gap_us,
-  round(CASE WHEN count(*) >= 2 THEN sqrt(greatest(
+  CAST(sum(d) AS DOUBLE) / count(*) AS mean_gap_us,
+  CASE WHEN count(*) >= 2 THEN sqrt(greatest(
     (CAST(sum(d * d) AS DOUBLE)
      - CAST(sum(d) AS DOUBLE) * CAST(sum(d) AS DOUBLE) / count(*))
-    / (count(*) - 1), 0.0)) END, 6) AS stddev_gap_us,
+    / (count(*) - 1), 0.0)) END AS stddev_gap_us,
   min(gap_us) AS min_gap_us,
   max(gap_us) AS max_gap_us,
   quantile_disc(gap_us, 0.5) AS p5_gap_us,

@@ -350,6 +350,12 @@ def interarrival_stats(
     data values and therefore matches SQL ``quantile_disc`` exactly.
     One window pass for ``lead`` and one groupBy, both on ``key``: a
     single shuffle lineage.
+
+    Mean/stddev are emitted UNROUNDED: with exact integer sums both
+    engines produce the bit-identical IEEE quotient, whereas a
+    ``round(x, 6)`` at µs-sum magnitudes (~1e10) needs ``x·1e6`` >
+    2^53, where float-multiply rounding implementations diverge from
+    exact-decimal ones in the last ulp (observed at sf0.001).
     """
     order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
     w = Window.partitionBy(key_col).orderBy(*order)
@@ -373,8 +379,8 @@ def interarrival_stats(
     ]
     return gaps.groupBy("key").agg(
         n.alias("n_gaps"),
-        F.round(sx / n, 6).alias("mean_gap_us"),
-        F.round(F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))), 6).alias(
+        (sx / n).alias("mean_gap_us"),
+        F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))).alias(
             "stddev_gap_us"
         ),
         F.min("gap_us").alias("min_gap_us"),
