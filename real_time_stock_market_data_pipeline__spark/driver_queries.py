@@ -107,6 +107,35 @@ WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
 """
 
 
+def q_intraday_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute OHLCV bars from the event ticks
+    (`operators/ohlcv.py:intraday_bars`)."""
+    return ohlcv.intraday_bars(
+        _events(spark, sf_dir),
+        bar_seconds=300,
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_INTRADAY_BARS_ORACLE = """
+SELECT DISTINCT
+  event_type AS symbol,
+  make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS bar_start,
+  round(first_value(value) OVER w, 4) AS open,
+  round(max(value) OVER w, 4) AS high,
+  round(min(value) OVER w, 4) AS low,
+  round(last_value(value) OVER w, 4) AS close,
+  count(*) OVER w AS volume
+FROM events
+WINDOW w AS (PARTITION BY event_type, epoch_us(ts) // 300000000
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlcv.daily_returns(
         _events(spark, sf_dir),
@@ -4032,6 +4061,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_window_append": q_stream_window_append,
     "scd2_apply": q_scd2_apply,
     "data_expectations": q_data_expectations,
+    "intraday_bars": q_intraday_bars,
     "event_transitions": q_event_transitions,
     "ohlcv_backfill": q_ohlcv_backfill,
     "knn_join": q_knn_join,
@@ -4248,6 +4278,7 @@ FROM events GROUP BY 1
     "stream_window_append": _STREAM_WINDOW_APPEND_ORACLE,
     "scd2_apply": _SCD2_ORACLE,
     "data_expectations": _DATA_EXPECTATIONS_ORACLE,
+    "intraday_bars": _INTRADAY_BARS_ORACLE,
     "event_transitions": _EVENT_TRANSITIONS_ORACLE,
     "twap": _TWAP_ORACLE,
     "value_histogram": _VALUE_HISTOGRAM_ORACLE,

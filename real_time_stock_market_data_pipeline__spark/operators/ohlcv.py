@@ -300,3 +300,43 @@ def backfill_ohlcv_calendar(
         F.coalesce("volume", F.lit(0)).alias("volume"),
         F.col("close").isNull().alias("is_backfilled"),
     )
+
+
+def intraday_bars(
+    ticks: DataFrame,
+    bar_seconds: int = 300,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Intraday OHLCV bars: :func:`daily_metrics` resampled to fixed
+    ``bar_seconds`` buckets (default 5-minute bars) — the chart-feed
+    resolution between raw ticks and the daily rollup.
+
+    The bar key is epoch-bucket arithmetic
+    (``floor(unix_micros/bar_µs)``), the same portable form the
+    realtime-metrics oracle uses — not ``F.window``, whose struct
+    output the SQL side can't replay directly. Same one-shuffle
+    ``min_by``/``max_by`` shape as the daily rollup: full map-side
+    partial aggregation, no window sort, deterministic (ts, id)
+    tie-break.
+    """
+    bar_us = bar_seconds * 1_000_000
+    # pure integer bucket: epoch µs (~1.7e15) through a double division
+    # could mis-floor one ulp below a bar boundary
+    us = F.unix_micros(F.col(ts_col))
+    bar_start = F.timestamp_micros(us - us % bar_us)
+    ord_key = (
+        F.struct(F.col(ts_col), F.col(id_col)) if id_col else F.struct(F.col(ts_col))
+    )
+    return ticks.groupBy(
+        F.col(symbol_col).alias("symbol"), bar_start.alias("bar_start")
+    ).agg(
+        F.round(F.min_by(price_col, ord_key), 4).alias("open"),
+        F.round(F.max(price_col), 4).alias("high"),
+        F.round(F.min(price_col), 4).alias("low"),
+        F.round(F.max_by(price_col, ord_key), 4).alias("close"),
+        _volume_agg(volume_col).alias("volume"),
+    )

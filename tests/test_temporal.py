@@ -149,3 +149,41 @@ def test_sessionize_gap_laws(spark, sf_dir):
         assert ids.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
     finally:
         out.unpersist()
+
+
+def test_intraday_bars_roll_up_to_daily(spark, sf_dir):
+    """Bars re-aggregate exactly to the daily rollup: max of bar highs
+    == daily high, earliest bar open == daily open (round commutes
+    with min/max; the open/close are the same ticks)."""
+    from real_time_stock_market_data_pipeline__spark.operators import ohlcv
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    kw = dict(symbol_col="event_type", ts_col="ts", price_col="value",
+              id_col="event_id")
+    bars = ohlcv.intraday_bars(ev, bar_seconds=300, **kw)
+    daily = {
+        (r["symbol"], str(r["date"])): r
+        for r in ohlcv.daily_metrics(ev, **kw).collect()
+    }
+    rolled = (
+        bars.groupBy(
+            "symbol", F.to_date("bar_start").alias("date")
+        )
+        .agg(
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.min_by("open", F.col("bar_start")).alias("open"),
+            F.max_by("close", F.col("bar_start")).alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .collect()
+    )
+    assert rolled
+    for r in rolled:
+        d = daily[(r["symbol"], str(r["date"]))]
+        assert r["high"] == d["daily_high"] and r["low"] == d["daily_low"]
+        assert r["open"] == d["daily_open"] and r["close"] == d["daily_close"]
+        assert r["volume"] == d["daily_volume"]
