@@ -70,6 +70,21 @@ _EXSTD = (
 )
 
 
+def _round_sql(expr: str, n: int) -> str:
+    """Spark-faithful ``round(double, n)`` for DuckDB. Spark rounds the
+    double's SHORTEST decimal repr (``BigDecimal.valueOf``) HALF_UP;
+    DuckDB's ``round`` works on the exact binary value — they disagree
+    exactly when the repr ends in a literal 5 at the cut digit (e.g.
+    17.02125 → Spark 17.0213, plain DuckDB round 17.0212; hit at
+    sf0.1). Routing through VARCHAR reproduces the repr, and DECIMAL
+    rounding is then HALF_UP on those digits — matching Spark on every
+    probed tie and non-tie case."""
+    return (
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(30,15)), {n})"
+        " AS DOUBLE)"
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     return load_table(spark, sf_dir, "events")
@@ -260,11 +275,11 @@ def _window_cte(name: str, slide_us: int, dur_us: int, n: int, suffix: str) -> s
   SELECT
     event_type AS symbol,
     make_timestamp((epoch_us(ts) // {slide_us} - g.i) * {slide_us}) AS window_start,
-    round({_EXAVG.format(col="value")}, 4) AS moving_avg_price_{suffix},
-    round({_EXSTD.format(col="value")}, 4) AS price_volatility_{suffix},
+    {_round_sql(_EXAVG.format(col="value"), 4)} AS moving_avg_price_{suffix},
+    {_round_sql(_EXSTD.format(col="value"), 4)} AS price_volatility_{suffix},
     count(*) AS total_volume_{suffix},
-    round(min(value), 4) AS min_price_{suffix},
-    round(max(value), 4) AS max_price_{suffix}
+    {_round_sql("min(value)", 4)} AS min_price_{suffix},
+    {_round_sql("max(value)", 4)} AS max_price_{suffix}
   FROM events CROSS JOIN (SELECT unnest(range({n})) AS i) g
   GROUP BY 1, 2
 )"""
@@ -2801,11 +2816,14 @@ g AS (
          count(*) AS n_days,
          CAST(sum(CAST(a.ret AS DECIMAL(18,6))) AS DOUBLE) AS sx,
          CAST(sum(CAST(b.ret AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(a.ret AS DECIMAL(18,6)) * CAST(b.ret AS DECIMAL(18,6)))
+         -- DECIMAL(19,6) operands: 19+19=38 keeps the product inside
+         -- DuckDB's max decimal width (18+18 hits the int64 physical
+         -- type, which overflowed on fat-tailed returns at sf0.1)
+         CAST(sum(CAST(a.ret AS DECIMAL(19,6)) * CAST(b.ret AS DECIMAL(19,6)))
               AS DOUBLE) AS sxy,
-         CAST(sum(CAST(a.ret AS DECIMAL(18,6)) * CAST(a.ret AS DECIMAL(18,6)))
+         CAST(sum(CAST(a.ret AS DECIMAL(19,6)) * CAST(a.ret AS DECIMAL(19,6)))
               AS DOUBLE) AS sxx,
-         CAST(sum(CAST(b.ret AS DECIMAL(18,6)) * CAST(b.ret AS DECIMAL(18,6)))
+         CAST(sum(CAST(b.ret AS DECIMAL(19,6)) * CAST(b.ret AS DECIMAL(19,6)))
               AS DOUBLE) AS syy
   FROM f a JOIN f b ON a.date = b.date AND a.symbol < b.symbol
   GROUP BY 1, 2

@@ -14,8 +14,13 @@ see `driver_queries.py` and the package README):
   order-independent and replayable by any engine regardless of
   partitioning.
 - Derived doubles (price diffs, log returns) are quantized with
-  ``round(x, 6)`` *before* the decimal cast — both engines round
-  half-up identically, and the cast is then lossless.
+  ``round(x, 6)`` *before* the decimal cast — the cast is then
+  lossless. (Caveat learned at sf0.1: Spark rounds the double's
+  shortest decimal repr, DuckDB's ``round`` the exact binary value;
+  they can differ when the repr ends in a literal 5 at the cut digit.
+  Where that ever bites, the oracle-side fix is
+  ``driver_queries._round_sql`` — VARCHAR→DECIMAL rounding replays
+  Spark's semantics exactly.)
 - Everything else is fixed-order IEEE double arithmetic (one division
   at the end, explicit operand order), which is deterministic across
   Spark, DuckDB, and NumPy.

@@ -145,7 +145,7 @@ def quantile_summary(
     key_col: str,
     value_col: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
-    accuracy: int = 10000,
+    accuracy: int = 1_000_000,
 ) -> DataFrame:
     """Per-key distribution summary: discrete (sketch) and continuous
     (exact, interpolated) quantiles of ``value_col``.
@@ -176,7 +176,7 @@ def winsorize(
     id_col: str,
     lo_q: float = 0.05,
     hi_q: float = 0.95,
-    accuracy: int = 10000,
+    accuracy: int = 1_000_000,
 ) -> DataFrame:
     """Per-key outlier clipping: values outside the key's
     [``lo_q``, ``hi_q``] quantile band are clamped to the band edge —
@@ -217,7 +217,7 @@ def quantile_summary_long(
     key_col: str,
     value_col: str,
     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
-    accuracy: int = 10000,
+    accuracy: int = 1_000_000,
 ) -> DataFrame:
     """:func:`quantile_summary` in long form: one row per
     (key, quantile level) instead of array columns.

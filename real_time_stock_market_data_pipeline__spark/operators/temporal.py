@@ -372,7 +372,7 @@ def interarrival_stats(
     sxx = F.sum(d * d).cast("double")
     var = (sxx - sx * sx / n) / (n - F.lit(1))
     qcols = [
-        F.percentile_approx("gap_us", q, 10000).alias(
+        F.percentile_approx("gap_us", q, 1_000_000).alias(
             f"p{str(q).replace('0.', '')}_gap_us"
         )
         for q in quantiles
