@@ -4056,6 +4056,175 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Round-6 indicator additions: channels, illiquidity, autocorrelation,
+# OHLC volatility estimators, streaks
+# --------------------------------------------------------------------------
+
+
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-day Donchian channel with prior-window breakout signal
+    (`operators/indicators.py:donchian`)."""
+    return indicators.donchian(q_daily_metrics(spark, sf_dir), n=20)
+
+
+_DONCHIAN_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_close AS close,
+    max(daily_high) OVER w AS upper,
+    min(daily_low) OVER w AS lower,
+    round((max(daily_high) OVER w + min(daily_low) OVER w) / 2, 6) AS mid,
+    max(daily_high) OVER wp AS prior_hi,
+    min(daily_low) OVER wp AS prior_lo,
+    row_number() OVER wn AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wp AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close, upper, lower, mid,
+  CASE WHEN close > prior_hi THEN 1
+       WHEN close < prior_lo THEN -1 ELSE 0 END AS breakout
+FROM b WHERE rn >= 21
+"""
+
+
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity per symbol
+    (`operators/indicators.py:amihud_illiquidity`)."""
+    return indicators.amihud_illiquidity(q_daily_metrics(spark, sf_dir))
+
+
+_AMIHUD_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+r AS (
+  SELECT symbol,
+    round(daily_close / lag(daily_close) OVER w - 1, 6) AS ret,
+    daily_close * daily_volume AS dv
+  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+t AS (
+  SELECT symbol, round(abs(ret) / dv * 1000000.0, 6) AS illiq
+  FROM r WHERE ret IS NOT NULL AND dv > 0
+)
+SELECT symbol, count(*) AS n_days,
+  round({_EXAVG.format(col="illiq")}, 6) AS amihud
+FROM t GROUP BY symbol
+"""
+
+
+def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily returns per symbol
+    (`operators/indicators.py:return_autocorr`)."""
+    return indicators.return_autocorr(q_daily_metrics(spark, sf_dir), lag=1)
+
+
+_AUTOCORR_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+r AS (
+  SELECT symbol, date,
+    round(daily_close / lag(daily_close) OVER w - 1, 6) AS r
+  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+p AS (
+  SELECT symbol, r AS y,
+    lag(r, 1) OVER (PARTITION BY symbol ORDER BY date) AS x
+  FROM rr
+),
+pp AS (SELECT * FROM p WHERE x IS NOT NULL),
+s AS (
+  SELECT symbol, count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+         AS DOUBLE) AS syy,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxy
+  FROM pp GROUP BY symbol
+)
+SELECT symbol, 1 AS lag, n AS n_pairs,
+  round(CASE WHEN n >= 2
+             AND sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) <> 0
+        THEN (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END,
+        6) AS autocorr
+FROM s
+"""
+
+
+def q_ohlc_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson + Garman-Klass annualized volatility per symbol
+    (`operators/indicators.py:ohlc_volatility`)."""
+    return indicators.ohlc_volatility(q_daily_metrics(spark, sf_dir))
+
+
+_OHLC_VOL_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol,
+    round(round(ln(daily_high / daily_low), 6)
+          * round(ln(daily_high / daily_low), 6)
+          / 2.772588722239781, 6) AS park_t,
+    round(0.5 * round(ln(daily_high / daily_low), 6)
+              * round(ln(daily_high / daily_low), 6)
+          - 0.3862943611198906 * round(ln(daily_close / daily_open), 6)
+              * round(ln(daily_close / daily_open), 6), 6) AS gk_t
+  FROM d
+),
+tt AS (SELECT * FROM t WHERE park_t IS NOT NULL AND gk_t IS NOT NULL),
+s AS (
+  SELECT symbol, count(*) AS n,
+    {_EXAVG.format(col="park_t")} AS mp,
+    {_EXAVG.format(col="gk_t")} AS mg
+  FROM tt GROUP BY symbol
+)
+SELECT symbol, n AS n_days,
+  round(sqrt(greatest(mp, 0.0)) * sqrt(252.0), 6) AS park_vol_annual,
+  round(sqrt(greatest(mg, 0.0)) * sqrt(252.0), 6) AS gk_vol_annual
+FROM s
+"""
+
+
+def q_return_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive up/down-day streaks per symbol, gaps-and-islands
+    (`operators/indicators.py:return_streaks`)."""
+    return indicators.return_streaks(q_daily_metrics(spark, sf_dir))
+
+
+_STREAKS_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_close AS close,
+    lag(daily_close) OVER w AS prev_close,
+    round(daily_close / lag(daily_close) OVER w - 1, 6) AS r
+  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM b WHERE r IS NOT NULL AND r <> 0),
+g AS (
+  SELECT symbol, date, close, prev_close,
+    CASE WHEN r > 0 THEN 1 ELSE -1 END AS direction,
+    row_number() OVER (PARTITION BY symbol ORDER BY date)
+      - row_number() OVER (
+          PARTITION BY symbol, CASE WHEN r > 0 THEN 1 ELSE -1 END
+          ORDER BY date) AS grp
+  FROM f
+)
+SELECT symbol, direction,
+  min(date) AS streak_start,
+  max(date) AS streak_end,
+  count(*) AS length,
+  round(arg_max(close, date) / arg_min(prev_close, date) - 1, 6)
+    AS streak_return
+FROM g GROUP BY symbol, direction, grp
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4088,6 +4257,11 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
+    "donchian": q_donchian,
+    "amihud": q_amihud,
+    "return_autocorr": q_return_autocorr,
+    "ohlc_volatility": q_ohlc_volatility,
+    "return_streaks": q_return_streaks,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -4312,4 +4486,9 @@ FROM events GROUP BY 1
     "duplicate_ticks": _DUPLICATE_TICKS_ORACLE,
     "intraday_vol": _INTRADAY_VOL_ORACLE,
     "roll_spread": _ROLL_SPREAD_ORACLE,
+    "donchian": _DONCHIAN_ORACLE,
+    "amihud": _AMIHUD_ORACLE,
+    "return_autocorr": _AUTOCORR_ORACLE,
+    "ohlc_volatility": _OHLC_VOL_ORACLE,
+    "return_streaks": _STREAKS_ORACLE,
 }

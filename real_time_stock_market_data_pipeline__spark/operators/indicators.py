@@ -740,3 +740,259 @@ def stochastic_oscillator(
         .where(F.col("rn2") >= d_periods)
         .drop("rn2")
     )
+
+
+def donchian(
+    daily: DataFrame,
+    n: int = 20,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Donchian channel: rolling n-day highest high / lowest low, the
+    channel midpoint, and a breakout signal against the *prior* n-day
+    channel (+1 close above it, -1 below, 0 inside).
+
+    Rolling min/max over already-quantized bar prices are exact in any
+    engine; the midpoint is one fixed-order double expression. The
+    breakout frame ends at the previous row so today's bar never
+    suppresses its own signal. Rows emit once the prior window is full
+    (row n+1 onward).
+
+    Scale: one shuffle on symbol, two streaming window frames — O(n)
+    state per key.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-(n - 1), 0)
+    wp = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-n, -1)
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    prior_hi = F.max(high_col).over(wp)
+    prior_lo = F.min(low_col).over(wp)
+    breakout = (
+        F.when(F.col(close_col) > prior_hi, F.lit(1))
+        .when(F.col(close_col) < prior_lo, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            F.col(close_col).alias("close"),
+            F.max(high_col).over(w).alias("upper"),
+            F.min(low_col).over(w).alias("lower"),
+            F.round((F.max(high_col).over(w) + F.min(low_col).over(w)) / 2, 6).alias(
+                "mid"
+            ),
+            breakout.alias("breakout"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n + 1)
+        .drop("rn")
+    )
+
+
+def amihud_illiquidity(
+    daily: DataFrame,
+    scale: float = 1_000_000.0,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+    volume_col: str = "daily_volume",
+) -> DataFrame:
+    """Amihud (2002) illiquidity: per-symbol mean of
+    |daily return| / dollar volume, scaled by ``scale``.
+
+    Daily return and the per-day ratio are each quantized to 6
+    decimals before the exact DECIMAL mean, so the aggregate is
+    order-independent. Zero-dollar-volume days are excluded (the
+    measure is undefined there), as is each symbol's first day.
+
+    Scale: one shuffle for the lag sort; the groupBy reuses the same
+    symbol partitioning (no second exchange).
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    ret = F.round(F.col(close_col) / F.lag(close_col).over(wlag) - 1, 6)
+    dollar_vol = F.col(close_col) * F.col(volume_col)
+    days = (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            ret.alias("ret"),
+            dollar_vol.alias("dv"),
+        )
+        .where(F.col("ret").isNotNull() & (F.col("dv") > 0))
+        .select(
+            "symbol",
+            F.round(F.abs(F.col("ret")) / F.col("dv") * F.lit(scale), 6).alias(
+                "illiq"
+            ),
+        )
+    )
+    return days.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(_dec(F.col("illiq"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("amihud"),
+    )
+
+
+def return_autocorr(
+    daily: DataFrame,
+    lag: int = 1,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Per-symbol lag-k autocorrelation of daily returns (Pearson corr
+    of r_t against r_{t-k}).
+
+    Returns are quantized to 6 decimals; all five sufficient sums run
+    as DECIMAL so the correlation is one fixed-order double formula at
+    the end — bit-identical under any partitioning (same derivation as
+    :func:`pairwise_correlation`).
+
+    Scale: one shuffle on symbol; the two lag windows and the groupBy
+    share the partition sort.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    ret = F.round(F.col(close_col) / F.lag(close_col).over(wlag) - 1, 6)
+    rets = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        ret.alias("r"),
+    ).where(F.col("r").isNotNull())
+    wk = Window.partitionBy("symbol").orderBy("date")
+    pairs = rets.select(
+        "symbol",
+        F.col("r").alias("y"),
+        F.lag("r", lag).over(wk).alias("x"),
+    ).where(F.col("x").isNotNull())
+    dx, dy = _dec(F.col("x")), _dec(F.col("y"))
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxx = F.sum(dx * dx).cast("double")
+    syy = F.sum(dy * dy).cast("double")
+    sxy = F.sum(dx * dy).cast("double")
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.when((n >= 2) & (denom != 0), (n * sxy - sx * sy) / denom)
+    return pairs.groupBy("symbol").agg(
+        F.lit(lag).alias("lag"),
+        n.alias("n_pairs"),
+        F.round(corr, 6).alias("autocorr"),
+    )
+
+
+#: 4·ln2 and (2·ln2 − 1) as fixed double literals so Spark and the
+#: oracle share the exact same constants (no engine-side ln(2)).
+_FOUR_LN2 = 2.772588722239781
+_TWO_LN2_M1 = 0.3862943611198906
+
+
+def ohlc_volatility(
+    daily: DataFrame,
+    trading_days: int = 252,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    open_col: str = "daily_open",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Per-symbol Parkinson (1980) and Garman–Klass (1980) volatility
+    estimators from OHLC bars, annualized by ``sqrt(trading_days)``.
+
+    Per day, with u = ln(high/low) and v = ln(close/open) each
+    quantized to 6 decimals:
+
+    - Parkinson variance term:   u² / (4·ln2)
+    - Garman–Klass variance term: 0.5·u² − (2·ln2 − 1)·v²
+
+    Both constants are embedded as double literals (shared with the
+    oracle), the per-day terms are re-quantized to 6 decimals, and the
+    per-symbol means run as exact DECIMAL sums — order-independent.
+    GK terms can go negative on extreme close-to-open moves; the mean
+    is floored at 0 before the sqrt, as the literature prescribes.
+
+    Scale: single groupBy on symbol with full map-side partial
+    aggregation — one shuffle of 5 numbers per key.
+    """
+    u = F.round(F.log(F.col(high_col) / F.col(low_col)), 6)
+    v = F.round(F.log(F.col(close_col) / F.col(open_col)), 6)
+    park_t = F.round(u * u / F.lit(_FOUR_LN2), 6)
+    gk_t = F.round(F.lit(0.5) * u * u - F.lit(_TWO_LN2_M1) * v * v, 6)
+    terms = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        park_t.alias("park_t"),
+        gk_t.alias("gk_t"),
+    ).where(F.col("park_t").isNotNull() & F.col("gk_t").isNotNull())
+    cnt = F.count(F.lit(1))
+    mean_park = F.sum(_dec(F.col("park_t"))).cast("double") / cnt
+    mean_gk = F.sum(_dec(F.col("gk_t"))).cast("double") / cnt
+    ann = F.sqrt(F.lit(float(trading_days)))
+    return terms.groupBy("symbol").agg(
+        cnt.alias("n_days"),
+        F.round(F.sqrt(F.greatest(mean_park, F.lit(0.0))) * ann, 6).alias(
+            "park_vol_annual"
+        ),
+        F.round(F.sqrt(F.greatest(mean_gk, F.lit(0.0))) * ann, 6).alias(
+            "gk_vol_annual"
+        ),
+    )
+
+
+def return_streaks(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Consecutive up/down-day streaks per symbol (gaps-and-islands).
+
+    Days are signed by the 6-quantized daily return; flat and
+    first days break streaks and are excluded. The island id is the
+    classic difference of two row_numbers (overall vs per-direction),
+    which is deterministic here because (symbol, date) is unique.
+    Each streak emits its span, length, and total return
+    (last close / close before the streak − 1, quantized).
+
+    Scale: one shuffle on symbol; both row_numbers and the final
+    groupBy share the same partition sort, and the groupBy input is
+    one row per day — O(days) not O(ticks).
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    ret = F.round(F.col(close_col) / F.lag(close_col).over(wlag) - 1, 6)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        F.lag(close_col).over(wlag).alias("prev_close"),
+        ret.alias("r"),
+    ).where(F.col("r").isNotNull() & (F.col("r") != 0))
+    direction = F.when(F.col("r") > 0, F.lit(1)).otherwise(F.lit(-1))
+    signed = base.select(
+        "symbol", "date", "close", "prev_close", direction.alias("direction")
+    )
+    w_all = Window.partitionBy("symbol").orderBy("date")
+    w_dir = Window.partitionBy("symbol", "direction").orderBy("date")
+    islands = signed.select(
+        "symbol",
+        "direction",
+        "date",
+        "close",
+        "prev_close",
+        (F.row_number().over(w_all) - F.row_number().over(w_dir)).alias("grp"),
+    )
+    ordkey = F.struct(F.col("date"))
+    return (
+        islands.groupBy("symbol", "direction", "grp")
+        .agg(
+            F.min("date").alias("streak_start"),
+            F.max("date").alias("streak_end"),
+            F.count(F.lit(1)).alias("length"),
+            F.round(
+                F.max_by("close", ordkey) / F.min_by("prev_close", ordkey) - 1, 6
+            ).alias("streak_return"),
+        )
+        .drop("grp")
+    )

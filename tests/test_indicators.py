@@ -198,3 +198,99 @@ def test_stochastic_bounds_and_extremes(spark, sf_dir):
     for r in out.collect():
         assert r.pct_k == 100.0
         assert r.pct_d == 100.0
+
+
+def test_donchian_channel_bounds_and_breakout(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_donchian
+
+    rows = q_donchian(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lower <= r.mid <= r.upper
+        # close always sits inside the channel that includes today
+        assert r.lower - 1e-9 <= r.close <= r.upper + 1e-9
+        assert r.breakout in (-1, 0, 1)
+    # constructed series: flat 10s, then a close above every prior
+    # high fires +1, a close below every prior low fires -1
+    bars = [("X", f"2024-01-{d:02d}", 10.0, 10.5, 9.5, 10.0) for d in range(1, 11)]
+    bars.append(("X", "2024-01-11", 10.0, 12.0, 10.0, 11.9))
+    bars.append(("X", "2024-01-12", 11.0, 11.0, 8.0, 8.2))
+    toy = spark.createDataFrame(
+        bars,
+        "symbol string, date string, daily_open double, daily_high double,"
+        " daily_low double, daily_close double",
+    )
+    out = {r.date: r.breakout for r in indicators.donchian(toy, n=5).collect()}
+    assert out["2024-01-11"] == 1
+    assert out["2024-01-12"] == -1
+    assert out["2024-01-10"] == 0
+
+
+def test_amihud_positive_and_counts(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_amihud
+
+    rows = q_amihud(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.amihud >= 0
+        assert r.n_days >= 1
+
+
+def test_return_autocorr_bounds_and_perfect_series(spark, sf_dir, daily):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_return_autocorr,
+    )
+
+    for r in q_return_autocorr(spark, sf_dir).collect():
+        if r.autocorr is not None:
+            assert -1 - 1e-9 <= r.autocorr <= 1 + 1e-9
+    # lag-0 self-correlation of any non-constant return series is 1
+    out = indicators.return_autocorr(daily, lag=0, close_col="close").collect()
+    assert out
+    for r in out:
+        if r.autocorr is not None:
+            assert abs(r.autocorr - 1.0) < 1e-6
+
+
+def test_ohlc_volatility_nonnegative_and_flat_zero(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_ohlc_volatility,
+    )
+
+    rows = q_ohlc_volatility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.park_vol_annual >= 0
+        assert r.gk_vol_annual >= 0
+    # a flat OHLC series has zero range ⇒ both estimators exactly 0
+    flat = spark.createDataFrame(
+        [("X", f"2024-01-{d:02d}", 10.0, 10.0, 10.0, 10.0) for d in range(1, 11)],
+        "symbol string, date string, daily_open double, daily_high double,"
+        " daily_low double, daily_close double",
+    )
+    out = indicators.ohlc_volatility(flat).collect()
+    assert out[0].park_vol_annual == 0.0
+    assert out[0].gk_vol_annual == 0.0
+
+
+def test_return_streaks_partition_and_signs(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_return_streaks,
+    )
+
+    rows = q_return_streaks(spark, sf_dir).collect()
+    assert rows
+    total_days = 0
+    for r in rows:
+        assert r.direction in (-1, 1)
+        assert r.length >= 1
+        assert r.streak_start <= r.streak_end
+        # streak return sign agrees with direction
+        if r.streak_return is not None:
+            assert (r.streak_return > 0) == (r.direction == 1)
+        total_days += r.length
+    # streaks partition the non-flat return days: no overlaps
+    spans = sorted((r.symbol, r.streak_start, r.streak_end) for r in rows)
+    for (s1, a1, b1), (s2, a2, b2) in zip(spans, spans[1:]):
+        if s1 == s2:
+            assert b1 < a2
