@@ -4225,6 +4225,296 @@ FROM g GROUP BY symbol, direction, grp
 
 
 # --------------------------------------------------------------------------
+# Round-6 relational additions: the classic TPC-H query shapes the
+# tables support (Q4/Q7/Q8/Q13/Q18/Q19 adapted to the driver schema)
+# --------------------------------------------------------------------------
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped nation-pair trade volume: revenue shipped from
+    each supplier nation to each (different) customer nation by year,
+    1995-1996. Nations broadcast twice under distinct aliases; the
+    fact side shuffles once for the orderkey join and once for the
+    final small aggregation."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    orders = _table("orders")(spark, sf_dir).select("o_orderkey", "o_custkey")
+    cust = _table("customer")(spark, sf_dir).select("c_custkey", "c_nationkey")
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_nationkey")
+    nation = _table("nation")(spark, sf_dir)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(d6(vol)).cast("double").alias("revenue"))
+    )
+
+
+_VOLUME_SHIPPING_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: NATION_2 suppliers' share of
+    PROMO-part revenue sold to ASIA customers, by order year. One
+    fact-side pipeline with every dimension broadcast; the share is a
+    conditional decimal sum over the same rows (no second scan)."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir)
+    part = (
+        _table("part")(spark, sf_dir)
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = _table("orders")(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _table("customer")(spark, sf_dir).select("c_custkey", "c_nationkey")
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_nationkey")
+    nation = _table("nation")(spark, sf_dir)
+    region = _table("region")(spark, sf_dir).where(F.col("r_name") == "ASIA")
+    n_cust = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(d6(target)).cast("double").alias("nation_revenue"),
+            F.sum(d6(vol)).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+_MARKET_SHARE_ORACLE = """
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+    CASE WHEN n2.n_name = 'NATION_2'
+         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS target,
+    l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+),
+s AS (
+  SELECT o_year,
+    CAST(sum(CAST(target AS DECIMAL(18,6))) AS DOUBLE) AS nation_revenue,
+    CAST(sum(CAST(vol AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM base GROUP BY o_year
+)
+SELECT o_year, nation_revenue, total_revenue,
+       round(nation_revenue / total_revenue, 6) AS mkt_share
+FROM s
+"""
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with at least one
+    line shipped more than 30 days after the order date, counted per
+    priority. The EXISTS becomes a left-semi equi-join on orderkey
+    with the date comparison as a residual predicate — no fact
+    materialization, one shuffle."""
+    orders = _table("orders")(spark, sf_dir)
+    li = _table("lineitem")(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_ORDER_PRIORITY_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution, including
+    zero-order customers via the left outer join. Two aggregations:
+    per-customer counts (shuffle on custkey), then the tiny histogram."""
+    cust = _table("customer")(spark, sf_dir).select("c_custkey")
+    orders = _table("orders")(spark, sf_dir).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_CUSTOMER_DISTRIBUTION_ORACLE = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity exceeds 170, with their customer. The HAVING filter runs
+    on the aggregated (per-order) side BEFORE the joins, so only
+    qualifying orderkeys reach the orders/customer join."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(d6(F.col("l_quantity"))).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > 170)
+    )
+    orders = _table("orders")(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _table("customer")(spark, sf_dir).select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_LARGE_VOLUME_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 170
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three
+    brand/size/quantity branches OR-ed together. The part side is
+    pre-filtered to the union of branches and broadcast; the full
+    disjunction is the join's residual predicate, evaluated inside
+    whole-stage codegen."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir)
+    part = _table("part")(spark, sf_dir).select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(part),
+            (F.col("l_partkey") == F.col("p_partkey")) & branch,
+        )
+        .agg(
+            F.sum(d6(disc_price)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_DISJUNCTIVE_REVENUE_ORACLE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4262,6 +4552,12 @@ QUERIES: dict[str, QueryFn] = {
     "return_autocorr": q_return_autocorr,
     "ohlc_volatility": q_ohlc_volatility,
     "return_streaks": q_return_streaks,
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "order_priority_counts": q_order_priority_counts,
+    "customer_distribution": q_customer_distribution,
+    "large_volume_customers": q_large_volume_customers,
+    "disjunctive_revenue": q_disjunctive_revenue,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -4491,4 +4787,10 @@ FROM events GROUP BY 1
     "return_autocorr": _AUTOCORR_ORACLE,
     "ohlc_volatility": _OHLC_VOL_ORACLE,
     "return_streaks": _STREAKS_ORACLE,
+    "volume_shipping": _VOLUME_SHIPPING_ORACLE,
+    "market_share": _MARKET_SHARE_ORACLE,
+    "order_priority_counts": _ORDER_PRIORITY_ORACLE,
+    "customer_distribution": _CUSTOMER_DISTRIBUTION_ORACLE,
+    "large_volume_customers": _LARGE_VOLUME_ORACLE,
+    "disjunctive_revenue": _DISJUNCTIVE_REVENUE_ORACLE,
 }

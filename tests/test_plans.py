@@ -112,3 +112,36 @@ def test_no_registered_query_plans_a_cartesian(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    """Q7 shape: supplier/customer/nation×2 all broadcast — the only
+    shuffle on the fact side is the lineitem⋈orders orderkey join."""
+    plan = _plan(driver_queries.q_volume_shipping(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_order_priority_counts_plans_semi_join(spark, sf_dir):
+    """Q4's EXISTS must stay a LeftSemi (no lineitem materialization
+    or row multiplication before the count)."""
+    plan = _plan(driver_queries.q_order_priority_counts(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_disjunctive_revenue_broadcasts_part(spark, sf_dir):
+    """Q19 shape: part is broadcast and the OR-of-ANDs predicate is a
+    join residual, never a CartesianProduct."""
+    plan = _plan(driver_queries.q_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_volume_customers_aggregates_before_join(spark, sf_dir):
+    """Q18's HAVING must filter the aggregated per-order rows before
+    the orders join: the plan's first join input is the aggregate."""
+    df = driver_queries.q_large_volume_customers(spark, sf_dir)
+    plan = _plan(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
