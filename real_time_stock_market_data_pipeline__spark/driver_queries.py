@@ -4515,6 +4515,136 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 
 
 # --------------------------------------------------------------------------
+# Round-6 corpus-analytics additions: lexical diversity, Zipf fit,
+# language re-balancing, RFM segmentation
+# --------------------------------------------------------------------------
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count / types / TTR / token-entropy per document
+    (`operators/text.py:lexical_diversity`)."""
+    return text.lexical_diversity(_table("documents")(spark, sf_dir))
+
+
+_LEXICAL_DIVERSITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tf AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM t WHERE tok <> '' GROUP BY doc_id, tok
+),
+wt AS (
+  SELECT doc_id, c,
+    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens
+  FROM tf
+),
+terms AS (
+  SELECT doc_id, n_tokens,
+    round(CAST(c AS DOUBLE) / n_tokens
+          * log2(CAST(c AS DOUBLE) / n_tokens), 6) AS t
+  FROM wt
+)
+SELECT doc_id, max(n_tokens) AS n_tokens, count(*) AS n_types,
+  round(CAST(count(*) AS DOUBLE) / max(n_tokens), 6) AS ttr,
+  round(-CAST(sum(CAST(t AS DECIMAL(18,6))) AS DOUBLE), 6) AS token_entropy
+FROM terms GROUP BY doc_id
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law regression over the top-10k terms
+    (`operators/text.py:zipf_slope`)."""
+    return text.zipf_slope(_table("documents")(spark, sf_dir))
+
+
+_ZIPF_ORACLE = f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+tf AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok),
+r AS (
+  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM tf
+),
+xy AS (
+  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+  FROM r WHERE rank <= 10000
+),
+s AS (
+  SELECT count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT n AS n_terms,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS zipf_intercept
+FROM s
+"""
+
+
+def q_lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language re-balancing weights
+    (`operators/text.py:lang_balance_weights`)."""
+    return text.lang_balance_weights(_table("documents")(spark, sf_dir))
+
+
+_LANG_BALANCE_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs, CAST(sum(n_docs) OVER () AS BIGINT) AS total FROM c
+),
+s AS (
+  SELECT lang, n_docs,
+    round(CAST(n_docs AS DOUBLE) / total, 6) AS corpus_share,
+    round(pow(CAST(n_docs AS DOUBLE) / total, 0.5), 6) AS pw
+  FROM w
+),
+n2 AS (
+  SELECT *, CAST(sum(CAST(pw AS DECIMAL(18,6))) OVER () AS DOUBLE) AS norm
+  FROM s
+)
+SELECT lang, n_docs, corpus_share,
+  round(pw / norm, 6) AS target_share,
+  round((pw / norm) / corpus_share, 6) AS sample_weight
+FROM n2
+"""
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation of event users
+    (`operators/behavior.py:rfm_scores`)."""
+    return behavior.rfm_scores(_events(spark, sf_dir))
+
+
+_RFM_ORACLE = """
+WITH pu AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS monetary
+  FROM events GROUP BY user_id
+),
+b AS (
+  SELECT user_id,
+    date_diff('day', CAST(last_ts AS DATE),
+              CAST(max(last_ts) OVER () AS DATE)) AS recency_days,
+    frequency, monetary
+  FROM pu
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+    ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+    ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+    ntile(4) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM b
+)
+SELECT *, concat_ws('-', r_score, f_score, m_score) AS segment FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4558,6 +4688,10 @@ QUERIES: dict[str, QueryFn] = {
     "customer_distribution": q_customer_distribution,
     "large_volume_customers": q_large_volume_customers,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "lexical_diversity": q_lexical_diversity,
+    "zipf_slope": q_zipf_slope,
+    "lang_balance_weights": q_lang_balance_weights,
+    "rfm_scores": q_rfm_scores,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -4793,4 +4927,8 @@ FROM events GROUP BY 1
     "customer_distribution": _CUSTOMER_DISTRIBUTION_ORACLE,
     "large_volume_customers": _LARGE_VOLUME_ORACLE,
     "disjunctive_revenue": _DISJUNCTIVE_REVENUE_ORACLE,
+    "lexical_diversity": _LEXICAL_DIVERSITY_ORACLE,
+    "zipf_slope": _ZIPF_ORACLE,
+    "lang_balance_weights": _LANG_BALANCE_ORACLE,
+    "rfm_scores": _RFM_ORACLE,
 }

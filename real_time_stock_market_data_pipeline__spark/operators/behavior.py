@@ -184,3 +184,64 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    n_tiles: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation: per-user
+    metrics plus ``n_tiles`` quantile scores and the concatenated
+    segment label. Recency is days from the user's last event to the
+    corpus's last event; monetary is the exact DECIMAL value sum.
+
+    Tile assignment uses ``ntile`` with a full deterministic order
+    (metric, then user id), so the buckets are reproducible and
+    oracle-replayable. Best gets the highest score on every axis:
+    low recency / high frequency / high monetary → score ``n_tiles``.
+
+    Scale: one groupBy shuffle over the fact table (map-side partial),
+    then windows over the per-user aggregate — millions of rows, not
+    events. At 100 TB-scale user counts, swap the global ``ntile``
+    sort for precomputed ``percentile_approx`` cut points; the exact
+    form is kept here for bit-identical tiling.
+    """
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(ts_col).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    wall = Window.partitionBy()
+    recency = F.datediff(F.max("last_ts").over(wall), F.col("last_ts"))
+    base = per_user.select(
+        "user_id",
+        recency.alias("recency_days"),
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    w_f = Window.orderBy(F.col("frequency"), F.col("user_id"))
+    w_m = Window.orderBy(F.col("monetary"), F.col("user_id"))
+    scored = base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -603,3 +603,135 @@ def sentence_dedup_stats(
             ).alias("shared_fraction"),
         )
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity stats: token count, distinct
+    token count (types), type-token ratio, and Shannon entropy of the
+    token distribution in bits — the standard repetition/quality
+    signals for corpus filtering.
+
+    Entropy terms (p·log2 p per type) are quantized to 6 decimals
+    before an exact DECIMAL sum, so the per-document entropy is
+    order-independent and bit-identical to the SQL oracle.
+
+    Scale: tokens explode in place; one shuffle to (doc, token) for
+    term frequencies, then the doc-total window and final aggregate
+    both run on the doc-partitioned side. Cost is linear in corpus
+    token count; state is O(types per doc).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = Window.partitionBy(id_col)
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = F.round(p * F.log2(p), 6)
+    terms = tf.withColumn("n_tokens", F.sum("c").over(wdoc)).select(
+        F.col(id_col), "n_tokens", term.alias("t")
+    )
+    return terms.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.max("n_tokens"), 6
+        ).alias("ttr"),
+        F.round(
+            -F.sum(F.col("t").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("token_entropy"),
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    top_terms: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level Zipf fit: least-squares slope/intercept of
+    ln(term frequency) against ln(rank) over the ``top_terms`` most
+    frequent terms (a natural corpus well-formedness check — natural
+    language sits near slope −1; machine-generated or boilerplate
+    corpora drift off).
+
+    Rank is ``row_number`` ordered by (count DESC, term ASC) — fully
+    deterministic — and the ``rank <= top_terms`` filter plans as
+    WindowGroupLimit, so mappers ship at most ``top_terms`` rows each
+    instead of sorting the whole vocabulary globally. The regression
+    runs on 6-quantized ln terms with exact DECIMAL sufficient sums:
+    one fixed-order double formula at the end.
+
+    Scale: one shuffle for term counts (map-side combine), a bounded
+    top-k, and a scalar aggregate. Never materializes the full ranked
+    vocabulary.
+    """
+    tf = (
+        docs.select(F.explode(_toks(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_terms)
+        .select(
+            F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")), 6).alias("y"),
+        )
+    )
+    dx, dy = F.col("x").cast("decimal(18,6)"), F.col("y").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxx = F.sum(dx * dx).cast("double")
+    sxy = F.sum(dx * dy).cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.agg(
+        n.alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+def lang_balance_weights(
+    docs: DataFrame, alpha: float = 0.5, lang_col: str = "lang"
+) -> DataFrame:
+    """Temperature-based language re-balancing weights: with corpus
+    share p_l per language, the target share is
+    p_l^alpha / Σ p^alpha (alpha<1 upsamples tail languages — the
+    standard multilingual-training mix), and ``sample_weight`` is the
+    per-document multiplier target/corpus share.
+
+    Per-language power terms are quantized to 6 decimals before the
+    exact DECIMAL normalizer sum, so the weights replay bit-identically
+    in the oracle.
+
+    Scale: one map-side-combined count per language (dozens of rows),
+    then literally constant-size arithmetic — the heavy table is
+    touched once.
+    """
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("n_docs").over(wall)
+    p = F.col("n_docs").cast("double") / F.col("total")
+    shares = counts.withColumn("total", total).select(
+        "lang",
+        "n_docs",
+        F.round(p, 6).alias("corpus_share"),
+        F.round(F.pow(p, F.lit(alpha)), 6).alias("pw"),
+    )
+    norm = F.sum(F.col("pw").cast("decimal(18,6)")).over(wall).cast("double")
+    return shares.withColumn("norm", norm).select(
+        "lang",
+        "n_docs",
+        "corpus_share",
+        F.round(F.col("pw") / F.col("norm"), 6).alias("target_share"),
+        F.round(
+            (F.col("pw") / F.col("norm")) / F.col("corpus_share"), 6
+        ).alias("sample_weight"),
+    )

@@ -86,3 +86,26 @@ def test_event_transitions_probabilities(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     n_users = ev.select("user_id").distinct().count()
     assert df.agg(F.sum("n")).first()[0] == ev.count() - n_users
+
+
+def test_rfm_scores_tiles_and_segments(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_rfm_scores,
+    )
+
+    rows = q_rfm_scores(spark, sf_dir).collect()
+    assert rows
+    users = {r.user_id for r in rows}
+    assert len(users) == len(rows)  # one row per user
+    for r in rows:
+        assert 1 <= r.r_score <= 4
+        assert 1 <= r.f_score <= 4
+        assert 1 <= r.m_score <= 4
+        assert r.segment == f"{r.r_score}-{r.f_score}-{r.m_score}"
+        assert r.recency_days >= 0
+    # ntile(4) balance: bucket sizes differ by at most 1
+    from collections import Counter
+
+    for axis in ("r_score", "f_score", "m_score"):
+        counts = Counter(getattr(r, axis) for r in rows)
+        assert max(counts.values()) - min(counts.values()) <= 1

@@ -278,3 +278,53 @@ def test_sentence_dedup_stats_detects_cross_doc_boilerplate(spark):
     assert out[1]["shared_fraction"] == 0.5
     assert out[2]["n_shared"] == 1
     assert out[3]["n_shared"] == 0 and out[3]["shared_fraction"] == 0.0
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    import math
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_lexical_diversity,
+    )
+
+    rows = q_lexical_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.ttr <= 1.0 + 1e-9
+        # entropy of n_types outcomes is bounded by log2(n_types)
+        assert -1e-6 <= r.token_entropy <= math.log2(r.n_types) + 1e-4
+
+
+def test_zipf_slope_negative_on_corpus(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_zipf_slope,
+    )
+
+    r = q_zipf_slope(spark, sf_dir).collect()[0]
+    assert r.n_terms >= 10
+    # frequency must decay with rank on any natural-ish corpus
+    assert r.zipf_slope < 0
+
+
+def test_lang_balance_weights_normalize_and_upsample_tail(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_lang_balance_weights,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    rows = q_lang_balance_weights(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-3
+    # alpha < 1 flattens the mix: the rarest language is upsampled,
+    # the most common downsampled
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    if by_n[0].n_docs != by_n[-1].n_docs:
+        assert by_n[0].sample_weight > 1.0
+        assert by_n[-1].sample_weight < 1.0
+    # alpha = 1 is the identity mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ident = t.lang_balance_weights(docs, alpha=1.0).collect()
+    for r in ident:
+        assert abs(r.sample_weight - 1.0) < 1e-4
