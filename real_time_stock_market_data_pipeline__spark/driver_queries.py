@@ -4139,11 +4139,11 @@ s AS (
   SELECT symbol, count(*) AS n,
     CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
     CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(x AS DECIMAL(19,6)))
          AS DOUBLE) AS sxx,
-    CAST(sum(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+    CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
          AS DOUBLE) AS syy,
-    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+    CAST(sum(CAST(x AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
          AS DOUBLE) AS sxy
   FROM pp GROUP BY symbol
 )
@@ -4174,7 +4174,7 @@ t AS (
               * round(ln(daily_high / daily_low), 6)
           - 0.3862943611198906 * round(ln(daily_close / daily_open), 6)
               * round(ln(daily_close / daily_open), 6), 6) AS gk_t
-  FROM d
+  FROM d WHERE daily_low > 0 AND daily_open > 0 AND daily_close > 0
 ),
 tt AS (SELECT * FROM t WHERE park_t IS NOT NULL AND gk_t IS NOT NULL),
 s AS (

@@ -917,8 +917,16 @@ def ohlc_volatility(
     Scale: single groupBy on symbol with full map-side partial
     aggregation — one shuffle of 5 numbers per key.
     """
-    u = F.round(F.log(F.col(high_col) / F.col(low_col)), 6)
-    v = F.round(F.log(F.col(close_col) / F.col(open_col)), 6)
+    # zero prices occur in dirty tick data (and in the sf0.1 fixture):
+    # a zero low/open makes the log range undefined, so those days are
+    # excluded rather than tripping ANSI divide-by-zero
+    u = F.when(
+        F.col(low_col) > 0, F.round(F.log(F.col(high_col) / F.col(low_col)), 6)
+    )
+    v = F.when(
+        (F.col(open_col) > 0) & (F.col(close_col) > 0),
+        F.round(F.log(F.col(close_col) / F.col(open_col)), 6),
+    )
     park_t = F.round(u * u / F.lit(_FOUR_LN2), 6)
     gk_t = F.round(F.lit(0.5) * u * u - F.lit(_TWO_LN2_M1) * v * v, 6)
     terms = daily.select(
