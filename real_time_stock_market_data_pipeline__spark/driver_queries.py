@@ -4644,6 +4644,85 @@ SELECT *, concat_ws('-', r_score, f_score, m_score) AS segment FROM scored
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise union/Jaccard estimates between event-type user sets
+    from KMV sketches, with exact values as checked error
+    (`operators/sketches.py:kmv_set_ops`)."""
+    return sketches.kmv_set_ops(
+        _events(spark, sf_dir), key_col="user_id", group_col="event_type", k=64
+    )
+
+
+def _kmv_setops_oracle(k: int = 64) -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h16, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type AS grp,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h16
+  FROM events
+),
+hs AS (SELECT DISTINCT grp, CAST({decode} AS BIGINT) AS h FROM b),
+cnt AS (SELECT grp, count(*) AS n FROM hs GROUP BY grp),
+km AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {k}
+),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM hs) a
+  JOIN (SELECT DISTINCT grp FROM hs) b ON a.grp < b.grp
+),
+pl AS (
+  SELECT grp_a, grp_b, grp_a AS member FROM pairs
+  UNION ALL
+  SELECT grp_a, grp_b, grp_b FROM pairs
+),
+comb AS (
+  SELECT pl.grp_a, pl.grp_b, km.h,
+         max(CASE WHEN km.grp = pl.grp_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN km.grp = pl.grp_b THEN 1 ELSE 0 END) AS in_b
+  FROM pl JOIN km ON km.grp = pl.member
+  GROUP BY pl.grp_a, pl.grp_b, km.h
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+  FROM comb
+),
+sk AS (
+  SELECT grp_a, grp_b,
+    round(CASE WHEN max(rn) < {k} THEN CAST(max(rn) AS DOUBLE)
+          ELSE {float(k - 1)}
+               / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END,
+          4) AS union_est,
+    round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / max(rn), 4) AS jaccard_est
+  FROM r WHERE rn <= {k} GROUP BY grp_a, grp_b
+),
+ei AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS inter_exact
+  FROM hs a JOIN hs b ON a.h = b.h AND a.grp < b.grp
+  GROUP BY 1, 2
+)
+SELECT sk.grp_a, sk.grp_b,
+  ca.n + cb.n - coalesce(ei.inter_exact, 0) AS union_exact,
+  sk.union_est,
+  coalesce(ei.inter_exact, 0) AS inter_exact,
+  round(CAST(coalesce(ei.inter_exact, 0) AS DOUBLE)
+        / (ca.n + cb.n - coalesce(ei.inter_exact, 0)), 4) AS jaccard_exact,
+  sk.jaccard_est
+FROM sk
+JOIN cnt ca ON ca.grp = sk.grp_a
+JOIN cnt cb ON cb.grp = sk.grp_b
+LEFT JOIN ei ON ei.grp_a = sk.grp_a AND ei.grp_b = sk.grp_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4692,6 +4771,7 @@ QUERIES: dict[str, QueryFn] = {
     "zipf_slope": q_zipf_slope,
     "lang_balance_weights": q_lang_balance_weights,
     "rfm_scores": q_rfm_scores,
+    "kmv_set_ops": q_kmv_set_ops,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -4931,4 +5011,5 @@ FROM events GROUP BY 1
     "zipf_slope": _ZIPF_ORACLE,
     "lang_balance_weights": _LANG_BALANCE_ORACLE,
     "rfm_scores": _RFM_ORACLE,
+    "kmv_set_ops": _kmv_setops_oracle(),
 }

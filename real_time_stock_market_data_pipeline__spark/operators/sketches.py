@@ -63,3 +63,127 @@ def kmv_distinct(
         F.round(est, 4).alias("n_est"),
         F.round(F.abs(est - n_exact) / n_exact, 4).alias("rel_err"),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups from
+    their KMV sketches: union cardinality via the combined k-min
+    sketch, Jaccard via the fraction of the combined sketch's k
+    smallest hashes present in BOTH input sketches (Beyer et al. 2007)
+    — alongside the exact values, so the estimator's error is itself a
+    checked output (same contract as :func:`kmv_distinct`).
+
+    Returns one row per unordered group pair (grp_a < grp_b):
+    ``union_exact``, ``union_est``, ``inter_exact``, ``jaccard_exact``,
+    ``jaccard_est``.
+
+    Scale shape: the fact table is touched once (distinct hash
+    shuffle). Sketches are O(k) per group, so every pairwise stage
+    runs on k·G rows, not data rows; the group-pair frame is built
+    with a constant-key broadcast equi-join (plans as
+    BroadcastHashJoin, never a cartesian). The exact intersection is
+    one hash-equi self-join whose cost is the true overlap volume —
+    drop the exact columns at very large G and the whole operator is
+    sketch-only.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashes = df.select(F.col(group_col).alias("grp"), h).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    kmins = (
+        hashes.select("grp", "h", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    counts = hashes.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+
+    # The group-pair frame is an index-build step: one row per group
+    # (G is the cardinality of the sketching attribute, bounded by
+    # design — same rationale as the IVF centroid collect). A joined
+    # construction would need a `<` predicate that Catalyst folds into
+    # a BroadcastNestedLoopJoin; enumerating G(G-1)/2 pairs on the
+    # driver keeps every distributed stage an equi-join.
+    from pyspark.sql import types as T
+
+    grp_type = hashes.schema["grp"].dataType
+    grp_vals = sorted(r.grp for r in hashes.select("grp").distinct().collect())
+    pair_schema = T.StructType(
+        [T.StructField("grp_a", grp_type), T.StructField("grp_b", grp_type)]
+    )
+    pairs = df.sparkSession.createDataFrame(
+        [(a, b) for i, a in enumerate(grp_vals) for b in grp_vals[i + 1 :]],
+        pair_schema,
+    )
+    pairs_long = pairs.select(
+        "grp_a", "grp_b", F.explode(F.array("grp_a", "grp_b")).alias("member")
+    )
+
+    comb = (
+        F.broadcast(pairs_long)
+        .join(kmins, F.col("member") == F.col("grp"))
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(
+            F.max(F.when(F.col("grp") == F.col("grp_a"), 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("grp") == F.col("grp_b"), 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    ranked = comb.select(
+        "grp_a", "grp_b", "h", "in_a", "in_b", F.row_number().over(wp).alias("rn")
+    ).where(F.col("rn") <= k)
+    k_used = F.max("rn")
+    kth = F.max("h")
+    union_est = F.when(k_used < k, k_used.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (kth.cast("double") / F.lit(_HASH_SPACE))
+    )
+    sketch = ranked.groupBy("grp_a", "grp_b").agg(
+        F.round(union_est, 4).alias("union_est"),
+        F.round(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).cast("double")
+            / k_used,
+            4,
+        ).alias("jaccard_est"),
+    )
+
+    ha = hashes.select(F.col("grp").alias("grp_a"), "h")
+    hb = hashes.select(F.col("grp").alias("grp_b"), "h")
+    inter = (
+        ha.join(hb, ["h"])
+        .where(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("inter_exact"))
+    )
+    ca = counts.select(F.col("grp").alias("grp_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("grp").alias("grp_b"), F.col("n").alias("n_b"))
+    out = (
+        sketch.join(inter, ["grp_a", "grp_b"], "left")
+        .join(F.broadcast(ca), "grp_a")
+        .join(F.broadcast(cb), "grp_b")
+        .withColumn("inter_exact", F.coalesce("inter_exact", F.lit(0)))
+    )
+    union_exact = F.col("n_a") + F.col("n_b") - F.col("inter_exact")
+    return out.select(
+        "grp_a",
+        "grp_b",
+        union_exact.alias("union_exact"),
+        "union_est",
+        "inter_exact",
+        F.round(
+            F.col("inter_exact").cast("double") / union_exact, 4
+        ).alias("jaccard_exact"),
+        "jaccard_est",
+    )

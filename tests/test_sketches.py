@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.driver_queries import (
@@ -58,3 +60,40 @@ def test_repetition_bounds_and_pathological_doc(spark, sf_dir):
     assert out[1].dup_5gram_frac == 1.0
     assert out[2].top_word_frac == round(1 / 7, 6)
     assert out[2].dup_5gram_frac == 0.0
+
+
+def test_kmv_set_ops_pairs_estimates_and_identity(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_kmv_set_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import sketches
+
+    rows = q_kmv_set_ops(spark, sf_dir).collect()
+    # 5 event types -> C(5,2) unordered pairs
+    assert len(rows) == 10
+    for r in rows:
+        assert r.grp_a < r.grp_b
+        assert 0 <= r.jaccard_est <= 1
+        assert 0 <= r.jaccard_exact <= 1
+        assert r.union_exact >= r.inter_exact
+        assert r.union_est > 0
+        # KMV union estimate: loose sanity envelope at k=64
+        assert r.union_est == pytest.approx(r.union_exact, rel=0.5)
+        assert r.jaccard_est == pytest.approx(r.jaccard_exact, abs=0.35)
+    # identical sets -> union == set, jaccard == 1 (small set: k covers it)
+    df = spark.createDataFrame(
+        [(i, g) for i in range(40) for g in ("a", "b")], "k long, g string"
+    )
+    out = sketches.kmv_set_ops(df, key_col="k", group_col="g", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.union_exact == 40 and r.inter_exact == 40
+    assert r.union_est == 40.0 and r.jaccard_est == 1.0
+    # disjoint sets -> jaccard 0
+    dj = spark.createDataFrame(
+        [(i, "a") for i in range(40)] + [(i + 1000, "b") for i in range(40)],
+        "k long, g string",
+    )
+    r2 = sketches.kmv_set_ops(dj, key_col="k", group_col="g", k=128).collect()[0]
+    assert r2.inter_exact == 0 and r2.jaccard_est == 0.0
+    assert r2.union_est == 80.0
