@@ -4723,6 +4723,101 @@ LEFT JOIN ei ON ei.grp_a = sk.grp_a AND ei.grp_b = sk.grp_b
 """
 
 
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming CUSUM change-point detection over daily
+    returns, drained availableNow into a memory sink
+    (`streaming/stateful.py:stream_cusum_daily`); display rounding in
+    the final batch projection."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    ticks = src.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+        F.col("event_id").alias("id"),
+    )
+    out = stateful.stream_cusum_daily(ticks, kappa=0.25, h=2.0)
+    tmp = tempfile.mkdtemp(prefix="cusum_q_")
+    name = "stream_cusum_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "symbol",
+        F.col("date").cast("date").alias("date"),
+        F.round("close", 4).alias("close"),
+        F.round("ret", 6).alias("ret"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm",
+    )
+
+
+#: CUSUM update expressions, shared between the two recursive arms
+_CUSUM_POS = "greatest(0.0, {prev_pos} + b.ret - 0.25)"
+_CUSUM_NEG = "greatest(0.0, {prev_neg} - b.ret - 0.25)"
+
+
+def _stream_cusum_oracle() -> str:
+    first_pos = "greatest(0.0, 0.0 + ret - 0.25)"
+    first_neg = "greatest(0.0, 0.0 - ret - 0.25)"
+    step_pos = _CUSUM_POS.format(
+        prev_pos="(CASE WHEN r.alarm <> 0 THEN 0.0 ELSE r.s_pos END)"
+    )
+    step_neg = _CUSUM_NEG.format(
+        prev_neg="(CASE WHEN r.alarm <> 0 THEN 0.0 ELSE r.s_neg END)"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT DISTINCT
+    event_type AS symbol,
+    CAST(ts AS DATE) AS date,
+    last_value(value) OVER w AS close
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+b AS (
+  SELECT symbol, date, close,
+    close / lag(close) OVER (PARTITION BY symbol ORDER BY date) - 1 AS ret,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+rec AS (
+  SELECT symbol, date, close, ret, rn,
+    {first_pos} AS s_pos,
+    {first_neg} AS s_neg,
+    CASE WHEN {first_pos} > 2.0 THEN 1
+         WHEN {first_neg} > 2.0 THEN -1 ELSE 0 END AS alarm
+  FROM b WHERE rn = 2
+  UNION ALL
+  SELECT b.symbol, b.date, b.close, b.ret, b.rn,
+    {step_pos},
+    {step_neg},
+    CASE WHEN {step_pos} > 2.0 THEN 1
+         WHEN {step_neg} > 2.0 THEN -1 ELSE 0 END
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date, round(close, 4) AS close, round(ret, 6) AS ret,
+       round(s_pos, 6) AS s_pos, round(s_neg, 6) AS s_neg, alarm
+FROM rec
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4772,6 +4867,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_balance_weights": q_lang_balance_weights,
     "rfm_scores": q_rfm_scores,
     "kmv_set_ops": q_kmv_set_ops,
+    "stream_cusum": q_stream_cusum,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5012,4 +5108,5 @@ FROM events GROUP BY 1
     "lang_balance_weights": _LANG_BALANCE_ORACLE,
     "rfm_scores": _RFM_ORACLE,
     "kmv_set_ops": _kmv_setops_oracle(),
+    "stream_cusum": _stream_cusum_oracle(),
 }

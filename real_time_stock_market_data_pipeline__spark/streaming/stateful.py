@@ -166,3 +166,102 @@ def stream_ema_daily(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("symbol", StringType(), False),
+        StructField("date", StringType(), False),
+        StructField("close", DoubleType(), True),
+        StructField("ret", DoubleType(), True),
+        StructField("s_pos", DoubleType(), True),
+        StructField("s_neg", DoubleType(), True),
+        StructField("alarm", LongType(), True),
+    ]
+)
+
+CUSUM_STATE = StructType(
+    [
+        StructField("last_date", StringType(), True),
+        StructField("prev_close", DoubleType(), True),
+        StructField("s_pos", DoubleType(), True),
+        StructField("s_neg", DoubleType(), True),
+    ]
+)
+
+
+def stream_cusum_daily(
+    source: DataFrame,
+    kappa: float = 0.25,
+    h: float = 2.0,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming CUSUM change-point detector over per-symbol daily
+    returns (Page 1954): two one-sided cumulative sums with slack
+    ``kappa`` fire an alarm when either exceeds ``h``, then reset —
+    the online drift monitor a tick pipeline runs on every series.
+
+    Update per finalized day, in the literal order the oracle replays:
+
+        r      = close / prev_close − 1
+        s_pos  = max(0, s_pos + r − kappa)
+        s_neg  = max(0, s_neg − r − kappa)
+        alarm  = +1 if s_pos > h else −1 if s_neg > h else 0
+        on alarm, both sums reset to 0 for the next day
+
+    State is four scalars per key — O(keys), never O(history). Days
+    at or before the last finalized day are dropped (same monotone
+    trade-off as :func:`stream_ema_daily`); each symbol's first day
+    only seeds ``prev_close`` and emits nothing. Raw doubles are
+    emitted; the caller's batch projection applies display rounding.
+    """
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_date, prev_close, s_pos, s_neg = state.get
+        else:
+            last_date, prev_close, s_pos, s_neg = "", None, 0.0, 0.0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values([ts_col, id_col]).reset_index(drop=True)
+        rows["_day"] = rows[ts_col].dt.strftime("%Y-%m-%d")
+        closes = rows.groupby("_day", sort=True)[price_col].last()
+        out: dict[str, list] = {
+            "date": [], "close": [], "ret": [],
+            "s_pos": [], "s_neg": [], "alarm": [],
+        }
+        for day, close in closes.items():
+            if day <= last_date:
+                continue
+            close = float(close)
+            last_date = day
+            if prev_close is None:
+                prev_close = close
+                continue
+            r = close / prev_close - 1
+            prev_close = close
+            s_pos = max(0.0, s_pos + r - kappa)
+            s_neg = max(0.0, s_neg - r - kappa)
+            alarm = 1 if s_pos > h else (-1 if s_neg > h else 0)
+            out["date"].append(day)
+            out["close"].append(close)
+            out["ret"].append(r)
+            out["s_pos"].append(s_pos)
+            out["s_neg"].append(s_neg)
+            out["alarm"].append(alarm)
+            if alarm:
+                s_pos, s_neg = 0.0, 0.0
+        state.update((last_date, prev_close, s_pos, s_neg))
+        yield pd.DataFrame({"symbol": [key[0]] * len(out["date"]), **out})
+
+    return source.groupBy(symbol_col).applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -69,3 +69,34 @@ def test_running_vwap_matches_batch(spark):
         assert final[sym]["n_events"] == expect[sym]["n_events"]
         assert abs(final[sym]["vwap"] - expect[sym]["vwap"]) < 1e-9
         assert abs(final[sym]["total_volume"] - expect[sym]["total_volume"]) < 1e-9
+
+
+def test_stream_cusum_invariants_and_resets(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_stream_cusum,
+    )
+
+    rows = q_stream_cusum(spark, sf_dir).collect()
+    assert rows
+    by_sym = {}
+    for r in sorted(rows, key=lambda r: (r.symbol, r.date)):
+        assert r.s_pos >= 0 and r.s_neg >= 0
+        assert r.alarm in (-1, 0, 1)
+        # an alarm means the firing sum exceeded the threshold
+        if r.alarm == 1:
+            assert r.s_pos > 2.0
+        if r.alarm == -1:
+            assert r.s_neg > 2.0
+        by_sym.setdefault(r.symbol, []).append(r)
+    # after an alarm the sums restart from zero: next day's s_pos is at
+    # most max(0, ret - kappa) (same for s_neg with -ret)
+    for series in by_sym.values():
+        for prev, cur in zip(series, series[1:]):
+            if prev.alarm != 0:
+                assert cur.s_pos <= max(0.0, cur.ret - 0.25) + 1e-6
+                assert cur.s_neg <= max(0.0, -cur.ret - 0.25) + 1e-6
+    # upward alarms fire on this volatile series (downward needs ~3
+    # consecutive near-total losses: returns are bounded below by -1,
+    # so s_neg grows at most 0.75/day against the 2.0 threshold)
+    alarms = {r.alarm for r in rows}
+    assert 1 in alarms and 0 in alarms
