@@ -96,7 +96,13 @@ def kmv_set_ops(
         .cast("bigint")
         .alias("h")
     )
-    hashes = df.select(F.col(group_col).alias("grp"), h).distinct()
+    # One row per (group, distinct key-hash), consumed by five stages
+    # (k-min ranking, counts, both sides of the exact intersection,
+    # group enumeration). localCheckpoint materializes it once so the
+    # fact table is scanned a single time — without it the plan
+    # re-reads the source five times (measured in PLANS.md; same
+    # rationale as the ngram_jaccard candidate checkpoint).
+    hashes = df.select(F.col(group_col).alias("grp"), h).distinct().localCheckpoint()
     w = Window.partitionBy("grp").orderBy("h")
     kmins = (
         hashes.select("grp", "h", F.row_number().over(w).alias("rn"))
