@@ -4818,6 +4818,42 @@ FROM rec
 """
 
 
+def q_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi smoothed candles over the daily bars
+    (`operators/indicators.py:heikin_ashi`)."""
+    return indicators.heikin_ashi(q_daily_metrics(spark, sf_dir))
+
+
+_HEIKIN_ASHI_ORACLE = f"""
+WITH RECURSIVE d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_open AS o, daily_high AS h,
+         daily_low AS l, daily_close AS c,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+rec AS (
+  SELECT symbol, date, rn, h, l,
+         (o + c) / 2 AS ha_open,
+         (o + h + l + c) / 4 AS ha_close
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn, b.h, b.l,
+         (r.ha_open + r.ha_close) / 2,
+         (b.o + b.h + b.l + b.c) / 4
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date,
+  round(ha_open, 6) AS ha_open,
+  round(greatest(h, ha_open, ha_close), 6) AS ha_high,
+  round(least(l, ha_open, ha_close), 6) AS ha_low,
+  round(ha_close, 6) AS ha_close,
+  CASE WHEN ha_close > ha_open THEN 1
+       WHEN ha_close < ha_open THEN -1 ELSE 0 END AS direction
+FROM rec
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4868,6 +4904,7 @@ QUERIES: dict[str, QueryFn] = {
     "rfm_scores": q_rfm_scores,
     "kmv_set_ops": q_kmv_set_ops,
     "stream_cusum": q_stream_cusum,
+    "heikin_ashi": q_heikin_ashi,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5109,4 +5146,5 @@ FROM events GROUP BY 1
     "rfm_scores": _RFM_ORACLE,
     "kmv_set_ops": _kmv_setops_oracle(),
     "stream_cusum": _stream_cusum_oracle(),
+    "heikin_ashi": _HEIKIN_ASHI_ORACLE,
 }

@@ -1004,3 +1004,70 @@ def return_streaks(
         )
         .drop("grp")
     )
+
+
+def heikin_ashi(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    open_col: str = "daily_open",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Heikin-Ashi smoothed candles: ha_close is the OHLC4 mean,
+    ha_open the midpoint of the *previous HA* candle — a data-dependent
+    recursion no window frame expresses, so it uses the package's
+    ``applyInPandas`` pattern (cf. :func:`ema_macd`): one shuffle on
+    symbol, scalar loop per symbol series, parallel across symbols.
+
+    All arithmetic is fixed-order (left-associative sums, single
+    divisions), bit-identical to the DuckDB recursive-CTE oracle.
+    ``direction`` compares the raw (unrounded) HA open/close.
+
+    Scale: O(1) state per symbol; series length is bounded by calendar
+    days, not data volume.
+    """
+    import pandas as pd
+
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(open_col).alias("o"),
+        F.col(high_col).alias("h"),
+        F.col(low_col).alias("l"),
+        F.col(close_col).alias("c"),
+    )
+    schema_out = (
+        "symbol string, date date, ha_open double, ha_high double, "
+        "ha_low double, ha_close double, direction int"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        ho = hc = None
+        out = {k: [] for k in ("ha_open", "ha_high", "ha_low", "ha_close", "direction")}
+        for o, h, l, c in zip(pdf["o"], pdf["h"], pdf["l"], pdf["c"]):
+            o, h, l, c = float(o), float(h), float(l), float(c)
+            new_hc = (o + h + l + c) / 4
+            ho = (o + c) / 2 if ho is None else (ho + hc) / 2
+            hc = new_hc
+            out["ha_open"].append(ho)
+            out["ha_close"].append(hc)
+            out["ha_high"].append(max(h, ho, hc))
+            out["ha_low"].append(min(l, ho, hc))
+            out["direction"].append(1 if hc > ho else (-1 if hc < ho else 0))
+        res = pd.DataFrame({"symbol": pdf["symbol"], "date": pdf["date"], **out})
+        res["direction"] = res["direction"].astype("int32")
+        return res
+
+    walked = base.groupBy("symbol").applyInPandas(walk, schema=schema_out)
+    return walked.select(
+        "symbol",
+        "date",
+        F.round("ha_open", 6).alias("ha_open"),
+        F.round("ha_high", 6).alias("ha_high"),
+        F.round("ha_low", 6).alias("ha_low"),
+        F.round("ha_close", 6).alias("ha_close"),
+        "direction",
+    )

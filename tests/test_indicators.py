@@ -294,3 +294,39 @@ def test_return_streaks_partition_and_signs(spark, sf_dir):
     for (s1, a1, b1), (s2, a2, b2) in zip(spans, spans[1:]):
         if s1 == s2:
             assert b1 < a2
+
+
+def test_heikin_ashi_candle_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+        q_heikin_ashi,
+    )
+
+    rows = {
+        (r.symbol, r.date): r for r in q_heikin_ashi(spark, sf_dir).collect()
+    }
+    assert rows
+    daily = {
+        (r.symbol, r.date): r for r in q_daily_metrics(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(daily)
+    for key, r in rows.items():
+        # HA candle envelope contains its own open/close
+        assert r.ha_low <= min(r.ha_open, r.ha_close) + 1e-9
+        assert r.ha_high >= max(r.ha_open, r.ha_close) - 1e-9
+        # and the raw bar's high/low bound it
+        assert r.ha_high >= daily[key].daily_high - 1e-9
+        assert r.ha_low <= daily[key].daily_low + 1e-9
+        assert r.direction in (-1, 0, 1)
+        if r.ha_close > r.ha_open:
+            assert r.direction == 1
+    # first day seeds ha_open at the bar midpoint
+    by_sym = {}
+    for (sym, d), r in rows.items():
+        by_sym.setdefault(sym, []).append((d, r))
+    for sym, series in by_sym.items():
+        d0, r0 = min(series)
+        bar = daily[(sym, d0)]
+        assert r0.ha_open == pytest.approx(
+            (bar.daily_open + bar.daily_close) / 2, abs=1e-6
+        )
