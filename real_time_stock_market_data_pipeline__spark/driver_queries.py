@@ -4854,6 +4854,40 @@ FROM rec
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with digest + recon error
+    (`operators/similarity.py:embedding_quantize`)."""
+    ensure_engine_conf(spark)
+    return similarity.embedding_quantize(load_table(spark, sf_dir, "embeddings"))
+
+
+_QUANT_ERR_CHAIN = " + ".join(
+    f"(CAST(v[{i + 1}] AS DOUBLE) - q[{i + 1}] * scale)"
+    f" * (CAST(v[{i + 1}] AS DOUBLE) - q[{i + 1}] * scale)"
+    for i in range(_DIM)
+)
+
+_EMBEDDING_QUANTIZE_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding AS v,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      AS scale
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, v, scale,
+    list_transform(v, x -> CASE WHEN scale > 0
+        THEN CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER)
+        ELSE 0 END) AS q
+  FROM b
+)
+SELECT vec_id, len(v) AS n_dims, round(scale, 6) AS scale,
+  md5(array_to_string(q, ',')) AS qvec_digest,
+  round(sqrt({_QUANT_ERR_CHAIN}), 6) AS recon_err
+FROM qv
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4905,6 +4939,7 @@ QUERIES: dict[str, QueryFn] = {
     "kmv_set_ops": q_kmv_set_ops,
     "stream_cusum": q_stream_cusum,
     "heikin_ashi": q_heikin_ashi,
+    "embedding_quantize": q_embedding_quantize,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5147,4 +5182,5 @@ FROM events GROUP BY 1
     "kmv_set_ops": _kmv_setops_oracle(),
     "stream_cusum": _stream_cusum_oracle(),
     "heikin_ashi": _HEIKIN_ASHI_ORACLE,
+    "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
 }

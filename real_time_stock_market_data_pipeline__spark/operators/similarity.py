@@ -579,3 +579,69 @@ def ivf_topk_indexed(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_quantize(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    storage/serving compression step of a large-scale vector pipeline
+    (4× over float32, 8× over float64). Per vector: scale =
+    absmax/127, q_i = round(x_i/scale), plus the reconstruction error
+    the compression cost audit needs.
+
+    The quantized vector itself is emitted as an md5 digest of its
+    comma-joined components (array cells don't canonicalize across
+    engines; the digest pins every component bit-for-bit). absmax is
+    exact (comparisons only); the error fold is the package's
+    left-associative chain (`_fold_sum` contract), so the oracle
+    replays it to the last ulp.
+
+    Scale: pure map-side — no shuffle at all; cost is one pass over
+    the vectors.
+    """
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    base = embs.select(
+        F.col(id_col), v.alias("v"), (absmax / F.lit(127.0)).alias("scale")
+    )
+    qvec = F.transform(
+        F.col("v"),
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    q = base.select(F.col(id_col), "v", "scale", qvec.alias("q"))
+    err_sq = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: (x.cast("double") - qi.cast("double") * F.col("scale"))
+            * (x.cast("double") - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # err_sq must bind to the RAW scale: computed via withColumn before
+    # the display select, because Spark's lateral column alias
+    # resolution would otherwise resolve its `col("scale")` to the
+    # 6-rounded sibling aliased "scale" in the same select list —
+    # silently quantizing the reconstruction error (caught by the
+    # oracle gate).
+    q = q.withColumn("err_sq", err_sq)
+    return q.select(
+        F.col(id_col),
+        F.size("v").alias("n_dims"),
+        F.round("scale", 6).alias("scale"),
+        F.md5(
+            F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")
+        ).alias("qvec_digest"),
+        F.round(F.sqrt("err_sq"), 6).alias("recon_err"),
+    )

@@ -266,3 +266,30 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_embedding_quantize_bounds_and_roundtrip(spark, sf_dir):
+    """int8 range respected, scale nonnegative, and the quantized
+    reconstruction is within half-a-step per component of the input
+    (error bound sqrt(d)·scale/2)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_quantize(embs).collect()
+    assert out
+    for r in out:
+        assert r.scale >= 0
+        assert r.n_dims == similarity.EMBEDDING_DIM
+        # max |err| per dim is scale/2 (+rounding slack), so the l2
+        # error is bounded by sqrt(d) * scale/2
+        bound = (r.n_dims ** 0.5) * (r.scale / 2) + 1e-6
+        assert r.recon_err <= bound
+    # a vector already on the int8 grid reconstructs exactly
+    toy = spark.createDataFrame(
+        [(1, [127.0, -127.0, 0.0, 64.0])], "vec_id long, embedding array<float>"
+    )
+    r = similarity.embedding_quantize(toy).collect()[0]
+    assert r.scale == 1.0 and r.recon_err == 0.0
