@@ -70,6 +70,16 @@ _EXSTD = (
 )
 
 
+#: _EXSTD with DECIMAL(19,6) squares: forces DuckDB into INT128
+#: multiplication for columns whose values reach ~1e4 (squares ~1e9
+#: overflow the DECIMAL(18) int64 path) — e.g. simple returns of
+#: wide-ranging synthetic prices.
+_EXSTD_WIDE = _EXSTD.replace(
+    "CAST({col} AS DECIMAL(18,6)) * CAST({col} AS DECIMAL(18,6))",
+    "CAST({col} AS DECIMAL(19,6)) * CAST({col} AS DECIMAL(19,6))",
+)
+
+
 def _round_sql(expr: str, n: int) -> str:
     """Spark-faithful ``round(double, n)`` for DuckDB. Spark rounds the
     double's SHORTEST decimal repr (``BigDecimal.valueOf``) HALF_UP;
@@ -4888,6 +4898,99 @@ FROM qv
 """
 
 
+def q_weekday_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week return seasonality per symbol: count, exact mean,
+    exact sample stddev, and share of positive days for each ISO
+    weekday. One extra map-side column on the daily-returns lineage;
+    the tiny (symbol × 7) aggregate is fully partial-aggregated."""
+    daily = q_daily_metrics(spark, sf_dir)
+    wlag = Window.partitionBy("symbol").orderBy("date")
+    ret = F.round(F.col("daily_close") / F.lag("daily_close").over(wlag) - 1, 6)
+    rets = daily.select(
+        "symbol",
+        (F.weekday("date") + F.lit(1)).alias("iso_weekday"),
+        ret.alias("r"),
+    ).where(F.col("r").isNotNull())
+    d = F.col("r").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    return rets.groupBy("symbol", "iso_weekday").agg(
+        n.alias("n_days"),
+        F.round(sx / n, 6).alias("mean_ret"),
+        F.round(
+            F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))), 6
+        ).alias("std_ret"),
+        F.round(
+            F.sum(F.when(F.col("r") > 0, 1).otherwise(0)).cast("double") / n, 6
+        ).alias("share_up"),
+    )
+
+
+_WEEKDAY_RETURNS_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+r AS (
+  SELECT symbol, isodow(date) AS iso_weekday,
+    round(daily_close / lag(daily_close)
+          OVER (PARTITION BY symbol ORDER BY date) - 1, 6) AS r
+  FROM d
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL)
+SELECT symbol, iso_weekday, count(*) AS n_days,
+  {_round_sql(_EXAVG.format(col="r"), 6)} AS mean_ret,
+  {_round_sql(_EXSTD_WIDE.format(col="r"), 6)} AS std_ret,
+  round(CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+    AS share_up
+FROM rr GROUP BY symbol, iso_weekday
+"""
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per embedding label
+    (`operators/similarity.py:silhouette_by_label`)."""
+    ensure_engine_conf(spark)
+    return similarity.silhouette_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
+_SILHOUETTE_ORACLE = f"""
+WITH c AS (
+  SELECT label AS clabel, i AS dim,
+    round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+  FROM embeddings, unnest(range(1, {_DIM + 1})) AS t(i)
+  GROUP BY label, i
+),
+e AS (
+  SELECT vec_id, label, i AS dim,
+         round(CAST(embedding[i] AS DOUBLE), 6) AS x
+  FROM embeddings, unnest(range(1, {_DIM + 1})) AS t(i)
+),
+d2 AS (
+  SELECT e.vec_id, e.label, c.clabel,
+    round(sqrt(CAST(sum(CAST(round((x - c.c) * (x - c.c), 12)
+                             AS DECIMAL(24,12))) AS DOUBLE)), 6) AS dist
+  FROM e JOIN c ON e.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+sv AS (
+  SELECT vec_id, label,
+    max(CASE WHEN clabel = label THEN dist END) AS a,
+    min(CASE WHEN clabel <> label THEN dist END) AS b
+  FROM d2 GROUP BY 1, 2
+),
+s AS (
+  SELECT label,
+    round(CASE WHEN greatest(a, b) > 0
+          THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS s
+  FROM sv
+)
+SELECT label, count(*) AS n_vectors,
+  round({_EXAVG.format(col="s")}, 6) AS mean_silhouette
+FROM s GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4940,6 +5043,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_cusum": q_stream_cusum,
     "heikin_ashi": q_heikin_ashi,
     "embedding_quantize": q_embedding_quantize,
+    "weekday_returns": q_weekday_returns,
+    "silhouette": q_silhouette,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5183,4 +5288,6 @@ FROM events GROUP BY 1
     "stream_cusum": _stream_cusum_oracle(),
     "heikin_ashi": _HEIKIN_ASHI_ORACLE,
     "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
+    "weekday_returns": _WEEKDAY_RETURNS_ORACLE,
+    "silhouette": _SILHOUETTE_ORACLE,
 }

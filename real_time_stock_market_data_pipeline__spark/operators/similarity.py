@@ -645,3 +645,70 @@ def embedding_quantize(
         ).alias("qvec_digest"),
         F.round(F.sqrt("err_sq"), 6).alias("recon_err"),
     )
+
+
+def silhouette_by_label(
+    embs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per label: for each
+    vector, a = distance to its own label centroid, b = distance to
+    the nearest other centroid, s = (b−a)/max(a,b); labels report
+    their mean s — the standard cluster-quality audit, computed
+    declaratively.
+
+    Exactness: centroids come from :func:`embedding_centroids`
+    (quantized-decimal means) and are re-quantized to 6 decimals;
+    per-dimension distance terms are quantized to 12 decimals before
+    the exact DECIMAL sum, so distances are partition-independent.
+
+    Scale: the explode→centroid join costs |V|·d·L rows into a
+    map-side partial aggregation (the same shape as the k-means assign
+    step); the per-vector and per-label reductions run on |V|·L and
+    |V| rows. Centroids are broadcast.
+    """
+    cent = embedding_centroids(embs, group_col=group_col, vec_col=vec_col).select(
+        F.col(group_col).alias("clabel"),
+        "dim",
+        F.round("centroid", 6).alias("c"),
+    )
+    ex = embs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("x"),
+    )
+    diff = F.col("x") - F.col("c")
+    term = F.round(diff * diff, 12).cast("decimal(24,12)")
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy(id_col, group_col, "clabel")
+        .agg(F.round(F.sqrt(F.sum(term).cast("double")), 6).alias("dist"))
+    )
+    sv = d2.groupBy(id_col, group_col).agg(
+        F.max(F.when(F.col("clabel") == F.col(group_col), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col(group_col), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    scored = sv.select(F.col(group_col), F.round(s, 6).alias("s"))
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+    )

@@ -109,3 +109,35 @@ def test_rfm_scores_tiles_and_segments(spark, sf_dir):
     for axis in ("r_score", "f_score", "m_score"):
         counts = Counter(getattr(r, axis) for r in rows)
         assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_weekday_returns_partition_of_days(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+        q_weekday_returns,
+    )
+
+    rows = q_weekday_returns(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.iso_weekday <= 7
+        assert 0.0 <= r.share_up <= 1.0
+        if r.std_ret is not None:
+            assert r.std_ret >= 0
+    # weekday buckets partition the return days: totals match the
+    # daily series minus each symbol's first day
+    n_daily = {
+        r.symbol: r.n
+        for r in q_daily_metrics(spark, sf_dir)
+        .groupBy("symbol")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    from collections import defaultdict
+
+    per_sym = defaultdict(int)
+    for r in rows:
+        per_sym[r.symbol] += r.n_days
+    for sym, n in per_sym.items():
+        assert n == n_daily[sym] - 1

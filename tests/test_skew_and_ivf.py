@@ -293,3 +293,25 @@ def test_embedding_quantize_bounds_and_roundtrip(spark, sf_dir):
     )
     r = similarity.embedding_quantize(toy).collect()[0]
     assert r.scale == 1.0 and r.recon_err == 0.0
+
+
+def test_silhouette_bounds_and_separated_clusters(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_silhouette,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    rows = q_silhouette(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1 - 1e-9 <= r.mean_silhouette <= 1 + 1e-9
+        assert r.n_vectors >= 1
+    # two perfectly separated point clusters score ~1
+    sep = spark.createDataFrame(
+        [(i, "a", [0.0, 0.0]) for i in range(5)]
+        + [(i + 10, "b", [100.0, 100.0]) for i in range(5)],
+        "vec_id long, label string, embedding array<float>",
+    )
+    out = {r.label: r for r in similarity.silhouette_by_label(sep).collect()}
+    assert out["a"].mean_silhouette > 0.99
+    assert out["b"].mean_silhouette > 0.99
