@@ -4991,6 +4991,57 @@ FROM s GROUP BY label
 """
 
 
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle price-impact lambda per symbol from tick-rule signs
+    (`operators/indicators.py:kyle_lambda`)."""
+    ev = _events(spark, sf_dir)
+    return indicators.kyle_lambda(
+        ev, symbol_col="event_type", ts_col="ts",
+        price_col="value", id_col="event_id",
+    )
+
+
+_KYLE_LAMBDA_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         round(value, 6) AS pq
+  FROM events
+),
+s AS (
+  SELECT symbol, date, ts, event_id, pq,
+         CASE WHEN pq > lag(pq) OVER w THEN 1
+              WHEN pq < lag(pq) OVER w THEN -1 END AS raw,
+         round(pq - lag(pq) OVER w, 6) AS dp
+  FROM t WINDOW w AS (PARTITION BY symbol, date ORDER BY ts, event_id)
+),
+c AS (
+  SELECT symbol, dp AS y,
+         last_value(raw IGNORE NULLS)
+           OVER (PARTITION BY symbol, date ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+  FROM s
+),
+p AS (SELECT * FROM c WHERE x IS NOT NULL AND y IS NOT NULL),
+agg AS (
+  SELECT symbol, count(*) AS n,
+    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+         AS DOUBLE) AS sxy
+  FROM p GROUP BY symbol
+)
+SELECT symbol, n AS n_ticks,
+  round(CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS kyle_lambda,
+  round((sy - CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx) / n, 6)
+    AS intercept
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5045,6 +5096,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_quantize": q_embedding_quantize,
     "weekday_returns": q_weekday_returns,
     "silhouette": q_silhouette,
+    "kyle_lambda": q_kyle_lambda,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5290,4 +5342,5 @@ FROM events GROUP BY 1
     "embedding_quantize": _EMBEDDING_QUANTIZE_ORACLE,
     "weekday_returns": _WEEKDAY_RETURNS_ORACLE,
     "silhouette": _SILHOUETTE_ORACLE,
+    "kyle_lambda": _KYLE_LAMBDA_ORACLE,
 }

@@ -1071,3 +1071,52 @@ def heikin_ashi(
         F.round("ha_close", 6).alias("ha_close"),
         "direction",
     )
+
+
+def kyle_lambda(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Kyle (1985) price-impact lambda per symbol: the least-squares
+    slope of tick-to-tick price change on trade sign (tick-rule
+    classified, unit size) — how much each buyer/seller-initiated
+    trade moves the price.
+
+    Shares :func:`tick_rule`'s classification (lag sign + zero-tick
+    carry, day-boundary reset); the regression runs over (side, Δp)
+    pairs where both are defined. Sufficient sums are exact DECIMAL on
+    the 6-quantized Δp and the ±1 sides, so λ is a single fixed-order
+    double formula — partition-independent.
+
+    Scale: the same single (symbol, day) exchange as tick_rule, then a
+    map-side-combined groupBy on symbol — 5 numbers per key.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col).alias("date")
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pq = F.round(F.col(price_col), 6)
+    prev = F.lag(pq).over(w)
+    raw = F.when(pq > prev, 1).when(pq < prev, -1)
+    side = F.last(raw, ignorenulls=True).over(wrun)
+    dp = F.round(pq - prev, 6)
+    pairs = ticks.select(
+        F.col(symbol_col).alias("symbol"), side.alias("x"), dp.alias("y")
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    dx = F.col("x").cast("decimal(18,6)")
+    dy = F.col("y").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    sx = F.sum(dx).cast("double")
+    sy = F.sum(dy).cast("double")
+    sxx = F.sum(dx * dx).cast("double")
+    sxy = F.sum(dx * dy).cast("double")
+    denom = n * sxx - sx * sx
+    lam = F.when((n >= 2) & (denom != 0), (n * sxy - sx * sy) / denom)
+    return pairs.groupBy("symbol").agg(
+        n.alias("n_ticks"),
+        F.round(lam, 6).alias("kyle_lambda"),
+        F.round((sy - lam * sx) / n, 6).alias("intercept"),
+    )

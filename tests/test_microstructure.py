@@ -135,3 +135,32 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
         by_key[r.key] = by_key.get(r.key, 0.0) + r.share
     for key, s in by_key.items():
         assert s == pytest.approx(1.0, abs=1e-4), key
+
+
+def test_kyle_lambda_positive_and_exact_toy(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_kyle_lambda,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import indicators
+
+    rows = q_kyle_lambda(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # tick-rule signs are derived from the very price moves being
+        # regressed, so impact is mechanically positive
+        assert r.kyle_lambda is not None and r.kyle_lambda > 0
+        assert r.n_ticks >= 2
+    # constructed alternating series: +2 on every up-tick, -2 on every
+    # down-tick -> x in {+1,-1}, y = 2x exactly, so lambda == 2
+    base = []
+    p = 10.0
+    for i in range(20):
+        p = p + 2.0 if i % 2 == 0 else p - 2.0
+        base.append(("A", f"2024-01-01 00:{i:02d}:00", p, i))
+    df = (
+        spark.createDataFrame(base, ["symbol", "ts", "price", "id"])
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = indicators.kyle_lambda(df, id_col="id").collect()[0]
+    assert out.kyle_lambda == 2.0
+    assert out.intercept == 0.0
