@@ -5042,6 +5042,45 @@ FROM agg
 """
 
 
+def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin-Schultz high-low spread estimator per (symbol, day pair)
+    (`operators/indicators.py:corwin_schultz`)."""
+    return indicators.corwin_schultz(q_daily_metrics(spark, sf_dir))
+
+
+_CORWIN_SCHULTZ_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date,
+    CASE WHEN daily_low > 0
+         THEN round(ln(daily_high / daily_low), 6) END AS u2,
+    lag(CASE WHEN daily_low > 0
+         THEN round(ln(daily_high / daily_low), 6) END) OVER w AS u1,
+    CASE WHEN least(daily_low, lag(daily_low) OVER w) > 0
+         THEN round(ln(greatest(daily_high, lag(daily_high) OVER w)
+                       / least(daily_low, lag(daily_low) OVER w)), 6) END AS g
+  FROM d WINDOW w AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (
+  SELECT * FROM b
+  WHERE u1 IS NOT NULL AND u2 IS NOT NULL AND g IS NOT NULL
+),
+x AS (
+  SELECT symbol, date, u1 * u1 + u2 * u2 AS beta, g * g AS gamma FROM f
+),
+a AS (
+  SELECT symbol, date, beta, gamma,
+    (sqrt(2.0 * beta) - sqrt(beta)) / {indicators._CS_DEN!r}
+      - sqrt(gamma / {indicators._CS_DEN!r}) AS alpha
+  FROM x
+)
+SELECT symbol, date, round(beta, 6) AS beta, round(gamma, 6) AS gamma,
+  round(alpha, 6) AS alpha,
+  round(greatest(2.0 * (exp(alpha) - 1) / (1 + exp(alpha)), 0.0), 6) AS spread
+FROM a
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5097,6 +5136,7 @@ QUERIES: dict[str, QueryFn] = {
     "weekday_returns": q_weekday_returns,
     "silhouette": q_silhouette,
     "kyle_lambda": q_kyle_lambda,
+    "corwin_schultz": q_corwin_schultz,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5343,4 +5383,5 @@ FROM events GROUP BY 1
     "weekday_returns": _WEEKDAY_RETURNS_ORACLE,
     "silhouette": _SILHOUETTE_ORACLE,
     "kyle_lambda": _KYLE_LAMBDA_ORACLE,
+    "corwin_schultz": _CORWIN_SCHULTZ_ORACLE,
 }

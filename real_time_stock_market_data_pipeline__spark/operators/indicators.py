@@ -1120,3 +1120,60 @@ def kyle_lambda(
         F.round(lam, 6).alias("kyle_lambda"),
         F.round((sy - lam * sx) / n, 6).alias("intercept"),
     )
+
+
+#: Corwin–Schultz constant 3 − 2·√2 as a fixed double literal shared
+#: with the oracle (no engine-side sqrt(2)).
+_CS_DEN = 0.17157287525380993
+
+
+def corwin_schultz(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+) -> DataFrame:
+    """Corwin–Schultz (2012) bid-ask spread estimator from daily
+    high/low ranges of two consecutive days: beta is the sum of the
+    squared single-day log ranges, gamma the squared two-day log
+    range, alpha their closed-form combination, and the spread
+    2(e^a − 1)/(1 + e^a), floored at 0 as the paper prescribes.
+
+    Log terms are quantized to 6 decimals (zero lows excluded, same
+    guard as :func:`ohlc_volatility`); everything downstream is one
+    fixed-order double expression per row, replayed literally by the
+    oracle. Emitted at the pair's second day.
+
+    Scale: one shuffle on symbol, one lag window — O(1) state.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    u = F.when(
+        F.col(low_col) > 0, F.round(F.log(F.col(high_col) / F.col(low_col)), 6)
+    )
+    hh = F.greatest(F.col(high_col), F.lag(high_col).over(wlag))
+    ll = F.least(F.col(low_col), F.lag(low_col).over(wlag))
+    g = F.when(ll > 0, F.round(F.log(hh / ll), 6))
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        u.alias("u2"),
+        F.lag(u).over(wlag).alias("u1"),
+        g.alias("g"),
+    ).where(
+        F.col("u1").isNotNull() & F.col("u2").isNotNull() & F.col("g").isNotNull()
+    )
+    beta = F.col("u1") * F.col("u1") + F.col("u2") * F.col("u2")
+    gamma = F.col("g") * F.col("g")
+    alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / F.lit(_CS_DEN) - F.sqrt(
+        gamma / F.lit(_CS_DEN)
+    )
+    spread = F.lit(2.0) * (F.exp(alpha) - 1) / (1 + F.exp(alpha))
+    return base.select(
+        "symbol",
+        "date",
+        F.round(beta, 6).alias("beta"),
+        F.round(gamma, 6).alias("gamma"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(F.greatest(spread, F.lit(0.0)), 6).alias("spread"),
+    )

@@ -164,3 +164,25 @@ def test_kyle_lambda_positive_and_exact_toy(spark, sf_dir):
     out = indicators.kyle_lambda(df, id_col="id").collect()[0]
     assert out.kyle_lambda == 2.0
     assert out.intercept == 0.0
+
+
+def test_corwin_schultz_bounds_and_known_case(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_corwin_schultz,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import indicators
+
+    rows = q_corwin_schultz(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.beta >= 0 and r.gamma >= 0
+        assert 0.0 <= r.spread < 2.0
+    # identical flat days (high == low): zero ranges -> zero spread
+    flat = spark.createDataFrame(
+        [("X", f"2024-01-{d:02d}", 10.0, 10.0) for d in range(1, 6)],
+        "symbol string, date string, daily_high double, daily_low double",
+    )
+    out = indicators.corwin_schultz(flat).collect()
+    assert out and all(
+        r.beta == 0 and r.gamma == 0 and r.spread == 0 for r in out
+    )
