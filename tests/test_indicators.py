@@ -330,3 +330,57 @@ def test_heikin_ashi_candle_laws(spark, sf_dir):
         assert r0.ha_open == pytest.approx(
             (bar.daily_open + bar.daily_close) / 2, abs=1e-6
         )
+
+
+def test_weekly_bars_envelope_and_day_partition(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+        q_weekly_bars,
+    )
+
+    weekly = q_weekly_bars(spark, sf_dir).collect()
+    assert weekly
+    n_daily = q_daily_metrics(spark, sf_dir).count()
+    assert sum(r.n_days for r in weekly) == n_daily
+    for r in weekly:
+        assert r.low <= min(r.open, r.close) + 1e-9
+        assert r.high >= max(r.open, r.close) - 1e-9
+        assert r.week_start.weekday() == 0  # ISO weeks start Monday
+        assert 1 <= r.n_days <= 7
+
+
+def test_momentum_rank_is_dense_per_date(spark, sf_dir):
+    from collections import defaultdict
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_momentum_rank,
+    )
+
+    rows = q_momentum_rank(spark, sf_dir).collect()
+    assert rows
+    by_date = defaultdict(list)
+    for r in rows:
+        by_date[r.date].append(r)
+    for day_rows in by_date.values():
+        ranks = sorted(r.rank for r in day_rows)
+        assert ranks == list(range(1, len(day_rows) + 1))
+        # rank order follows momentum order
+        by_rank = sorted(day_rows, key=lambda r: r.rank)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a.mom_5d >= b.mom_5d
+
+
+def test_portfolio_index_compounds_day_means(spark, sf_dir):
+    import math
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_portfolio_index,
+    )
+
+    rows = sorted(q_portfolio_index(spark, sf_dir).collect(), key=lambda r: r.date)
+    assert rows
+    acc = 0.0
+    for r in rows:
+        acc += round(math.log(1 + r.mean_ret), 6)
+        assert abs(r.cum_log_growth - acc) < 1e-4
+        assert r.n_symbols >= 1

@@ -328,3 +328,21 @@ def test_lang_balance_weights_normalize_and_upsample_tail(spark, sf_dir):
     ident = t.lang_balance_weights(docs, alpha=1.0).collect()
     for r in ident:
         assert abs(r.sample_weight - 1.0) < 1e-4
+
+
+def test_lang_confusion_is_a_partition_with_shares(spark, sf_dir):
+    from collections import defaultdict
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_lang_confusion,
+    )
+
+    rows = q_lang_confusion(spark, sf_dir).collect()
+    assert rows
+    docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs_total
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang_actual] += r.share_of_actual
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 1e-3, lang
