@@ -88,9 +88,15 @@ def _round_sql(expr: str, n: int) -> str:
     17.02125 → Spark 17.0213, plain DuckDB round 17.0212; hit at
     sf0.1). Routing through VARCHAR reproduces the repr, and DECIMAL
     rounding is then HALF_UP on those digits — matching Spark on every
-    probed tie and non-tie case."""
+    probed tie and non-tie case. DECIMAL(35,17): a double repr has at
+    most 17 significant digits, so 17 fractional digits hold any repr
+    below 1e18 exactly — a narrower scale double-rounds reprs like
+    3.8522499999999997 (16 frac digits) UP where Spark's single-step
+    rounding goes down (found by mad_anomalies at sf0.1; DuckDB's
+    plain double round() also flips there, via an FP tie in its
+    x·10^n scaling)."""
     return (
-        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(30,15)), {n})"
+        f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(35,17)), {n})"
         " AS DOUBLE)"
     )
 
@@ -5267,6 +5273,87 @@ FROM c
 """
 
 
+def q_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD/modified-z anomaly flags over event values
+    (`operators/metrics.py:mad_anomalies`)."""
+    ev = _events(spark, sf_dir)
+    return metrics.mad_anomalies(
+        ev, key_cols=["event_type"], value_col="value", id_cols=["event_id"]
+    )
+
+
+_MAD_ANOMALIES_ORACLE = f"""
+WITH r1 AS (
+  SELECT event_id, event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+m AS (
+  SELECT event_id, event_type, value,
+    max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+      OVER (PARTITION BY event_type) AS med
+  FROM r1
+),
+a AS (
+  SELECT *, round(abs(value - med), 6) AS absdev FROM m
+),
+r2 AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type ORDER BY absdev) AS rn2,
+    count(*) OVER (PARTITION BY event_type) AS n2
+  FROM a
+),
+md AS (
+  SELECT event_id, event_type, value, med,
+    max(CASE WHEN rn2 = (n2 + 1) // 2 THEN absdev END)
+      OVER (PARTITION BY event_type) AS mad
+  FROM r2
+)
+SELECT event_id, event_type, value,
+       round(med, 6) AS med, round(mad, 6) AS mad,
+       {_round_sql("0.6745 * (value - med) / mad", 4)} AS robust_z
+FROM md
+WHERE mad > 0
+  AND abs({_round_sql("0.6745 * (value - med) / mad", 4)}) > 3.5
+"""
+
+
+def q_underwater_spells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown spell spans/depths/recovery per symbol
+    (`operators/indicators.py:underwater_spells`)."""
+    return indicators.underwater_spells(q_daily_metrics(spark, sf_dir))
+
+
+_UNDERWATER_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date,
+    CASE WHEN max(daily_close) OVER w <> 0
+         THEN round(daily_close / max(daily_close) OVER w - 1, 6) END
+      AS drawdown,
+    max(date) OVER (PARTITION BY symbol) AS symbol_last_date,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn_all
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+u AS (SELECT * FROM b WHERE drawdown < 0),
+g AS (
+  SELECT *, rn_all - row_number()
+      OVER (PARTITION BY symbol ORDER BY date) AS grp
+  FROM u
+)
+SELECT symbol,
+  min(date) AS spell_start,
+  max(date) AS spell_end,
+  count(*) AS n_days,
+  min(drawdown) AS max_depth,
+  max(date) < max(symbol_last_date) AS recovered
+FROM g GROUP BY symbol, grp
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5329,6 +5416,8 @@ QUERIES: dict[str, QueryFn] = {
     "momentum_rank": q_momentum_rank,
     "portfolio_index": q_portfolio_index,
     "lang_confusion": q_lang_confusion,
+    "mad_anomalies": q_mad_anomalies,
+    "underwater_spells": q_underwater_spells,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5580,4 +5669,6 @@ FROM events GROUP BY 1
     "momentum_rank": _MOMENTUM_RANK_ORACLE,
     "portfolio_index": _PORTFOLIO_INDEX_ORACLE,
     "lang_confusion": _lang_confusion_oracle(),
+    "mad_anomalies": _MAD_ANOMALIES_ORACLE,
+    "underwater_spells": _UNDERWATER_ORACLE,
 }

@@ -1177,3 +1177,65 @@ def corwin_schultz(
         F.round(alpha, 6).alias("alpha"),
         F.round(F.greatest(spread, F.lit(0.0)), 6).alias("spread"),
     )
+
+
+def underwater_spells(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Underwater (drawdown) spell analysis: each maximal run of days
+    strictly below the running peak becomes one row with its span,
+    length, deepest drawdown, and whether the series recovered (a new
+    peak printed after the spell ended) — the drawdown-duration view
+    risk reports are built on.
+
+    Built as :func:`drawdown` + the gaps-and-islands id from
+    :func:`return_streaks`; the deepest drawdown is an exact min of
+    already-quantized values.
+
+    Scale: one shuffle on symbol; running peak, island ids and the
+    final groupBy share the partition sort.
+    """
+    wpeak = (
+        Window.partitionBy(symbol_col)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(close_col).over(wpeak)
+    dd = F.when(peak != 0, F.round(F.col(close_col) / peak - 1, 6))
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        dd.alias("drawdown"),
+    )
+    wmax = Window.partitionBy("symbol")
+    w_all = Window.partitionBy("symbol").orderBy("date")
+    # island id = series row number minus underwater row number, taken
+    # BEFORE/AFTER the filter respectively — consecutive *trading
+    # rows*, so a calendar gap doesn't split a spell
+    under = (
+        base.withColumn("symbol_last_date", F.max("date").over(wmax))
+        .withColumn("rn_all", F.row_number().over(w_all))
+        .where(F.col("drawdown") < 0)
+    )
+    w_run = Window.partitionBy("symbol").orderBy("date")
+    islands = under.select(
+        "symbol",
+        "date",
+        "drawdown",
+        "symbol_last_date",
+        (F.col("rn_all") - F.row_number().over(w_run)).alias("grp"),
+    )
+    return (
+        islands.groupBy("symbol", "grp")
+        .agg(
+            F.min("date").alias("spell_start"),
+            F.max("date").alias("spell_end"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("drawdown").alias("max_depth"),
+            (F.max("date") < F.max("symbol_last_date")).alias("recovered"),
+        )
+        .drop("grp")
+    )

@@ -454,3 +454,63 @@ def data_expectations(
         )
         out = out.unionByName(dup)
     return out
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Robust twin of :func:`zscore_anomalies`: modified z-scores from
+    the median and the median absolute deviation (Iglewicz-Hoaglin
+    0.6745·(x − med)/MAD, default cut 3.5), which heavy outliers
+    cannot drag the way they drag a mean/stddev gate.
+
+    Both medians use the DISCRETE lower-median convention (the element
+    at rank ⌊(n+1)/2⌋), selected by row_number — deliberately not the
+    engines' interpolating percentile: Spark evaluates
+    ``(1−g)·a + g·b`` where DuckDB evaluates ``a + (b−a)·g``, and the
+    ulp between them surfaced as a rounding flip at sf0.1. Rank
+    selection involves no arithmetic, so it is engine- and
+    partition-exact; absolute deviations are 6-quantized before the
+    second median. Groups with MAD = 0 emit nothing.
+
+    Scale: two rank windows over the same group partitioning — one
+    exchange; per-group sort state only.
+    """
+    from pyspark.sql import Window
+
+    def disc_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        wo = Window.partitionBy(*key_cols).orderBy(col)
+        wg = Window.partitionBy(*key_cols)
+        rn = F.row_number().over(wo)
+        n = F.count(F.lit(1)).over(wg)
+        mid = F.floor((n + 1) / 2)
+        tagged = frame.select(
+            "*", rn.alias("_rn"), mid.alias("_mid")
+        )
+        return tagged.withColumn(
+            out,
+            F.max(F.when(F.col("_rn") == F.col("_mid"), F.col(col))).over(wg),
+        ).drop("_rn", "_mid")
+
+    base = df.select(*id_cols, *key_cols, F.col(value_col))
+    with_med = disc_median(base, value_col, "med").withColumn(
+        "absdev", F.round(F.abs(F.col(value_col) - F.col("med")), 6)
+    )
+    with_mad = disc_median(with_med, "absdev", "mad")
+    rz = F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad")
+    return (
+        with_mad.where(F.col("mad") > 0)
+        .select(
+            *id_cols,
+            *key_cols,
+            F.col(value_col),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+        .where(F.abs(F.col("robust_z")) > z_threshold)
+    )

@@ -384,3 +384,40 @@ def test_portfolio_index_compounds_day_means(spark, sf_dir):
         acc += round(math.log(1 + r.mean_ret), 6)
         assert abs(r.cum_log_growth - acc) < 1e-4
         assert r.n_symbols >= 1
+
+
+def test_underwater_spells_partition_drawdown_days(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_drawdown,
+        q_underwater_spells,
+    )
+
+    spells = q_underwater_spells(spark, sf_dir).collect()
+    assert spells
+    dd_rows = q_drawdown(spark, sf_dir).collect()
+    n_under = sum(
+        1 for r in dd_rows if r.drawdown is not None and r.drawdown < 0
+    )
+    assert sum(r.n_days for r in spells) == n_under
+    for r in spells:
+        assert r.spell_start <= r.spell_end
+        assert r.max_depth < 0
+        assert isinstance(r.recovered, bool)
+    # spells never overlap within a symbol
+    spans = sorted((r.symbol, r.spell_start, r.spell_end) for r in spells)
+    for (s1, a1, b1), (s2, a2, b2) in zip(spans, spans[1:]):
+        if s1 == s2:
+            assert b1 < a2
+    # the spell running to a symbol's last underwater day with no
+    # later peak is unrecovered
+    last = {}
+    for r in sorted(spells, key=lambda r: (r.symbol, r.spell_end)):
+        last[r.symbol] = r
+    by_sym_last_date = {}
+    for r in dd_rows:
+        d = by_sym_last_date.get(r.symbol)
+        if d is None or r.date > d:
+            by_sym_last_date[r.symbol] = r.date
+    for sym, spell in last.items():
+        if spell.spell_end == by_sym_last_date[sym]:
+            assert spell.recovered is False

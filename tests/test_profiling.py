@@ -86,3 +86,27 @@ def test_profile_counts(spark):
     assert out["x"].max_val == 7.5
     assert out["cat"].n_null == 1 and out["cat"].n_distinct == 2
     assert out["cat"].min_val is None and out["cat"].max_val is None
+
+
+def test_mad_anomalies_robust_to_planted_outlier(spark, sf_dir):
+    """A huge planted outlier must be flagged, and unlike the
+    mean/stddev gate, must not unflag everything else by inflating the
+    spread."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_mad_anomalies,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    rows = q_mad_anomalies(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.robust_z) > 3.5
+        assert r.mad > 0
+    base = [(i, "g", float(i % 7)) for i in range(50)] + [(999, "g", 1e6)]
+    df = spark.createDataFrame(base, "id long, k string, v double")
+    out = metrics.mad_anomalies(
+        df, key_cols=["k"], value_col="v", id_cols=["id"]
+    ).collect()
+    assert any(r.id == 999 for r in out)
+    # median/MAD of the bulk are untouched by the outlier
+    flagged = {r.id for r in out}
+    assert len(flagged - {999}) == 0
