@@ -5354,6 +5354,75 @@ FROM g GROUP BY symbol, grp
 """
 
 
+def q_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association support/confidence/lift between event types over
+    user baskets (`operators/behavior.py:event_lift`)."""
+    return behavior.event_lift(_events(spark, sf_dir))
+
+
+_EVENT_LIFT_ORACLE = """
+WITH pres AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+counts AS (SELECT t, count(*) AS n FROM pres GROUP BY t),
+total AS (SELECT count(DISTINCT u) AS n_users FROM pres),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+  FROM pres a JOIN pres b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, ca.n AS n_a, cb.n AS n_b, n_users,
+  round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+  round(CAST(n_ab AS DOUBLE) / ca.n, 6) AS conf_a_to_b,
+  round(CAST(n_ab AS DOUBLE) / cb.n, 6) AS conf_b_to_a,
+  round(CAST(n_ab * n_users AS DOUBLE) / (ca.n * cb.n), 6) AS lift
+FROM pairs
+JOIN counts ca ON ca.t = type_a
+JOIN counts cb ON cb.t = type_b
+CROSS JOIN total
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 in-session event-type trigrams
+    (`operators/behavior.py:session_paths`)."""
+    return behavior.session_paths(_events(spark, sf_dir))
+
+
+_SESSION_PATHS_ORACLE = """
+WITH g AS (
+  SELECT user_id AS u, event_type AS t, ts, event_id AS id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           > 1800000000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT u, t, ts, id,
+    sum(new_sess) OVER (PARTITION BY u ORDER BY ts, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS sid
+  FROM g
+),
+tri AS (
+  SELECT u, sid,
+    t || '>' || lead(t, 1) OVER w || '>' || lead(t, 2) OVER w AS path,
+    lead(t, 2) OVER w AS t3
+  FROM s WINDOW w AS (PARTITION BY u, sid ORDER BY ts, id)
+),
+counted AS (
+  SELECT path, count(*) AS n_occurrences,
+         count(DISTINCT (u, sid)) AS n_sessions
+  FROM tri WHERE t3 IS NOT NULL GROUP BY path
+)
+SELECT path, n_occurrences, n_sessions,
+       row_number() OVER (ORDER BY n_occurrences DESC, path) AS rank
+FROM counted
+QUALIFY rank <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5418,6 +5487,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_confusion": q_lang_confusion,
     "mad_anomalies": q_mad_anomalies,
     "underwater_spells": q_underwater_spells,
+    "event_lift": q_event_lift,
+    "session_paths": q_session_paths,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5671,4 +5742,6 @@ FROM events GROUP BY 1
     "lang_confusion": _lang_confusion_oracle(),
     "mad_anomalies": _MAD_ANOMALIES_ORACLE,
     "underwater_spells": _UNDERWATER_ORACLE,
+    "event_lift": _EVENT_LIFT_ORACLE,
+    "session_paths": _SESSION_PATHS_ORACLE,
 }

@@ -245,3 +245,131 @@ def rfm_scores(
             F.col("m_score").cast("string"),
         ),
     )
+
+
+def event_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket association stats between event types over user
+    baskets: for each unordered type pair, co-occurrence support,
+    both directional confidences, and lift
+    (P(ab)/(P(a)P(b))) — the cross-sell / feature-affinity primitive.
+
+    All probabilities are ratios of exact distinct-user counts; the
+    numerator products are integer (long·long), so every emitted
+    double is one fixed-order division — engine-exact.
+
+    Scale: one distinct shuffle of (user, type); the pair self-join is
+    keyed on user (cost Σ basket², baskets bounded by the type
+    universe); the type-count and total-user frames are broadcast.
+    """
+    # One distinct pass, materialized once: three consumers (counts,
+    # pair join, total) would otherwise re-scan the fact table.
+    pres = (
+        events.select(F.col(user_col).alias("u"), F.col(type_col).alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    counts = pres.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    # the universe size is a single scalar parameter — materialized on
+    # the driver (same pattern as the similarity query vector) because
+    # a 1-row join, however written, constant-folds into a
+    # BroadcastNestedLoopJoin that the no-nested-loop plan gate bans
+    n_users = pres.select("u").distinct().count()
+    a = pres.select(F.col("u"), F.col("t").alias("type_a"))
+    b = pres.select(F.col("u"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = counts.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .withColumn("n_users", F.lit(n_users))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_users",
+        F.round(F.col("n_ab").cast("double") / F.col("n_users"), 6).alias(
+            "support"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+            "conf_a_to_b"
+        ),
+        F.round(F.col("n_ab").cast("double") / F.col("n_b"), 6).alias(
+            "conf_b_to_a"
+        ),
+        F.round(
+            (F.col("n_ab") * F.col("n_users")).cast("double")
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Top-k most common event-type trigrams within user sessions —
+    the navigation-path mining behind funnel discovery. Sessions are
+    the same gap rule as :func:`~...temporal.sessionize`; paths are
+    built with ``lead`` windows (never a collected list), rendered
+    ``a>b>c``.
+
+    Scale: one shuffle on user (session flags, leads and ids share
+    the per-user sort), a map-side-combined path count, and a
+    WindowGroupLimit top-k — mappers ship at most ``top_k`` rows.
+    ``n`` is fixed at 3 (two leads); the signature keeps it explicit.
+    """
+    if n != 3:
+        raise ValueError("session_paths is the trigram miner; n must be 3")
+    wu = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.lag(
+        F.unix_micros(F.col(ts_col))
+    ).over(wu)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.sum(new_sess).over(wrun).alias("sid"),
+    )
+    ws = Window.partitionBy("u", "sid").orderBy("ts", "id")
+    tri = sess.select(
+        "u",
+        "sid",
+        F.concat_ws(
+            ">", F.col("t"), F.lead("t", 1).over(ws), F.lead("t", 2).over(ws)
+        ).alias("path"),
+        F.lead("t", 2).over(ws).alias("_t3"),
+    ).where(F.col("_t3").isNotNull())
+    counted = tri.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("u"), F.col("sid")).alias("n_sessions"),
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+    )

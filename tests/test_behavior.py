@@ -141,3 +141,39 @@ def test_weekday_returns_partition_of_days(spark, sf_dir):
         per_sym[r.symbol] += r.n_days
     for sym, n in per_sym.items():
         assert n == n_daily[sym] - 1
+
+
+def test_event_lift_probability_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_event_lift,
+    )
+
+    rows = q_event_lift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.support <= 1
+        assert 0 < r.conf_a_to_b <= 1
+        assert 0 < r.conf_b_to_a <= 1
+        # lift identity: conf(a->b) / P(b)
+        expect = (r.n_ab * r.n_users) / (r.n_a * r.n_b)
+        assert abs(r.lift - round(expect, 6)) < 1e-9
+
+
+def test_session_paths_trigram_counts(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_session_paths,
+    )
+
+    rows = q_session_paths(spark, sf_dir).collect()
+    assert rows
+    assert len(rows) <= 20
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert len(r.path.split(">")) == 3
+        assert 1 <= r.n_sessions <= r.n_occurrences
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.n_occurrences >= b.n_occurrences
