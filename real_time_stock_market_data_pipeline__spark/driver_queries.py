@@ -5423,6 +5423,88 @@ QUALIFY rank <= 20
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast revenue change: one tight scan with
+    date/discount/quantity predicates all pushed to parquet, and a
+    single decimal-exact product sum."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(d6(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_FORECAST_REVENUE_ORACLE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+       AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the supplier(s) hitting the maximum. The max-of-aggregate is
+    a window over the aggregated frame (one extra exchange over
+    |suppliers| rows, not a scalar-subquery rescan)."""
+    d6 = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    li = _table("lineitem")(spark, sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(d6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    wmax = Window.partitionBy()
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(wmax)
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 6).alias("total_revenue"),
+        )
+    )
+
+
+_TOP_SUPPLIER_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+         AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+),
+m AS (SELECT *, max(total_revenue) OVER () AS max_rev FROM rev)
+SELECT s_suppkey, s_name, round(total_revenue, 6) AS total_revenue
+FROM m JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = max_rev
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5489,6 +5571,8 @@ QUERIES: dict[str, QueryFn] = {
     "underwater_spells": q_underwater_spells,
     "event_lift": q_event_lift,
     "session_paths": q_session_paths,
+    "forecast_revenue": q_forecast_revenue,
+    "top_supplier": q_top_supplier,
     # ---- ... then the longest-unverified veterans (last driver row:
     # ---- round 4); round-5-verified queries cede their slots
     "daily_metrics": q_daily_metrics,
@@ -5744,4 +5828,6 @@ FROM events GROUP BY 1
     "underwater_spells": _UNDERWATER_ORACLE,
     "event_lift": _EVENT_LIFT_ORACLE,
     "session_paths": _SESSION_PATHS_ORACLE,
+    "forecast_revenue": _FORECAST_REVENUE_ORACLE,
+    "top_supplier": _TOP_SUPPLIER_ORACLE,
 }

@@ -145,3 +145,26 @@ def test_large_volume_customers_aggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_forecast_revenue_pushes_all_predicates(spark, sf_dir):
+    """Q6's whole WHERE belongs in PushedFilters — the scan reads only
+    matching row groups and 4 columns."""
+    df = driver_queries.q_forecast_revenue(spark, sf_dir)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+    seg = plan.split("ReadSchema")[1][:300]
+    assert "l_returnflag" not in seg
+
+
+def test_top_supplier_single_fact_scan(spark, sf_dir):
+    """Q15's max-of-aggregate must reuse the aggregated frame (window
+    over |suppliers| rows), not rescan lineitem for the max."""
+    df = driver_queries.q_top_supplier(spark, sf_dir)
+    plan = _plan(df)
+    import re
+
+    li_scans = len(re.findall(r"parquet[^\n]*lineitem", plan))
+    assert li_scans == 1
