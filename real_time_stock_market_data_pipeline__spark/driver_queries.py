@@ -5538,8 +5538,9 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
-    # ---- the 23 round-6 additions (positions 21-43: all inside the
-    # ---- first-50 window, so each gets a driver row this round)
+    # ---- the round-6 additions: 30 of 33 inside the first-50 window
+    # ---- (each gets a driver row this round); see positions 51-53
+    # ---- for the three that don't fit
     "donchian": q_donchian,
     "amihud": q_amihud,
     "return_autocorr": q_return_autocorr,
@@ -5548,7 +5549,6 @@ QUERIES: dict[str, QueryFn] = {
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
     "order_priority_counts": q_order_priority_counts,
-    "customer_distribution": q_customer_distribution,
     "large_volume_customers": q_large_volume_customers,
     "disjunctive_revenue": q_disjunctive_revenue,
     "lexical_diversity": q_lexical_diversity,
@@ -5571,6 +5571,11 @@ QUERIES: dict[str, QueryFn] = {
     "underwater_spells": q_underwater_spells,
     "event_lift": q_event_lift,
     "session_paths": q_session_paths,
+    # ---- positions 51-53: the three round-6 queries that don't fit
+    # ---- the 50-slot window — chosen because they are the simplest
+    # ---- shapes (single-scan/broadcast aggregates, plan-tested);
+    # ---- the local 3-SF gate is their evidence until round 7
+    "customer_distribution": q_customer_distribution,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
     # ---- ... then the longest-unverified veterans (last driver row:
