@@ -173,3 +173,56 @@ def test_topk_movers_deterministic(spark, sf_dir):
     a = [tuple(r) for r in ohlcv.topk_movers(dm, 5).collect()]
     b = [tuple(r) for r in ohlcv.topk_movers(dm.repartition(13), 5).collect()]
     assert a == b
+
+
+def test_round6_operators_partitioning_invariant(spark, sf_dir):
+    """The round-6 exactness-critical operators must hash identically
+    under different parallelism — the property the decimal/rank/digest
+    recipes exist to guarantee."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        behavior,
+        indicators,
+        metrics,
+        similarity,
+        sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    embs = load_table(spark, sf_dir, "embeddings")
+    daily = ohlcv.daily_metrics(
+        ev, symbol_col="event_type", ts_col="ts",
+        price_col="value", id_col="event_id",
+    )
+
+    cases = [
+        lambda d: indicators.ohlc_volatility(d),
+        lambda d: indicators.return_autocorr(d),
+        lambda d: indicators.return_streaks(d),
+        lambda d: indicators.heikin_ashi(d),
+        lambda d: indicators.underwater_spells(d),
+    ]
+    for fn in cases:
+        base = _hash_df(fn(daily.coalesce(1)))
+        wide = _hash_df(fn(daily.repartition(13)))
+        assert base == wide, fn
+
+    assert _hash_df(
+        metrics.mad_anomalies(
+            ev.coalesce(1), ["event_type"], "value", ["event_id"]
+        )
+    ) == _hash_df(
+        metrics.mad_anomalies(
+            ev.repartition(17), ["event_type"], "value", ["event_id"]
+        )
+    )
+    assert _hash_df(
+        sketches.kmv_set_ops(ev.coalesce(1), "user_id", "event_type")
+    ) == _hash_df(
+        sketches.kmv_set_ops(ev.repartition(19), "user_id", "event_type")
+    )
+    assert _hash_df(
+        similarity.embedding_quantize(embs.coalesce(1))
+    ) == _hash_df(similarity.embedding_quantize(embs.repartition(7)))
+    assert _hash_df(
+        behavior.event_lift(ev.coalesce(1))
+    ) == _hash_df(behavior.event_lift(ev.repartition(23)))
