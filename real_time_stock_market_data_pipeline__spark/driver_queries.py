@@ -5505,6 +5505,88 @@ WHERE total_revenue = max_rev
 """
 
 
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe / Sortino ratios per symbol
+    (`operators/indicators.py:sharpe_sortino`)."""
+    return indicators.sharpe_sortino(
+        _daily_close(spark, sf_dir), trading_days=252, close_col="close"
+    )
+
+
+_SHARPE_SORTINO_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r AS (
+  SELECT symbol,
+    round(CASE WHEN lag(close) OVER ws <> 0
+               THEN close / lag(close) OVER ws - 1 END, 6) AS r
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+a AS (
+  SELECT symbol, count(*) AS n_returns,
+    CAST(sum(CAST(r AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(r AS DECIMAL(19,6)) * CAST(r AS DECIMAL(19,6)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(least(r, 0.0) AS DECIMAL(19,6))
+             * CAST(least(r, 0.0) AS DECIMAL(19,6))) AS DOUBLE) AS sdd
+  FROM rr GROUP BY symbol
+),
+s AS (
+  SELECT symbol, n_returns, sx / n_returns AS mean_r,
+    CASE WHEN n_returns >= 2 THEN
+      sqrt(greatest((sxx - sx * sx / n_returns) / (n_returns - 1), 0.0))
+    END AS std_r,
+    CASE WHEN n_returns >= 2 THEN
+      sqrt(sdd / (n_returns - 1))
+    END AS dstd_r
+  FROM a
+)
+SELECT symbol, n_returns,
+  {_round_sql("mean_r", 6)} AS mean_return,
+  {_round_sql("std_r", 6)} AS std_return,
+  {_round_sql("dstd_r", 6)} AS downside_dev,
+  {_round_sql("CASE WHEN std_r > 0 THEN mean_r / std_r * sqrt(252.0) END", 6)}
+    AS sharpe_annual,
+  {_round_sql("CASE WHEN dstd_r > 0 THEN mean_r / dstd_r * sqrt(252.0) END", 6)}
+    AS sortino_annual
+FROM s
+"""
+
+
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 5% VaR and CVaR per symbol by discrete rank selection
+    (`operators/indicators.py:var_cvar`)."""
+    return indicators.var_cvar(
+        _daily_close(spark, sf_dir), alpha_pct=5, close_col="close"
+    )
+
+
+_VAR_CVAR_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r AS (
+  SELECT symbol,
+    round(CASE WHEN lag(close) OVER ws <> 0
+               THEN close / lag(close) OVER ws - 1 END, 6) AS r
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+rk AS (
+  SELECT symbol, r,
+    row_number() OVER (PARTITION BY symbol ORDER BY r) AS rn,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM rr
+),
+kk AS (SELECT *, (n * 5 + 99) // 100 AS k FROM rk)
+SELECT symbol, max(n) AS n_returns, max(k) AS k_tail,
+  max(CASE WHEN rn = k THEN r END) AS var_5pct,
+  round(CAST(sum(CASE WHEN rn <= k THEN CAST(r AS DECIMAL(19,6)) END)
+             AS DOUBLE) / max(k), 6) AS cvar_5pct
+FROM kk GROUP BY symbol
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5518,6 +5600,8 @@ WHERE total_revenue = max_rev
 QUERIES: dict[str, QueryFn] = {
     # ---- first-50 driver window: every query with no green driver
     # ---- row yet (new this round or first-ever oracle) ...
+    "sharpe_sortino": q_sharpe_sortino,
+    "var_cvar": q_var_cvar,
     "synthetic_ohlcv": q_synthetic_ohlcv,
     "media_decode": q_media_decode,
     "stream_dedup": q_stream_dedup,
@@ -5681,6 +5765,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
+    "var_cvar": _VAR_CVAR_ORACLE,
     "daily_metrics": _DAILY_EVENTS_ORACLE,
     "daily_metrics_window": _DAILY_EVENTS_ORACLE,
     "daily_metrics_lineitem": _DAILY_LINEITEM_ORACLE,

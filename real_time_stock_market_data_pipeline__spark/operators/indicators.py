@@ -1239,3 +1239,113 @@ def underwater_spells(
         )
         .drop("grp")
     )
+
+
+def sharpe_sortino(
+    daily: DataFrame,
+    trading_days: int = 252,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Per-symbol annualized Sharpe and Sortino ratios of daily simple
+    returns (risk-free rate 0 — the testdata carries no rate curve).
+
+    Sharpe = mean(r) / stddev_samp(r) · √trading_days;
+    Sortino replaces the denominator with the downside deviation
+    √(Σ min(r,0)² / (n−1)) — only losses count as risk. Both emit NULL
+    when the denominator is 0 or n < 2, never ±Inf.
+
+    Exactness: returns are quantized to 6 decimals, all three sums run
+    over DECIMAL(18,6) views (order-independent, engine-portable), and
+    the final doubles evaluate in a fixed operand order — so the result
+    is bit-identical across partitionings and replayable by DuckDB.
+
+    Scale: the lag window and the aggregation share the symbol
+    partitioning — one exchange, per-symbol sort state only. Extends the
+    reference's daily_change (`spark_batch_processor.py:100-101`) into
+    the risk layer.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    prev = F.lag(close_col).over(wlag)
+    r = F.round(F.when(prev != 0, F.col(close_col) / prev - 1), 6)
+    rets = daily.select(
+        F.col(symbol_col).alias("symbol"), r.alias("r")
+    ).where(F.col("r").isNotNull())
+
+    d = _dec(F.col("r"))
+    dn = _dec(F.least(F.col("r"), F.lit(0.0)))
+    n = F.count(F.lit(1))
+    sx = F.sum(d).cast("double")
+    sxx = F.sum(d * d).cast("double")
+    sdd = F.sum(dn * dn).cast("double")
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    std = F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    dstd = F.when(n >= 2, F.sqrt(sdd / (n - F.lit(1))))
+    ann = F.sqrt(F.lit(float(trading_days)))
+    return rets.groupBy("symbol").agg(
+        n.alias("n_returns"),
+        F.round(mean, 6).alias("mean_return"),
+        F.round(std, 6).alias("std_return"),
+        F.round(dstd, 6).alias("downside_dev"),
+        F.round(F.when(std > 0, mean / std * ann), 6).alias("sharpe_annual"),
+        F.round(F.when(dstd > 0, mean / dstd * ann), 6).alias("sortino_annual"),
+    )
+
+
+def var_cvar(
+    daily: DataFrame,
+    alpha_pct: int = 5,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Per-symbol historical Value-at-Risk and Conditional VaR
+    (expected shortfall) of daily simple returns at the ``alpha_pct``
+    tail (default 5%).
+
+    VaR is the k-th SMALLEST return with k = ⌈α·n⌉ selected by
+    row_number — the DISCRETE lower-quantile convention, chosen over
+    the engines' interpolating percentile for the same reason as
+    :func:`~..operators.metrics.mad_anomalies`: rank selection involves
+    no arithmetic, so it is engine- and partition-exact. k is computed
+    in pure integer arithmetic ((n·α + 99) div 100), no float ceil.
+    CVaR is the exact DECIMAL mean of the k tail returns. Ties in the
+    return value cannot change either result (the sorted multiset is
+    partition-independent).
+
+    Scale: the rank window and the final aggregation share the symbol
+    partitioning — one exchange; per-symbol sort state only.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    prev = F.lag(close_col).over(wlag)
+    r = F.round(F.when(prev != 0, F.col(close_col) / prev - 1), 6)
+    rets = daily.select(
+        F.col(symbol_col).alias("symbol"), r.alias("r")
+    ).where(F.col("r").isNotNull())
+
+    wo = Window.partitionBy("symbol").orderBy("r")
+    wg = Window.partitionBy("symbol")
+    ranked = rets.select(
+        "symbol",
+        "r",
+        F.row_number().over(wo).alias("_rn"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    ).withColumn(
+        "_k",
+        ((F.col("_n") * F.lit(alpha_pct) + 99) - F.pmod(
+            F.col("_n") * F.lit(alpha_pct) + 99, 100
+        )) / 100,
+    )
+    tail_sum = F.sum(F.when(F.col("_rn") <= F.col("_k"), _dec(F.col("r")))).cast(
+        "double"
+    )
+    return ranked.groupBy("symbol").agg(
+        F.max("_n").alias("n_returns"),
+        F.max("_k").cast("bigint").alias("k_tail"),
+        F.max(F.when(F.col("_rn") == F.col("_k"), F.col("r"))).alias(
+            f"var_{alpha_pct}pct"
+        ),
+        F.round(tail_sum / F.max("_k"), 6).alias(f"cvar_{alpha_pct}pct"),
+    )

@@ -421,3 +421,74 @@ def test_underwater_spells_partition_drawdown_days(spark, sf_dir):
     for sym, spell in last.items():
         if spell.spell_end == by_sym_last_date[sym]:
             assert spell.recovered is False
+
+
+def test_sharpe_sortino_laws(spark, sf_dir, daily):
+    out = indicators.sharpe_sortino(daily, close_col="close").collect()
+    assert out
+    for r in out:
+        # downside deviation can never exceed the full stddev by much:
+        # it omits the positive deviations but is divided by the same
+        # n-1; for a mean near 0 it is bounded by std (loose sanity).
+        assert r.downside_dev is None or r.downside_dev >= 0
+        if r.std_return and r.sharpe_annual is not None:
+            assert math.isclose(
+                r.sharpe_annual,
+                round(r.mean_return / r.std_return * math.sqrt(252), 2),
+                abs_tol=0.05,
+            )
+        # Sortino >= Sharpe when mean > 0 (downside_dev <= std for
+        # these symmetric-ish synthetic returns is not a law, so only
+        # check the sign relationship)
+        if r.sharpe_annual is not None and r.sortino_annual is not None:
+            assert (r.sharpe_annual > 0) == (r.sortino_annual > 0)
+
+
+def test_sharpe_sortino_hand_case(spark):
+    import datetime
+
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), c)
+        for i, c in enumerate([100.0, 110.0, 99.0, 108.9])
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.sharpe_sortino(df, close_col="close").collect()[0]
+    # returns: +0.1, -0.1, +0.1  -> mean = 0.1/3
+    assert out.n_returns == 3
+    assert math.isclose(out.mean_return, 0.033333, abs_tol=1e-6)
+    # downside: only -0.1 -> sqrt(0.01 / 2)
+    assert math.isclose(out.downside_dev, math.sqrt(0.01 / 2), abs_tol=1e-5)
+    assert out.sortino_annual > out.sharpe_annual > 0
+
+
+def test_var_cvar_laws(spark, sf_dir, daily):
+    out = indicators.var_cvar(daily, alpha_pct=5, close_col="close").collect()
+    assert out
+    for r in out:
+        # CVaR (mean of the k worst returns) can never exceed VaR
+        # (the best of those k returns).
+        assert r.cvar_5pct <= r.var_5pct + 1e-9
+        # k = ceil(0.05 * n), always >= 1
+        assert r.k_tail == -(-r.n_returns * 5 // 100)
+        assert r.k_tail >= 1
+
+
+def test_var_cvar_hand_case(spark):
+    import datetime
+
+    closes = [100.0]
+    # 20 returns: -10%, then +1% nineteen times
+    closes.append(closes[-1] * 0.9)
+    for _ in range(19):
+        closes.append(closes[-1] * 1.01)
+    rows = [
+        ("X", datetime.date(2024, 1, 1) + datetime.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.var_cvar(df, alpha_pct=5, close_col="close").collect()[0]
+    # n=20 returns, k = ceil(1.0) = 1 -> VaR = CVaR = worst return = -10%
+    assert out.n_returns == 20
+    assert out.k_tail == 1
+    assert math.isclose(out.var_5pct, -0.1, abs_tol=1e-6)
+    assert math.isclose(out.cvar_5pct, -0.1, abs_tol=1e-6)
