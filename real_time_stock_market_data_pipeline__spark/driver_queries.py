@@ -5505,6 +5505,48 @@ WHERE total_revenue = max_rev
 """
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for the 20
+    most active users (`operators/sketches.py:cms_heavy_hitters`)."""
+    return sketches.cms_heavy_hitters(
+        _events(spark, sf_dir), key_col="user_id", depth=4, width=256, top_n=20
+    )
+
+
+_CMS_ORACLE = """
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_exact
+  FROM events GROUP BY 1
+),
+ds AS (SELECT unnest(range(4)) AS d),
+buckets AS (
+  SELECT key, n_exact, d,
+    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || key), 1, 8)
+         AS BIGINT) % 256 AS bucket
+  FROM counts CROSS JOIN ds
+),
+sketch AS (
+  SELECT d, bucket, CAST(sum(n_exact) AS BIGINT) AS counter
+  FROM buckets GROUP BY 1, 2
+),
+top AS (
+  SELECT key, n_exact,
+         row_number() OVER (ORDER BY n_exact DESC, key) AS "rank"
+  FROM counts
+  QUALIFY "rank" <= 20
+),
+est AS (
+  SELECT t.key, t.n_exact, t."rank", min(s.counter) AS n_est
+  FROM top t
+  JOIN buckets b ON b.key = t.key
+  JOIN sketch s ON s.d = b.d AND s.bucket = b.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT key, "rank", n_exact, n_est, n_est - n_exact AS overcount
+FROM est
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped cheapest-supplier-per-part (adapted: this
     schema has no partsupp, so the per-(part, supplier) cost is the
@@ -5861,6 +5903,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- row yet (new this round or first-ever oracle) ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "min_cost_supplier": q_min_cost_supplier,
     "nation_profit": q_nation_profit,
     "important_stock": q_important_stock,
@@ -6030,6 +6073,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
+    "cms_heavy_hitters": _CMS_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,
     "nation_profit": _NATION_PROFIT_ORACLE,
     "important_stock": _IMPORTANT_STOCK_ORACLE,

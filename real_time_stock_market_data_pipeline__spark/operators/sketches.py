@@ -193,3 +193,93 @@ def kmv_set_ops(
         ).alias("jaccard_exact"),
         "jaccard_est",
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the ``top_n`` most frequent keys, alongside the exact
+    counts — the sketch's one-sided overestimate is a checked output.
+
+    The sketch is ``depth`` hash rows × ``width`` counters; a key's
+    estimate is the MIN of its ``depth`` counters, which can only
+    OVERcount (collisions add, never subtract) — ``n_est >= n_exact``
+    is a structural law the oracle verifies on every row.
+
+    Engine-portable by construction: row-d bucket = first 8 hex chars
+    of md5("d:key") mod width — same buckets in any engine, so the
+    whole sketch replays bit-for-bit in SQL (same md5/decode pattern
+    as :func:`kmv_distinct` and the MinHash constants).
+
+    Scale shape: ONE shuffle of the fact table (the per-key exact
+    count, map-side combined). The sketch itself derives from the
+    per-key counts — depth×|keys| rows partially aggregated down to at
+    most depth×width counters, i.e. the classic mergeable-summary
+    property: counters from disjoint splits ADD (property-tested).
+    The top-n selection and the estimate join run on |keys| and
+    depth×width rows — dimension-sized, broadcast both.
+    """
+    counts = (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    # Consumed by three stages (sketch build, top-n rank, estimate
+    # join); localCheckpoint scans the fact table once.
+    counts = counts.localCheckpoint()
+
+    def bucket(d: int) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), F.col("key"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(width))
+
+    rows = F.explode(
+        F.array(*[
+            F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+            for d in range(depth)
+        ])
+    ).alias("rb")
+    sketch = (
+        counts.select("key", "n_exact")
+        .select(F.col("n_exact"), rows)
+        .select("rb.d", "rb.bucket", "n_exact")
+        .groupBy("d", "bucket")
+        .agg(F.sum("n_exact").alias("counter"))
+    )
+
+    wtop = Window.orderBy(F.col("n_exact").desc(), F.col("key"))
+    top = counts.select(
+        "key", "n_exact", F.row_number().over(wtop).alias("rank")
+    ).where(F.col("rank") <= top_n)
+
+    probes = top.select(
+        "key",
+        "n_exact",
+        "rank",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                for d in range(depth)
+            ])
+        ).alias("rb"),
+    ).select("key", "n_exact", "rank", "rb.d", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("key", "n_exact", "rank")
+        .agg(F.min("counter").alias("n_est"))
+    )
+    return est.select(
+        "key",
+        "rank",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+    )

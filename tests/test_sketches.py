@@ -97,3 +97,54 @@ def test_kmv_set_ops_pairs_estimates_and_identity(spark, sf_dir):
     r2 = sketches.kmv_set_ops(dj, key_col="k", group_col="g", k=128).collect()[0]
     assert r2.inter_exact == 0 and r2.jaccard_est == 0.0
     assert r2.union_est == 80.0
+
+
+def test_cms_one_sided_overestimate(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_cms_heavy_hitters,
+    )
+
+    rows = q_cms_heavy_hitters(spark, sf_dir).collect()
+    # top_n=20, capped by the table's distinct-user cardinality
+    assert 1 <= len(rows) <= 20
+    for r in rows:
+        # CMS can only overcount — the defining structural law
+        assert r.n_est >= r.n_exact
+        assert r.overcount == r.n_est - r.n_exact
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_cms_counters_merge_across_splits(spark, sf_dir):
+    """Mergeable-summary law: the sketch counters of two disjoint
+    splits ADD to the counters of the whole — the property that makes
+    the build a partial aggregation at 100 TB."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half_a = ev.where(F.col("event_id") % 2 == 0)
+    half_b = ev.where(F.col("event_id") % 2 == 1)
+
+    def counters(df):
+        # rebuild just the sketch stage via the public operator's
+        # internals: estimate for EVERY key with top_n >= all keys
+        out = sketches.cms_heavy_hitters(
+            df, "user_id", depth=2, width=64, top_n=10**9
+        )
+        return {r.key: r.n_exact for r in out.collect()}
+
+    whole = counters(ev)
+    a = counters(half_a)
+    b = counters(half_b)
+    for k, n in whole.items():
+        assert a.get(k, 0) + b.get(k, 0) == n
+
+
+def test_cms_small_width_still_bounds_error(spark):
+    # width 4, many colliding keys: estimates stay >= exact and the
+    # estimate of any key is bounded by the total stream length
+    df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    out = sketches.cms_heavy_hitters(df, "k", depth=3, width=4, top_n=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_exact == 20
+        assert 20 <= r.n_est <= 1000
