@@ -5505,6 +5505,38 @@ WHERE total_revenue = max_rev
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / FK grade per document
+    (`operators/text.py:readability_scores`)."""
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return text.readability_scores(docs)
+
+
+_READABILITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+    greatest(len(regexp_split_to_array(lower(text), '[.!?]+')) - 1, 1)
+      AS n_sentences,
+    greatest(len(string_split({_NORM.format(col='text')}, ' ')), 1)
+      AS n_words,
+    greatest(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1, 1)
+      AS n_syllables
+  FROM documents
+),
+r AS (
+  SELECT *,
+    CAST(n_words AS DOUBLE) / n_sentences AS wps,
+    CAST(n_syllables AS DOUBLE) / n_words AS spw
+  FROM base
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+  {_round_sql("206.835 - 1.015 * wps - 84.6 * spw", 4)} AS flesch_ease,
+  {_round_sql("0.39 * wps + 11.8 * spw - 15.59", 4)} AS fk_grade
+FROM r
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates vs exact counts for the 20
     most active users (`operators/sketches.py:cms_heavy_hitters`)."""
@@ -5903,6 +5935,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- row yet (new this round or first-ever oracle) ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
+    "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "min_cost_supplier": q_min_cost_supplier,
     "nation_profit": q_nation_profit,
@@ -6073,6 +6106,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
+    "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,
     "nation_profit": _NATION_PROFIT_ORACLE,

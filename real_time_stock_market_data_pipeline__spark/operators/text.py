@@ -735,3 +735,48 @@ def lang_balance_weights(
             (F.col("pw") / F.col("norm")) / F.col("corpus_share"), 6
         ).alias("sample_weight"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Flesch reading ease and Flesch-Kincaid grade level
+    from a pure-regex sentence/word/syllable decomposition — the
+    readability gate a curation pipeline layers on top of
+    :func:`text_stats` (reference analytics stop at tick arithmetic;
+    this is the §2.10 text-analysis extension).
+
+    Definitions (all engine-portable, no UDF, whole-stage codegen):
+
+    - sentences = number of ``[.!?]+`` runs, floored at 1 (a fragment
+      with no terminal punctuation is one sentence);
+    - words     = whitespace tokens of the normalized text;
+    - syllables = vowel-group runs ``[aeiouy]+`` in the lowercased
+      text — the standard cheap proxy (Flesch 1948 counts true
+      syllables; vowel runs track them within ~10% on English prose).
+
+    Occurrence counts are ``size(split(s, re)) - 1``: split keeps
+    empty fragments in both Spark and DuckDB, so the count is exact
+    and identical. Scores are two fixed-order double expressions,
+    rounded to 4 — bit-replayable.
+    """
+    lower = F.lower(F.col(text_col))
+    n_sent = F.greatest(
+        F.size(F.split(lower, r"[.!?]+")) - 1, F.lit(1)
+    )
+    n_words = F.greatest(F.size(_toks(text_col)), F.lit(1))
+    n_syll = F.greatest(
+        F.size(F.split(lower, r"[aeiouy]+")) - 1, F.lit(1)
+    )
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return docs.select(
+        F.col(id_col),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        F.round(ease, 4).alias("flesch_ease"),
+        F.round(grade, 4).alias("fk_grade"),
+    )

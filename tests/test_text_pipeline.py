@@ -346,3 +346,31 @@ def test_lang_confusion_is_a_partition_with_shares(spark, sf_dir):
         shares[r.lang_actual] += r.share_of_actual
     for lang, s in shares.items():
         assert abs(s - 1.0) < 1e-3, lang
+
+
+def test_readability_hand_case_and_bounds(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no terminal punctuation here"),
+            (3, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in T.readability_scores(docs).collect()}
+    # doc 1: two sentences, six words
+    assert rows[1].n_sentences == 2
+    assert rows[1].n_words == 6
+    # monosyllabic words -> one vowel group each
+    assert rows[1].n_syllables == 6
+    # Flesch ease for 3 words/sentence, 1 syllable/word:
+    # 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert abs(rows[1].flesch_ease - 119.19) < 1e-6
+    # doc 2: fragment floors at one sentence
+    assert rows[2].n_sentences == 1
+    assert rows[2].n_words == 4
+    # doc 3: empty text hits every greatest(...,1) floor, no NULLs/Inf
+    assert rows[3].n_sentences == 1 and rows[3].n_words == 1
+    assert rows[3].flesch_ease is not None
