@@ -2896,6 +2896,75 @@ FROM rec
 """
 
 
+def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder +DI/−DI/ADX over the daily OHLC series
+    (`operators/indicators.py:adx`)."""
+    return indicators.adx(q_daily_metrics(spark, sf_dir), n=14)
+
+
+def _adx_oracle(n: int = 14) -> str:
+    """Recursive-CTE replay of the Wilder recursions (same pattern as
+    _EMA_MACD_ORACLE: recompute the step expressions inline in each
+    branch, identical operand order → identical IEEE doubles)."""
+    stp = f"(r.s_tr * {n - 1} + b.tr) / {n}"
+    spp = f"(r.sp * {n - 1} + b.pdm) / {n}"
+    smp = f"(r.sm * {n - 1} + b.mdm) / {n}"
+    dxp = (
+        f"CASE WHEN ({spp}) + ({smp}) > 0 THEN "
+        f"100.0 * abs(({spp}) - ({smp})) / (({spp}) + ({smp})) END"
+    )
+    adxp = (
+        f"CASE WHEN r.adx IS NULL THEN {dxp} "
+        f"WHEN ({dxp}) IS NULL THEN r.adx "
+        f"ELSE (r.adx * {n - 1} + ({dxp})) / {n} END"
+    )
+    dx0 = (
+        "CASE WHEN (b.pdm + b.mdm) > 0 THEN "
+        "100.0 * abs(b.pdm - b.mdm) / (b.pdm + b.mdm) END"
+    )
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_EVENTS_ORACLE}),
+lagged AS (
+  SELECT symbol, date,
+    daily_high AS h, daily_low AS l,
+    lag(daily_close) OVER wl AS pc,
+    lag(daily_high) OVER wl AS ph,
+    lag(daily_low) OVER wl AS pl,
+    row_number() OVER wl AS rn
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+b AS (
+  SELECT symbol, date, rn,
+    round(CASE WHEN pc IS NULL THEN h - l
+               ELSE greatest(h - l, abs(h - pc), abs(l - pc)) END, 6) AS tr,
+    round(CASE WHEN ph IS NULL THEN 0.0
+               WHEN (h - ph) > (pl - l) AND (h - ph) > 0 THEN h - ph
+               ELSE 0.0 END, 6) AS pdm,
+    round(CASE WHEN pl IS NULL THEN 0.0
+               WHEN (pl - l) > (h - ph) AND (pl - l) > 0 THEN pl - l
+               ELSE 0.0 END, 6) AS mdm
+  FROM lagged
+),
+rec AS (
+  SELECT symbol, date, rn,
+         tr AS s_tr, pdm AS sp, mdm AS sm,
+         {dx0} AS adx
+  FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.date, b.rn,
+         {stp}, {spp}, {smp},
+         {adxp}
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date,
+  {_round_sql("CASE WHEN s_tr > 0 THEN 100.0 * sp / s_tr END", 4)} AS di_plus,
+  {_round_sql("CASE WHEN s_tr > 0 THEN 100.0 * sm / s_tr END", 4)} AS di_minus,
+  {_round_sql("adx", 4)} AS adx
+FROM rec
+"""
+
+
 # --------------------------------------------------------------------------
 # User-behavior analytics (operators.behavior)
 # --------------------------------------------------------------------------
@@ -5935,6 +6004,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- row yet (new this round or first-ever oracle) ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
+    "adx": q_adx,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "min_cost_supplier": q_min_cost_supplier,
@@ -6106,6 +6176,7 @@ QUERIES: dict[str, QueryFn] = {
 ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
+    "adx": _adx_oracle(14),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,

@@ -1349,3 +1349,109 @@ def var_cvar(
         ),
         F.round(tail_sum / F.max("_k"), 6).alias(f"cvar_{alpha_pct}pct"),
     )
+
+
+def adx(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Wilder (1978) directional-movement system: +DI, −DI, and ADX
+    over the daily OHLC series.
+
+    The true range and directional movements are DECLARATIVE lag
+    expressions (quantized to 6 decimals — the recursion's inputs are
+    then engine-exact); the three Wilder smoothings and the ADX
+    average are data-dependent recursions
+    (``s_t = (s_{t−1}·(n−1) + x_t) / n``, seeded with the first
+    observation) that no window frame expresses, so they run in the
+    package's ``applyInPandas`` stateful pattern (cf. :func:`ema_macd`,
+    `heikin_ashi`): one shuffle on symbol, scalar loop per symbol,
+    O(1) state — parallel across symbols at any scale.
+
+    Portability contract (bit-identical to the recursive-CTE oracle):
+    every update is the literal ``(s·(n−1) + x) / n`` operand order;
+    DX is ``100·|sp−sm| / (sp+sm)`` (the algebraically-equal DI form
+    would round differently); ADX seeds at the first non-NULL DX and
+    carries through NULL-DX rows. Divisions are Python-float side
+    (no ANSI throw) with explicit >0 guards mirrored as SQL CASE.
+    """
+    import pandas as pd
+
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    h, low = F.col(high_col), F.col(low_col)
+    pc = F.lag(close_col).over(wlag)
+    ph = F.lag(high_col).over(wlag)
+    pl = F.lag(low_col).over(wlag)
+    tr = F.round(
+        F.when(pc.isNull(), h - low).otherwise(
+            F.greatest(h - low, F.abs(h - pc), F.abs(low - pc))
+        ),
+        6,
+    )
+    up = h - ph
+    dn = pl - low
+    pdm = F.round(
+        F.when(ph.isNull(), F.lit(0.0))
+        .when((up > dn) & (up > 0), up)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    mdm = F.round(
+        F.when(pl.isNull(), F.lit(0.0))
+        .when((dn > up) & (dn > 0), dn)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        tr.alias("tr"),
+        pdm.alias("pdm"),
+        mdm.alias("mdm"),
+    )
+    schema_out = (
+        "symbol string, date date, di_plus double, di_minus double, adx double"
+    )
+    nf = float(n)
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        s_tr = s_p = s_m = None
+        adx_v = None
+        dips, dims, adxs = [], [], []
+        for tr_x, p_x, m_x in zip(pdf["tr"], pdf["pdm"], pdf["mdm"]):
+            tr_x, p_x, m_x = float(tr_x), float(p_x), float(m_x)
+            if s_tr is None:
+                s_tr, s_p, s_m = tr_x, p_x, m_x
+            else:
+                s_tr = (s_tr * (nf - 1) + tr_x) / nf
+                s_p = (s_p * (nf - 1) + p_x) / nf
+                s_m = (s_m * (nf - 1) + m_x) / nf
+            denom = s_p + s_m
+            dx = 100.0 * abs(s_p - s_m) / denom if denom > 0 else None
+            if adx_v is None:
+                adx_v = dx
+            elif dx is not None:
+                adx_v = (adx_v * (nf - 1) + dx) / nf
+            dips.append(100.0 * s_p / s_tr if s_tr > 0 else None)
+            dims.append(100.0 * s_m / s_tr if s_tr > 0 else None)
+            adxs.append(adx_v)
+        out = pdf[["symbol", "date"]].copy()
+        out["di_plus"] = pd.Series(dips, dtype="float64")
+        out["di_minus"] = pd.Series(dims, dtype="float64")
+        out["adx"] = pd.Series(adxs, dtype="float64")
+        return out
+
+    walked = base.groupBy("symbol").applyInPandas(walk, schema=schema_out)
+    return walked.select(
+        "symbol",
+        "date",
+        F.round("di_plus", 4).alias("di_plus"),
+        F.round("di_minus", 4).alias("di_minus"),
+        F.round("adx", 4).alias("adx"),
+    )

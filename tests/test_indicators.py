@@ -492,3 +492,40 @@ def test_var_cvar_hand_case(spark):
     assert out.k_tail == 1
     assert math.isclose(out.var_5pct, -0.1, abs_tol=1e-6)
     assert math.isclose(out.cvar_5pct, -0.1, abs_tol=1e-6)
+
+
+def test_adx_bounds_and_trend(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_adx
+
+    rows = q_adx(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for v in (r.di_plus, r.di_minus, r.adx):
+            if v is not None:
+                assert -1e-9 <= v <= 100 + 1e-9
+
+
+def test_adx_pure_uptrend_has_zero_minus_di(spark):
+    import datetime
+
+    # strictly rising bars: every day's high/low above yesterday's
+    rows = [
+        (
+            "X",
+            datetime.date(2024, 1, 1 + i),
+            102.0 + 2 * i,  # high
+            100.0 + 2 * i,  # low
+            101.0 + 2 * i,  # close
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, date date, daily_high double, daily_low double, daily_close double"
+    )
+    out = indicators.adx(df, n=14).orderBy("date").collect()
+    # -DM is 0 every day -> di_minus == 0 after day 1, dx == 100,
+    # adx == 100 once seeded
+    for r in out[1:]:
+        assert r.di_minus == 0.0
+        assert r.di_plus > 0
+        assert r.adx == 100.0
