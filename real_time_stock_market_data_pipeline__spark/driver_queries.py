@@ -2896,6 +2896,49 @@ FROM rec
 """
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user-sessions per day (sweep-line over
+    `temporal.sessionize` intervals; `operators/temporal.py:
+    peak_concurrency`). Sessions key to their start date — the
+    scale-safe partition for the sweep."""
+    sess = q_sessionize(spark, sf_dir)
+    iv = sess.select(
+        F.to_date("session_start").alias("day"),
+        "session_start",
+        "session_end",
+    )
+    return temporal.peak_concurrency(
+        iv, key_col="day", start_col="session_start", end_col="session_end"
+    ).withColumnRenamed("key", "day")
+
+
+def _peak_concurrency_oracle() -> str:
+    return f"""
+WITH s AS ({_SESSIONIZE_ORACLE}),
+iv AS (
+  SELECT CAST(session_start AS DATE) AS key,
+         epoch_us(session_start) AS s_us, epoch_us(session_end) AS e_us
+  FROM s
+),
+d AS (
+  SELECT key, s_us AS at_us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT key, e_us + 1 AS at_us, -1 AS delta FROM iv
+),
+r AS (
+  SELECT key, at_us, delta,
+    CAST(sum(delta) OVER (PARTITION BY key ORDER BY at_us, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS active
+  FROM d
+),
+m AS (SELECT *, max(active) OVER (PARTITION BY key) AS peak FROM r)
+SELECT key AS day, max(peak) AS peak_concurrency,
+       make_timestamp(min(at_us)) AS peak_first_at
+FROM m WHERE active = peak GROUP BY 1
+"""
+
+
 def q_adx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilder +DI/−DI/ADX over the daily OHLC series
     (`operators/indicators.py:adx`)."""
@@ -6005,6 +6048,7 @@ QUERIES: dict[str, QueryFn] = {
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
     "adx": q_adx,
+    "peak_concurrency": q_peak_concurrency,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "min_cost_supplier": q_min_cost_supplier,
@@ -6177,6 +6221,7 @@ ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
     "adx": _adx_oracle(14),
+    "peak_concurrency": _peak_concurrency_oracle(),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,

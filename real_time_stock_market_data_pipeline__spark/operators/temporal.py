@@ -415,3 +415,54 @@ def duplicate_ticks(
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+) -> DataFrame:
+    """Sweep-line peak-overlap: for each key, the maximum number of
+    intervals active at the same instant, and when that peak is first
+    reached — the 'how many concurrent sessions must the system hold'
+    capacity question over :func:`sessionize` output.
+
+    Classic sweep: explode each interval into a (+1 at start, −1 just
+    after end) delta pair, order by instant with +1 before −1 at the
+    same micro (closed intervals — touching endpoints DO overlap),
+    running-sum, then argmax. All arithmetic is integer micros — exact
+    in any engine.
+
+    Scale: the explode doubles rows in place (no shuffle); the running
+    sum and the final aggregate share the key partitioning — one
+    exchange, streaming O(1) window state. The peak instant tie-breaks
+    to the earliest, so the result is total-order deterministic.
+    """
+    us_start = F.unix_micros(F.col(start_col))
+    us_end = F.unix_micros(F.col(end_col))
+    deltas = intervals.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                F.struct(us_start.alias("at_us"), F.lit(1).alias("delta")),
+                F.struct((us_end + 1).alias("at_us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e"),
+    ).select("key", "e.at_us", "e.delta")
+    w = Window.partitionBy("key").orderBy(
+        "at_us", F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.select(
+        "key", "at_us", "delta", F.sum("delta").over(w).alias("active")
+    )
+    wmax = Window.partitionBy("key")
+    return (
+        running.withColumn("peak", F.max("active").over(wmax))
+        .where(F.col("active") == F.col("peak"))
+        .groupBy("key")
+        .agg(
+            F.max("peak").alias("peak_concurrency"),
+            F.timestamp_micros(F.min("at_us")).alias("peak_first_at"),
+        )
+    )

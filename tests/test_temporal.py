@@ -187,3 +187,46 @@ def test_intraday_bars_roll_up_to_daily(spark, sf_dir):
         assert r["high"] == d["daily_high"] and r["low"] == d["daily_low"]
         assert r["open"] == d["daily_open"] and r["close"] == d["daily_close"]
         assert r["volume"] == d["daily_volume"]
+
+
+def test_peak_concurrency_hand_case(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def iv(s, e):
+        return (
+            "k",
+            t0 + datetime.timedelta(minutes=s),
+            t0 + datetime.timedelta(minutes=e),
+        )
+
+    # [0,10], [5,15], [12,20]: pairwise overlaps but never all three
+    # -> peak 2, first reached at minute 5
+    df = spark.createDataFrame(
+        [iv(0, 10), iv(5, 15), iv(12, 20)],
+        "key string, session_start timestamp, session_end timestamp",
+    )
+    row = temporal.peak_concurrency(df).collect()[0]
+    assert row.peak_concurrency == 2
+    assert row.peak_first_at == t0 + datetime.timedelta(minutes=5)
+
+
+def test_peak_concurrency_touching_endpoints_overlap(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # closed intervals: [0,5] and [5,10] DO overlap at instant 5
+    df = spark.createDataFrame(
+        [
+            ("k", t0, t0 + datetime.timedelta(seconds=5)),
+            ("k", t0 + datetime.timedelta(seconds=5), t0 + datetime.timedelta(seconds=10)),
+        ],
+        "key string, session_start timestamp, session_end timestamp",
+    )
+    row = temporal.peak_concurrency(df).collect()[0]
+    assert row.peak_concurrency == 2
