@@ -2896,6 +2896,68 @@ FROM rec
 """
 
 
+def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix by 3 unrolled
+    power-iteration rounds (`operators/similarity.py:
+    pca_power_iteration`)."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.pca_power_iteration(embs, n_iter=3)
+
+
+def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
+    """SQL replay of the unrolled power iteration: one CTE triple
+    (scores, matvec, norm) per round, every product quantized with the
+    Spark-faithful `_round_sql` before its DECIMAL sum — bitwise the
+    same doubles as the DataFrame lineage."""
+    import math
+
+    seed = repr(1.0 / math.sqrt(dim))
+    ctes = [
+        f"""X AS (
+  SELECT vec_id AS vid, dim, round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS x6
+  FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS dim) _d
+),
+M AS (
+  SELECT dim,
+    {_round_sql("CAST(sum(CAST(x6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+      AS m
+  FROM X GROUP BY 1
+),
+C AS (
+  SELECT vid, X.dim AS dim, {_round_sql("x6 - m", 6)} AS xc
+  FROM X JOIN M ON X.dim = M.dim
+),
+V0 AS (SELECT unnest(range({dim})) AS dim, CAST({seed} AS DOUBLE) AS v)"""
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(
+            f"""S{k} AS (
+  SELECT vid,
+    CAST(sum(CAST({_round_sql("xc * v", 9)} AS DECIMAL(22,9))) AS DOUBLE) AS s
+  FROM C JOIN V{k - 1} USING (dim) GROUP BY 1
+),
+W{k} AS (
+  SELECT dim,
+    CAST(sum(CAST({_round_sql("xc * s", 6)} AS DECIMAL(18,6))) AS DOUBLE) AS w
+  FROM C JOIN S{k} USING (vid) GROUP BY 1
+),
+N{k} AS (
+  SELECT sqrt(CAST(sum(CAST({_round_sql("w * w", 6)} AS DECIMAL(28,6)))
+                   AS DOUBLE)) AS nrm
+  FROM W{k}
+),
+V{k} AS (SELECT dim, w * (1.0 / nrm) AS v FROM W{k} CROSS JOIN N{k})"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT dim, {_round_sql("w * (1.0 / nrm)", 6)} AS loading,
+       {_round_sql("nrm", 4)} AS lambda_est
+FROM W{n_iter} CROSS JOIN N{n_iter}
+"""
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak concurrent user-sessions per day (sweep-line over
     `temporal.sessionize` intervals; `operators/temporal.py:
@@ -6048,6 +6110,7 @@ QUERIES: dict[str, QueryFn] = {
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
     "adx": q_adx,
+    "pca_pc1": q_pca_pc1,
     "peak_concurrency": q_peak_concurrency,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -6221,6 +6284,7 @@ ORACLES: dict[str, str] = {
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
     "adx": _adx_oracle(14),
+    "pca_pc1": _pca_oracle(3, 64),
     "peak_concurrency": _peak_concurrency_oracle(),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,

@@ -712,3 +712,109 @@ def silhouette_by_label(
             6,
         ).alias("mean_silhouette"),
     )
+
+
+def pca_power_iteration(
+    embs: DataFrame,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Top principal component of the (mean-centered) embedding matrix
+    by power iteration, fully declarative — the iterative-algorithm
+    counterpart of :func:`kmeans_step` (no driver loop over data: the
+    ``n_iter`` matvec rounds are UNROLLED into one lineage, so the
+    whole computation is a single Spark job).
+
+    Each round is the distributed matvec ``w = Σ_rows x_c·(x_c·v)``:
+
+    - per-row score  s_i = Σ_dim xc·v   (explode + broadcast-join the
+      64-row v frame, decimal-summed — partition-order-exact);
+    - per-dim update w_j = Σ_rows xc·s  (groupBy dim, map-side partial
+      aggregation — the shuffle carries dims, not rows);
+    - renormalize    v = w / ‖w‖       (a window over the dim-sized
+      frame; ‖w‖ is also the eigenvalue estimate λ ≈ σ²·N on exit).
+
+    Every float product is quantized (round 6/9) before its DECIMAL
+    sum and every division is a single fixed-order IEEE op, so the
+    result is bit-replayable by the SQL oracle at any parallelism.
+
+    Scale: the centered matrix is localCheckpointed once (2·n_iter
+    consumers; without it each round re-reads the corpus). Per round:
+    one vec_id shuffle (row scores) + one dim shuffle (64 partials) —
+    the canonical n-pass shape of distributed PCA. DECIMAL(18,6) sums
+    hold to ~1e12; at true 100 TB row counts widen to DECIMAL(28,6)
+    (partials stay exact, only the final cast is a double).
+
+    Output: one row per dimension — (dim, loading, lambda_est).
+    """
+    spark = embs.sparkSession
+    x = embs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).select(
+        "vid", "dim", F.round(F.col("val").cast("double"), 6).alias("x6")
+    )
+    m = x.groupBy("dim").agg(
+        F.round(
+            F.sum(F.col("x6").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    centered = (
+        x.join(F.broadcast(m), "dim")
+        .select("vid", "dim", F.round(F.col("x6") - F.col("m"), 6).alias("xc"))
+        .localCheckpoint()
+    )
+
+    import math
+
+    seed = 1.0 / math.sqrt(dim)
+    v = spark.createDataFrame(
+        [(j, seed) for j in range(dim)], "dim int, v double"
+    )
+    wall = Window.partitionBy()
+    w_normed = None
+    for _ in range(n_iter):
+        s = (
+            centered.join(F.broadcast(v), "dim")
+            .groupBy("vid")
+            .agg(
+                F.sum(
+                    F.round(F.col("xc") * F.col("v"), 9).cast("decimal(22,9)")
+                )
+                .cast("double")
+                .alias("s")
+            )
+        )
+        w = (
+            centered.join(s, "vid")
+            .groupBy("dim")
+            .agg(
+                F.sum(
+                    F.round(F.col("xc") * F.col("s"), 6).cast("decimal(18,6)")
+                )
+                .cast("double")
+                .alias("w")
+            )
+        )
+        w_normed = w.withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
+                )
+                .over(wall)
+                .cast("double")
+            ),
+        )
+        v = w_normed.select(
+            "dim", (F.col("w") * (F.lit(1.0) / F.col("nrm"))).alias("v")
+        )
+    return w_normed.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("w") * (F.lit(1.0) / F.col("nrm")), 6).alias("loading"),
+        F.round("nrm", 4).alias("lambda_est"),
+    )

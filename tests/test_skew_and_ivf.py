@@ -315,3 +315,38 @@ def test_silhouette_bounds_and_separated_clusters(spark, sf_dir):
     out = {r.label: r for r in similarity.silhouette_by_label(sep).collect()}
     assert out["a"].mean_silhouette > 0.99
     assert out["b"].mean_silhouette > 0.99
+
+
+def test_pca_pc1_unit_norm_and_invariance(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.pca_power_iteration(embs, n_iter=3)
+    rows = out.collect()
+    assert len(rows) == 64
+    # loadings form (approximately) a unit vector
+    norm2 = sum(r.loading**2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3
+    assert all(r.lambda_est > 0 for r in rows)
+    # bit-identical under a different input partitioning
+    rows2 = similarity.pca_power_iteration(
+        embs.repartition(13, "label"), n_iter=3
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pca_pc1_recovers_dominant_axis(spark):
+    import random
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    rng = random.Random(7)
+    # variance 100x larger along dim 0 than any other
+    rows = [
+        (i, [rng.gauss(0, 10.0)] + [rng.gauss(0, 0.1) for _ in range(63)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.dim: r.loading for r in similarity.pca_power_iteration(df, n_iter=3).collect()}
+    assert abs(out[0]) > 0.99
+    assert all(abs(v) < 0.1 for d, v in out.items() if d != 0)
