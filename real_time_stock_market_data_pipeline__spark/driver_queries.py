@@ -2896,6 +2896,211 @@ FROM rec
 """
 
 
+def q_ofi_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute order-flow-imbalance bars from tick-rule classified
+    events (`operators/indicators.py:ofi_bars`)."""
+    ev = _events(spark, sf_dir)
+    return indicators.ofi_bars(
+        ev,
+        bar_seconds=900,
+        symbol_col="event_type",
+        ts_col="ts",
+        price_col="value",
+        id_col="event_id",
+    )
+
+
+_OFI_BARS_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         round(value, 6) AS pq
+  FROM events
+),
+s AS (
+  SELECT symbol, date, ts, event_id,
+         CASE WHEN pq > lag(pq) OVER w THEN 1
+              WHEN pq < lag(pq) OVER w THEN -1 END AS raw
+  FROM t WINDOW w AS (PARTITION BY symbol, date ORDER BY ts, event_id)
+),
+c AS (
+  SELECT symbol, ts,
+         last_value(raw IGNORE NULLS)
+           OVER (PARTITION BY symbol, date ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS side
+  FROM s
+)
+SELECT symbol,
+       make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS bar_start,
+       count(CASE WHEN side = 1 THEN 1 END) AS n_buy,
+       count(CASE WHEN side = -1 THEN 1 END) AS n_sell,
+       round(CAST(count(CASE WHEN side = 1 THEN 1 END)
+                  - count(CASE WHEN side = -1 THEN 1 END) AS DOUBLE)
+             / greatest(count(side), 1), 6) AS ofi
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    how concentrated is order revenue across a nation's customers.
+    Two-level aggregation — per-customer revenue (fact shuffle on
+    custkey), then per-nation HHI = Σ share² computed from exact
+    decimal sums; dims broadcast. The per-customer frame IS the
+    shuffle unit; nothing rescans the fact table."""
+    orders = _table("orders")(spark, sf_dir).select("o_custkey", "o_totalprice")
+    cust = _table("customer")(spark, sf_dir).select("c_custkey", "c_nationkey")
+    nation = _table("nation")(spark, sf_dir).select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("rev")
+        )
+    )
+    sum_sq = F.sum(F.round(F.col("rev") * F.col("rev"), 6).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    total = F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")
+    return rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(total, 6).alias("total_revenue"),
+        F.round(sum_sq / (total * total), 6).alias("hhi"),
+    )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n_name, c_custkey,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, count(*) AS n_customers,
+  round(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_revenue,
+  round(CAST(sum(CAST(round(rev * rev, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        / (CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)
+           * CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE)), 6) AS hhi
+FROM rev GROUP BY 1
+"""
+
+
+def q_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification of parts by revenue:
+    cumulative-share thresholds 80% (A) / 95% (B) / rest (C). One
+    fact aggregation to the per-part frame; the ranking/cumsum windows
+    run on that dimension-sized frame (global order over |parts|
+    post-agg rows — never over fact rows), then a 3-row class
+    rollup. Exact decimal cumsums; ties broken by partkey so the
+    classification is total-order deterministic."""
+    li = _table("lineitem")(spark, sf_dir)
+    rev_expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(rev_expr.cast("decimal(18,6)")).cast("double"), 6).alias(
+            "rev"
+        )
+    )
+    worder = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum(F.col("rev").cast("decimal(18,6)")).over(worder).cast("double").alias(
+            "cum"
+        ),
+        F.sum(F.col("rev").cast("decimal(18,6)")).over(wall).cast("double").alias(
+            "total"
+        ),
+    )
+    cls = (
+        F.when(F.col("cum") / F.col("total") <= 0.8, "A")
+        .when(F.col("cum") / F.col("total") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("l_partkey", "rev", "total", cls.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("class_revenue"),
+            F.round(
+                F.sum(F.col("rev").cast("decimal(18,6)")).cast("double")
+                / F.max("total"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
+_ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,6))) AS DOUBLE), 6) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, rev,
+    CAST(sum(CAST(rev AS DECIMAL(18,6)))
+         OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS cum,
+    CAST(sum(CAST(rev AS DECIMAL(18,6))) OVER () AS DOUBLE) AS total
+  FROM per_part
+),
+cls AS (
+  SELECT l_partkey, rev, total,
+    CASE WHEN cum / total <= 0.8 THEN 'A'
+         WHEN cum / total <= 0.95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class, count(*) AS n_parts,
+  round(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE), 6) AS class_revenue,
+  round(CAST(sum(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) / max(total), 6)
+    AS revenue_share
+FROM cls GROUP BY 1
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against brute-force cosine —
+    the evaluation harness that justifies the approximate index
+    (SURVEY §2.10 similarity-search scale path). Both sides reuse the
+    registered operators; the intersection join runs on two 10-row
+    frames."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    ann = similarity.ann_topk(embs, q, k=10).select("vec_id")
+    inter = bf.join(ann, "vec_id")
+    return inter.agg(F.count(F.lit(1)).alias("n_match")).select(
+        F.lit(10).alias("k"),
+        "n_match",
+        F.round(F.col("n_match").cast("double") / 10.0, 4).alias("recall_at_k"),
+    )
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+WITH bf AS ({_COSINE_TOPK_ORACLE}),
+ann AS ({_ann_topk_oracle()})
+SELECT 10 AS k, count(*) AS n_match,
+       round(CAST(count(*) AS DOUBLE) / 10.0, 4) AS recall_at_k
+FROM bf JOIN ann ON bf.vec_id = ann.vec_id
+"""
+
+
 def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding matrix by 3 unrolled
     power-iteration rounds (`operators/similarity.py:
@@ -6112,6 +6317,10 @@ QUERIES: dict[str, QueryFn] = {
     "adx": q_adx,
     "pca_pc1": q_pca_pc1,
     "peak_concurrency": q_peak_concurrency,
+    "ofi_bars": q_ofi_bars,
+    "hhi_concentration": q_hhi_concentration,
+    "abc_classes": q_abc_classes,
+    "ann_recall": q_ann_recall,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "min_cost_supplier": q_min_cost_supplier,
@@ -6286,6 +6495,10 @@ ORACLES: dict[str, str] = {
     "adx": _adx_oracle(14),
     "pca_pc1": _pca_oracle(3, 64),
     "peak_concurrency": _peak_concurrency_oracle(),
+    "ofi_bars": _OFI_BARS_ORACLE,
+    "hhi_concentration": _HHI_ORACLE,
+    "abc_classes": _ABC_ORACLE,
+    "ann_recall": _ann_recall_oracle(),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,

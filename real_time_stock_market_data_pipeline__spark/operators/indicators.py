@@ -1455,3 +1455,51 @@ def adx(
         F.round("di_minus", 4).alias("di_minus"),
         F.round("adx", 4).alias("adx"),
     )
+
+
+def ofi_bars(
+    ticks: DataFrame,
+    bar_seconds: int = 900,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Order-flow imbalance per (symbol, fixed-interval bar): classify
+    every tick with the same zero-tick Lee-Ready rule as
+    :func:`tick_rule` (day-scoped state), then aggregate
+    buyer-vs-seller initiation into ``bar_seconds`` buckets —
+    OFI = (buys − sells) / classified, the standard microstructure
+    flow-pressure signal at bar resolution.
+
+    Scale: identical single-exchange classification windows as
+    tick_rule; the bar groupBy is a map-side partial aggregation on
+    top (bars nest inside the symbol-day partitions). Integer-micro
+    bucket arithmetic — exact in any engine.
+    """
+    order = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    day = F.to_date(ts_col).alias("date")
+    w = Window.partitionBy(F.col(symbol_col), day).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pq = F.round(F.col(price_col), 6)
+    prev = F.lag(pq).over(w)
+    raw = F.when(pq > prev, 1).when(pq < prev, -1)
+    side = F.last(raw, ignorenulls=True).over(wrun)
+    us = F.unix_micros(F.col(ts_col))
+    bar = F.timestamp_micros(us - F.pmod(us, F.lit(bar_seconds * 1_000_000)))
+    classified = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        bar.alias("bar_start"),
+        side.alias("side"),
+    )
+    n_buy = F.count(F.when(F.col("side") == 1, 1))
+    n_sell = F.count(F.when(F.col("side") == -1, 1))
+    return classified.groupBy("symbol", "bar_start").agg(
+        n_buy.alias("n_buy"),
+        n_sell.alias("n_sell"),
+        F.round(
+            (n_buy - n_sell).cast("double")
+            / F.greatest(n_buy + n_sell, F.lit(1)),
+            6,
+        ).alias("ofi"),
+    )

@@ -290,3 +290,40 @@ def test_data_expectations_hand_case(spark):
     assert out["unique(id)"].violations == 1
     assert out["unique(id)"].n_rows == 4
     assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_abc_classes_partition_and_ordering(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_abc_classes,
+    )
+
+    rows = {r.abc_class: r for r in q_abc_classes(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    # shares sum to 1 and A-class revenue dominates per-part revenue
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-6
+    if "A" in rows and "C" in rows:
+        assert (
+            rows["A"].class_revenue / rows["A"].n_parts
+            > rows["C"].class_revenue / rows["C"].n_parts
+        )
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_hhi_concentration,
+    )
+
+    for r in q_hhi_concentration(spark, sf_dir).collect():
+        # HHI of n equal shares is 1/n; bounds are (0, 1]
+        assert 0 < r.hhi <= 1.0 + 1e-9
+        assert r.hhi >= 1.0 / r.n_customers - 1e-9
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_ann_recall,
+    )
+
+    row = q_ann_recall(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_match <= 10
+    assert abs(row.recall_at_k - row.n_match / 10.0) < 1e-9

@@ -186,3 +186,23 @@ def test_corwin_schultz_bounds_and_known_case(spark, sf_dir):
     assert out and all(
         r.beta == 0 and r.gamma == 0 and r.spread == 0 for r in out
     )
+
+
+def test_ofi_bounds_and_consistency_with_tick_rule(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_ofi_bars,
+        q_tick_rule,
+    )
+
+    bars = q_ofi_bars(spark, sf_dir).collect()
+    assert bars
+    for b in bars:
+        assert -1.0 - 1e-9 <= b.ofi <= 1.0 + 1e-9
+    # bar-level buys/sells sum to the day-level tick_rule counts
+    import collections
+
+    by_day = collections.Counter()
+    for b in bars:
+        by_day[(b.symbol, b.bar_start.date())] += b.n_buy - b.n_sell
+    for r in q_tick_rule(spark, sf_dir).collect():
+        assert by_day[(r.symbol, r.date)] == r.n_buy - r.n_sell
