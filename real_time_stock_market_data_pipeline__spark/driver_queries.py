@@ -2896,6 +2896,37 @@ FROM rec
 """
 
 
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS time trend (slope/intercept/R²) of the daily
+    close (`operators/indicators.py:trend_ols`)."""
+    return indicators.trend_ols(_daily_close(spark, sf_dir), close_col="close")
+
+
+_TREND_OLS_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+b AS (
+  SELECT symbol,
+    row_number() OVER (PARTITION BY symbol ORDER BY date) - 1 AS x,
+    CAST(close AS DECIMAL(18,4)) AS y
+  FROM d
+),
+a AS (
+  SELECT symbol, count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx,
+    CAST(sum(x * x) AS DOUBLE) AS sxx,
+    CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+    CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM b GROUP BY 1
+)
+SELECT symbol, n AS n_days,
+  {_round_sql("CASE WHEN n * sxx - sx * sx > 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END", 6)} AS slope,
+  {_round_sql("CASE WHEN n * sxx - sx * sx > 0 THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END", 6)} AS intercept,
+  {_round_sql("CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END", 6)} AS r2
+FROM a
+"""
+
+
 def q_ofi_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute order-flow-imbalance bars from tick-rule classified
     events (`operators/indicators.py:ofi_bars`)."""
@@ -6317,6 +6348,7 @@ QUERIES: dict[str, QueryFn] = {
     "adx": q_adx,
     "pca_pc1": q_pca_pc1,
     "peak_concurrency": q_peak_concurrency,
+    "trend_ols": q_trend_ols,
     "ofi_bars": q_ofi_bars,
     "hhi_concentration": q_hhi_concentration,
     "abc_classes": q_abc_classes,
@@ -6495,6 +6527,7 @@ ORACLES: dict[str, str] = {
     "adx": _adx_oracle(14),
     "pca_pc1": _pca_oracle(3, 64),
     "peak_concurrency": _peak_concurrency_oracle(),
+    "trend_ols": _TREND_OLS_ORACLE,
     "ofi_bars": _OFI_BARS_ORACLE,
     "hhi_concentration": _HHI_ORACLE,
     "abc_classes": _ABC_ORACLE,

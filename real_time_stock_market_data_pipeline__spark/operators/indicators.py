@@ -1503,3 +1503,51 @@ def ofi_bars(
             6,
         ).alias("ofi"),
     )
+
+
+def trend_ols(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Per-symbol least-squares time trend of the daily close: slope
+    (per trading day), intercept, and R² from the textbook sufficient
+    sums — 'is this series drifting, and how cleanly' as one grouped
+    pass.
+
+    The regressor is the 0-based trading-day index (row_number over
+    date), so x and x² sum as exact integers; closes go through a
+    DECIMAL(18,4) view (they carry 4 decimals by construction), and
+    the cross/single/y² sums are therefore all integer-exact —
+    the closed-form slope/intercept/R² are then a handful of
+    fixed-order double ops, bit-identical at any parallelism. NULL
+    slope for n < 2, NULL R² for a flat series (zero y-variance).
+
+    Scale: the ranking window and the aggregation share the symbol
+    partitioning — one exchange, O(1) aggregate state.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        (F.row_number().over(w) - 1).cast("long").alias("x"),
+        F.col(close_col).cast("decimal(18,4)").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("x").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    num = n * sxy - sx * sy
+    slope = F.when(denx > 0, num / denx)
+    intercept = F.when(denx > 0, (sy - (num / denx) * sx) / n)
+    r2 = F.when((denx > 0) & (deny > 0), (num * num) / (denx * deny))
+    return base.groupBy("symbol").agg(
+        n.alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -529,3 +529,28 @@ def test_adx_pure_uptrend_has_zero_minus_di(spark):
         assert r.di_minus == 0.0
         assert r.di_plus > 0
         assert r.adx == 100.0
+
+
+def test_trend_ols_exact_line(spark):
+    import datetime
+
+    # perfectly linear series -> slope 2, intercept 100, r2 == 1
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), 100.0 + 2.0 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    r = indicators.trend_ols(df, close_col="close").collect()[0]
+    assert r.n_days == 10
+    assert abs(r.slope - 2.0) < 1e-9
+    assert abs(r.intercept - 100.0) < 1e-9
+    assert abs(r.r2 - 1.0) < 1e-9
+
+
+def test_trend_ols_flat_series_null_r2(spark):
+    import datetime
+
+    rows = [("X", datetime.date(2024, 1, 1 + i), 50.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    r = indicators.trend_ols(df, close_col="close").collect()[0]
+    assert r.slope == 0.0
+    assert r.r2 is None
