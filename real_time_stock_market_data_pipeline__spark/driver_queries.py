@@ -2896,6 +2896,87 @@ FROM rec
 """
 
 
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per symbol via rescaled-range analysis at block
+    sizes 4/8/16 (`operators/indicators.py:hurst_rs`)."""
+    return indicators.hurst_rs(
+        _daily_close(spark, sf_dir), windows=(4, 8, 16), close_col="close"
+    )
+
+
+def _hurst_oracle(windows=(4, 8, 16)) -> str:
+    import math
+
+    w_lo, w_hi = windows[0], windows[-1]
+    denom = repr(math.log(float(w_hi)) - math.log(float(w_lo)))
+    w_list = ", ".join(str(w) for w in windows)
+    pivots = ",\n  ".join(
+        f"max(CASE WHEN w = {w} THEN rs_avg END) AS rs_{w}" for w in windows
+    )
+    rs_cols = ", ".join(f"rs_{w}" for w in windows)
+    return f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r0 AS (
+  SELECT symbol,
+    row_number() OVER ws - 2 AS idx,
+    {_round_sql("CASE WHEN lag(close) OVER ws <> 0 THEN close / lag(close) OVER ws - 1 END", 6)} AS r
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+r1 AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+b AS (
+  SELECT symbol, idx, r, w, idx // w AS block
+  FROM r1 CROSS JOIN (SELECT unnest([{w_list}]) AS w) _w
+),
+f0 AS (
+  SELECT *, count(*) OVER wb AS cnt,
+    {_round_sql("CAST(sum(CAST(r AS DECIMAL(18,6))) OVER wb AS DOUBLE) / (count(*) OVER wb)", 6)} AS m
+  FROM b
+  WINDOW wb AS (PARTITION BY symbol, w, block)
+),
+f AS (SELECT * FROM f0 WHERE cnt = w),
+dd AS (
+  SELECT symbol, w, block, idx,
+    {_round_sql("r - m", 6)} AS dev
+  FROM f
+),
+cc AS (
+  SELECT symbol, w, block, dev,
+    CAST(sum(CAST(dev AS DECIMAL(18,6)))
+         OVER (PARTITION BY symbol, w, block ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS cum
+  FROM dd
+),
+pb AS (
+  SELECT symbol, w, block,
+    max(cum) - min(cum) AS rng,
+    sqrt(CAST(sum(CAST({_round_sql("dev * dev", 6)} AS DECIMAL(18,6)))
+              AS DOUBLE) / min(w)) AS s
+  FROM cc GROUP BY 1, 2, 3
+),
+rs AS (
+  SELECT symbol, w, {_round_sql("rng / s", 6)} AS rs
+  FROM pb WHERE s > 0
+),
+pw AS (
+  SELECT symbol, w,
+    {_round_sql("CAST(sum(CAST(rs AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS rs_avg,
+    count(*) AS n_blocks
+  FROM rs GROUP BY 1, 2
+),
+piv AS (
+  SELECT symbol,
+  {pivots},
+  CAST(sum(n_blocks) AS BIGINT) AS n_blocks
+  FROM pw GROUP BY 1
+)
+SELECT symbol, n_blocks, {rs_cols},
+  {_round_sql(f"CASE WHEN rs_{w_lo} > 0 AND rs_{w_hi} > 0 THEN (ln(rs_{w_hi}) - ln(rs_{w_lo})) / {denom} END", 4)} AS hurst
+FROM piv
+"""
+
+
 def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol OLS time trend (slope/intercept/R²) of the daily
     close (`operators/indicators.py:trend_ols`)."""
@@ -6348,6 +6429,7 @@ QUERIES: dict[str, QueryFn] = {
     "adx": q_adx,
     "pca_pc1": q_pca_pc1,
     "peak_concurrency": q_peak_concurrency,
+    "hurst": q_hurst,
     "trend_ols": q_trend_ols,
     "ofi_bars": q_ofi_bars,
     "hhi_concentration": q_hhi_concentration,
@@ -6527,6 +6609,7 @@ ORACLES: dict[str, str] = {
     "adx": _adx_oracle(14),
     "pca_pc1": _pca_oracle(3, 64),
     "peak_concurrency": _peak_concurrency_oracle(),
+    "hurst": _hurst_oracle((4, 8, 16)),
     "trend_ols": _TREND_OLS_ORACLE,
     "ofi_bars": _OFI_BARS_ORACLE,
     "hhi_concentration": _HHI_ORACLE,

@@ -1551,3 +1551,101 @@ def trend_ols(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def hurst_rs(
+    daily: DataFrame,
+    windows: tuple[int, ...] = (4, 8, 16),
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Hurst exponent per symbol by rescaled-range (R/S) analysis:
+    persistence (H > 0.5) vs mean-reversion (H < 0.5) of the daily
+    return series.
+
+    For each block size w in ``windows`` the return series splits into
+    consecutive FULL blocks; each block contributes
+    R/S = (max − min of the cumulative mean-deviations) / population
+    std; per-w averages regress against ln w. ``windows`` must be
+    geometrically spaced (each double the last): for equally-spaced x
+    the OLS slope collapses to (ln RS_last − ln RS_first)/(ln w_last −
+    ln w_first) — one fixed-order expression, no per-symbol fit loop.
+
+    Exactness: returns, means, deviations, and R/S ratios quantize to
+    6 decimals before every DECIMAL sum; the cumulative deviation is a
+    running DECIMAL window (exact at any partitioning); the ln-ratio
+    denominator is a Python-computed literal shared verbatim with the
+    oracle. Blocks with zero std are dropped; symbols lacking full
+    blocks at the extreme sizes emit NULL hurst.
+
+    Scale: one explode (×|windows|), then windows + groupBys that all
+    share the (symbol, w, block) partitioning — a single exchange of
+    quantized 8-byte values; per-partition state is one block.
+    """
+    import math
+
+    w_arr = F.explode(F.array(*[F.lit(w) for w in windows])).alias("w")
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    prev = F.lag(close_col).over(wlag)
+    rets = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        (F.row_number().over(wlag) - 2).alias("idx"),  # first return -> 0
+        F.round(F.when(prev != 0, F.col(close_col) / prev - 1), 6).alias("r"),
+    ).where(F.col("r").isNotNull())
+
+    blocks = rets.select("symbol", "idx", "r", w_arr).withColumn(
+        "block", F.floor(F.col("idx") / F.col("w"))
+    )
+    wb = Window.partitionBy("symbol", "w", "block")
+    wrun = wb.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cnt = F.count(F.lit(1)).over(wb)
+    mean = F.round(
+        F.sum(F.col("r").cast("decimal(18,6)")).over(wb).cast("double") / cnt, 6
+    )
+    full = blocks.withColumn("cnt", cnt).withColumn("m", mean).where(
+        F.col("cnt") == F.col("w")
+    )
+    dev = F.round(F.col("r") - F.col("m"), 6)
+    cum = F.sum(dev.cast("decimal(18,6)")).over(wrun).cast("double")
+    dd = full.select(
+        "symbol", "w", "block", "idx", dev.alias("dev"), cum.alias("cum")
+    )
+    per_block = dd.groupBy("symbol", "w", "block").agg(
+        (F.max("cum") - F.min("cum")).alias("rng"),
+        F.sqrt(
+            F.sum(F.round(F.col("dev") * F.col("dev"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.first("w")
+        ).alias("s"),
+    )
+    rs = per_block.where(F.col("s") > 0).select(
+        "symbol", "w", F.round(F.col("rng") / F.col("s"), 6).alias("rs")
+    )
+    per_w = rs.groupBy("symbol", "w").agg(
+        F.round(
+            F.sum(F.col("rs").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("rs_avg"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    )
+    w_lo, w_hi = windows[0], windows[-1]
+    denom = math.log(float(w_hi)) - math.log(float(w_lo))
+    agg = per_w.groupBy("symbol").agg(
+        *[
+            F.max(F.when(F.col("w") == w, F.col("rs_avg"))).alias(f"rs_{w}")
+            for w in windows
+        ],
+        F.sum("n_blocks").alias("n_blocks"),
+    )
+    lo, hi = F.col(f"rs_{w_lo}"), F.col(f"rs_{w_hi}")
+    hurst = F.when(
+        (lo > 0) & (hi > 0), (F.log(hi) - F.log(lo)) / F.lit(denom)
+    )
+    return agg.select(
+        "symbol",
+        "n_blocks",
+        *[F.col(f"rs_{w}") for w in windows],
+        F.round(hurst, 4).alias("hurst"),
+    )

@@ -554,3 +554,44 @@ def test_trend_ols_flat_series_null_r2(spark):
     r = indicators.trend_ols(df, close_col="close").collect()[0]
     assert r.slope == 0.0
     assert r.r2 is None
+
+
+def test_hurst_bounds_and_columns(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_hurst
+
+    rows = q_hurst(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # R/S averages are positive where defined; H plausibly in (0, 1.5)
+        for v in (r.rs_4, r.rs_8, r.rs_16):
+            assert v is None or v > 0
+        if r.hurst is not None:
+            assert -0.5 < r.hurst < 1.5
+
+
+def test_hurst_trending_beats_alternating(spark):
+    import datetime
+
+    # strictly trending closes vs strictly alternating ones: the
+    # trending series must score a (much) higher Hurst exponent
+    base = datetime.date(2024, 1, 1)
+    # persistent deviations: the return itself drifts upward, so
+    # within every block the cumulative mean-deviation sweeps a wide
+    # range (constant returns would give zero std and drop the block)
+    closes, c = [], 100.0
+    for i in range(65):
+        closes.append(c)
+        c *= 1.0 + 0.001 * i
+    trend = [
+        ("T", base + datetime.timedelta(days=i), closes[i]) for i in range(65)
+    ]
+    alt = [
+        ("A", base + datetime.timedelta(days=i), 100.0 + (5.0 if i % 2 else -5.0))
+        for i in range(65)
+    ]
+    df = spark.createDataFrame(
+        trend + alt, "symbol string, date date, close double"
+    )
+    out = {r.symbol: r for r in indicators.hurst_rs(df, close_col="close").collect()}
+    assert out["T"].hurst is not None and out["A"].hurst is not None
+    assert out["T"].hurst > out["A"].hurst
