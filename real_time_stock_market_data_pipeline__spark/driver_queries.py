@@ -2896,6 +2896,77 @@ FROM rec
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase time-to-convert distribution (count, exact mean,
+    discrete median/p90; `operators/behavior.py:conversion_latency`)."""
+    return behavior.conversion_latency(
+        _events(spark, sf_dir), from_event="view", to_event="purchase"
+    )
+
+
+_CONVERSION_LATENCY_ORACLE = f"""
+WITH u1 AS (
+  SELECT user_id, event_type, ts,
+    min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id) AS t_from
+  FROM events
+),
+u2 AS (
+  SELECT user_id, t_from,
+    min(CASE WHEN event_type = 'purchase' AND ts >= t_from THEN ts END)
+      OVER (PARTITION BY user_id) AS t_to
+  FROM u1
+),
+pu AS (
+  SELECT DISTINCT user_id,
+    {_round_sql("(epoch_us(t_to) - epoch_us(t_from)) / 1000000.0", 6)} AS lat_s
+  FROM u2 WHERE t_from IS NOT NULL AND t_to IS NOT NULL
+),
+rk AS (
+  SELECT lat_s,
+    row_number() OVER (ORDER BY lat_s, user_id) AS rn,
+    count(*) OVER () AS n
+  FROM pu
+)
+SELECT max(n) AS n_converted,
+  {_round_sql("CAST(sum(CAST(lat_s AS DECIMAL(18,6))) AS DOUBLE) / max(n)", 6)}
+    AS mean_latency_s,
+  max(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS median_latency_s,
+  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN lat_s END) AS p90_latency_s
+FROM rk
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sampling at an expected
+    30% rate (`operators/sampling.py:weighted_sample`)."""
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", target_fraction=0.3
+    )
+
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, round(CAST(n_chars AS DOUBLE), 6) AS w FROM documents
+),
+m AS (
+  SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS w_mean
+  FROM b
+),
+p AS (
+  SELECT doc_id, w,
+    {_round_sql("least(1.0, 0.3 * w / w_mean)", 6)} AS keep_prob,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 1000000 AS bk
+  FROM b CROSS JOIN m
+)
+SELECT doc_id, w AS n_chars, keep_prob
+FROM p WHERE bk < keep_prob * 1000000.0
+"""
+
+
 def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent per symbol via rescaled-range analysis at block
     sizes 4/8/16 (`operators/indicators.py:hurst_rs`)."""
@@ -6430,6 +6501,8 @@ QUERIES: dict[str, QueryFn] = {
     "pca_pc1": q_pca_pc1,
     "peak_concurrency": q_peak_concurrency,
     "hurst": q_hurst,
+    "weighted_sample": q_weighted_sample,
+    "conversion_latency": q_conversion_latency,
     "trend_ols": q_trend_ols,
     "ofi_bars": q_ofi_bars,
     "hhi_concentration": q_hhi_concentration,
@@ -6610,6 +6683,8 @@ ORACLES: dict[str, str] = {
     "pca_pc1": _pca_oracle(3, 64),
     "peak_concurrency": _peak_concurrency_oracle(),
     "hurst": _hurst_oracle((4, 8, 16)),
+    "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+    "conversion_latency": _CONVERSION_LATENCY_ORACLE,
     "trend_ols": _TREND_OLS_ORACLE,
     "ofi_bars": _OFI_BARS_ORACLE,
     "hhi_concentration": _HHI_ORACLE,

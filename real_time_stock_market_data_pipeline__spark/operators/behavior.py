@@ -373,3 +373,74 @@ def session_paths(
         counted.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= top_k)
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_event: str,
+    to_event: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    ``from_event`` is later followed by a ``to_event``, the latency
+    between the two — summarized as count, exact mean, and
+    discrete-rank median / p90 (the rank-selection convention of
+    ``metrics.mad_anomalies``: no interpolation, engine- and
+    partition-exact).
+
+    One window pass per endpoint over the shared ``user_col``
+    partitioning (min-CASE arrival times, no self-join), a DISTINCT
+    collapse to per-user latencies, then a global rank window over the
+    |converters| frame. Latency is integer micros → one division to
+    seconds, quantized to 6 before the decimal mean.
+    """
+    w = Window.partitionBy(user_col)
+    t_from = F.min(
+        F.when(F.col(type_col) == from_event, F.col(ts_col))
+    ).over(w)
+    base = events.select(user_col, type_col, ts_col).withColumn("t_from", t_from)
+    t_to = F.min(
+        F.when(
+            (F.col(type_col) == to_event) & (F.col(ts_col) >= F.col("t_from")),
+            F.col(ts_col),
+        )
+    ).over(w)
+    per_user = (
+        base.withColumn("t_to", t_to)
+        .select(user_col, "t_from", "t_to")
+        .where(F.col("t_from").isNotNull() & F.col("t_to").isNotNull())
+        .distinct()
+        .select(
+            F.col(user_col),
+            F.round(
+                (F.unix_micros("t_to") - F.unix_micros("t_from"))
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("lat_s"),
+        )
+    )
+    wo = Window.orderBy("lat_s", user_col)
+    wg = Window.partitionBy()
+    ranked = per_user.select(
+        "lat_s",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    k_med = F.floor((F.col("n") + 1) / 2)
+    k_p90 = F.floor((F.col("n") * 9 + 9) / 10)
+    return ranked.groupBy().agg(
+        F.max("n").alias("n_converted"),
+        F.round(
+            F.sum(F.col("lat_s").cast("decimal(18,6)")).cast("double")
+            / F.max("n"),
+            6,
+        ).alias("mean_latency_s"),
+        F.max(F.when(F.col("rn") == k_med, F.col("lat_s"))).alias(
+            "median_latency_s"
+        ),
+        F.max(F.when(F.col("rn") == k_p90, F.col("lat_s"))).alias(
+            "p90_latency_s"
+        ),
+    )

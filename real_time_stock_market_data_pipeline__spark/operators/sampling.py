@@ -98,3 +98,53 @@ def hash_split(
     for label, t in reversed(thresholds):
         expr = F.when(b < t, F.lit(label)).otherwise(expr)
     return df.withColumn("bucket", b).withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    target_fraction: float,
+    n_buckets: int = HASH_BUCKETS,
+) -> DataFrame:
+    """Deterministic importance-weighted sampling: each row keeps with
+    probability ∝ its weight (capped at 1), scaled so the EXPECTED kept
+    fraction is ``target_fraction`` — the quality-weighted downsampling
+    step a training pipeline runs instead of uniform sampling (keep the
+    good documents, thin the mediocre ones).
+
+    Membership is a pure function of the row id and the global weight
+    mean: ``keep ⇔ hash_bucket(id) < p_i·n_buckets`` with
+    ``p_i = min(1, target·w_i / mean(w))``. The mean is an exact
+    DECIMAL aggregate broadcast back as a one-row frame (scalar-
+    subquery shape), so the whole operator is one tiny aggregate + one
+    map-side filter — no shuffle of the corpus, stable under
+    re-partitioning, replayable by any md5-capable engine.
+
+    Emits the kept rows' (id, weight, keep_prob). Note the cap: rows
+    with ``w_i ≥ mean/target`` are always kept, so the realized
+    fraction can undershoot ``target`` on heavy-tailed weights.
+    """
+    w6 = F.round(F.col(weight_col).cast("double"), 6)
+    base = df.select(F.col(id_col), w6.alias("w"))
+    mean = base.agg(
+        (
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("w_mean")
+    )
+    b = hash_bucket(F.col(id_col), n_buckets)
+    p = F.least(
+        F.lit(1.0), F.lit(target_fraction) * F.col("w") / F.col("w_mean")
+    )
+    return (
+        base.crossJoin(F.broadcast(mean))
+        .select(
+            F.col(id_col),
+            F.col("w").alias(weight_col),
+            F.round(p, 6).alias("keep_prob"),
+            b.alias("__b"),
+        )
+        .where(F.col("__b") < F.col("keep_prob") * F.lit(float(n_buckets)))
+        .drop("__b")
+    )

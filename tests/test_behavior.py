@@ -177,3 +177,51 @@ def test_session_paths_trigram_counts(spark, sf_dir):
     by_rank = sorted(rows, key=lambda r: r.rank)
     for a, b in zip(by_rank, by_rank[1:]):
         assert a.n_occurrences >= b.n_occurrences
+
+
+def test_weighted_sample_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = sampling.weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", target_fraction=0.3
+    )
+    rows = kept.collect()
+    n_total = docs.count()
+    assert 0 < len(rows) < n_total
+    for r in rows:
+        assert 0 < r.keep_prob <= 1.0
+    # determinism: identical membership under a different partitioning
+    rows2 = sampling.weighted_sample(
+        docs.repartition(7, "lang"), "doc_id", "n_chars", 0.3
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(r.doc_id for r in rows2)
+    # monotonicity: doubling the target can only grow the kept set
+    rows3 = sampling.weighted_sample(docs, "doc_id", "n_chars", 0.6).collect()
+    assert set(r.doc_id for r in rows) <= set(r.doc_id for r in rows3)
+
+
+def test_conversion_latency_hand_case(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import behavior
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, etype, sec):
+        return (uid, etype, t0 + datetime.timedelta(seconds=sec))
+
+    rows = [
+        # user 1: view at 0, purchase at 10 -> 10 s
+        ev(1, "view", 0), ev(1, "purchase", 10),
+        # user 2: purchase BEFORE first view -> not converted
+        ev(2, "purchase", 0), ev(2, "view", 5),
+        # user 3: view at 0, purchases at 30 (first counts)
+        ev(3, "view", 0), ev(3, "purchase", 30), ev(3, "purchase", 60),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = behavior.conversion_latency(df, "view", "purchase").collect()[0]
+    assert out.n_converted == 2
+    assert abs(out.mean_latency_s - 20.0) < 1e-9
+    assert out.median_latency_s == 10.0
+    assert out.p90_latency_s == 30.0
