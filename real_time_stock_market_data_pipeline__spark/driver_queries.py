@@ -2896,6 +2896,39 @@ FROM rec
 """
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/weekday-seasonal/residual decomposition of the
+    daily close (`operators/ohlcv.py:seasonal_decompose`)."""
+    return ohlcv.seasonal_decompose(q_daily_metrics(spark, sf_dir))
+
+
+_SEASONAL_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol, date, daily_close AS close, isodow(date) AS iso_weekday,
+    count(*) OVER wc AS cnt,
+    {_round_sql("CAST(sum(CAST(daily_close AS DECIMAL(18,6))) OVER wc AS DOUBLE) / (count(*) OVER wc)", 4)} AS trend
+  FROM d
+  WINDOW wc AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT symbol, date, close, iso_weekday, trend,
+    {_round_sql("close - trend", 4)} AS detrended
+  FROM t WHERE cnt = 7
+),
+seas AS (
+  SELECT symbol, iso_weekday,
+    {_round_sql("CAST(sum(CAST(detrended AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)} AS seasonal
+  FROM det GROUP BY 1, 2
+)
+SELECT det.symbol, date, close, trend, seasonal,
+  {_round_sql("detrended - seasonal", 4)} AS resid
+FROM det JOIN seas ON det.symbol = seas.symbol
+                  AND det.iso_weekday = seas.iso_weekday
+"""
+
+
 def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→purchase time-to-convert distribution (count, exact mean,
     discrete median/p90; `operators/behavior.py:conversion_latency`)."""
@@ -6503,6 +6536,7 @@ QUERIES: dict[str, QueryFn] = {
     "hurst": q_hurst,
     "weighted_sample": q_weighted_sample,
     "conversion_latency": q_conversion_latency,
+    "seasonal_decompose": q_seasonal_decompose,
     "trend_ols": q_trend_ols,
     "ofi_bars": q_ofi_bars,
     "hhi_concentration": q_hhi_concentration,
@@ -6685,6 +6719,7 @@ ORACLES: dict[str, str] = {
     "hurst": _hurst_oracle((4, 8, 16)),
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "conversion_latency": _CONVERSION_LATENCY_ORACLE,
+    "seasonal_decompose": _SEASONAL_ORACLE,
     "trend_ols": _TREND_OLS_ORACLE,
     "ofi_bars": _OFI_BARS_ORACLE,
     "hhi_concentration": _HHI_ORACLE,

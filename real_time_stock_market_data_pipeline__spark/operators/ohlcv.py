@@ -340,3 +340,68 @@ def intraday_bars(
         F.round(F.max_by(price_col, ord_key), 4).alias("close"),
         _volume_agg(volume_col).alias("volume"),
     )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    window_rows: int = 7,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Classical additive decomposition of the daily close into
+    trend + weekday seasonality + residual:
+
+    - **trend**: centered ``window_rows``-row moving average (full
+      frames only — edge rows are dropped, the textbook convention);
+    - **seasonal**: per-(symbol, ISO weekday) exact mean of the
+      detrended series;
+    - **resid**: what neither explains.
+
+    All three components are decimal-exact (quantize → DECIMAL sum →
+    one division) and round to 4, so ``close = trend + seasonal +
+    resid + (seasonal-mean rounding)`` replays bitwise in any engine.
+
+    Scale: one symbol-partitioned window (O(window) state) and one
+    (symbol × 7)-row aggregate broadcast back — a single fact shuffle.
+    """
+    half = window_rows // 2
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy(date_col)
+        .rowsBetween(-half, half)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    trend = F.round(
+        F.sum(F.col(close_col).cast("decimal(18,6)")).over(w).cast("double")
+        / cnt,
+        4,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        (F.weekday(date_col) + F.lit(1)).alias("iso_weekday"),
+        F.when(cnt == window_rows, trend).alias("trend"),
+    ).where(F.col("trend").isNotNull())
+    det = base.withColumn(
+        "detrended", F.round(F.col("close") - F.col("trend"), 4)
+    )
+    seas = det.groupBy("symbol", "iso_weekday").agg(
+        F.round(
+            F.sum(F.col("detrended").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), ["symbol", "iso_weekday"])
+        .select(
+            "symbol",
+            "date",
+            "close",
+            "trend",
+            "seasonal",
+            F.round(F.col("detrended") - F.col("seasonal"), 4).alias("resid"),
+        )
+    )

@@ -595,3 +595,15 @@ def test_hurst_trending_beats_alternating(spark):
     out = {r.symbol: r for r in indicators.hurst_rs(df, close_col="close").collect()}
     assert out["T"].hurst is not None and out["A"].hurst is not None
     assert out["T"].hurst > out["A"].hurst
+
+
+def test_seasonal_decompose_reconstruction(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_seasonal_decompose,
+    )
+
+    rows = q_seasonal_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # additive identity up to the two 4-dp roundings
+        assert abs(r.close - (r.trend + r.seasonal + r.resid)) < 2e-4
