@@ -2896,6 +2896,211 @@ FROM rec
 """
 
 
+def q_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped 'who holds excess stock' (adapted: shipped
+    lineitem quantity stands in for partsupp availability). Suppliers
+    in one region who, for at least one '%red%' part, shipped more
+    than 15% of that part's total quantity (threshold tuned so the
+    screen is selective-but-nonempty on the synthetic data). The original's nested
+    IN-subqueries become one aggregation + a window share + two
+    broadcast semi-joins — no correlated rescans.
+
+    Quantity sums are integer-valued DECIMALs — exact everywhere.
+    """
+    li = _table("lineitem")(spark, sf_dir).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    parts = (
+        _table("part")(spark, sf_dir)
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    per_ps = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty")
+        )
+    )
+    wpart = Window.partitionBy("l_partkey")
+    excess = per_ps.withColumn(
+        "part_total", F.sum(F.col("qty").cast("decimal(18,6)")).over(wpart).cast("double")
+    ).where(F.col("qty") > F.col("part_total") * F.lit(0.15))
+    supp = _table("supplier")(spark, sf_dir)
+    nation = _table("nation")(spark, sf_dir).select("n_nationkey", "n_name")
+    region_suppliers = supp.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        region_suppliers.join(
+            excess.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_EXCESS_SUPPLIERS_ORACLE = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT *, CAST(sum(CAST(qty AS DECIMAL(18,6)))
+                 OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_total
+  FROM per_ps
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT l_suppkey FROM ex WHERE qty > part_total * 0.15
+)
+"""
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's foreign keys:
+    orphaned child rows per relationship (lineitem→orders/part/
+    supplier, orders→customer, customer/supplier→nation) — the
+    data-quality gate a warehouse load runs before publishing
+    (complements `metrics.data_expectations`, which is row-local).
+
+    Each check is one left-anti join against a (broadcastable or
+    key-projected) parent; counts union into a long-form report. At
+    100 TB the two big anti-joins shuffle on their join key once;
+    dimension parents broadcast.
+    """
+    li = _table("lineitem")(spark, sf_dir)
+    orders = _table("orders")(spark, sf_dir)
+    customer = _table("customer")(spark, sf_dir)
+    supplier = _table("supplier")(spark, sf_dir)
+    part = _table("part")(spark, sf_dir)
+    nation = _table("nation")(spark, sf_dir)
+
+    def orphans(child, child_key, parent, parent_key, rel):
+        cnt = (
+            child.join(
+                parent.select(parent_key),
+                F.col(child_key) == F.col(parent_key),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(
+                F.lit(rel).alias("relationship"),
+                "n_orphans",
+            )
+        )
+        return cnt
+
+    checks = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        orphans(li, "l_suppkey", supplier, "s_suppkey", "lineitem->supplier"),
+        orphans(orders, "o_custkey", customer, "c_custkey", "orders->customer"),
+        orphans(customer, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+        orphans(supplier, "s_nationkey", nation, "n_nationkey", "supplier->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+_FK_INTEGRITY_ORACLE = """
+SELECT 'lineitem->orders' AS relationship,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+         (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+         (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+         (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+         (SELECT n_nationkey FROM nation))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN
+         (SELECT n_nationkey FROM nation))
+"""
+
+
+def q_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading log-spread with rolling z-score for a fixed
+    symbol pair (view vs click): spread = ln(a) − ln(b) on shared
+    dates, z-scored against a trailing 10-day exact mean/std —
+    the stat-arb entry/exit signal. One date-aligned self-join of the
+    tiny daily frame + one symbol-pair window."""
+    daily = _daily_close(spark, sf_dir)
+    a = daily.where(F.col("symbol") == "view").select(
+        "date", F.col("close").alias("close_a")
+    )
+    b = daily.where(F.col("symbol") == "click").select(
+        "date", F.col("close").alias("close_b")
+    )
+    j = a.join(b, "date")
+    spread = F.round(F.log("close_a") - F.log("close_b"), 6)
+    base = j.select("date", "close_a", "close_b", spread.alias("spread"))
+    w = Window.orderBy("date").rowsBetween(-9, 0)
+    cnt = F.count(F.lit(1)).over(w)
+    d = F.col("spread").cast("decimal(18,6)")
+    sx = F.sum(d).over(w).cast("double")
+    sxx = F.sum(d * d).over(w).cast("double")
+    mean = sx / cnt
+    var = (sxx - sx * sx / cnt) / (cnt - F.lit(1))
+    std = F.when(cnt >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    z = F.when((cnt == 10) & (std > 0), (F.col("spread") - mean) / std)
+    return base.select(
+        "date",
+        "spread",
+        F.round(mean, 6).alias("spread_ma10"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+_PAIRS_SPREAD_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+a AS (SELECT date, close AS close_a FROM d WHERE symbol = 'view'),
+b AS (SELECT date, close AS close_b FROM d WHERE symbol = 'click'),
+j AS (
+  SELECT a.date, round(ln(close_a) - ln(close_b), 6) AS spread
+  FROM a JOIN b ON a.date = b.date
+),
+r AS (
+  SELECT date, spread,
+    count(*) OVER w AS cnt,
+    CAST(sum(CAST(spread AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+    CAST(sum(CAST(spread AS DECIMAL(18,6)) * CAST(spread AS DECIMAL(18,6)))
+         OVER w AS DOUBLE) AS sxx
+  FROM j
+  WINDOW w AS (ORDER BY date ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT date, spread,
+  {_round_sql("sx / cnt", 6)} AS spread_ma10,
+  {_round_sql(
+      "CASE WHEN cnt = 10 AND "
+      "sqrt(greatest((sxx - sx * sx / cnt) / (cnt - 1), 0.0)) > 0 "
+      "THEN (spread - sx / cnt) "
+      "/ sqrt(greatest((sxx - sx * sx / cnt) / (cnt - 1), 0.0)) END", 4)}
+    AS zscore
+FROM r
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive trend/weekday-seasonal/residual decomposition of the
     daily close (`operators/ohlcv.py:seasonal_decompose`)."""
@@ -6537,6 +6742,9 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "conversion_latency": q_conversion_latency,
     "seasonal_decompose": q_seasonal_decompose,
+    "excess_suppliers": q_excess_suppliers,
+    "fk_integrity": q_fk_integrity,
+    "pairs_spread": q_pairs_spread,
     "trend_ols": q_trend_ols,
     "ofi_bars": q_ofi_bars,
     "hhi_concentration": q_hhi_concentration,
@@ -6720,6 +6928,9 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "conversion_latency": _CONVERSION_LATENCY_ORACLE,
     "seasonal_decompose": _SEASONAL_ORACLE,
+    "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
+    "fk_integrity": _FK_INTEGRITY_ORACLE,
+    "pairs_spread": _PAIRS_SPREAD_ORACLE,
     "trend_ols": _TREND_OLS_ORACLE,
     "ofi_bars": _OFI_BARS_ORACLE,
     "hhi_concentration": _HHI_ORACLE,

@@ -207,3 +207,16 @@ def test_important_stock_semi_join_and_single_scan(spark, sf_dir):
     plan = _plan(driver_queries.q_important_stock(spark, sf_dir))
     assert "LeftSemi" in plan
     assert plan.count("lineitem") >= 1
+
+
+def test_excess_suppliers_semi_join_no_rescan(spark, sf_dir):
+    """Q20 shape: the nested-IN chain plans as semi joins over ONE
+    aggregated lineitem lineage, not correlated rescans."""
+    plan = _plan(driver_queries.q_excess_suppliers(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fk_integrity_plans_anti_joins(spark, sf_dir):
+    plan = _plan(driver_queries.q_fk_integrity(spark, sf_dir))
+    assert plan.count("LeftAnti") >= 6
