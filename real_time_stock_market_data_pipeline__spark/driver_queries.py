@@ -3533,25 +3533,34 @@ def q_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
     """SQL replay of the unrolled power iteration: one CTE triple
-    (scores, matvec, norm) per round, every product quantized with the
-    Spark-faithful `_round_sql` before its DECIMAL sum — bitwise the
-    same doubles as the DataFrame lineage."""
+    (scores, matvec, norm) per round. Quantization is the pure-IEEE
+    ``floor(x*10^k + 0.5)/10^k`` — NOT round()/`_round_sql`: Spark's
+    round rides Java 17 Double.toString, which renders e.g.
+    -0.0050964999999999995 where DuckDB's shortest-repr renders
+    -0.0050965, and the two strings round apart at the cut digit
+    (found at sf0.001). floor/mul/add are bit-defined IEEE ops, so
+    both engines quantize to the identical lattice."""
     import math
+
+    def q(expr: str, k: int) -> str:
+        scale = float(10 ** k)
+        return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
     seed = repr(1.0 / math.sqrt(dim))
     ctes = [
         f"""X AS (
-  SELECT vec_id AS vid, dim, round(CAST(embedding[dim + 1] AS DOUBLE), 6) AS x6
+  SELECT vec_id AS vid, dim,
+         {q("CAST(embedding[dim + 1] AS DOUBLE)", 6)} AS x6
   FROM embeddings CROSS JOIN (SELECT unnest(range({dim})) AS dim) _d
 ),
 M AS (
   SELECT dim,
-    {_round_sql("CAST(sum(CAST(x6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+    {q("CAST(sum(CAST(x6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
       AS m
   FROM X GROUP BY 1
 ),
 C AS (
-  SELECT vid, X.dim AS dim, {_round_sql("x6 - m", 6)} AS xc
+  SELECT vid, X.dim AS dim, {q("x6 - m", 6)} AS xc
   FROM X JOIN M ON X.dim = M.dim
 ),
 V0 AS (SELECT unnest(range({dim})) AS dim, CAST({seed} AS DOUBLE) AS v)"""
@@ -3560,16 +3569,16 @@ V0 AS (SELECT unnest(range({dim})) AS dim, CAST({seed} AS DOUBLE) AS v)"""
         ctes.append(
             f"""S{k} AS (
   SELECT vid,
-    CAST(sum(CAST({_round_sql("xc * v", 9)} AS DECIMAL(22,9))) AS DOUBLE) AS s
+    CAST(sum(CAST({q("xc * v", 9)} AS DECIMAL(22,9))) AS DOUBLE) AS s
   FROM C JOIN V{k - 1} USING (dim) GROUP BY 1
 ),
 W{k} AS (
   SELECT dim,
-    CAST(sum(CAST({_round_sql("xc * s", 6)} AS DECIMAL(18,6))) AS DOUBLE) AS w
+    CAST(sum(CAST({q("xc * s", 6)} AS DECIMAL(18,6))) AS DOUBLE) AS w
   FROM C JOIN S{k} USING (vid) GROUP BY 1
 ),
 N{k} AS (
-  SELECT sqrt(CAST(sum(CAST({_round_sql("w * w", 6)} AS DECIMAL(28,6)))
+  SELECT sqrt(CAST(sum(CAST({q("w * w", 6)} AS DECIMAL(28,6)))
                    AS DOUBLE)) AS nrm
   FROM W{k}
 ),
@@ -3578,8 +3587,8 @@ V{k} AS (SELECT dim, w * (1.0 / nrm) AS v FROM W{k} CROSS JOIN N{k})"""
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
-SELECT dim, {_round_sql("w * (1.0 / nrm)", 6)} AS loading,
-       {_round_sql("nrm", 4)} AS lambda_est
+SELECT dim, {q("w * (1.0 / nrm)", 6)} AS loading,
+       {q("nrm", 4)} AS lambda_est
 FROM W{n_iter} CROSS JOIN N{n_iter}
 """
 
@@ -6515,8 +6524,11 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part frame: one extra exchange over |parts| rows instead of a
     second scan of the fact table. Supplier semi-filter broadcasts.
 
-    HAVING value > 0.1% of total; both sides exact DECIMAL sums cast
-    to double, so the comparison is partition-order-independent.
+    HAVING value > 2x the mean per-part value — the scale-FREE form
+    of Q11's fixed-fraction threshold (a fraction of the global total
+    shrinks per part as the catalog grows; the official spec scales
+    its fraction by 1/SF for the same reason). Both sides are exact
+    DECIMAL sums cast to double — partition-order-independent.
     """
     supp = (
         _table("supplier")(spark, sf_dir)
@@ -6542,10 +6554,17 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wall = Window.partitionBy()
     return (
-        per_part.withColumn("total", F.sum(
-            F.col("stock_value").cast("decimal(18,6)")
-        ).over(wall).cast("double"))
-        .where(F.col("stock_value") > F.col("total") * F.lit(0.001))
+        per_part.withColumn(
+            "total",
+            F.sum(F.col("stock_value").cast("decimal(18,6)"))
+            .over(wall)
+            .cast("double"),
+        )
+        .withColumn("n_parts", F.count(F.lit(1)).over(wall))
+        .where(
+            F.col("stock_value")
+            > F.lit(2.0) * F.col("total") / F.col("n_parts")
+        )
         .select("l_partkey", "stock_value")
     )
 
@@ -6564,11 +6583,12 @@ WITH per_part AS (
 ),
 t AS (
   SELECT *, CAST(sum(CAST(stock_value AS DECIMAL(18,6))) OVER ()
-                 AS DOUBLE) AS total
+                 AS DOUBLE) AS total,
+            count(*) OVER () AS n_parts
   FROM per_part
 )
 SELECT l_partkey, stock_value
-FROM t WHERE stock_value > total * 0.001
+FROM t WHERE stock_value > 2.0 * total / n_parts
 """
 
 

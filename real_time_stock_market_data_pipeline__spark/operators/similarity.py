@@ -736,9 +736,15 @@ def pca_power_iteration(
     - renormalize    v = w / ‖w‖       (a window over the dim-sized
       frame; ‖w‖ is also the eigenvalue estimate λ ≈ σ²·N on exit).
 
-    Every float product is quantized (round 6/9) before its DECIMAL
-    sum and every division is a single fixed-order IEEE op, so the
-    result is bit-replayable by the SQL oracle at any parallelism.
+    Every intermediate double is quantized with the PURE-IEEE
+    quantizer ``floor(x·10^k + 0.5)/10^k`` before its DECIMAL sum —
+    deliberately NOT ``F.round``: Spark's round goes through Java 17's
+    ``Double.toString``, which can emit a longer repr than the
+    shortest round-trip form (e.g. -0.0050964999999999995 vs DuckDB's
+    -0.0050965), and the two reprs round differently at the cut
+    digit. floor/multiply/add are bit-defined IEEE ops that every
+    engine evaluates identically, so the quantized lattice — and the
+    whole iteration — replays exactly at any parallelism.
 
     Scale: the centered matrix is localCheckpointed once (2·n_iter
     consumers; without it each round re-reads the corpus). Per round:
@@ -750,14 +756,20 @@ def pca_power_iteration(
     Output: one row per dimension — (dim, loading, lambda_est).
     """
     spark = embs.sparkSession
+
+    def q(col: F.Column, k: int) -> F.Column:
+        # IEEE half-up quantizer: floor(x*10^k + 0.5) / 10^k — see
+        # docstring for why this replaces F.round here.
+        return F.floor(col * F.lit(float(10**k)) + F.lit(0.5)) / F.lit(
+            float(10**k)
+        )
+
     x = embs.select(
         F.col(id_col).alias("vid"),
         F.posexplode(F.col(vec_col)).alias("dim", "val"),
-    ).select(
-        "vid", "dim", F.round(F.col("val").cast("double"), 6).alias("x6")
-    )
+    ).select("vid", "dim", q(F.col("val").cast("double"), 6).alias("x6"))
     m = x.groupBy("dim").agg(
-        F.round(
+        q(
             F.sum(F.col("x6").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
@@ -765,7 +777,7 @@ def pca_power_iteration(
     )
     centered = (
         x.join(F.broadcast(m), "dim")
-        .select("vid", "dim", F.round(F.col("x6") - F.col("m"), 6).alias("xc"))
+        .select("vid", "dim", q(F.col("x6") - F.col("m"), 6).alias("xc"))
         .localCheckpoint()
     )
 
@@ -783,7 +795,7 @@ def pca_power_iteration(
             .groupBy("vid")
             .agg(
                 F.sum(
-                    F.round(F.col("xc") * F.col("v"), 9).cast("decimal(22,9)")
+                    q(F.col("xc") * F.col("v"), 9).cast("decimal(22,9)")
                 )
                 .cast("double")
                 .alias("s")
@@ -794,7 +806,7 @@ def pca_power_iteration(
             .groupBy("dim")
             .agg(
                 F.sum(
-                    F.round(F.col("xc") * F.col("s"), 6).cast("decimal(18,6)")
+                    q(F.col("xc") * F.col("s"), 6).cast("decimal(18,6)")
                 )
                 .cast("double")
                 .alias("w")
@@ -804,7 +816,7 @@ def pca_power_iteration(
             "nrm",
             F.sqrt(
                 F.sum(
-                    F.round(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
+                    q(F.col("w") * F.col("w"), 6).cast("decimal(28,6)")
                 )
                 .over(wall)
                 .cast("double")
@@ -815,6 +827,6 @@ def pca_power_iteration(
         )
     return w_normed.select(
         F.col("dim").cast("bigint").alias("dim"),
-        F.round(F.col("w") * (F.lit(1.0) / F.col("nrm")), 6).alias("loading"),
-        F.round("nrm", 4).alias("lambda_est"),
+        q(F.col("w") * (F.lit(1.0) / F.col("nrm")), 6).alias("loading"),
+        q(F.col("nrm"), 4).alias("lambda_est"),
     )
