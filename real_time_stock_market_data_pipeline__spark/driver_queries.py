@@ -94,7 +94,18 @@ def _round_sql(expr: str, n: int) -> str:
     3.8522499999999997 (16 frac digits) UP where Spark's single-step
     rounding goes down (found by mad_anomalies at sf0.1; DuckDB's
     plain double round() also flips there, via an FP tie in its
-    x·10^n scaling)."""
+    x·10^n scaling).
+
+    KNOWN RESIDUAL RISK (found by pca_pc1 at sf0.001): Java 17's
+    Double.toString is NOT always the shortest round-trip repr —
+    it rendered -0.005096499999999999**5** where DuckDB's Ryū prints
+    -0.0050965, and the two strings round to different 6-dp values.
+    No VARCHAR-based replay can bridge that. For operators where the
+    boundary is statistically likely (iterative quantization, dense
+    lattices), prefer the pure-IEEE quantizer
+    ``floor(x·10^k + 0.5)/10^k`` on BOTH sides instead of
+    F.round/_round_sql — floor/mul/add are bit-defined, engine-
+    independent ops (see `similarity.pca_power_iteration`)."""
     return (
         f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(35,17)), {n})"
         " AS DOUBLE)"
@@ -6751,8 +6762,13 @@ FROM kk GROUP BY symbol
 # that window; multiply-green veterans cede their slots and keep local
 # coverage.
 QUERIES: dict[str, QueryFn] = {
-    # ---- first-50 driver window: every query with no green driver
-    # ---- row yet (new this round or first-ever oracle) ...
+    # ---- first-50 driver window (the round driver oracle-checks only
+    # ---- the first 50 entries; everything else is gated by the local
+    # ---- 3-SF sweep in scripts/check_correctness.py). Round 6 added
+    # ---- 53 new queries — more than one window holds — so the window
+    # ---- carries the 23 newest (this session) plus the 27 next-newest
+    # ---- round-6 entries; the remaining round-6 queries queue for a
+    # ---- driver row next round, local evidence in the meantime ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
     "adx": q_adx,
@@ -6796,9 +6812,8 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
-    # ---- the round-6 additions: 30 of 33 inside the first-50 window
-    # ---- (each gets a driver row this round); see positions 51-53
-    # ---- for the three that don't fit
+    # ---- earlier round-6 additions (positions 24-50 stay inside the
+    # ---- window; the rest rotated out when the newest batch landed)
     "donchian": q_donchian,
     "amihud": q_amihud,
     "return_autocorr": q_return_autocorr,
@@ -6829,10 +6844,9 @@ QUERIES: dict[str, QueryFn] = {
     "underwater_spells": q_underwater_spells,
     "event_lift": q_event_lift,
     "session_paths": q_session_paths,
-    # ---- positions 51-53: the three round-6 queries that don't fit
-    # ---- the 50-slot window — chosen because they are the simplest
-    # ---- shapes (single-scan/broadcast aggregates, plan-tested);
-    # ---- the local 3-SF gate is their evidence until round 7
+    # ---- below this line: outside the 50-slot window — round-6
+    # ---- queries awaiting a driver row (local 3-SF gate is their
+    # ---- evidence until then), then the multiply-green veterans
     "customer_distribution": q_customer_distribution,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
