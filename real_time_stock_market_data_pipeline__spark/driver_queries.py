@@ -3112,6 +3112,91 @@ FROM r
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join + watermarked daily aggregate,
+    drained with availableNow (`streaming/pipeline.py:
+    stream_static_enrich_agg`). The static side is the per-type mean
+    value computed batch-side — the dimension a live feed enriches
+    against."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    ev = _events(spark, sf_dir)
+    ref = ev.groupBy("event_type").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ref_value")
+    )
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    out = pipeline.stream_static_enrich_agg(src, ref)
+    tmp = tempfile.mkdtemp(prefix="sstatic_q_")
+    name = "stream_static_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_STATIC_ORACLE = """
+WITH ref AS (
+  SELECT event_type,
+    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+      AS ref_value
+  FROM events GROUP BY 1
+),
+agg AS (
+  SELECT e.event_type, CAST(e.ts AS DATE) AS date,
+         count(*) AS n_events,
+         count(CASE WHEN e.value > r.ref_value THEN 1 END) AS n_above_ref
+  FROM events e JOIN ref r ON e.event_type = r.event_type
+  GROUP BY 1, 2
+),
+mx AS (SELECT max(ts) AS m FROM events)
+-- append emits a day-window only once the 1-day watermark passes its
+-- end (same emission replay as _STREAM_WINDOW_APPEND_ORACLE)
+SELECT event_type, date, n_events, n_above_ref
+FROM agg, mx
+WHERE epoch_ms(CAST(date AS TIMESTAMP) + INTERVAL 1 DAY)
+      <= epoch_ms(m) - 86400000
+"""
+
+
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags (doji/hammer/engulfing) on the daily
+    OHLC frame (`operators/indicators.py:candle_patterns`)."""
+    return indicators.candle_patterns(q_daily_metrics(spark, sf_dir))
+
+
+_CANDLE_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+l AS (
+  SELECT symbol, date,
+    daily_open AS o, daily_high AS h, daily_low AS lo, daily_close AS c,
+    lag(daily_open) OVER wl AS po, lag(daily_close) OVER wl AS pc
+  FROM d WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date,
+  CAST(h - lo > 0 AND abs(c - o) <= 0.1 * (h - lo) AS INT) AS doji,
+  CAST(h - lo > 0 AND least(o, c) - lo >= 2.0 * abs(c - o)
+       AND h - greatest(o, c) <= abs(c - o) AS INT) AS hammer,
+  CAST(po IS NOT NULL AND po > pc AND c > o AND o <= pc AND c >= po
+       AS INT) AS bull_engulf,
+  CAST(po IS NOT NULL AND pc > po AND o > c AND o >= pc AND c <= po
+       AS INT) AS bear_engulf
+FROM l
+"""
+
+
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive trend/weekday-seasonal/residual decomposition of the
     daily close (`operators/ohlcv.py:seasonal_decompose`)."""
@@ -6778,6 +6863,8 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": q_weighted_sample,
     "conversion_latency": q_conversion_latency,
     "seasonal_decompose": q_seasonal_decompose,
+    "stream_static_join": q_stream_static_join,
+    "candle_patterns": q_candle_patterns,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -6962,6 +7049,8 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
     "conversion_latency": _CONVERSION_LATENCY_ORACLE,
     "seasonal_decompose": _SEASONAL_ORACLE,
+    "stream_static_join": _STREAM_STATIC_ORACLE,
+    "candle_patterns": _CANDLE_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

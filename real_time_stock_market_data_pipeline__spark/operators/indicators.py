@@ -1649,3 +1649,66 @@ def hurst_rs(
         *[F.col(f"rs_{w}") for w in windows],
         F.round(hurst, 4).alias("hurst"),
     )
+
+
+def candle_patterns(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    open_col: str = "daily_open",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Classical candlestick pattern flags per (symbol, day): doji,
+    hammer, bullish/bearish engulfing — pure column comparisons on the
+    OHLC frame (plus one lag window for the engulfing pair), fully
+    codegen, trivially engine-portable (no rounding: every comparison
+    runs on both engines' identical doubles).
+
+    Definitions (body = |close−open|, range = high−low):
+    - doji: body ≤ 0.1·range, range > 0;
+    - hammer: lower shadow ≥ 2·body and upper shadow ≤ body, range > 0;
+    - bullish engulfing: previous candle bearish, current bullish,
+      current body spans the previous body (open ≤ prev_close and
+      close ≥ prev_open);
+    - bearish engulfing: the mirror.
+    """
+    o, h, low, c = (
+        F.col(open_col),
+        F.col(high_col),
+        F.col(low_col),
+        F.col(close_col),
+    )
+    w = Window.partitionBy(symbol_col).orderBy(date_col)
+    po, pc = F.lag(open_col).over(w), F.lag(close_col).over(w)
+    body = F.abs(c - o)
+    rng = h - low
+    upper = h - F.greatest(o, c)
+    lower = F.least(o, c) - low
+    doji = ((rng > 0) & (body <= F.lit(0.1) * rng)).cast("int")
+    hammer = (
+        (rng > 0) & (lower >= F.lit(2.0) * body) & (upper <= body)
+    ).cast("int")
+    bull = (
+        po.isNotNull()
+        & (po > pc)
+        & (c > o)
+        & (o <= pc)
+        & (c >= po)
+    ).cast("int")
+    bear = (
+        po.isNotNull()
+        & (pc > po)
+        & (o > c)
+        & (o >= pc)
+        & (c <= po)
+    ).cast("int")
+    return daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        doji.alias("doji"),
+        hammer.alias("hammer"),
+        bull.alias("bull_engulf"),
+        bear.alias("bear_engulf"),
+    )

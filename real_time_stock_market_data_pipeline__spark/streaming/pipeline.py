@@ -390,3 +390,42 @@ def stream_interval_join(
         )
     )
     return l.join(r, cond, "inner").drop("__rkey")
+
+
+def stream_static_enrich_agg(
+    stream: DataFrame,
+    static_ref: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ref_col: str = "ref_value",
+) -> DataFrame:
+    """Stream-STATIC broadcast join + windowed aggregate — the
+    Structured Streaming feature the other T-family operators don't
+    exercise: a live stream enriched against a bounded reference
+    table (here a per-key reference value), then counted per
+    (key, day) with a watermark so append mode can emit.
+
+    Stream-static joins need no state for the static side (it is
+    re-broadcast per micro-batch, picking up dim updates between
+    batches); only the windowed aggregation holds state, bounded by
+    the watermark. This is exactly how a 100 TB/day stream joins a
+    dimension at scale: broadcast, never shuffled.
+    """
+    j = stream.join(F.broadcast(static_ref), key_col)
+    return (
+        j.withWatermark(ts_col, "1 day")
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when(F.col(value_col) > F.col(ref_col), 1)
+            ).alias("n_above_ref"),
+        )
+        .select(
+            F.col(key_col),
+            F.to_date(F.col("win.start")).alias("date"),
+            "n_events",
+            "n_above_ref",
+        )
+    )

@@ -607,3 +607,29 @@ def test_seasonal_decompose_reconstruction(spark, sf_dir):
     for r in rows:
         # additive identity up to the two 4-dp roundings
         assert abs(r.close - (r.trend + r.seasonal + r.resid)) < 2e-4
+
+
+def test_candle_patterns_hand_cases(spark):
+    import datetime
+
+    rows = [
+        # day 1: bearish candle (o=110 > c=100)
+        ("X", datetime.date(2024, 1, 1), 110.0, 112.0, 98.0, 100.0),
+        # day 2: bullish engulfing (o=99 <= pc=100, c=111 >= po=110)
+        ("X", datetime.date(2024, 1, 2), 99.0, 113.0, 97.0, 111.0),
+        # day 3: doji (body 0.2 <= 0.1 * range 4)
+        ("X", datetime.date(2024, 1, 3), 100.0, 102.0, 98.0, 100.2),
+        # day 4: hammer, not doji (lower shadow 9 >= 2*body 2,
+        # upper shadow 0.3 <= 2; body 2 > 0.1*range 1.13)
+        ("X", datetime.date(2024, 1, 4), 100.0, 102.3, 91.0, 102.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, date date, daily_open double, daily_high double,"
+        " daily_low double, daily_close double",
+    )
+    out = {r.date.day: r for r in indicators.candle_patterns(df).collect()}
+    assert out[2].bull_engulf == 1 and out[2].bear_engulf == 0
+    assert out[3].doji == 1
+    assert out[4].hammer == 1 and out[4].doji == 0
+    assert out[1].bull_engulf == 0  # no previous candle
