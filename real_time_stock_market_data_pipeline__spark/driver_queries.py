@@ -3112,6 +3112,83 @@ FROM r
 """
 
 
+def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report over the documents language column —
+    the decide-whether-to-salt diagnostic
+    (`operators/metrics.py:skew_stats`)."""
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return metrics.skew_stats(docs, key_col="lang", top_n=10)
+
+
+_SKEW_STATS_ORACLE = """
+WITH counts AS (
+  SELECT CAST(lang AS VARCHAR) AS key, count(*) AS n
+  FROM documents GROUP BY 1
+),
+g AS (
+  SELECT key, n,
+    CAST(sum(n) OVER () AS BIGINT) AS total,
+    count(*) OVER () AS n_keys,
+    row_number() OVER (ORDER BY n DESC, key) AS "rank"
+  FROM counts
+)
+SELECT key, "rank", n,
+  round(CAST(n AS DOUBLE) / total, 6) AS share,
+  round(CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys), 4)
+    AS vs_mean_ratio
+FROM g WHERE "rank" <= 10
+"""
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order co-clustering key over (p_size, p_retailprice)
+    (`operators/sampling.py:zorder_key`) — the write-side layout that
+    makes 2-D range predicates prune zone maps."""
+    part = _table("part")(spark, sf_dir).select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    return sampling.zorder_key(part, "p_size", "p_retailprice", bits=8).select(
+        "p_partkey", "bucket_a", "bucket_b", "zkey"
+    )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    n = float((1 << bits) - 1)
+    interleave = " + ".join(
+        f"((bucket_a >> {i}) & 1) * {1 << (2 * i + 1)}"
+        f" + ((bucket_b >> {i}) & 1) * {1 << (2 * i)}"
+        for i in range(bits)
+    )
+
+    def bucket(col, lo, hi):
+        return (
+            f"least(CAST(floor((CASE WHEN {hi} > {lo} THEN "
+            f"(CAST({col} AS DOUBLE) - {lo}) / ({hi} - {lo}) "
+            f"ELSE 0.0 END) * {n + 1.0}) AS BIGINT), {int(n)})"
+        )
+
+    return f"""
+WITH mm AS (
+  SELECT p_partkey, p_size, p_retailprice,
+    min(CAST(p_size AS DOUBLE)) OVER () AS amin,
+    max(CAST(p_size AS DOUBLE)) OVER () AS amax,
+    min(CAST(p_retailprice AS DOUBLE)) OVER () AS bmin,
+    max(CAST(p_retailprice AS DOUBLE)) OVER () AS bmax
+  FROM part
+),
+b AS (
+  SELECT p_partkey,
+    {bucket("p_size", "amin", "amax")} AS bucket_a,
+    {bucket("p_retailprice", "bmin", "bmax")} AS bucket_b
+  FROM mm
+)
+SELECT p_partkey, bucket_a, bucket_b,
+       CAST({interleave} AS BIGINT) AS zkey
+FROM b
+"""
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join + watermarked daily aggregate,
     drained with availableNow (`streaming/pipeline.py:
@@ -6865,6 +6942,8 @@ QUERIES: dict[str, QueryFn] = {
     "seasonal_decompose": q_seasonal_decompose,
     "stream_static_join": q_stream_static_join,
     "candle_patterns": q_candle_patterns,
+    "skew_stats": q_skew_stats,
+    "zorder_key": q_zorder_key,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7051,6 +7130,8 @@ ORACLES: dict[str, str] = {
     "seasonal_decompose": _SEASONAL_ORACLE,
     "stream_static_join": _STREAM_STATIC_ORACLE,
     "candle_patterns": _CANDLE_ORACLE,
+    "skew_stats": _SKEW_STATS_ORACLE,
+    "zorder_key": _zorder_oracle(8),
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

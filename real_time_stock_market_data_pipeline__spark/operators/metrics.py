@@ -23,7 +23,7 @@ join is cheap; AQE picks broadcast when one side fits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.functions.cleaning import (
@@ -513,4 +513,45 @@ def mad_anomalies(
             F.round(rz, 4).alias("robust_z"),
         )
         .where(F.abs(F.col("robust_z")) > z_threshold)
+    )
+
+
+def skew_stats(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the operational report that
+    decides whether a key needs salting (`relational.salted_join`) or
+    AQE skew handling before a 100 TB join. Per heavy key: count,
+    share of all rows, and the ratio to the MEAN key frequency
+    (ratio ≈ 1 ⇒ uniform; ≫ 1 ⇒ hot key).
+
+    One fact shuffle (the per-key count, map-side combined); the
+    ranking and the global moments run on the |keys| frame. Exact
+    integer counts; shares are single IEEE divisions of decimal-summed
+    numerators.
+    """
+    counts = df.select(F.col(key_col).cast("string").alias("key")).groupBy(
+        "key"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    wtop = Window.orderBy(F.col("n").desc(), F.col("key"))
+    enriched = counts.select(
+        "key",
+        "n",
+        F.sum("n").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_keys"),
+        F.row_number().over(wtop).alias("rank"),
+    ).where(F.col("rank") <= top_n)
+    return enriched.select(
+        "key",
+        "rank",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("n").cast("double")
+            / (F.col("total").cast("double") / F.col("n_keys")),
+            4,
+        ).alias("vs_mean_ratio"),
     )

@@ -16,7 +16,7 @@ pipeline primitive.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Bucket space for fractions: 1e6 buckets → fractions are exact to 1e-6.
@@ -148,3 +148,53 @@ def weighted_sample(
         .where(F.col("__b") < F.col("keep_prob") * F.lit(float(n_buckets)))
         .drop("__b")
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Z-order (Morton) interleaved key over two numeric columns — the
+    lakehouse co-clustering trick: writing files sorted by this key
+    keeps rows close in BOTH dimensions close on disk, so 2-D range
+    predicates prune file-level min/max zones instead of scanning one
+    dimension's worth of files.
+
+    Each column maps to a ``bits``-bit rank bucket via its min/max
+    range (window over the frame — one pass), then the bit-interleave
+    is pure integer arithmetic (Σ bit_i · 4^i shifts), identical in
+    any engine. Emits the input keys + bucket pair + zorder key;
+    writers sort/range-partition by ``zkey``.
+    """
+    wall = Window.partitionBy()
+    a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+    amin, amax = F.min(a).over(wall), F.max(a).over(wall)
+    bmin, bmax = F.min(b).over(wall), F.max(b).over(wall)
+    n = float((1 << bits) - 1)
+
+    def bucket(col, lo, hi):
+        # rank-bucket in [0, 2^bits): floor of the normalized position
+        # (max value clamps to the top bucket)
+        return F.least(
+            F.floor(
+                F.when(hi > lo, (col - lo) / (hi - lo))
+                .otherwise(F.lit(0.0))
+                * F.lit(n + 1.0)
+            ).cast("bigint"),
+            F.lit(int(n)),
+        )
+
+    based = df.select(
+        "*",
+        bucket(a, amin, amax).alias("bucket_a"),
+        bucket(b, bmin, bmax).alias("bucket_b"),
+    )
+    # interleave: zkey = Σ_i  bit_i(a)·2^(2i+1) + bit_i(b)·2^(2i)
+    zkey = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftrightunsigned(F.col("bucket_a"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftrightunsigned(F.col("bucket_b"), i).bitwiseAND(F.lit(1))
+        zkey = zkey + bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i))
+    return based.withColumn("zkey", zkey)

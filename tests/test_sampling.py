@@ -62,3 +62,57 @@ def test_chunk_documents_reconstructs_text(spark, sf_dir):
         n = len(parts)
         rebuilt = "".join(parts[i][:stride] for i in range(n - 1)) + parts[n - 1]
         assert rebuilt == r["text"], r["doc_id"]
+
+
+def test_zorder_locality_beats_row_order(spark, sf_dir):
+    """The point of the Morton key: sorting by zkey keeps 2-D
+    neighbors adjacent. Law check: for rows adjacent in zkey order,
+    the mean 2-D bucket (Chebyshev) distance is far below the mean
+    distance of randomly ordered (key-ordered) rows."""
+    from real_time_stock_market_data_pipeline__spark.operators import sampling
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size", "p_retailprice"
+    )
+    out = sampling.zorder_key(part, "p_size", "p_retailprice", bits=8).select(
+        "p_partkey", "bucket_a", "bucket_b", "zkey"
+    )
+    rows = out.collect()
+
+    def mean_adjacent_dist(seq):
+        ds = [
+            max(abs(x.bucket_a - y.bucket_a), abs(x.bucket_b - y.bucket_b))
+            for x, y in zip(seq, seq[1:])
+        ]
+        return sum(ds) / len(ds)
+
+    by_z = sorted(rows, key=lambda r: (r.zkey, r.p_partkey))
+    by_key = sorted(rows, key=lambda r: r.p_partkey)
+    assert mean_adjacent_dist(by_z) < 0.5 * mean_adjacent_dist(by_key)
+
+
+def test_zorder_bounds_and_determinism(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import sampling
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = sampling.zorder_key(part, "p_size", "p_retailprice", bits=8)
+    rows = out.select("p_partkey", "bucket_a", "bucket_b", "zkey").collect()
+    for r in rows:
+        assert 0 <= r.bucket_a <= 255 and 0 <= r.bucket_b <= 255
+        assert 0 <= r.zkey < (1 << 16)
+    rows2 = sampling.zorder_key(
+        part.repartition(11, "p_brand"), "p_size", "p_retailprice", bits=8
+    ).select("p_partkey", "bucket_a", "bucket_b", "zkey").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_skew_stats_shares(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = metrics.skew_stats(docs, "lang", top_n=100).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4  # top-100 covers all
+    assert all(r.vs_mean_ratio > 0 for r in rows)
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
