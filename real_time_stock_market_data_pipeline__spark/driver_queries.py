@@ -3112,6 +3112,72 @@ FROM r
 """
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill onto a 6-hour per-type grid
+    (`operators/temporal.py:resample_interp`)."""
+    ev = _events(spark, sf_dir)
+    return temporal.resample_interp(
+        ev,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=21600,
+        id_col="event_id",
+    )
+
+
+_RESAMPLE_INTERP_ORACLE = f"""
+WITH t AS (
+  SELECT event_type AS "key",
+         make_timestamp(epoch_us(ts) - (epoch_us(ts) % 21600000000)) AS bucket_ts,
+         ts, event_id, value
+  FROM events
+),
+cells AS (
+  SELECT "key", bucket_ts, value AS obs, n FROM (
+    SELECT *, row_number() OVER (PARTITION BY "key", bucket_ts
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY "key", bucket_ts) AS n
+    FROM t) WHERE rn = 1
+),
+ext AS (SELECT "key", min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM cells GROUP BY 1),
+grid AS (
+  SELECT "key",
+         unnest(generate_series(lo, hi, INTERVAL 21600 SECOND)) AS bucket_ts
+  FROM ext
+),
+j AS (
+  SELECT g."key", g.bucket_ts, c.obs, coalesce(c.n, 0) AS n_ticks,
+         epoch_us(g.bucket_ts) AS t_us,
+         CASE WHEN c.obs IS NOT NULL THEN epoch_us(g.bucket_ts) END AS ot
+  FROM grid g LEFT JOIN cells c
+    ON c."key" = g."key" AND c.bucket_ts = g.bucket_ts
+),
+ff AS (
+  SELECT *,
+    last_value(obs IGNORE NULLS) OVER wp AS prev_v,
+    last_value(ot IGNORE NULLS) OVER wp AS prev_t,
+    first_value(obs IGNORE NULLS) OVER wn AS next_v,
+    first_value(ot IGNORE NULLS) OVER wn AS next_t
+  FROM j
+  WINDOW wp AS (PARTITION BY "key" ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY "key" ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT "key", bucket_ts,
+  CASE WHEN obs IS NOT NULL THEN obs
+       ELSE {_round_sql(
+           "prev_v + (next_v - prev_v)"
+           " * (CAST(t_us - prev_t AS DOUBLE) / (next_t - prev_t))", 6)}
+  END AS value,
+  n_ticks,
+  CAST(obs IS NOT NULL AS INT) AS is_observed
+FROM ff
+"""
+
+
 def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew report over the documents language column —
     the decide-whether-to-salt diagnostic
@@ -6944,6 +7010,7 @@ QUERIES: dict[str, QueryFn] = {
     "candle_patterns": q_candle_patterns,
     "skew_stats": q_skew_stats,
     "zorder_key": q_zorder_key,
+    "resample_interp": q_resample_interp,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7132,6 +7199,7 @@ ORACLES: dict[str, str] = {
     "candle_patterns": _CANDLE_ORACLE,
     "skew_stats": _SKEW_STATS_ORACLE,
     "zorder_key": _zorder_oracle(8),
+    "resample_interp": _RESAMPLE_INTERP_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

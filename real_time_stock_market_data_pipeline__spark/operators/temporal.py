@@ -466,3 +466,82 @@ def peak_concurrency(
             F.timestamp_micros(F.min("at_us")).alias("peak_first_at"),
         )
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_ffill`: empty grid
+    cells take the straight line between the surrounding observed
+    cells instead of carrying the last value — the `interpolate`
+    gap-fill of time-series stores.
+
+    Same single-shuffle lineage as ffill (bucket-last aggregation →
+    dense per-key grid → left join), plus ONE more window direction:
+    the previous observation comes from `last(ignorenulls)` over the
+    preceding frame, the next from `first(ignorenulls)` over the
+    following frame — both O(1)-state streaming frames over the same
+    key partitioning.
+
+    The interpolation weight is integer-micros arithmetic divided once
+    in doubles ((t−prev)/(next−prev) — both engines' `/` on exact
+    integers), and the result quantizes to 6 — engine-portable.
+    Observed cells keep their exact bucket-last value.
+    """
+    ord_key = (
+        F.struct(F.col(ts_col), F.col(id_col)) if id_col else F.struct(F.col(ts_col))
+    )
+    step_us = step_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bucket = F.timestamp_micros(us - (us % F.lit(step_us)))
+    cells = df.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket_ts")
+    ).agg(
+        F.max_by(F.col(value_col), ord_key).alias("__obs"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+    grid = (
+        cells.groupBy("key")
+        .agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
+        .select(
+            "key",
+            F.explode(
+                F.sequence(
+                    "lo", "hi", F.expr(f"INTERVAL {int(step_seconds)} SECOND")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    joined = grid.join(cells, ["key", "bucket_ts"], "left")
+    wprev = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = F.unix_micros(F.col("bucket_ts"))
+    obs_ts = F.when(F.col("__obs").isNotNull(), t_us)
+    prev_v = F.last("__obs", ignorenulls=True).over(wprev)
+    prev_t = F.last(obs_ts, ignorenulls=True).over(wprev)
+    next_v = F.first("__obs", ignorenulls=True).over(wnext)
+    next_t = F.first(obs_ts, ignorenulls=True).over(wnext)
+    w = (t_us - prev_t) / (next_t - prev_t)
+    interp = F.when(F.col("__obs").isNotNull(), F.col("__obs")).otherwise(
+        F.round(prev_v + (next_v - prev_v) * w, 6)
+    )
+    return joined.select(
+        "key",
+        "bucket_ts",
+        interp.alias("value"),
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
+        F.col("__obs").isNotNull().cast("int").alias("is_observed"),
+    )

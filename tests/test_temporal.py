@@ -230,3 +230,30 @@ def test_peak_concurrency_touching_endpoints_overlap(spark):
     )
     row = temporal.peak_concurrency(df).collect()[0]
     assert row.peak_concurrency == 2
+
+
+def test_resample_interp_hand_case(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import temporal
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("k", t0, 1, 10.0),
+        # gap of two empty 1-minute cells, then an observation at 30.0
+        ("k", t0 + datetime.timedelta(minutes=3), 2, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, ts timestamp, event_id long, value double"
+    )
+    out = {
+        r.bucket_ts.minute: r
+        for r in temporal.resample_interp(
+            df, "key", "ts", "value", step_seconds=60, id_col="event_id"
+        ).collect()
+    }
+    assert out[0].value == 10.0 and out[0].is_observed == 1
+    # linear between 10 at min 0 and 40 at min 3
+    assert abs(out[1].value - 20.0) < 1e-9 and out[1].is_observed == 0
+    assert abs(out[2].value - 30.0) < 1e-9
+    assert out[3].value == 40.0 and out[3].is_observed == 1
