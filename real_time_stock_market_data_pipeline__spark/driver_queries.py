@@ -3112,6 +3112,44 @@ FROM r
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags — the third
+    multi-level-aggregate surface next to the registered ROLLUP and
+    CUBE queries: detail by (returnflag, linestatus), subtotal by
+    returnflag, grand total, in ONE pass (Catalyst expands the sets
+    into a single shuffle with a grouping-id column — no per-level
+    rescan). Exercised through the SQL surface, as the reference's
+    users would write it."""
+    li = _table("lineitem")(spark, sf_dir)
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               grouping(l_returnflag) AS grp_rf,
+               grouping(l_linestatus) AS grp_ls,
+               count(*) AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 AS sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS grp_rf,
+       CAST(grouping(l_linestatus) AS INT) AS grp_ls,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation gap fill onto a 6-hour per-type grid
     (`operators/temporal.py:resample_interp`)."""
@@ -7011,6 +7049,7 @@ QUERIES: dict[str, QueryFn] = {
     "skew_stats": q_skew_stats,
     "zorder_key": q_zorder_key,
     "resample_interp": q_resample_interp,
+    "grouping_sets": q_grouping_sets,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7200,6 +7239,7 @@ ORACLES: dict[str, str] = {
     "skew_stats": _SKEW_STATS_ORACLE,
     "zorder_key": _zorder_oracle(8),
     "resample_interp": _RESAMPLE_INTERP_ORACLE,
+    "grouping_sets": _GROUPING_SETS_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,
