@@ -115,38 +115,41 @@ def weighted_sample(
 
     Membership is a pure function of the row id and the global weight
     mean: ``keep ⇔ hash_bucket(id) < p_i·n_buckets`` with
-    ``p_i = min(1, target·w_i / mean(w))``. The mean is an exact
-    DECIMAL aggregate broadcast back as a one-row frame (scalar-
-    subquery shape), so the whole operator is one tiny aggregate + one
-    map-side filter — no shuffle of the corpus, stable under
-    re-partitioning, replayable by any md5-capable engine.
+    ``p_i = min(1, target·w_i / mean(w))``. The mean is a SCALAR
+    SUBQUERY (via the SQL surface, like the registered Q22 shape):
+    Spark plans it as one independent subquery stage broadcast by
+    value — no join node at all. (A crossJoin+filter form folds into a
+    BroadcastNestedLoopJoin, which the repo's blanket plan sweep
+    forbids; a literal-key equi-join folds the same way because the
+    constant key propagates.) The filter itself is map-side — no
+    shuffle of the corpus, stable under re-partitioning, replayable by
+    any md5-capable engine.
 
     Emits the kept rows' (id, weight, keep_prob). Note the cap: rows
     with ``w_i ≥ mean/target`` are always kept, so the realized
     fraction can undershoot ``target`` on heavy-tailed weights.
     """
-    w6 = F.round(F.col(weight_col).cast("double"), 6)
-    base = df.select(F.col(id_col), w6.alias("w"))
-    mean = base.agg(
-        (
-            F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("w_mean")
+    view = "__weighted_sample_base"
+    df.select(
+        F.col(id_col), F.round(F.col(weight_col).cast("double"), 6).alias("w")
+    ).createOrReplaceTempView(view)
+    mean_sql = (
+        f"(SELECT CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+        f" FROM {view})"
     )
-    b = hash_bucket(F.col(id_col), n_buckets)
-    p = F.least(
-        F.lit(1.0), F.lit(target_fraction) * F.col("w") / F.col("w_mean")
+    keep_sql = (
+        f"round(least(1.0, {target_fraction!r} * w / {mean_sql}), 6)"
     )
-    return (
-        base.crossJoin(F.broadcast(mean))
-        .select(
-            F.col(id_col),
-            F.col("w").alias(weight_col),
-            F.round(p, 6).alias("keep_prob"),
-            b.alias("__b"),
-        )
-        .where(F.col("__b") < F.col("keep_prob") * F.lit(float(n_buckets)))
-        .drop("__b")
+    bucket_sql = (
+        f"pmod(CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT), {n_buckets})"
+    )
+    return df.sparkSession.sql(
+        f"""
+        SELECT {id_col}, w AS {weight_col}, {keep_sql} AS keep_prob
+        FROM {view}
+        WHERE {bucket_sql} < {keep_sql} * CAST({n_buckets} AS DOUBLE)
+        """
     )
 
 
