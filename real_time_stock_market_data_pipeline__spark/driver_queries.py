@@ -3112,6 +3112,36 @@ FROM r
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus char-bigram LM quality score per document
+    (`operators/text.py:bigram_lm_scores`)."""
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH nrm AS (
+  SELECT doc_id, {_NORM.format(col='text')} AS nn FROM documents
+),
+grams AS (
+  SELECT doc_id, substr(nn, i, 2) AS bg, substr(nn, i, 1) AS pf
+  FROM nrm, unnest(range(1, greatest(length(nn), 1))) AS t(i)
+),
+bgc AS (SELECT bg, count(*) AS n_bg FROM grams GROUP BY 1),
+pfc AS (SELECT pf, count(*) AS n_pf FROM grams GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+    {_round_sql("-log2(CAST(n_bg AS DOUBLE) / n_pf)", 6)} AS nlp
+  FROM grams JOIN bgc USING (bg) JOIN pfc USING (pf)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  {_round_sql("CAST(sum(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 4)}
+    AS avg_neg_log2
+FROM scored GROUP BY 1
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping() flags — the third
     multi-level-aggregate surface next to the registered ROLLUP and
@@ -7050,6 +7080,7 @@ QUERIES: dict[str, QueryFn] = {
     "zorder_key": q_zorder_key,
     "resample_interp": q_resample_interp,
     "grouping_sets": q_grouping_sets,
+    "bigram_lm": q_bigram_lm,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7240,6 +7271,7 @@ ORACLES: dict[str, str] = {
     "zorder_key": _zorder_oracle(8),
     "resample_interp": _RESAMPLE_INTERP_ORACLE,
     "grouping_sets": _GROUPING_SETS_ORACLE,
+    "bigram_lm": _BIGRAM_LM_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

@@ -780,3 +780,56 @@ def readability_scores(
         F.round(ease, 4).alias("flesch_ease"),
         F.round(grade, 4).alias("fk_grade"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained character-bigram language-model score per
+    document: the mean negative log2 probability of the document's
+    bigrams under the corpus's own bigram counts — the cheap
+    perplexity-style quality signal (gibberish and boilerplate score
+    far from the corpus mode) a training pipeline uses when a real LM
+    is too expensive to run over 100 TB.
+
+    P(b|c) = count(bigram cb)/count(prefix c), both counted over the
+    SAME position set (positions 1..len−1 of the normalized text), so
+    probabilities sum to 1 per prefix and no smoothing is needed —
+    every scored bigram was trained on.
+
+    Scale: the position explode stays in its input partition (same
+    recipe as :func:`doc_fingerprint`); the LM tables aggregate to at
+    most |charset|² rows and broadcast back; per-doc scoring is one
+    map-side join + one doc-keyed aggregation. Per-term −log2 p is
+    quantized to 6 before the exact DECIMAL mean.
+    """
+    norm_df = ensure_min_parallelism(docs).select(
+        F.col(id_col), normalized_text(text_col).alias("__norm")
+    )
+    n = F.length("__norm") - F.lit(1)
+    pos = F.explode(F.when(n >= 1, F.sequence(F.lit(1), n)))
+    grams = norm_df.select(
+        F.col(id_col), F.col("__norm"), pos.alias("i")
+    ).select(
+        F.col(id_col),
+        F.substring(F.col("__norm"), F.col("i"), 2).alias("bg"),
+        F.substring(F.col("__norm"), F.col("i"), 1).alias("pf"),
+    )
+    bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
+    pf_counts = grams.groupBy("pf").agg(F.count(F.lit(1)).alias("n_pf"))
+    nlp = F.round(
+        -F.log2(F.col("n_bg").cast("double") / F.col("n_pf")), 6
+    )
+    scored = (
+        grams.join(F.broadcast(bg_counts), "bg")
+        .join(F.broadcast(pf_counts), "pf")
+        .select(F.col(id_col), nlp.alias("nlp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("nlp").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_neg_log2"),
+    )

@@ -374,3 +374,22 @@ def test_readability_hand_case_and_bounds(spark):
     # doc 3: empty text hits every greatest(...,1) floor, no NULLs/Inf
     assert rows[3].n_sentences == 1 and rows[3].n_words == 1
     assert rows[3].flesch_ease is not None
+
+
+def test_bigram_lm_gibberish_scores_worse(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as T
+
+    normal = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        normal + [(99, "zq xv qz jx vq xj zz qq xx jj")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in T.bigram_lm_scores(docs).collect()}
+    typical = sum(out[i].avg_neg_log2 for i in range(20)) / 20
+    # rare-bigram gibberish is far less probable under the corpus LM
+    assert out[99].avg_neg_log2 > typical + 1.0
+    for r in out.values():
+        assert r.avg_neg_log2 >= 0
