@@ -3112,6 +3112,33 @@ FROM r
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: history splits into two
+    halves (even/odd day), each aggregates independently, and
+    `relational.merge_aggregates` combines the partials — the oracle
+    recomputes from scratch, checking the decomposability law
+    merge(agg(A), agg(B)) == agg(A ∪ B)."""
+    ev = _events(spark, sf_dir)
+    base = relational.decomposed_agg(
+        ev.where(F.dayofmonth("ts") % 2 == 0), ["event_type"], "value"
+    )
+    delta = relational.decomposed_agg(
+        ev.where(F.dayofmonth("ts") % 2 == 1), ["event_type"], "value"
+    )
+    return relational.merge_aggregates(base, delta, ["event_type"])
+
+
+_INCREMENTAL_AGG_ORACLE = f"""
+WITH v AS (SELECT event_type, round(value, 6) AS v FROM events)
+SELECT event_type, count(*) AS n,
+  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+  min(v) AS min_value, max(v) AS max_value,
+  {_round_sql("CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+    AS avg_value
+FROM v GROUP BY 1
+"""
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus char-bigram LM quality score per document
     (`operators/text.py:bigram_lm_scores`)."""
@@ -7081,6 +7108,7 @@ QUERIES: dict[str, QueryFn] = {
     "resample_interp": q_resample_interp,
     "grouping_sets": q_grouping_sets,
     "bigram_lm": q_bigram_lm,
+    "incremental_agg": q_incremental_agg,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7272,6 +7300,7 @@ ORACLES: dict[str, str] = {
     "resample_interp": _RESAMPLE_INTERP_ORACLE,
     "grouping_sets": _GROUPING_SETS_ORACLE,
     "bigram_lm": _BIGRAM_LM_ORACLE,
+    "incremental_agg": _INCREMENTAL_AGG_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

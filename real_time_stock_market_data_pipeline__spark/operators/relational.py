@@ -425,3 +425,82 @@ def scd2_apply(
         .unionByName(untouched)
         .unionByName(new_versions)
     )
+
+
+def merge_aggregates(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a new partition's
+    partial aggregates into an existing aggregate table WITHOUT
+    rescanning history — the warehouse pattern behind incremental
+    rollups (decomposable aggregates: counts and decimal sums ADD;
+    min/max combine by min/max; averages re-derive from the merged
+    sum/count pair).
+
+    Both inputs carry the decomposed state columns
+    ``(n, sum_value, min_value, max_value)``; output carries the same
+    plus the re-derived ``avg_value``. The law ``merge(agg(A), agg(B))
+    == agg(A ∪ B)`` is what the oracle checks (recompute-from-scratch)
+    and what makes the pattern exact at any split of history — the
+    same decomposability that makes Spark's own partial aggregation
+    correct.
+
+    Scale: a key-partitioned full-outer join of two aggregate tables
+    (each ≪ fact size); no fact rescan. At 100 TB this is the
+    difference between a nightly full rebuild and a per-batch merge.
+    """
+    b = base_agg.select(
+        *keys,
+        F.col("n").alias("n_b"),
+        F.col("sum_value").alias("s_b"),
+        F.col("min_value").alias("mn_b"),
+        F.col("max_value").alias("mx_b"),
+    )
+    d = delta_agg.select(
+        *keys,
+        F.col("n").alias("n_d"),
+        F.col("sum_value").alias("s_d"),
+        F.col("min_value").alias("mn_d"),
+        F.col("max_value").alias("mx_d"),
+    )
+    j = b.join(d, keys, "full_outer")
+    n = F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))
+    s = (
+        F.coalesce(F.col("s_b").cast("decimal(18,6)"), F.lit(0).cast("decimal(18,6)"))
+        + F.coalesce(F.col("s_d").cast("decimal(18,6)"), F.lit(0).cast("decimal(18,6)"))
+    ).cast("double")
+    mn = F.least(
+        F.coalesce("mn_b", F.col("mn_d")), F.coalesce("mn_d", F.col("mn_b"))
+    )
+    mx = F.greatest(
+        F.coalesce("mx_b", F.col("mx_d")), F.coalesce("mx_d", F.col("mx_b"))
+    )
+    return j.select(
+        *keys,
+        n.alias("n"),
+        F.round(s, 6).alias("sum_value"),
+        mn.alias("min_value"),
+        mx.alias("max_value"),
+        F.round(s / n, 6).alias("avg_value"),
+    )
+
+
+def decomposed_agg(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The partial-aggregate state :func:`merge_aggregates` consumes:
+    per-key (n, exact decimal sum, min, max) of ``value_col`` with the
+    value quantized to 6 first (merge-exact at any history split)."""
+    v = F.round(F.col(value_col).cast("double"), 6)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(v.cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )

@@ -327,3 +327,38 @@ def test_ann_recall_bounds(spark, sf_dir):
     row = q_ann_recall(spark, sf_dir).collect()[0]
     assert 0 <= row.n_match <= 10
     assert abs(row.recall_at_k - row.n_match / 10.0) < 1e-9
+
+
+def test_merge_aggregates_matches_full_recompute_any_split(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    full = relational.decomposed_agg(ev, ["event_type"], "value")
+    # three different history splits must all merge to the same state
+    for split in [F.col("event_id") % 2 == 0, F.dayofmonth("ts") <= 10,
+                  F.col("user_id") % 3 == 0]:
+        a = relational.decomposed_agg(ev.where(split), ["event_type"], "value")
+        b = relational.decomposed_agg(ev.where(~split), ["event_type"], "value")
+        merged = relational.merge_aggregates(a, b, ["event_type"])
+        got = {r.event_type: (r.n, r.sum_value, r.min_value, r.max_value)
+               for r in merged.collect()}
+        want = {r.event_type: (r.n, r.sum_value, r.min_value, r.max_value)
+                for r in full.collect()}
+        assert got == want
+
+
+def test_merge_aggregates_key_only_in_one_side(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    a = spark.createDataFrame(
+        [("x", 2, 10.0, 4.0, 6.0)],
+        "k string, n long, sum_value double, min_value double, max_value double",
+    )
+    b = spark.createDataFrame(
+        [("y", 1, 7.0, 7.0, 7.0)],
+        "k string, n long, sum_value double, min_value double, max_value double",
+    )
+    rows = {r.k: r for r in relational.merge_aggregates(a, b, ["k"]).collect()}
+    assert rows["x"].n == 2 and rows["x"].avg_value == 5.0
+    assert rows["y"].n == 1 and rows["y"].min_value == 7.0

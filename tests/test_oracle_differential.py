@@ -19,6 +19,10 @@ REPRESENTATIVE = [
     "asof_join",              # union-and-carry window
     "pricing_summary",        # decimal-exact aggregate chain
     "cosine_topk",            # left-fold float determinism
+    "var_cvar",               # discrete rank-selected quantiles
+    "cms_heavy_hitters",      # md5-bucket sketch replay
+    "pca_pc1",                # iterative matvec, IEEE quantizer
+    "late_suppliers",         # Q21 groupBy-reformulated semijoin
 ]
 
 
