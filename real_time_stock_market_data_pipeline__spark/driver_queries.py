@@ -3112,6 +3112,82 @@ FROM r
 """
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (views ⟕ purchases
+    within 10 min per user), drained availableNow
+    (`streaming/pipeline.py:stream_interval_left_join`). The oracle
+    replays BOTH legs: all matched pairs, plus unmatched views whose
+    match window the final watermark (max event time − 1 h) passed —
+    the outer-emission rule."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    views = src.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    purchases = src.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    out = pipeline.stream_interval_left_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        upper_s=600,
+        watermark="1 hours",
+    )
+    tmp = tempfile.mkdtemp(prefix="slj_q_")
+    name = "stream_left_join_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_LEFT_JOIN_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts AS v_ts, event_id AS v_id FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+  WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT v.user_id, v.v_ts, v.v_id, p.p_ts, p.p_id
+  FROM v JOIN p ON v.user_id = p.user_id
+   AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 600 SECOND
+),
+-- the query's global watermark is the MIN across its two inputs
+-- (a lagging/empty right stream holds outer emission back — verified
+-- empirically: an all-views stream emits NO unmatched rows at all)
+mx AS (
+  SELECT least((SELECT max(v_ts) FROM v), (SELECT max(p_ts) FROM p)) AS m
+)
+SELECT * FROM matched
+UNION ALL
+SELECT v.user_id, v.v_ts, v.v_id, NULL AS p_ts, NULL AS p_id
+FROM v, mx
+WHERE NOT EXISTS (
+  SELECT 1 FROM p WHERE p.user_id = v.user_id
+    AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 600 SECOND
+)
+AND epoch_ms(v.v_ts + INTERVAL 600 SECOND) < epoch_ms(mx.m) - 3600000
+"""
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: history splits into two
     halves (even/odd day), each aggregates independently, and
@@ -7109,6 +7185,7 @@ QUERIES: dict[str, QueryFn] = {
     "grouping_sets": q_grouping_sets,
     "bigram_lm": q_bigram_lm,
     "incremental_agg": q_incremental_agg,
+    "stream_left_join": q_stream_left_join,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7301,6 +7378,7 @@ ORACLES: dict[str, str] = {
     "grouping_sets": _GROUPING_SETS_ORACLE,
     "bigram_lm": _BIGRAM_LM_ORACLE,
     "incremental_agg": _INCREMENTAL_AGG_ORACLE,
+    "stream_left_join": _STREAM_LEFT_JOIN_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

@@ -429,3 +429,47 @@ def stream_static_enrich_agg(
             "n_above_ref",
         )
     )
+
+
+def stream_interval_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper_s: int = 60,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the outer-emission
+    semantics :func:`stream_interval_join` doesn't exercise: a left
+    row with no right match inside ``[left_ts, left_ts + upper_s]``
+    emits ONCE (right side NULL) after the watermark passes the end
+    of its match window, when no future match can arrive.
+
+    Same state-bounding contract as the inner form: both sides
+    watermarked, the condition bounds event time in both directions —
+    without that, outer state would be unevictable and grow forever.
+    Unmatched emission happens on watermark ADVANCE, so with an
+    availableNow drain the rows whose match window the final
+    watermark never passes stay unemitted (the oracle replays that
+    emission rule, cf. `_STREAM_WINDOW_APPEND_ORACLE`).
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap or left_ts == right_ts:
+        raise ValueError(
+            f"stream_interval_left_join: column collisions {sorted(overlap)}; "
+            "rename non-key columns so both sides stay addressable"
+        )
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark).withColumnRenamed(
+        key, "__rkey"
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS")
+        )
+    )
+    return l.join(r, cond, "left_outer").drop("__rkey")
