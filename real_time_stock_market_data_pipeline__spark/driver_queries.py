@@ -3112,6 +3112,33 @@ FROM r
 """
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-per-tail trimmed vs raw mean of event values per type
+    (`operators/metrics.py:trimmed_mean`)."""
+    return metrics.trimmed_mean(
+        _events(spark, sf_dir), key_cols=["event_type"], value_col="value"
+    )
+
+
+_TRIMMED_MEAN_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, round(value, 6) AS v,
+    row_number() OVER (PARTITION BY event_type ORDER BY round(value, 6)) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+k AS (SELECT *, (n * 10) // 100 AS k FROM r)
+SELECT event_type, max(n) AS n, max(k) AS k_each_side,
+  {_round_sql("CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / max(n)", 6)}
+    AS mean_all,
+  {_round_sql(
+      "CAST(sum(CASE WHEN rn > k AND rn <= n - k "
+      "THEN CAST(v AS DECIMAL(18,6)) END) AS DOUBLE) / (max(n) - 2 * max(k))",
+      6)} AS mean_trimmed
+FROM k GROUP BY 1
+"""
+
+
 def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join (views ⟕ purchases
     within 10 min per user), drained availableNow
@@ -7186,6 +7213,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_lm": q_bigram_lm,
     "incremental_agg": q_incremental_agg,
     "stream_left_join": q_stream_left_join,
+    "trimmed_mean": q_trimmed_mean,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7379,6 +7407,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm": _BIGRAM_LM_ORACLE,
     "incremental_agg": _INCREMENTAL_AGG_ORACLE,
     "stream_left_join": _STREAM_LEFT_JOIN_ORACLE,
+    "trimmed_mean": _TRIMMED_MEAN_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

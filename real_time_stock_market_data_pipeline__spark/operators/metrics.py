@@ -555,3 +555,50 @@ def skew_stats(
             4,
         ).alias("vs_mean_ratio"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    ``trim_pct``% of values by RANK (the exclusion-based robust mean —
+    :func:`winsorize`'s clamping cousin), alongside the untrimmed mean
+    so the outlier influence is visible in one row.
+
+    k = ⌊n·trim/100⌋ per tail, pure integer arithmetic; membership is
+    decided by row_number (value ties keep the same multiset on any
+    engine), and both means are exact DECIMAL sums with one final IEEE
+    division. One exchange: the rank window and the aggregation share
+    the group partitioning.
+    """
+    v6 = F.round(F.col(value_col).cast("double"), 6)
+    wo = Window.partitionBy(*key_cols).orderBy(v6)
+    wg = Window.partitionBy(*key_cols)
+    ranked = df.select(
+        *key_cols,
+        v6.alias("v"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    ).withColumn(
+        "k",
+        ((F.col("n") * F.lit(trim_pct)) - F.pmod(
+            F.col("n") * F.lit(trim_pct), 100
+        )) / 100,
+    )
+    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    d = F.col("v").cast("decimal(18,6)")
+    return ranked.groupBy(*key_cols).agg(
+        F.max("n").alias("n"),
+        F.max("k").cast("bigint").alias("k_each_side"),
+        F.round(
+            F.sum(d).cast("double") / F.max("n"), 6
+        ).alias("mean_all"),
+        F.round(
+            F.sum(F.when(kept, d)).cast("double")
+            / (F.max("n") - F.lit(2) * F.max("k")),
+            6,
+        ).alias("mean_trimmed"),
+    )

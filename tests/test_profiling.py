@@ -110,3 +110,15 @@ def test_mad_anomalies_robust_to_planted_outlier(spark, sf_dir):
     # median/MAD of the bulk are untouched by the outlier
     flagged = {r.id for r in out}
     assert len(flagged - {999}) == 0
+
+
+def test_trimmed_mean_ignores_planted_outlier(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    rows = [("g", float(i)) for i in range(1, 100)] + [("g", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = metrics.trimmed_mean(df, ["k"], "value", trim_pct=10).collect()[0]
+    assert r.n == 100 and r.k_each_side == 10
+    # untrimmed mean is dragged by the planted outlier; trimmed is not
+    assert r.mean_all > 10000
+    assert 40 <= r.mean_trimmed <= 60
