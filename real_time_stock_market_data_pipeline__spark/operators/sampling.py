@@ -144,11 +144,17 @@ def weighted_sample(
         f"pmod(CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 8),"
         f" 16, 10) AS BIGINT), {n_buckets})"
     )
+    # keep_prob computed ONCE in the inner projection (a WHERE can't
+    # see a SELECT alias; repeating the expression would plan the
+    # scalar subquery twice and re-scan the weight column)
     return df.sparkSession.sql(
         f"""
-        SELECT {id_col}, w AS {weight_col}, {keep_sql} AS keep_prob
-        FROM {view}
-        WHERE {bucket_sql} < {keep_sql} * CAST({n_buckets} AS DOUBLE)
+        SELECT {id_col}, w AS {weight_col}, keep_prob FROM (
+          SELECT {id_col}, w, {keep_sql} AS keep_prob,
+                 {bucket_sql} AS __bk
+          FROM {view}
+        )
+        WHERE __bk < keep_prob * CAST({n_buckets} AS DOUBLE)
         """
     )
 
