@@ -3112,6 +3112,53 @@ FROM r
 """
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell deletion-neighborhood fuzzy join: deterministically
+    typo'd part names (3rd char dropped for partkey ≡ 0 mod 7)
+    re-matched to the canonical name list at edit distance ≤ 1 — never
+    an all-pairs comparison (`operators/text.py:fuzzy_join_symdelete`)."""
+    part = _table("part")(spark, sf_dir)
+    canon = part.select("p_name")
+    typo = F.concat(
+        F.substring(F.col("p_name"), 1, 2),
+        F.substring(F.col("p_name"), 4, F.length("p_name")),
+    )
+    typos = part.where(F.col("p_partkey") % 7 == 0).select(
+        typo.alias("typo_name")
+    )
+    out = text.fuzzy_join_symdelete(typos, canon, "typo_name", "p_name")
+    return out.select(
+        F.col("left_value").alias("typo_name"),
+        F.col("right_value").alias("matched_name"),
+        "edit_distance",
+    )
+
+
+_FUZZY_JOIN_ORACLE = """
+WITH canon AS (SELECT DISTINCT p_name AS v FROM part),
+typos AS (
+  SELECT DISTINCT substr(p_name, 1, 2) || substr(p_name, 4) AS v
+  FROM part WHERE p_partkey % 7 = 0
+),
+va AS (
+  SELECT DISTINCT v AS left_value,
+    CASE WHEN i = 0 THEN v
+         ELSE substr(v, 1, i - 1) || substr(v, i + 1) END AS variant
+  FROM typos, unnest(range(0, length(v) + 1)) AS t(i)
+),
+vb AS (
+  SELECT DISTINCT v AS right_value,
+    CASE WHEN i = 0 THEN v
+         ELSE substr(v, 1, i - 1) || substr(v, i + 1) END AS variant
+  FROM canon, unnest(range(0, length(v) + 1)) AS t(i)
+)
+SELECT DISTINCT left_value AS typo_name, right_value AS matched_name,
+       levenshtein(left_value, right_value) AS edit_distance
+FROM va JOIN vb USING (variant)
+WHERE levenshtein(left_value, right_value) <= 1
+"""
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-per-tail trimmed vs raw mean of event values per type
     (`operators/metrics.py:trimmed_mean`)."""
@@ -7214,6 +7261,7 @@ QUERIES: dict[str, QueryFn] = {
     "incremental_agg": q_incremental_agg,
     "stream_left_join": q_stream_left_join,
     "trimmed_mean": q_trimmed_mean,
+    "fuzzy_join": q_fuzzy_join,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7408,6 +7456,7 @@ ORACLES: dict[str, str] = {
     "incremental_agg": _INCREMENTAL_AGG_ORACLE,
     "stream_left_join": _STREAM_LEFT_JOIN_ORACLE,
     "trimmed_mean": _TRIMMED_MEAN_ORACLE,
+    "fuzzy_join": _FUZZY_JOIN_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

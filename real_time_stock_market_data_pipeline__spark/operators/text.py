@@ -833,3 +833,63 @@ def bigram_lm_scores(
             4,
         ).alias("avg_neg_log2"),
     )
+
+
+def fuzzy_join_symdelete(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Fuzzy equi-join at edit distance ≤ 1 via the symmetric-delete
+    (SymSpell) trick: two strings within one edit share at least one
+    member of their 1-deletion neighborhoods, so exploding each side
+    into {s} ∪ {s minus one char} and EQUI-joining on the variant
+    yields a complete candidate set — never an all-pairs comparison
+    (the scale failure of naive fuzzy joins). Candidates verify with
+    the built-in JVM ``levenshtein`` (DuckDB ships the same function,
+    so the oracle replays both stages).
+
+    Cost: (len+1) variants per row, candidates ∝ shared-variant
+    collisions; the join shuffles on the variant string. Output is the
+    distinct verified pair set (left value, right value, distance).
+    """
+    def variants(df: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            df.select(F.col(col).alias(out))
+            .distinct()
+            .select(
+                out,
+                F.explode(
+                    F.sequence(F.lit(0), F.length(F.col(out)))
+                ).alias("__i"),
+            )
+            .select(
+                out,
+                F.when(F.col("__i") == 0, F.col(out))
+                .otherwise(
+                    F.concat(
+                        F.substring(F.col(out), 1, F.col("__i") - 1),
+                        F.substring(
+                            F.col(out), F.col("__i") + 1, F.length(F.col(out))
+                        ),
+                    )
+                )
+                .alias("__variant"),
+            )
+            .distinct()
+        )
+
+    va = variants(left, left_col, "left_value")
+    vb = variants(right, right_col, "right_value")
+    pairs = (
+        va.join(vb, "__variant")
+        .select("left_value", "right_value")
+        .distinct()
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("left_value"), F.col("right_value")),
+        )
+        .where(F.col("edit_distance") <= 1)
+    )
+    return pairs

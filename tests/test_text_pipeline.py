@@ -393,3 +393,26 @@ def test_bigram_lm_gibberish_scores_worse(spark):
     assert out[99].avg_neg_log2 > typical + 1.0
     for r in out.values():
         assert r.avg_neg_log2 >= 0
+
+
+def test_fuzzy_join_complete_at_distance_one(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as T
+
+    canon = spark.createDataFrame(
+        [("spark",), ("sharp",), ("shark",), ("apache",)], "name string"
+    )
+    probes = spark.createDataFrame(
+        [("spak",), ("sprak",), ("ahark",), ("apache",), ("zzz",)],
+        "q string",
+    )
+    pairs = {
+        (r.left_value, r.right_value)
+        for r in T.fuzzy_join_symdelete(probes, canon, "q", "name").collect()
+    }
+    # deletion ("spak"), substitution ("ahark"->"shark"), exact match
+    assert ("spak", "spark") in pairs
+    assert ("ahark", "shark") in pairs
+    assert ("apache", "apache") in pairs
+    # "sprak" is a transposition of "spark": levenshtein distance 2 -> excluded
+    assert all(l != "sprak" for l, _ in pairs)
+    assert all(l != "zzz" for l, _ in pairs)
