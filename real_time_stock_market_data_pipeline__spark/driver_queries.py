@@ -3112,6 +3112,52 @@ FROM r
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: the documents table against a
+    deterministically perturbed next crawl (drop ids ≡0 mod 17,
+    rewrite text for ids ≡0 mod 10, add ids shifted by 10⁶ for ids
+    ≡0 mod 23) — per-id added/deleted/changed/unchanged status
+    (`operators/relational.py:snapshot_diff`)."""
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    survived = docs.where(F.col("doc_id") % 17 != 0)
+    rewritten = survived.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    additions = docs.where(F.col("doc_id") % 23 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new = rewritten.unionByName(additions)
+    return relational.snapshot_diff(docs, new, "doc_id", ["text", "lang"])
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT doc_id, md5(CAST(text AS VARCHAR) || chr(31) || CAST(lang AS VARCHAR)) AS h
+  FROM documents
+),
+new AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 10 = 0 THEN 'v2 ' || text ELSE text END
+        || chr(31) || lang) AS h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+    md5(CAST(text AS VARCHAR) || chr(31) || CAST(lang AS VARCHAR)) AS h
+  FROM documents WHERE doc_id % 23 = 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+  CASE WHEN old.h IS NULL THEN 'added'
+       WHEN new.h IS NULL THEN 'deleted'
+       WHEN old.h = new.h THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell deletion-neighborhood fuzzy join: deterministically
     typo'd part names (3rd char dropped for partkey ≡ 0 mod 7)
@@ -7262,6 +7308,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_left_join": q_stream_left_join,
     "trimmed_mean": q_trimmed_mean,
     "fuzzy_join": q_fuzzy_join,
+    "snapshot_diff": q_snapshot_diff,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7457,6 +7504,7 @@ ORACLES: dict[str, str] = {
     "stream_left_join": _STREAM_LEFT_JOIN_ORACLE,
     "trimmed_mean": _TRIMMED_MEAN_ORACLE,
     "fuzzy_join": _FUZZY_JOIN_ORACLE,
+    "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

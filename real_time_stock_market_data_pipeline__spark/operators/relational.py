@@ -504,3 +504,41 @@ def decomposed_agg(
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Snapshot change-set: classify every id across two table
+    versions as added / deleted / changed / unchanged by comparing an
+    md5 over the payload columns — the corpus-refresh audit (what did
+    this crawl drop, add, rewrite?) and the precursor to an
+    incremental re-embed/re-dedup run that touches only `changed ∪
+    added` instead of 100 TB.
+
+    One full-outer join on the id (both sides shuffle once on the
+    key); payloads never move — only their 32-char digests. Output:
+    (id, status) — feed it to a groupBy for the summary, or semi-join
+    payloads back for the delta batch.
+    """
+    def digest(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols])
+            ).alias(f"__h_{tag}"),
+        )
+
+    a = digest(old, "a")
+    b = digest(new, "b")
+    j = a.join(b, id_col, "full_outer")
+    status = (
+        F.when(F.col("__h_a").isNull(), "added")
+        .when(F.col("__h_b").isNull(), "deleted")
+        .when(F.col("__h_a") == F.col("__h_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col(id_col), status.alias("status"))

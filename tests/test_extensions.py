@@ -362,3 +362,23 @@ def test_merge_aggregates_key_only_in_one_side(spark):
     rows = {r.k: r for r in relational.merge_aggregates(a, b, ["k"]).collect()}
     assert rows["x"].n == 2 and rows["x"].avg_value == 5.0
     assert rows["y"].n == 1 and rows["y"].min_value == 7.0
+
+
+def test_snapshot_diff_statuses(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_snapshot_diff,
+    )
+
+    rows = q_snapshot_diff(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, set()).add(r.doc_id)
+    # every planted perturbation class is detected
+    assert by.get("added") and all(d >= 1_000_000 for d in by["added"])
+    assert by.get("deleted") and all(d % 17 == 0 for d in by["deleted"])
+    assert by.get("changed") and all(
+        d % 10 == 0 and d % 17 != 0 for d in by["changed"]
+    )
+    assert by.get("unchanged")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(len(v) for v in by.values()) == n_docs + len(by["added"])
