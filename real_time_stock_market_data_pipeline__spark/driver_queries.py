@@ -3112,6 +3112,53 @@ FROM r
 """
 
 
+def q_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII span extraction (audit twin of pii_redact) over the same
+    seeded corpus (`operators/text.py:pii_spans`)."""
+    docs = _table("documents")(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel 55512340"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.pii_spans(seeded)
+
+
+_PII_SPANS_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com tel 55512340' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id, 'email' AS span_type,
+       CAST(generate_subscripts(l, 1) AS INT) AS occurrence,
+       unnest(l) AS span_text
+FROM (SELECT doc_id,
+        regexp_extract_all(text, '{text.EMAIL_PATTERN}') AS l FROM seeded)
+UNION ALL
+SELECT doc_id, 'long_number' AS span_type,
+       CAST(generate_subscripts(l, 1) AS INT) AS occurrence,
+       unnest(l) AS span_text
+FROM (SELECT doc_id,
+        regexp_extract_all(
+          regexp_replace(text, '{text.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+          '{text.LONG_NUM_PATTERN}') AS l FROM seeded)
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff: the documents table against a
     deterministically perturbed next crawl (drop ids ≡0 mod 17,
@@ -7309,6 +7356,7 @@ QUERIES: dict[str, QueryFn] = {
     "trimmed_mean": q_trimmed_mean,
     "fuzzy_join": q_fuzzy_join,
     "snapshot_diff": q_snapshot_diff,
+    "pii_spans": q_pii_spans,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7505,6 +7553,7 @@ ORACLES: dict[str, str] = {
     "trimmed_mean": _TRIMMED_MEAN_ORACLE,
     "fuzzy_join": _FUZZY_JOIN_ORACLE,
     "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+    "pii_spans": _PII_SPANS_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

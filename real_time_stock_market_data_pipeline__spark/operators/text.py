@@ -893,3 +893,34 @@ def fuzzy_join_symdelete(
         .where(F.col("edit_distance") <= 1)
     )
     return pairs
+
+
+def pii_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Extraction twin of :func:`pii_redact`: the actual PII spans in
+    long form — (doc, span_type, occurrence index, span text) — the
+    audit trail a privacy review wants alongside the scrubbed corpus
+    (what EXACTLY was found, where, how often).
+
+    Same codegen regex surface (``regexp_extract_all`` + posexplode,
+    no shuffle, scan-speed); long-number spans are extracted AFTER
+    email masking so digits inside addresses aren't double-reported,
+    mirroring the redactor's order exactly.
+    """
+    emails = F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_PATTERN), 0)
+    no_email = F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>")
+    nums = F.regexp_extract_all(no_email, F.lit(LONG_NUM_PATTERN), 0)
+    e = docs.select(
+        F.col(id_col),
+        F.lit("email").alias("span_type"),
+        F.posexplode(emails).alias("idx", "span_text"),
+    )
+    n = docs.select(
+        F.col(id_col),
+        F.lit("long_number").alias("span_type"),
+        F.posexplode(nums).alias("idx", "span_text"),
+    )
+    return e.unionByName(n).select(
+        id_col, "span_type", (F.col("idx") + 1).alias("occurrence"), "span_text"
+    )

@@ -416,3 +416,19 @@ def test_fuzzy_join_complete_at_distance_one(spark):
     # "sprak" is a transposition of "spark": levenshtein distance 2 -> excluded
     assert all(l != "sprak" for l, _ in pairs)
     assert all(l != "zzz" for l, _ in pairs)
+
+
+def test_pii_spans_match_redactor_counts(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_pii_redact,
+        q_pii_spans,
+    )
+    import collections
+
+    spans = q_pii_spans(spark, sf_dir).collect()
+    counts = collections.Counter((r.doc_id, r.span_type) for r in spans)
+    for r in q_pii_redact(spark, sf_dir).collect():
+        assert counts.get((r.doc_id, "email"), 0) == r.n_emails
+        assert counts.get((r.doc_id, "long_number"), 0) == r.n_long_numbers
+    # every extracted email really matches the pattern shape
+    assert all("@" in r.span_text for r in spans if r.span_type == "email")
