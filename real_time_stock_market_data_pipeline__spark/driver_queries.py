@@ -3112,6 +3112,99 @@ FROM r
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5% furthest-from-centroid embeddings per label
+    (`operators/similarity.py:embedding_outliers`)."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_outliers(embs, top_pct=5)
+
+
+_EMBEDDING_OUTLIERS_ORACLE = f"""
+WITH x AS (
+  SELECT vec_id AS vid, label AS lbl, dim,
+         round(CAST(embedding[dim] AS DOUBLE), 6) AS x6
+  FROM embeddings, unnest(range(1, 65)) AS t(dim)
+),
+cents AS (
+  SELECT label AS lbl, i AS dim,
+    {_round_sql(
+        "CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)"
+        " AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS c6
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY 1, 2
+),
+d AS (
+  SELECT vid, lbl,
+    CAST(sum(CAST({_round_sql("(x6 - c6) * (x6 - c6)", 6)}
+             AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+  FROM x JOIN cents USING (lbl, dim) GROUP BY 1, 2
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY lbl ORDER BY dist2 DESC, vid) AS rnk,
+    count(*) OVER (PARTITION BY lbl) AS n
+  FROM d
+)
+SELECT vid AS vec_id, lbl AS label,
+       {_round_sql("dist2", 6)} AS dist2, rnk AS outlier_rank
+FROM r WHERE rnk <= (n * 5 + 99) // 100
+"""
+
+
+def q_rank_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tercile momentum portfolios and their next-day returns
+    (`operators/indicators.py:rank_portfolio_returns`)."""
+    return indicators.rank_portfolio_returns(
+        _daily_close(spark, sf_dir), lookback=5, n_buckets=3, close_col="close"
+    )
+
+
+_RANK_PORTFOLIO_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r AS (
+  SELECT symbol, date,
+    round(close / lag(close, 5) OVER ws - 1, 6) AS r_past,
+    round(lead(close) OVER ws / close - 1, 6) AS r_fwd
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+b AS (
+  SELECT date, r_fwd,
+    ntile(3) OVER (PARTITION BY date ORDER BY r_past, symbol) AS bucket
+  FROM r WHERE r_past IS NOT NULL AND r_fwd IS NOT NULL
+)
+SELECT date, bucket, count(*) AS n_symbols,
+  {_round_sql("CAST(sum(CAST(r_fwd AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+    AS mean_fwd_return
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol day-level feed-health report
+    (`operators/temporal.py:calendar_coverage`)."""
+    return temporal.calendar_coverage(q_daily_metrics(spark, sf_dir))
+
+
+_CALENDAR_COVERAGE_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+dd AS (SELECT DISTINCT symbol AS key, date AS d FROM d),
+g AS (
+  SELECT key, d,
+    date_diff('day', lag(d) OVER (PARTITION BY key ORDER BY d), d) AS gap
+  FROM dd
+)
+SELECT key, min(d) AS first_date, max(d) AS last_date,
+  count(*) AS days_present,
+  date_diff('day', min(d), max(d)) + 1 AS span_days,
+  round(CAST(count(*) AS DOUBLE)
+        / (date_diff('day', min(d), max(d)) + 1), 6) AS coverage_ratio,
+  coalesce(max(gap), 1) - 1 AS longest_gap_days
+FROM g GROUP BY 1
+"""
+
+
 def q_pii_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII span extraction (audit twin of pii_redact) over the same
     seeded corpus (`operators/text.py:pii_spans`)."""
@@ -7357,6 +7450,9 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_join": q_fuzzy_join,
     "snapshot_diff": q_snapshot_diff,
     "pii_spans": q_pii_spans,
+    "calendar_coverage": q_calendar_coverage,
+    "rank_portfolio": q_rank_portfolio,
+    "embedding_outliers": q_embedding_outliers,
     "excess_suppliers": q_excess_suppliers,
     "fk_integrity": q_fk_integrity,
     "pairs_spread": q_pairs_spread,
@@ -7554,6 +7650,9 @@ ORACLES: dict[str, str] = {
     "fuzzy_join": _FUZZY_JOIN_ORACLE,
     "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "pii_spans": _PII_SPANS_ORACLE,
+    "calendar_coverage": _CALENDAR_COVERAGE_ORACLE,
+    "rank_portfolio": _RANK_PORTFOLIO_ORACLE,
+    "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,
     "fk_integrity": _FK_INTEGRITY_ORACLE,
     "pairs_spread": _PAIRS_SPREAD_ORACLE,

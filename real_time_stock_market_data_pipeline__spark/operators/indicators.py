@@ -1712,3 +1712,48 @@ def candle_patterns(
         bull.alias("bull_engulf"),
         bear.alias("bear_engulf"),
     )
+
+
+def rank_portfolio_returns(
+    daily: DataFrame,
+    lookback: int = 5,
+    n_buckets: int = 3,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Portfolio-sort backtest (the Fama-French workhorse): each day,
+    rank symbols by their trailing ``lookback``-day return into
+    ``n_buckets`` ntile portfolios and measure each portfolio's mean
+    NEXT-day return — 'does past momentum predict tomorrow' as one
+    grouped aggregation.
+
+    ntile over a TOTAL order (past return, then symbol) assigns
+    buckets identically in every engine; both returns quantize to 6
+    and the portfolio mean is an exact DECIMAL average. Two window
+    passes (lag/lead per symbol, ntile per date) then one tiny
+    (dates × buckets) aggregate.
+    """
+    wsym = Window.partitionBy(symbol_col).orderBy(date_col)
+    past = F.round(
+        F.col(close_col) / F.lag(close_col, lookback).over(wsym) - 1, 6
+    )
+    fwd = F.round(F.lead(close_col).over(wsym) / F.col(close_col) - 1, 6)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        past.alias("r_past"),
+        fwd.alias("r_fwd"),
+    ).where(F.col("r_past").isNotNull() & F.col("r_fwd").isNotNull())
+    wdate = Window.partitionBy("date").orderBy("r_past", "symbol")
+    bucketed = base.select(
+        "date", "r_fwd", F.ntile(n_buckets).over(wdate).alias("bucket")
+    )
+    return bucketed.groupBy("date", "bucket").agg(
+        F.count(F.lit(1)).alias("n_symbols"),
+        F.round(
+            F.sum(F.col("r_fwd").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_fwd_return"),
+    )

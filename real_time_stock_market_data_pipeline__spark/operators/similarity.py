@@ -830,3 +830,66 @@ def pca_power_iteration(
         q(F.col("w") * (F.lit(1.0) / F.col("nrm")), 6).alias("loading"),
         q(F.col("nrm"), 4).alias("lambda_est"),
     )
+
+
+def embedding_outliers(
+    embs: DataFrame,
+    top_pct: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-quality screen: for each label, the ``top_pct``% of
+    vectors FURTHEST from their label centroid — mislabeled or
+    corrupted embeddings surface here first (the QA pass a pipeline
+    runs before training a classifier head on pooled embeddings).
+
+    Distance² accumulates per-dimension quantized squared deviations
+    into an exact DECIMAL sum (partition-order-independent); the
+    cutoff is the same integer rank selection as `indicators.var_cvar`
+    (k = ⌈pct·n/100⌉ via pure integer arithmetic). One explode (stays
+    in partition), a broadcast join against the |labels|×dims centroid
+    frame, one label-partitioned rank window.
+    """
+    x = embs.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).select(
+        "vid", "lbl", (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("x6"),
+    )
+    cents = embedding_centroids(
+        embs, group_col=label_col, vec_col=vec_col
+    ).select(
+        F.col(label_col).alias("lbl"),
+        F.col("dim"),
+        F.round("centroid", 6).alias("c6"),
+    )
+    dev2 = F.round(
+        (F.col("x6") - F.col("c6")) * (F.col("x6") - F.col("c6")), 6
+    )
+    dist = (
+        x.join(F.broadcast(cents), ["lbl", "dim"])
+        .groupBy("vid", "lbl")
+        .agg(F.sum(dev2.cast("decimal(18,6)")).cast("double").alias("dist2"))
+    )
+    wo = Window.partitionBy("lbl").orderBy(F.col("dist2").desc(), F.col("vid"))
+    wg = Window.partitionBy("lbl")
+    ranked = dist.select(
+        "vid",
+        "lbl",
+        F.round("dist2", 6).alias("dist2"),
+        F.row_number().over(wo).alias("rnk"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    ).withColumn(
+        "k",
+        ((F.col("n") * F.lit(top_pct) + 99)
+         - F.pmod(F.col("n") * F.lit(top_pct) + 99, 100)) / 100,
+    )
+    return ranked.where(F.col("rnk") <= F.col("k")).select(
+        F.col("vid").alias(id_col),
+        F.col("lbl").alias(label_col),
+        "dist2",
+        F.col("rnk").cast("bigint").alias("outlier_rank"),
+    )

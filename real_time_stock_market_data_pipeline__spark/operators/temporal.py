@@ -545,3 +545,36 @@ def resample_interp(
         F.coalesce("n_ticks", F.lit(0)).alias("n_ticks"),
         F.col("__obs").isNotNull().cast("int").alias("is_observed"),
     )
+
+
+def calendar_coverage(
+    daily: DataFrame,
+    key_col: str = "symbol",
+    date_col: str = "date",
+) -> DataFrame:
+    """Per-key calendar completeness report: span, days present,
+    coverage ratio, and the longest gap (consecutive missing days) —
+    the 'is this feed healthy' check a data SLA runs per symbol before
+    trusting downstream indicators (complements the tick-level
+    `tick_gaps`; this is the day-level contract).
+
+    One exchange (lag window + aggregate share the key partitioning);
+    all arithmetic is integer day counts.
+    """
+    dd = daily.select(
+        F.col(key_col).alias("key"), F.col(date_col).alias("d")
+    ).distinct()
+    w = Window.partitionBy("key").orderBy("d")
+    base = dd.select(
+        "key", "d", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap")
+    )
+    span = F.datediff(F.max("d"), F.min("d")) + F.lit(1)
+    n = F.count(F.lit(1))
+    return base.groupBy("key").agg(
+        F.min("d").alias("first_date"),
+        F.max("d").alias("last_date"),
+        n.alias("days_present"),
+        span.alias("span_days"),
+        F.round(n.cast("double") / span, 6).alias("coverage_ratio"),
+        (F.coalesce(F.max("gap"), F.lit(1)) - F.lit(1)).alias("longest_gap_days"),
+    )

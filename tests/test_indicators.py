@@ -633,3 +633,33 @@ def test_candle_patterns_hand_cases(spark):
     assert out[3].doji == 1
     assert out[4].hammer == 1 and out[4].doji == 0
     assert out[1].bull_engulf == 0  # no previous candle
+
+
+def test_rank_portfolio_bucket_counts(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_rank_portfolio,
+    )
+
+    rows = q_rank_portfolio(spark, sf_dir).collect()
+    assert rows
+    per_date = {}
+    for r in rows:
+        per_date.setdefault(r.date, []).append(r)
+        assert 1 <= r.bucket <= 3
+    for date, group in per_date.items():
+        # ntile spreads the symbols across buckets, sizes differ by <= 1
+        sizes = [g.n_symbols for g in group]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_calendar_coverage_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_calendar_coverage,
+    )
+
+    for r in q_calendar_coverage(spark, sf_dir).collect():
+        assert r.days_present <= r.span_days
+        assert 0 < r.coverage_ratio <= 1.0
+        assert r.longest_gap_days >= 0
+        if r.days_present == r.span_days:
+            assert r.longest_gap_days == 0

@@ -350,3 +350,22 @@ def test_pca_pc1_recovers_dominant_axis(spark):
     out = {r.dim: r.loading for r in similarity.pca_power_iteration(df, n_iter=3).collect()}
     assert abs(out[0]) > 0.99
     assert all(abs(v) < 0.1 for d, v in out.items() if d != 0)
+
+
+def test_embedding_outliers_planted_detection(spark):
+    import random
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        vec = [rng.gauss(0, 0.05) for _ in range(64)]
+        rows.append((i, vec, "a"))
+    # planted far-out vector must rank as the #1 outlier
+    rows.append((999, [5.0] * 64, "a"))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = similarity.embedding_outliers(df, top_pct=5).collect()
+    assert len(out) == 11  # ceil(5% of 201)
+    top = min(out, key=lambda r: r.outlier_rank)
+    assert top.vec_id == 999 and top.outlier_rank == 1
