@@ -255,6 +255,108 @@ def historical_pipeline(
     return run_pipeline(steps)
 
 
+def corpus_pipeline(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    min_quality: float = 0.5,
+    sample_fraction: float = 1.0,
+) -> PipelineRun:
+    """The LLM-training-data pipeline end-to-end as one composable
+    run — the §2.10 operators wired in their production order:
+
+    gate → quality score+filter → exact dedup → near-dup corpus dedup
+    (MinHash-LSH clusters, keep-canonical) → deterministic sample →
+    train/val/test split → token packing → partitioned parquet.
+
+    Each stage reports its surviving-row count, so the run doubles as
+    the corpus funnel report. Same Step semantics (retry, fail-fast)
+    as `historical_pipeline`; every stage is a declarative operator
+    already oracle-checked individually, so the composition adds
+    orchestration, not new semantics.
+    """
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        dedup as dedup_ops,
+        sampling as sampling_ops,
+        text as text_ops,
+    )
+
+    state: dict[str, object] = {}
+
+    def _load():
+        df = spark.read.parquet(docs_path)
+        state["docs"] = df
+        return df.count()
+
+    def _quality():
+        docs = state["docs"]
+        kept_ids = text_ops.quality_filter(docs, min_score=min_quality)
+        df = docs.join(
+            F.broadcast(kept_ids.select("doc_id")), "doc_id", "left_semi"
+        )
+        state["docs"] = df.localCheckpoint()
+        return state["docs"].count()
+
+    def _exact_dedup():
+        docs = state["docs"]
+        keepers = dedup_ops.dedup_exact(docs).select(
+            F.col("keep_id").alias("doc_id")
+        )
+        df = docs.join(F.broadcast(keepers), "doc_id", "left_semi")
+        state["docs"] = df.localCheckpoint()
+        return state["docs"].count()
+
+    def _neardup():
+        df = dedup_ops.dedup_corpus(state["docs"], id_col="doc_id",
+                                    text_col="text")
+        state["docs"] = df.localCheckpoint()
+        return state["docs"].count()
+
+    def _sample_split():
+        df = state["docs"]
+        if sample_fraction < 1.0:
+            df = sampling_ops.hash_sample(df, "doc_id", sample_fraction)
+        df = sampling_ops.hash_split(df, "doc_id")
+        state["docs"] = df.localCheckpoint()
+        return state["docs"].count()
+
+    def _pack():
+        tokens = text_ops.token_count(state["docs"]).select(
+            "doc_id", "ws_tokens"
+        )
+        with_tokens = state["docs"].select("doc_id", "split").join(
+            tokens, "doc_id"
+        )
+        packs = text_ops.token_pack(
+            with_tokens,
+            group_cols=["split"],
+            order_cols=["doc_id"],
+            token_col="ws_tokens",
+            budget=512,
+        )
+        state["packs"] = packs.localCheckpoint()
+        return state["packs"].count()
+
+    def _write():
+        state["docs"].write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/corpus"
+        )
+        state["packs"].write.mode("overwrite").parquet(f"{out_dir}/packs")
+        return spark.read.parquet(f"{out_dir}/corpus").count()
+
+    steps = [
+        Step("gate", lambda: _require_input(spark, docs_path)),
+        Step("load", _load),
+        Step("quality_filter", _quality),
+        Step("exact_dedup", _exact_dedup),
+        Step("neardup_dedup", _neardup),
+        Step("sample_split", _sample_split),
+        Step("token_pack", _pack),
+        Step("write", _write),
+    ]
+    return run_pipeline(steps)
+
+
 def _require_input(spark: SparkSession, path: str) -> bool:
     if not sinks.input_ready(spark, path):
         raise RuntimeError(f"input gate: no readable rows at {path} (S7)")

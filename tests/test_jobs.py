@@ -191,3 +191,24 @@ def test_historical_pipeline_gate_blocks_empty_input(spark):
     assert not run.ok
     assert [r.name for r in run.results] == ["gate"]  # halted at the gate
     assert "input gate" in run.results[0].error
+
+
+def test_corpus_pipeline_funnel(spark, sf_dir, tmp_path):
+    from real_time_stock_market_data_pipeline__spark import jobs
+
+    run = jobs.corpus_pipeline(
+        spark, f"{sf_dir}/documents.parquet", str(tmp_path / "out")
+    )
+    assert run.ok
+    vals = {r.name: r.value for r in run.results}
+    # the funnel can only shrink
+    assert vals["load"] >= vals["quality_filter"] >= vals["exact_dedup"]
+    assert vals["exact_dedup"] >= vals["neardup_dedup"] >= 1
+    assert vals["write"] == vals["sample_split"]
+    # written corpus is split-partitioned and re-readable
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    assert set(corpus.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    packs = spark.read.parquet(str(tmp_path / "out" / "packs"))
+    assert packs.count() == vals["token_pack"]
