@@ -3128,16 +3128,16 @@ WITH x AS (
 ),
 cents AS (
   SELECT label AS lbl, i AS dim,
-    {_round_sql(
-        "CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)"
-        " AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS c6
+    floor((CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+          * 1000000.0 + 0.5) / 1000000.0 AS c6
   FROM embeddings, unnest(range(1, 65)) AS t(i)
   GROUP BY 1, 2
 ),
 d AS (
   SELECT vid, lbl,
-    CAST(sum(CAST({_round_sql("(x6 - c6) * (x6 - c6)", 6)}
-             AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+    CAST(sum(CAST(floor((x6 - c6) * (x6 - c6) * 1000000.0 + 0.5)
+                  / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE) AS dist2
   FROM x JOIN cents USING (lbl, dim) GROUP BY 1, 2
 ),
 r AS (
@@ -3147,7 +3147,7 @@ r AS (
   FROM d
 )
 SELECT vid AS vec_id, lbl AS label,
-       {_round_sql("dist2", 6)} AS dist2, rnk AS outlier_rank
+       floor(dist2 * 1000000.0 + 0.5) / 1000000.0 AS dist2, rnk AS outlier_rank
 FROM r WHERE rnk <= (n * 5 + 99) // 100
 """
 

@@ -859,15 +859,22 @@ def embedding_outliers(
         "vid", "lbl", (F.col("pos") + 1).alias("dim"),
         F.round(F.col("val").cast("double"), 6).alias("x6"),
     )
+    def q6c(col: F.Column) -> F.Column:
+        # IEEE half-up quantizer (floor/mul/add are bit-defined in
+        # every engine) — F.round rides Java 17 Double.toString, whose
+        # occasional long-form reprs round apart from DuckDB's
+        # shortest-repr (see pca_power_iteration; hit here at sf0.001)
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     cents = embedding_centroids(
         embs, group_col=label_col, vec_col=vec_col
     ).select(
         F.col(label_col).alias("lbl"),
         F.col("dim"),
-        F.round("centroid", 6).alias("c6"),
+        q6c(F.col("centroid")).alias("c6"),
     )
-    dev2 = F.round(
-        (F.col("x6") - F.col("c6")) * (F.col("x6") - F.col("c6")), 6
+    dev2 = q6c(
+        (F.col("x6") - F.col("c6")) * (F.col("x6") - F.col("c6"))
     )
     dist = (
         x.join(F.broadcast(cents), ["lbl", "dim"])
@@ -876,10 +883,14 @@ def embedding_outliers(
     )
     wo = Window.partitionBy("lbl").orderBy(F.col("dist2").desc(), F.col("vid"))
     wg = Window.partitionBy("lbl")
+    # IEEE quantizer, not F.round: the display rounding sits on the
+    # same Java-17-toString boundary pca_power_iteration documented
+    # (hit here by one sf0.001 row at ...4875)
+    q6 = F.floor(F.col("dist2") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     ranked = dist.select(
         "vid",
         "lbl",
-        F.round("dist2", 6).alias("dist2"),
+        q6.alias("dist2"),
         F.row_number().over(wo).alias("rnk"),
         F.count(F.lit(1)).over(wg).alias("n"),
     ).withColumn(
