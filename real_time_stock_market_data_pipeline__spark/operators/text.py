@@ -808,13 +808,17 @@ def bigram_lm_scores(
     )
     n = F.length("__norm") - F.lit(1)
     pos = F.explode(F.when(n >= 1, F.sequence(F.lit(1), n)))
+    # three consumers (bigram LM, prefix LM, per-doc scoring):
+    # localCheckpoint materializes the exploded grams once instead of
+    # re-exploding the corpus per consumer (same rationale as the
+    # kmv_set_ops / ngram_jaccard checkpoints, measured there)
     grams = norm_df.select(
         F.col(id_col), F.col("__norm"), pos.alias("i")
     ).select(
         F.col(id_col),
         F.substring(F.col("__norm"), F.col("i"), 2).alias("bg"),
         F.substring(F.col("__norm"), F.col("i"), 1).alias("pf"),
-    )
+    ).localCheckpoint()
     bg_counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_bg"))
     pf_counts = grams.groupBy("pf").agg(F.count(F.lit(1)).alias("n_pf"))
     nlp = F.round(
