@@ -7424,10 +7424,10 @@ QUERIES: dict[str, QueryFn] = {
     # ---- first-50 driver window (the round driver oracle-checks only
     # ---- the first 50 entries; everything else is gated by the local
     # ---- 3-SF sweep in scripts/check_correctness.py). Round 6 added
-    # ---- 53 new queries — more than one window holds — so the window
-    # ---- carries the 23 newest (this session) plus the 27 next-newest
-    # ---- round-6 entries; the remaining round-6 queries queue for a
-    # ---- driver row next round, local evidence in the meantime ...
+    # ---- 84 new queries — far more than one window holds — so the
+    # ---- window carries the 39 newest plus the 11 next-newest; the
+    # ---- remaining round-6 queries queue for a driver row in later
+    # ---- rounds, with the triple-SF local sweep as their evidence ...
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
     "adx": q_adx,
@@ -7487,8 +7487,8 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
-    # ---- earlier round-6 additions (positions 24-50 stay inside the
-    # ---- window; the rest rotated out when the newest batch landed)
+    # ---- earlier round-6 additions (the first 11 stay inside the
+    # ---- window; the rest rotated out when the newest batches landed)
     "donchian": q_donchian,
     "amihud": q_amihud,
     "return_autocorr": q_return_autocorr,
