@@ -583,22 +583,26 @@ def trimmed_mean(
         F.row_number().over(wo).alias("rn"),
         F.count(F.lit(1)).over(wg).alias("n"),
     ).withColumn(
-        "k",
+        # "__k", not "k": a plain name here would silently overwrite a
+        # group key of the same name (found by the hypothesis law)
+        "__k",
         ((F.col("n") * F.lit(trim_pct)) - F.pmod(
             F.col("n") * F.lit(trim_pct), 100
         )) / 100,
     )
-    kept = (F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k"))
+    kept = (F.col("rn") > F.col("__k")) & (
+        F.col("rn") <= F.col("n") - F.col("__k")
+    )
     d = F.col("v").cast("decimal(18,6)")
     return ranked.groupBy(*key_cols).agg(
         F.max("n").alias("n"),
-        F.max("k").cast("bigint").alias("k_each_side"),
+        F.max("__k").cast("bigint").alias("k_each_side"),
         F.round(
             F.sum(d).cast("double") / F.max("n"), 6
         ).alias("mean_all"),
         F.round(
             F.sum(F.when(kept, d)).cast("double")
-            / (F.max("n") - F.lit(2) * F.max("k")),
+            / (F.max("n") - F.lit(2) * F.max("__k")),
             6,
         ).alias("mean_trimmed"),
     )

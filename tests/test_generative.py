@@ -172,3 +172,63 @@ def test_salted_agg_law(spark, rows, n_salts):
     )
     h = lambda d: value_hash(d.columns, [tuple(r) for r in d.collect()])  # noqa: E731
     assert h(salted) == h(plain)
+
+
+@given(rows=ROWS, rows2=ROWS)
+@settings(**_SETTINGS)
+def test_merge_aggregates_decomposability_law(spark, rows, rows2):
+    """merge(agg(A), agg(B)) == agg(A ∪ B) for arbitrary frames —
+    the law that makes incremental maintenance exact."""
+    a, b = _df(spark, rows), _df(spark, rows2)
+    pa = relational.decomposed_agg(a, ["k"], "v")
+    pb = relational.decomposed_agg(b, ["k"], "v")
+    merged = relational.merge_aggregates(pa, pb, ["k"])
+    full = relational.decomposed_agg(a.unionAll(b), ["k"], "v")
+    got = {
+        r["k"]: (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in merged.collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+        for r in full.collect()
+    }
+    assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_trimmed_mean_bounds_law(spark, rows):
+    """The trimmed mean lies within [min, max] of the kept values and
+    never exceeds the untrimmed extremes; k is the exact integer
+    floor(n/10) per tail."""
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    df = _df(spark, rows)
+    out = metrics.trimmed_mean(df, ["k"], "v", trim_pct=10)
+    per_key: dict[int, list[float]] = {}
+    for k, _, _, v in rows:
+        per_key.setdefault(k, []).append(round(v, 6))
+    for r in out.collect():
+        vals = sorted(per_key[r["k"]])
+        assert r["n"] == len(vals)
+        assert r["k_each_side"] == len(vals) // 10
+        assert min(vals) - 1e-9 <= r["mean_trimmed"] <= max(vals) + 1e-9
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_cms_never_undercounts_law(spark, rows):
+    """CMS estimates are one-sided for every key on arbitrary inputs
+    (top_n covering all keys)."""
+    from real_time_stock_market_data_pipeline__spark.operators import sketches
+
+    df = _df(spark, rows)
+    out = sketches.cms_heavy_hitters(df, "k", depth=2, width=8, top_n=10**9)
+    import collections
+
+    truth = collections.Counter(str(k) for k, _, _, _ in rows)
+    got = {r["key"]: (r["n_exact"], r["n_est"]) for r in out.collect()}
+    assert set(got) == set(truth)
+    for key, (n_exact, n_est) in got.items():
+        assert n_exact == truth[key]
+        assert n_est >= n_exact
