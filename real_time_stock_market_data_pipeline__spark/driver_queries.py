@@ -410,6 +410,64 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_ORACLE = f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand"
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: a perturbed new batch (every 5th
+    doc, 'v2 '-prefixed, ids shifted by 10⁶) against the existing
+    corpus — per (new, corpus) candidate with its band-collision
+    strength (`operators/dedup.py:incremental_neardup`)."""
+    docs = _table("documents")(spark, sf_dir)
+    new_batch = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    return dedup.incremental_neardup(new_batch, docs)
+
+
+def _incremental_neardup_oracle() -> str:
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    n_bands = dedup.MINHASH_PERMS // dedup.MINHASH_BAND_ROWS
+
+    def bands_for(src: str, name: str) -> str:
+        return f"""
+{name}_sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM {src}) t
+),
+{name}_ne AS (SELECT doc_id, sh FROM {name}_sh WHERE len(sh) > 0),
+{name}_hs AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM {name}_ne
+),
+{name}_sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM {name}_hs),
+{name}_bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || '|'
+             || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
+  FROM {name}_sig CROSS JOIN
+       (SELECT unnest(range({n_bands})) AS band_idx) b
+)"""
+
+    return f"""
+WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id, 'v2 ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+{bands_for('newb', 'n')},
+{bands_for('documents', 'c')}
+SELECT n_bands.doc_id AS new_id, c_bands.doc_id AS corpus_id,
+       count(*) AS shared_bands
+FROM n_bands JOIN c_bands USING (band_idx, band_hash)
+GROUP BY 1, 2
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH pair graph via iterative
     min-label propagation (Pregel-style, localCheckpoint-truncated);
@@ -7451,6 +7509,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_diff": q_snapshot_diff,
     "pii_spans": q_pii_spans,
     "calendar_coverage": q_calendar_coverage,
+    "incremental_neardup": q_incremental_neardup,
     "rank_portfolio": q_rank_portfolio,
     "embedding_outliers": q_embedding_outliers,
     "excess_suppliers": q_excess_suppliers,
@@ -7651,6 +7710,7 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     "pii_spans": _PII_SPANS_ORACLE,
     "calendar_coverage": _CALENDAR_COVERAGE_ORACLE,
+    "incremental_neardup": _incremental_neardup_oracle(),
     "rank_portfolio": _RANK_PORTFOLIO_ORACLE,
     "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,

@@ -607,3 +607,43 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup screen: which NEW documents collide with
+    the EXISTING corpus — the per-batch dedup a growing 100 TB corpus
+    actually runs (re-clustering everything per crawl is the naive
+    O(total²-ish) alternative; this touches only new × collision
+    volume).
+
+    Both sides band with the same MinHash constants, so a new batch
+    can also join PRE-COMPUTED corpus bands at rest (the signature
+    table is the dedup index — write it once per corpus version, cf.
+    `similarity.ivf_write_index`). The equi-join on (band_idx,
+    band_hash) materializes only collisions; output is one row per
+    (new id, corpus id) candidate with the collision strength (shared
+    bands of {perms//band_rows}).
+    """
+    nb = minhash_bands(new_docs, id_col, text_col, perms, band_rows, shingle_k)
+    cb = minhash_bands(corpus, id_col, text_col, perms, band_rows, shingle_k)
+    pairs = nb.alias("n").join(
+        cb.alias("c"),
+        (F.col("n.band_idx") == F.col("c.band_idx"))
+        & (F.col("n.band_hash") == F.col("c.band_hash")),
+    )
+    return (
+        pairs.select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )

@@ -226,3 +226,35 @@ def test_round6_operators_partitioning_invariant(spark, sf_dir):
     assert _hash_df(
         behavior.event_lift(ev.coalesce(1))
     ) == _hash_df(behavior.event_lift(ev.repartition(23)))
+
+
+def test_incremental_neardup_finds_its_sources(spark, sf_dir):
+    """A 'v2 '-prefixed copy shares all but the first shingle with its
+    source, so every new doc must collide with its own original at
+    high band strength."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_batch = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    out = dedup.incremental_neardup(new_batch, docs).collect()
+    hits = {(r.new_id, r.corpus_id): r.shared_bands for r in out}
+    eligible = [
+        r.doc_id
+        for r in docs.where(
+            (F.col("doc_id") % 5 == 0)
+        ).select("doc_id", F.split(F.col("text"), " ").alias("t")).collect()
+        if len(r.t) >= 3
+    ]
+    found = sum(
+        1 for d in eligible if (d + 1_000_000, d) in hits
+    )
+    # nearly every perturbed doc must hit its source (a one-token
+    # prefix changes one shingle out of many)
+    assert found >= 0.9 * len(eligible)
+    for sb in hits.values():
+        assert 1 <= sb <= 8
