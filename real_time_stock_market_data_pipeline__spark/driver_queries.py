@@ -468,6 +468,24 @@ GROUP BY 1, 2
 """
 
 
+def q_incremental_neardup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same incremental screen through the AT-REST dedup index:
+    corpus band signatures written to parquet once, the new batch
+    joined against the stored table (`operators/dedup.py:
+    write_dedup_index` / `incremental_neardup_indexed`). Same oracle
+    as the live path — the identical-result contract of the index."""
+    import tempfile
+
+    docs = _table("documents")(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="dedup_idx_") + "/bands"
+    dedup.write_dedup_index(docs, idx)
+    new_batch = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+    )
+    return dedup.incremental_neardup_indexed(new_batch, idx)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH pair graph via iterative
     min-label propagation (Pregel-style, localCheckpoint-truncated);
@@ -7510,6 +7528,7 @@ QUERIES: dict[str, QueryFn] = {
     "pii_spans": q_pii_spans,
     "calendar_coverage": q_calendar_coverage,
     "incremental_neardup": q_incremental_neardup,
+    "incremental_neardup_indexed": q_incremental_neardup_indexed,
     "rank_portfolio": q_rank_portfolio,
     "embedding_outliers": q_embedding_outliers,
     "excess_suppliers": q_excess_suppliers,
@@ -7711,6 +7730,7 @@ ORACLES: dict[str, str] = {
     "pii_spans": _PII_SPANS_ORACLE,
     "calendar_coverage": _CALENDAR_COVERAGE_ORACLE,
     "incremental_neardup": _incremental_neardup_oracle(),
+    "incremental_neardup_indexed": _incremental_neardup_oracle(),
     "rank_portfolio": _RANK_PORTFOLIO_ORACLE,
     "embedding_outliers": _EMBEDDING_OUTLIERS_ORACLE,
     "excess_suppliers": _EXCESS_SUPPLIERS_ORACLE,

@@ -647,3 +647,56 @@ def incremental_neardup(
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
     )
+
+
+def write_dedup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> None:
+    """Materialize the corpus's MinHash band signatures as parquet —
+    the dedup index at rest (cf. `similarity.ivf_write_index`). A new
+    crawl then screens against the index with
+    :func:`incremental_neardup_indexed` WITHOUT re-hashing 100 TB of
+    existing documents: per-batch cost becomes hash(new) + join, and
+    the index only ever appends (band rows of already-indexed docs
+    never change). One corpus scan, shuffle-free write."""
+    minhash_bands(corpus, id_col, text_col, perms, band_rows, shingle_k).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_neardup_indexed(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`incremental_neardup` against a pre-built at-rest index:
+    band only the NEW batch, equi-join the stored band table. Result
+    is bit-identical to banding the corpus live (same constants →
+    same signatures) — the oracle contract that lets the driver check
+    the indexed path against the from-scratch SQL."""
+    spark = new_docs.sparkSession
+    cb = spark.read.parquet(index_path)
+    nb = minhash_bands(new_docs, id_col, text_col, perms, band_rows, shingle_k)
+    pairs = nb.alias("n").join(
+        cb.alias("c"),
+        (F.col("n.band_idx") == F.col("c.band_idx"))
+        & (F.col("n.band_hash") == F.col("c.band_hash")),
+    )
+    return (
+        pairs.select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
