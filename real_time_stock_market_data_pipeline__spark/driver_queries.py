@@ -7134,6 +7134,148 @@ FROM est
 """
 
 
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: revenue from lineitems
+    where the CUSTOMER and the SUPPLIER sit in the same ASIA nation,
+    by nation — the co-location constraint `region_revenue` (Q5-lite)
+    doesn't exercise. Fact pipeline: lineitem⋈orders on orderkey (the
+    one big join), every dimension broadcast, the same-nation
+    predicate applied as a join-time filter."""
+    li = _table("lineitem")(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _table("orders")(spark, sf_dir).select("o_orderkey", "o_custkey")
+    cust = _table("customer")(spark, sf_dir).select("c_custkey", "c_nationkey")
+    supp = _table("supplier")(spark, sf_dir).select("s_suppkey", "s_nationkey")
+    nation = _table("nation")(spark, sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _table("region")(spark, sf_dir).where(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev.cast("decimal(18,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_LOCAL_SUPPLIER_ORACLE = """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+       AS DOUBLE) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time (the growth curve): each
+    user counts once, on their FIRST-seen day — running distinct
+    re-expressed as min-date + cumulative count, which needs only a
+    per-user aggregate and a day-level cumsum instead of a
+    distinct-per-window blowup."""
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("date"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+pd AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT first_day AS date, new_users,
+  CAST(sum(new_users) OVER (ORDER BY first_day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cumulative_users
+FROM pd
+"""
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. The sliding
+    DISTINCT is re-expressed scale-safely: each (user, active day)
+    pair fans out to the 7 calendar days whose trailing window it
+    belongs to, then one distinct + count per day — cost is
+    7×|user-days|, never a per-window re-scan. Days outside the
+    observed range are dropped; the first 6 days have partial
+    windows (documented — the standard WAU ramp)."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        F.col("day"),
+    ).select("user_id", F.date_add(F.col("day"), F.col("off")).alias("wday"))
+    wau = (
+        fan.distinct()
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .withColumnRenamed("wday", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+_DAU_WAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+fan AS (
+  SELECT DISTINCT user_id, day + CAST(off AS INT) AS wday
+  FROM ud, unnest(range(0, 7)) AS t(off)
+),
+wau AS (SELECT wday AS day, count(*) AS wau FROM fan GROUP BY 1)
+SELECT dau.day, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped cheapest-supplier-per-part (adapted: this
     schema has no partsupp, so the per-(part, supplier) cost is the
@@ -7541,6 +7683,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall": q_ann_recall,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "local_supplier_revenue": q_local_supplier_revenue,
+    "cumulative_users": q_cumulative_users,
+    "dau_wau": q_dau_wau,
     "min_cost_supplier": q_min_cost_supplier,
     "nation_profit": q_nation_profit,
     "important_stock": q_important_stock,
@@ -7743,6 +7888,9 @@ ORACLES: dict[str, str] = {
     "ann_recall": _ann_recall_oracle(),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
+    "local_supplier_revenue": _LOCAL_SUPPLIER_ORACLE,
+    "cumulative_users": _CUMULATIVE_USERS_ORACLE,
+    "dau_wau": _DAU_WAU_ORACLE,
     "min_cost_supplier": _MIN_COST_SUPPLIER_ORACLE,
     "nation_profit": _NATION_PROFIT_ORACLE,
     "important_stock": _IMPORTANT_STOCK_ORACLE,

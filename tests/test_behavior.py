@@ -225,3 +225,34 @@ def test_conversion_latency_hand_case(spark):
     assert abs(out.mean_latency_s - 20.0) < 1e-9
     assert out.median_latency_s == 10.0
     assert out.p90_latency_s == 30.0
+
+
+def test_dau_wau_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_dau_wau,
+    )
+
+    rows = q_dau_wau(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a day's actives are a subset of its trailing week's actives
+        assert r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+
+
+def test_cumulative_users_monotone_and_total(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_cumulative_users,
+    )
+
+    rows = sorted(q_cumulative_users(spark, sf_dir).collect(), key=lambda r: r.date)
+    assert rows
+    prev = 0
+    for r in rows:
+        assert r.cumulative_users == prev + r.new_users
+        prev = r.cumulative_users
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert rows[-1].cumulative_users == total_users

@@ -220,3 +220,10 @@ def test_excess_suppliers_semi_join_no_rescan(spark, sf_dir):
 def test_fk_integrity_plans_anti_joins(spark, sf_dir):
     plan = _plan(driver_queries.q_fk_integrity(spark, sf_dir))
     assert plan.count("LeftAnti") >= 6
+
+
+def test_local_supplier_revenue_broadcasts_all_dims(spark, sf_dir):
+    """Q5 shape: one shuffle join (orderkey); customer/supplier/
+    nation/region all broadcast."""
+    plan = _plan(driver_queries.q_local_supplier_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
