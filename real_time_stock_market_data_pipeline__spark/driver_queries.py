@@ -7642,8 +7642,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- first-50 driver window (the round driver oracle-checks only
     # ---- the first 50 entries; everything else is gated by the local
     # ---- 3-SF sweep in scripts/check_correctness.py). Round 6 added
-    # ---- 84 new queries — far more than one window holds — so the
-    # ---- window carries the 41 newest plus the 9 next-newest; the
+    # ---- 89 new queries — far more than one window holds — so the
+    # ---- window carries the 44 newest plus the 6 next-newest; the
     # ---- remaining round-6 queries queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence ...
     "sharpe_sortino": q_sharpe_sortino,
@@ -7710,7 +7710,7 @@ QUERIES: dict[str, QueryFn] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "sentence_dedup_stats": q_sentence_dedup_stats,
     "quality_filter": q_quality_filter,
-    # ---- earlier round-6 additions (the first 9 stay inside the
+    # ---- earlier round-6 additions (the first 6 stay inside the
     # ---- window; the rest rotated out when the newest batches landed)
     "donchian": q_donchian,
     "amihud": q_amihud,
