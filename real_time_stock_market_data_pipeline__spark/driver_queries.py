@@ -7134,6 +7134,97 @@ FROM est
 """
 
 
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study around volume spikes: days whose volume exceeds
+    1.1× the symbol's mean define events (the synthetic feed's volume
+    is near-uniform, so the spike threshold is tuned to stay
+    selective-but-nonempty at every SF); the mean daily return at offsets
+    −2..+2 relative to every event measures the price response around
+    the spike — the classic abnormal-return methodology as one window
+    pass (five lead/lag columns) + a 5-row aggregate."""
+    daily = q_daily_metrics(spark, sf_dir)
+    wlag = Window.partitionBy("symbol").orderBy("date")
+    wsym = Window.partitionBy("symbol")
+    prev = F.lag("daily_close").over(wlag)
+    r = F.round(F.when(prev != 0, F.col("daily_close") / prev - 1), 6)
+    vmean = (
+        F.sum(F.col("daily_volume").cast("decimal(18,6)")).over(wsym)
+        .cast("double")
+        / F.count(F.lit(1)).over(wsym)
+    )
+    base = daily.select(
+        "symbol",
+        "date",
+        r.alias("r"),
+        (F.col("daily_volume") > F.lit(1.1) * vmean).alias("is_event"),
+    )
+    wide = base.select(
+        "symbol",
+        "date",
+        "r",
+        "is_event",
+        F.lag("r", 2).over(wlag).alias("r_m2"),
+        F.lag("r", 1).over(wlag).alias("r_m1"),
+        F.lead("r", 1).over(wlag).alias("r_p1"),
+        F.lead("r", 2).over(wlag).alias("r_p2"),
+    )
+    arr = F.array(
+        F.struct(F.lit(-2).alias("off"), F.col("r_m2").alias("ret")),
+        F.struct(F.lit(-1).alias("off"), F.col("r_m1").alias("ret")),
+        F.struct(F.lit(0).alias("off"), F.col("r").alias("ret")),
+        F.struct(F.lit(1).alias("off"), F.col("r_p1").alias("ret")),
+        F.struct(F.lit(2).alias("off"), F.col("r_p2").alias("ret")),
+    )
+    long = (
+        wide.where(F.col("is_event"))
+        .select(F.explode(arr).alias("e"))
+        .select("e.off", "e.ret")
+        .where(F.col("ret").isNotNull())
+    )
+    return long.groupBy("off").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("ret").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_return"),
+    )
+
+
+_EVENT_STUDY_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date,
+    round(CASE WHEN lag(daily_close) OVER ws <> 0
+               THEN daily_close / lag(daily_close) OVER ws - 1 END, 6) AS r,
+    daily_volume > 1.1 * (CAST(sum(CAST(daily_volume AS DECIMAL(18,6)))
+                               OVER wp AS DOUBLE)
+                          / (count(*) OVER wp)) AS is_event
+  FROM d
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date),
+         wp AS (PARTITION BY symbol)
+),
+l AS (
+  SELECT symbol, date, r, is_event,
+    lag(r, 2) OVER ws AS r_m2, lag(r, 1) OVER ws AS r_m1,
+    lead(r, 1) OVER ws AS r_p1, lead(r, 2) OVER ws AS r_p2
+  FROM b
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+long AS (
+  SELECT t.off, t.ret FROM l,
+    unnest([{{'off': -2, 'ret': r_m2}}, {{'off': -1, 'ret': r_m1}},
+            {{'off': 0, 'ret': r}}, {{'off': 1, 'ret': r_p1}},
+            {{'off': 2, 'ret': r_p2}}]) AS u(t)
+  WHERE is_event AND t.ret IS NOT NULL
+)
+SELECT off, count(*) AS n_obs,
+  {_round_sql("CAST(sum(CAST(ret AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)}
+    AS mean_return
+FROM long GROUP BY 1
+"""
+
+
 def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped local-supplier revenue: revenue from lineitems
     where the CUSTOMER and the SUPPLIER sit in the same ASIA nation,
@@ -7683,6 +7774,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_recall": q_ann_recall,
     "readability": q_readability,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "event_study": q_event_study,
     "local_supplier_revenue": q_local_supplier_revenue,
     "cumulative_users": q_cumulative_users,
     "dau_wau": q_dau_wau,
@@ -7888,6 +7980,7 @@ ORACLES: dict[str, str] = {
     "ann_recall": _ann_recall_oracle(),
     "readability": _READABILITY_ORACLE,
     "cms_heavy_hitters": _CMS_ORACLE,
+    "event_study": _EVENT_STUDY_ORACLE,
     "local_supplier_revenue": _LOCAL_SUPPLIER_ORACLE,
     "cumulative_users": _CUMULATIVE_USERS_ORACLE,
     "dau_wau": _DAU_WAU_ORACLE,

@@ -663,3 +663,15 @@ def test_calendar_coverage_laws(spark, sf_dir):
         assert r.longest_gap_days >= 0
         if r.days_present == r.span_days:
             assert r.longest_gap_days == 0
+
+
+def test_event_study_offsets_complete(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_event_study,
+    )
+
+    rows = {r.off: r for r in q_event_study(spark, sf_dir).collect()}
+    assert set(rows) <= {-2, -1, 0, 1, 2}
+    for r in rows.values():
+        assert r.n_obs >= 1
+        assert r.mean_return is not None
