@@ -7720,6 +7720,377 @@ FROM kk GROUP BY symbol
 
 
 # --------------------------------------------------------------------------
+# Round-7 indicator batch: channel oscillators, flow indicators, gaps
+# --------------------------------------------------------------------------
+
+
+def q_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams %R over the daily OHLCV series
+    (`operators/indicators.py:williams_r`)."""
+    return indicators.williams_r(q_daily_metrics(spark, sf_dir), n=14)
+
+
+_WILLIAMS_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+k AS (
+  SELECT symbol, date, daily_close AS close,
+         max(daily_high) OVER w AS hh_raw,
+         min(daily_low) OVER w AS ll_raw,
+         row_number() OVER wn AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(hh_raw, 6) AS hh, round(ll_raw, 6) AS ll,
+       round(CASE WHEN hh_raw <> ll_raw
+                  THEN -100.0 * (hh_raw - close) / (hh_raw - ll_raw) END,
+             6) + 0.0 AS pct_r
+FROM k WHERE rn >= 14
+"""
+
+
+def q_roc_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-day rate of change + raw momentum
+    (`operators/indicators.py:roc_momentum`)."""
+    return indicators.roc_momentum(
+        _daily_close(spark, sf_dir), n=10, close_col="close"
+    )
+
+
+_ROC_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+r AS (
+  SELECT symbol, date, close,
+         lag(close, 10) OVER (PARTITION BY symbol ORDER BY date) AS ref_close
+  FROM d
+)
+SELECT symbol, date, close, ref_close,
+       round(CASE WHEN ref_close <> 0
+                  THEN 100.0 * (close / ref_close - 1) END, 6) AS roc,
+       round(close - ref_close, 6) AS momentum
+FROM r WHERE ref_close IS NOT NULL
+"""
+
+
+def q_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money Flow Index — volume-weighted RSI of the typical price
+    (`operators/indicators.py:mfi`)."""
+    return indicators.mfi(q_daily_metrics(spark, sf_dir), n=14)
+
+
+_MFI_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol, date, daily_close AS close,
+         round((daily_high + daily_low + daily_close) / 3, 6) AS tp,
+         CAST(daily_volume AS BIGINT) AS volume
+  FROM d
+),
+delta AS (
+  SELECT symbol, date, close, tp, volume,
+         round(tp - lag(tp) OVER (PARTITION BY symbol ORDER BY date), 6)
+           AS dtp
+  FROM t
+),
+fl AS (
+  SELECT symbol, date, close,
+         CASE WHEN dtp > 0
+              THEN CAST(tp AS DECIMAL(18,6)) * CAST(volume AS DECIMAL(12,0))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS pos_flow,
+         CASE WHEN dtp < 0
+              THEN CAST(tp AS DECIMAL(18,6)) * CAST(volume AS DECIMAL(12,0))
+              ELSE CAST(0 AS DECIMAL(18,6)) END AS neg_flow
+  FROM delta WHERE dtp IS NOT NULL
+),
+s AS (
+  SELECT symbol, date, close,
+         CAST(sum(pos_flow) OVER w AS DOUBLE) AS pos,
+         CAST(sum(neg_flow) OVER w AS DOUBLE) AS neg,
+         row_number() OVER wn AS rn
+  FROM fl
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(pos, 6) AS pos_flow_sum,
+       round(neg, 6) AS neg_flow_sum,
+       round(CASE WHEN pos + neg <> 0 THEN 100.0 * pos / (pos + neg) END,
+             6) AS mfi
+FROM s WHERE rn >= 14
+"""
+
+
+def q_cmf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow over the daily OHLCV series
+    (`operators/indicators.py:cmf`)."""
+    return indicators.cmf(q_daily_metrics(spark, sf_dir), n=20)
+
+
+_CMF_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+m AS (
+  SELECT symbol, date, daily_close AS close,
+         round(CASE WHEN daily_high <> daily_low
+                    THEN ((daily_close - daily_low)
+                          - (daily_high - daily_close))
+                         / (daily_high - daily_low)
+                    ELSE 0.0 END, 6) AS mf_mult,
+         CAST(daily_volume AS BIGINT) AS volume
+  FROM d
+),
+s AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(mf_mult AS DECIMAL(18,6))
+                  * CAST(volume AS DECIMAL(12,0))) OVER w AS DOUBLE)
+           AS flow_sum,
+         sum(volume) OVER w AS vol_sum,
+         row_number() OVER wn AS rn
+  FROM m
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(flow_sum, 6) AS mfv_sum,
+       CAST(vol_sum AS BIGINT) AS vol_sum,
+       round(CASE WHEN vol_sum <> 0 THEN flow_sum / vol_sum END, 6) AS cmf
+FROM s WHERE rn >= 20
+"""
+
+
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index — downside-only volatility from squared rolling
+    drawdowns (`operators/indicators.py:ulcer_index`)."""
+    return indicators.ulcer_index(_daily_close(spark, sf_dir), n=14, close_col="close")
+
+
+_ULCER_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+p AS (
+  SELECT symbol, date, close,
+         max(close) OVER w AS peak,
+         row_number() OVER wn AS rn
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+),
+dd AS (
+  SELECT symbol, date, close, rn,
+         round(CASE WHEN peak <> 0
+                    THEN 100.0 * (close - peak) / peak
+                    ELSE 0.0 END, 6) AS dd_pct
+  FROM p
+),
+s AS (
+  SELECT symbol, date, close, dd_pct, rn,
+         CAST(sum(CAST(dd_pct AS DECIMAL(19,6))
+                  * CAST(dd_pct AS DECIMAL(19,6))) OVER w2 AS DOUBLE)
+           / count(*) OVER w2 AS sq_mean
+  FROM dd
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date, close, dd_pct,
+       round(sqrt(greatest(sq_mean, 0.0)), 6) AS ulcer_index
+FROM s WHERE rn >= 27
+"""
+
+
+def q_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels (SMA form, ATR bands)
+    (`operators/indicators.py:keltner_channels`)."""
+    return indicators.keltner_channels(q_daily_metrics(spark, sf_dir), n=20, mult=2.0)
+
+
+_KELTNER_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol, date, daily_close AS close,
+         round((daily_high + daily_low + daily_close) / 3, 6) AS tp,
+         round(CASE WHEN lag(daily_close) OVER wl IS NULL
+                    THEN daily_high - daily_low
+                    ELSE greatest(
+                        daily_high - daily_low,
+                        abs(daily_high - lag(daily_close) OVER wl),
+                        abs(daily_low - lag(daily_close) OVER wl)) END,
+               6) AS tr
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+r AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(tp AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS mid,
+         CAST(sum(CAST(tr AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS atr_n,
+         row_number() OVER wn AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(mid, 6) AS kc_mid,
+       round(mid + 2.0 * atr_n, 6) AS kc_upper,
+       round(mid - 2.0 * atr_n, 6) AS kc_lower
+FROM r WHERE rn >= 21
+"""
+
+
+def q_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight gap direction / size / fill analysis
+    (`operators/indicators.py:gap_stats`)."""
+    return indicators.gap_stats(q_daily_metrics(spark, sf_dir))
+
+
+_GAP_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+g AS (
+  SELECT symbol, date,
+         lag(daily_close) OVER wl AS prev_close,
+         daily_open AS open, daily_close AS close,
+         daily_high AS high, daily_low AS low
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, prev_close, open, close,
+       round(CASE WHEN prev_close <> 0
+                  THEN 100.0 * (open - prev_close) / prev_close END, 6)
+         AS gap_pct,
+       CASE WHEN round(open - prev_close, 6) > 0 THEN 1
+            WHEN round(open - prev_close, 6) < 0 THEN -1 ELSE 0 END
+         AS gap_dir,
+       CASE WHEN round(open - prev_close, 6) > 0
+              THEN CAST(low <= prev_close AS INT)
+            WHEN round(open - prev_close, 6) < 0
+              THEN CAST(high >= prev_close AS INT)
+            ELSE 1 END AS gap_filled
+FROM g WHERE prev_close IS NOT NULL
+"""
+
+
+def q_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon up/down/oscillator — declarative argmax via struct max
+    (`operators/indicators.py:aroon`)."""
+    return indicators.aroon(q_daily_metrics(spark, sf_dir), n=10)
+
+
+_AROON_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_high AS high, daily_low AS low,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+m AS (
+  SELECT symbol, date, high, low, rn,
+         struct_extract(
+           max(struct_pack(v := high, rn := rn)) OVER w, 'rn') AS hi_rn,
+         struct_extract(
+           max(struct_pack(v := -low, rn := rn)) OVER w, 'rn') AS lo_rn
+  FROM b
+  WINDOW w AS (PARTITION BY symbol ORDER BY rn
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, date, high, low,
+       round(100.0 * (10 - (rn - hi_rn)) / 10, 6) AS aroon_up,
+       round(100.0 * (10 - (rn - lo_rn)) / 10, 6) AS aroon_down,
+       round(round(100.0 * (10 - (rn - hi_rn)) / 10, 6)
+             - round(100.0 * (10 - (rn - lo_rn)) / 10, 6), 6) AS aroon_osc
+FROM m WHERE rn >= 11
+"""
+
+
+def q_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index — two-pass windowed mean deviation via
+    the explode fan-out (`operators/indicators.py:cci`)."""
+    return indicators.cci(q_daily_metrics(spark, sf_dir), n=20)
+
+
+_CCI_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_close AS close,
+         round((daily_high + daily_low + daily_close) / 3, 6) AS tp,
+         row_number() OVER wn AS rn,
+         round(CAST(sum(CAST(round((daily_high + daily_low + daily_close)
+                                   / 3, 6) AS DECIMAL(18,6))) OVER w
+                    AS DOUBLE) / count(*) OVER w, 6) AS sma_tp,
+         count(*) OVER w AS n_in_w
+  FROM d
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+),
+s AS (SELECT symbol, rn AS wend, sma_tp FROM b WHERE n_in_w >= 20),
+f AS (
+  SELECT b.symbol, b.date, b.close, b.tp, b.rn, g.off,
+         b.rn + g.off AS wend
+  FROM b CROSS JOIN (SELECT unnest(range(20)) AS off) g
+),
+j AS (
+  SELECT f.symbol, f.date, f.close, f.tp, f.off, f.wend, s.sma_tp
+  FROM f JOIN s ON f.symbol = s.symbol AND f.wend = s.wend
+),
+a AS (
+  SELECT symbol, wend,
+         max(CASE WHEN off = 0 THEN date END) AS date_w,
+         max(CASE WHEN off = 0 THEN close END) AS close_w,
+         max(CASE WHEN off = 0 THEN tp END) AS tp_w,
+         max(CASE WHEN off = 0 THEN sma_tp END) AS sma_w,
+         count(*) AS n_members,
+         CAST(sum(CAST(round(abs(j.tp - j.sma_tp), 6) AS DECIMAL(18,6)))
+              AS DOUBLE) / count(*) AS mean_dev_raw
+  FROM j GROUP BY symbol, wend
+)
+SELECT symbol, date_w AS date, close_w AS close, tp_w AS tp,
+       sma_w AS sma_tp,
+       {_round_sql("mean_dev_raw", 6)} AS mean_dev,
+       round(CASE WHEN {_round_sql("mean_dev_raw", 6)} <> 0
+                  THEN (tp_w - sma_w)
+                       / (0.015 * {_round_sql("mean_dev_raw", 6)})
+             END, 6) AS cci
+FROM a WHERE n_members = 20
+"""
+
+
+def q_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, day) VWAP over lineitem's true volumes — the
+    volume-weighted twin of `twap` (`operators/ohlcv.py:vwap_daily`)."""
+    li = _table("lineitem")(spark, sf_dir)
+    return ohlcv.vwap_daily(
+        li,
+        symbol_col="l_returnflag",
+        ts_col="l_shipdate",
+        price_col="l_extendedprice",
+        volume_col="l_quantity",
+    )
+
+
+_VWAP_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS symbol,
+         CAST(l_shipdate AS DATE) AS date,
+         CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)) AS pq,
+         CAST(l_quantity AS DECIMAL(12,2)) AS vq
+  FROM lineitem
+)
+SELECT symbol, date,
+       round(CASE WHEN sum(vq) > 0
+                  THEN CAST(sum(pq * vq) AS DOUBLE)
+                       / CAST(sum(vq) AS DOUBLE)
+                  ELSE CAST(sum(pq) AS DOUBLE) / count(*) END, 6) AS vwap,
+       CAST(sum(vq) AS DOUBLE) AS total_volume,
+       count(*) AS n_trades
+FROM t GROUP BY symbol, date
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7732,11 +8103,21 @@ FROM kk GROUP BY symbol
 QUERIES: dict[str, QueryFn] = {
     # ---- first-50 driver window (the round driver oracle-checks only
     # ---- the first 50 entries; everything else is gated by the local
-    # ---- 3-SF sweep in scripts/check_correctness.py). Round 6 added
-    # ---- 89 new queries — far more than one window holds — so the
-    # ---- window carries the 44 newest plus the 6 next-newest; the
-    # ---- remaining round-6 queries queue for a driver row in later
-    # ---- rounds, with the triple-SF local sweep as their evidence ...
+    # ---- 3-SF sweep in scripts/check_correctness.py). Rounds 6-7
+    # ---- added far more queries than one window holds, so the window
+    # ---- carries the round-7 additions first, then the newest
+    # ---- round-6 queries; the rest queue for a driver row in later
+    # ---- rounds, with the triple-SF local sweep as their evidence.
+    "williams_r": q_williams_r,
+    "roc_momentum": q_roc_momentum,
+    "mfi": q_mfi,
+    "cmf": q_cmf,
+    "ulcer_index": q_ulcer_index,
+    "keltner": q_keltner,
+    "gap_stats": q_gap_stats,
+    "aroon": q_aroon,
+    "cci": q_cci,
+    "vwap": q_vwap,
     "sharpe_sortino": q_sharpe_sortino,
     "var_cvar": q_var_cvar,
     "adx": q_adx,
@@ -7943,6 +8324,16 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "williams_r": _WILLIAMS_ORACLE,
+    "roc_momentum": _ROC_ORACLE,
+    "mfi": _MFI_ORACLE,
+    "cmf": _CMF_ORACLE,
+    "ulcer_index": _ULCER_ORACLE,
+    "keltner": _KELTNER_ORACLE,
+    "gap_stats": _GAP_ORACLE,
+    "aroon": _AROON_ORACLE,
+    "cci": _CCI_ORACLE,
+    "vwap": _VWAP_ORACLE,
     "sharpe_sortino": _SHARPE_SORTINO_ORACLE,
     "var_cvar": _VAR_CVAR_ORACLE,
     "adx": _adx_oracle(14),

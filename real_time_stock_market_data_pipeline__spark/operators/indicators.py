@@ -1757,3 +1757,520 @@ def rank_portfolio_returns(
             6,
         ).alias("mean_fwd_return"),
     )
+
+
+def williams_r(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Williams %R: -100 * (HH - close) / (HH - LL) over the trailing
+    n-day high/low channel (the inverted twin of the stochastic %K).
+
+    NULL when the channel is degenerate (HH == LL — a flat window has
+    no oscillator position). Rolling extremes are exact min/max — no
+    float summation — so the only rounding is the final quantize;
+    rows before the window fills are dropped.
+
+    Scale: one shuffle on symbol, streaming min/max window frames
+    (O(n) state per key).
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    hh = F.max(high_col).over(w)
+    ll = F.min(low_col).over(w)
+    pct_r = F.when(
+        hh != ll, F.lit(-100.0) * (hh - F.col(close_col)) / (hh - ll)
+    )
+    return (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            F.col(close_col).alias("close"),
+            F.round(hh, 6).alias("hh"),
+            F.round(ll, 6).alias("ll"),
+            # + 0.0 collapses IEEE negative zero (close printed at the
+            # channel high) so every engine renders the same 0.0
+            (F.round(pct_r, 6) + F.lit(0.0)).alias("pct_r"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )
+
+
+def roc_momentum(
+    daily: DataFrame,
+    n: int = 10,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Rate of change (100 * (close/close_{t-n} - 1)) and raw momentum
+    (close - close_{t-n}) over an n-day lookback.
+
+    Pure lag arithmetic — one shuffle on symbol, O(n) lag state per
+    key, every derived value quantized once. Rows without a full
+    lookback (the first n per symbol) are dropped; a zero reference
+    close yields NULL roc (division guard) with momentum still
+    defined.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    ref = F.lag(close_col, n).over(wlag)
+    return (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            F.col(close_col).alias("close"),
+            ref.alias("ref_close"),
+            F.round(
+                F.when(ref != 0, F.lit(100.0) * (F.col(close_col) / ref - 1)),
+                6,
+            ).alias("roc"),
+            F.round(F.col(close_col) - ref, 6).alias("momentum"),
+        )
+        .where(F.col("ref_close").isNotNull())
+    )
+
+
+def mfi(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+    volume_col: str = "daily_volume",
+) -> DataFrame:
+    """Money Flow Index: volume-weighted RSI over the typical price
+    (H+L+C)/3. Raw money flow = tp * volume, classified positive /
+    negative by the tp change vs the previous day (flat days count
+    neither side — the standard convention).
+
+    Exactness: tp is quantized to 6 decimals, flows go through
+    DECIMAL(18,6) * BIGINT volume sums (DECIMAL(38) accumulate — no
+    float order-dependence), and the final index is one double
+    division. First day per symbol has no tp delta and is excluded
+    from flows; rows before the n-day flow window fills are dropped.
+    MFI is NULL when the window has zero total flow.
+
+    Scale: one shuffle on symbol, streaming window frames.
+    """
+    tp = F.round(
+        (F.col(high_col) + F.col(low_col) + F.col(close_col)) / 3, 6
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        tp.alias("tp"),
+        F.col(volume_col).cast("long").alias("volume"),
+    )
+    wl2 = Window.partitionBy("symbol").orderBy("date")
+    dtp = F.round(F.col("tp") - F.lag("tp").over(wl2), 6)
+    # volume enters the product as DECIMAL(12,0) so both engines stay
+    # in exact int128 decimal arithmetic (same rule as twap_daily)
+    flow = F.col("tp").cast("decimal(18,6)") * F.col("volume").cast(
+        "decimal(12,0)"
+    )
+    flows = base.select(
+        "symbol",
+        "date",
+        "close",
+        "tp",
+        dtp.alias("dtp"),
+        F.when(dtp > 0, flow).otherwise(F.lit(0).cast("decimal(18,6)")).alias("pos_flow"),
+        F.when(dtp < 0, flow).otherwise(F.lit(0).cast("decimal(18,6)")).alias("neg_flow"),
+    ).where(F.col("dtp").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+    pos = F.sum("pos_flow").over(w).cast("double")
+    neg = F.sum("neg_flow").over(w).cast("double")
+    return (
+        flows.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(pos, 6).alias("pos_flow_sum"),
+            F.round(neg, 6).alias("neg_flow_sum"),
+            F.round(
+                F.when(pos + neg != 0, F.lit(100.0) * pos / (pos + neg)), 6
+            ).alias("mfi"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )
+
+
+def cmf(
+    daily: DataFrame,
+    n: int = 20,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+    volume_col: str = "daily_volume",
+) -> DataFrame:
+    """Chaikin Money Flow: rolling sum of money-flow volume (the
+    close-location multiplier ((C-L)-(H-C))/(H-L) times volume) over
+    the rolling volume sum.
+
+    The multiplier is NULL-guarded for flat days (H == L contributes
+    zero flow, the standard treatment) and quantized before the
+    DECIMAL flow product, so both rolling sums are order-independent.
+    Rows before the window fills are dropped; CMF is NULL on a
+    zero-volume window.
+
+    Scale: one shuffle on symbol, streaming window frames.
+    """
+    hi, lo, cl = F.col(high_col), F.col(low_col), F.col(close_col)
+    mult = F.round(
+        F.when(hi != lo, ((cl - lo) - (hi - cl)) / (hi - lo)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        cl.alias("close"),
+        mult.alias("mf_mult"),
+        F.col(volume_col).cast("long").alias("volume"),
+    )
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+    flow_sum = F.sum(
+        F.col("mf_mult").cast("decimal(18,6)")
+        * F.col("volume").cast("decimal(12,0)")
+    ).over(w).cast("double")
+    vol_sum = F.sum("volume").over(w)
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(flow_sum, 6).alias("mfv_sum"),
+            vol_sum.alias("vol_sum"),
+            F.round(F.when(vol_sum != 0, flow_sum / vol_sum), 6).alias("cmf"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )
+
+
+def ulcer_index(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Ulcer index: sqrt of the n-day mean of squared percentage
+    drawdowns from the trailing n-day high close — a downside-only
+    volatility measure (Martin & McCann 1989).
+
+    Each day's drawdown uses its own trailing n-day running high
+    (single-pass rolling max — no two-pass dependence), is quantized,
+    then squared inside a DECIMAL(19,6) sum (squares of ~1e2-percent
+    drawdowns stay well inside the int128 path). Rows before the
+    window fills are dropped.
+
+    Scale: one shuffle on symbol, streaming window frames.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    peak = F.max(close_col).over(w)
+    dd = F.round(
+        F.when(peak != 0, F.lit(100.0) * (F.col(close_col) - peak) / peak)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        dd.alias("dd_pct"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    w2 = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    sq_mean = (
+        F.sum(
+            F.col("dd_pct").cast("decimal(19,6)")
+            * F.col("dd_pct").cast("decimal(19,6)")
+        )
+        .over(w2)
+        .cast("double")
+        / F.count(F.lit(1)).over(w2)
+    )
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            "dd_pct",
+            F.round(F.sqrt(F.greatest(sq_mean, F.lit(0.0))), 6).alias(
+                "ulcer_index"
+            ),
+            "rn",
+        )
+        # both the drawdown lookback and the squared-mean window must
+        # be full: 2n-1 rows of history
+        .where(F.col("rn") >= 2 * n - 1)
+        .drop("rn")
+    )
+
+
+def keltner_channels(
+    daily: DataFrame,
+    n: int = 20,
+    mult: float = 2.0,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Keltner channels, SMA form: middle = n-day SMA of the typical
+    price (H+L+C)/3, bands = middle ± mult * ATR(n) (Cutler-style SMA
+    ATR — the EMA form belongs with the recursive family, see
+    :func:`ema_macd`).
+
+    Reuses the exact-DECIMAL rolling-mean discipline of :func:`atr`;
+    TR's first-day fallback matches it. Rows are emitted once both
+    the SMA and ATR windows are full — since TR consumes one lag row,
+    that is n+1 days of history.
+
+    Scale: one shuffle on symbol; all frames share the partition sort.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    hi, lo, cl = F.col(high_col), F.col(low_col), F.col(close_col)
+    prev_close = F.lag(close_col).over(wlag)
+    tr = F.when(prev_close.isNull(), hi - lo).otherwise(
+        F.greatest(hi - lo, F.abs(hi - prev_close), F.abs(lo - prev_close))
+    )
+    tp = F.round((hi + lo + cl) / 3, 6)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        cl.alias("close"),
+        tp.alias("tp"),
+        F.round(tr, 6).alias("tr"),
+    )
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+    mid = _roll_avg(F.col("tp"), w)
+    atr_n = _roll_avg(F.col("tr"), w)
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(mid, 6).alias("kc_mid"),
+            F.round(mid + F.lit(mult) * atr_n, 6).alias("kc_upper"),
+            F.round(mid - F.lit(mult) * atr_n, 6).alias("kc_lower"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        # the first row's TR uses the high-low fallback; require a full
+        # window *after* the first true-range day: n+1 rows
+        .where(F.col("rn") >= n + 1)
+        .drop("rn")
+    )
+
+
+def gap_stats(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    open_col: str = "daily_open",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Overnight-gap analysis: each session's open vs the previous
+    close — gap percentage, direction, and whether the session filled
+    the gap (traded back through the prior close: low <= prev_close
+    for a gap-up, high >= prev_close for a gap-down).
+
+    Pure lag + comparison arithmetic; one quantize of the gap pct.
+    First day per symbol (no previous close) is dropped; a zero prior
+    close yields NULL gap_pct with direction still defined by the
+    price difference.
+
+    Scale: one shuffle on symbol, O(1) lag state.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    prev_close = F.lag(close_col).over(wlag)
+    diff = F.round(F.col(open_col) - prev_close, 6)
+    gap_pct = F.round(
+        F.when(prev_close != 0, F.lit(100.0) * (F.col(open_col) - prev_close) / prev_close),
+        6,
+    )
+    direction = (
+        F.when(diff > 0, F.lit(1)).when(diff < 0, F.lit(-1)).otherwise(F.lit(0))
+    )
+    filled = F.when(
+        diff > 0, (F.col(low_col) <= prev_close).cast("int")
+    ).when(
+        diff < 0, (F.col(high_col) >= prev_close).cast("int")
+    ).otherwise(F.lit(1))
+    return daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        prev_close.alias("prev_close"),
+        F.col(open_col).alias("open"),
+        F.col(close_col).alias("close"),
+        gap_pct.alias("gap_pct"),
+        direction.alias("gap_dir"),
+        filled.alias("gap_filled"),
+    ).where(F.col("prev_close").isNotNull())
+
+
+def aroon(
+    daily: DataFrame,
+    n: int = 25,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+) -> DataFrame:
+    """Aroon up/down: 100 * (n - days_since_extreme) / n over an
+    (n+1)-row channel (the conventional lookback counts n periods
+    back plus today).
+
+    days-since-high is recovered *declaratively* as an argmax: the
+    window max of struct(high, rn) — lexicographic struct comparison
+    makes ties resolve to the most recent bar (larger rn), the
+    standard Aroon convention — so there is no two-pass dependence
+    and no self-join. Both engines compare structs field-by-field.
+
+    Scale: one shuffle on symbol, streaming window frames; the struct
+    max carries O(1) state.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-n, 0)
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(high_col).alias("high"),
+        F.col(low_col).alias("low"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    w2 = Window.partitionBy("symbol").orderBy("rn").rowsBetween(-n, 0)
+    hi_rn = F.max(F.struct(F.col("high").alias("v"), F.col("rn").alias("rn"))).over(w2)["rn"]
+    # argmin low: negate the value so struct-max picks the smallest
+    # low (most recent on ties), keeping one aggregate shape
+    lo_rn = F.max(F.struct((-F.col("low")).alias("v"), F.col("rn").alias("rn"))).over(w2)["rn"]
+    up = F.round(F.lit(100.0) * (F.lit(n) - (F.col("rn") - hi_rn)) / F.lit(n), 6)
+    down = F.round(F.lit(100.0) * (F.lit(n) - (F.col("rn") - lo_rn)) / F.lit(n), 6)
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "high",
+            "low",
+            up.alias("aroon_up"),
+            down.alias("aroon_down"),
+            F.round(up - down, 6).alias("aroon_osc"),
+            "rn",
+        )
+        .where(F.col("rn") >= n + 1)
+        .drop("rn")
+    )
+
+
+def cci(
+    daily: DataFrame,
+    n: int = 20,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Commodity Channel Index: (tp - SMA(tp, n)) / (0.015 * MD) where
+    MD is the mean absolute deviation of the window's typical prices
+    from *that window's* SMA.
+
+    MD is genuinely two-pass — each member's deviation depends on the
+    window-end SMA, so no single window frame expresses it. Rather
+    than an O(rows * n) range self-join, each row fans out to the n
+    window-ends it belongs to (explode of a literal 0..n-1 sequence —
+    the same epoch-bucket fan-out the dual-window metrics use), the
+    SMA joins on (symbol, window_end rn), and one groupBy folds the
+    deviations. The window-end row itself rides along as offset 0, so
+    tp/date/close come back via a conditional max — no second join.
+
+    Exactness: tp and deviations are quantized before DECIMAL sums;
+    the 0.015 scale is a literal shared with the oracle. CCI is NULL
+    on a zero-deviation (flat) window.
+
+    Scale: the fan-out is n rows per input row *pre-aggregated
+    map-side* by the (symbol, rn) groupBy — cost n * rows shuffled
+    once, state O(1) per group; the SMA join is on the same key, one
+    co-partitioned exchange. At 100 TB you'd bound n, not the data.
+    """
+    wn = Window.partitionBy(symbol_col).orderBy(date_col)
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(-(n - 1), 0)
+    tp = F.round(
+        (F.col(high_col) + F.col(low_col) + F.col(close_col)) / 3, 6
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        tp.alias("tp"),
+        F.row_number().over(wn).alias("rn"),
+        F.round(_roll_avg(tp, w), 6).alias("sma_tp"),
+        F.count(F.lit(1)).over(w).alias("n_in_w"),
+    )
+    sma = base.where(F.col("n_in_w") >= n).select(
+        "symbol", F.col("rn").alias("wend"), "sma_tp"
+    )
+    fan = base.select(
+        "symbol",
+        "date",
+        "close",
+        "tp",
+        "rn",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("off"),
+    ).withColumn("wend", F.col("rn") + F.col("off"))
+    joined = fan.join(sma, ["symbol", "wend"])
+    dev = F.round(F.abs(F.col("tp") - F.col("sma_tp")), 6)
+    agg = joined.groupBy("symbol", "wend").agg(
+        F.max(F.when(F.col("off") == 0, F.col("date"))).alias("date"),
+        F.max(F.when(F.col("off") == 0, F.col("close"))).alias("close"),
+        F.max(F.when(F.col("off") == 0, F.col("tp"))).alias("tp"),
+        F.max(F.when(F.col("off") == 0, F.col("sma_tp"))).alias("sma_tp"),
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.sum(dev.cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_dev"),
+    )
+    # interior windows only: exactly n members (edges near the series
+    # end would fan out past the last sma row and were dropped by the
+    # inner join; edges near the start never had a full sma)
+    md = F.round(F.col("mean_dev"), 6)
+    return agg.where(F.col("n_members") == n).select(
+        "symbol",
+        "date",
+        "close",
+        "tp",
+        "sma_tp",
+        md.alias("mean_dev"),
+        F.round(
+            F.when(
+                md != 0,
+                (F.col("tp") - F.col("sma_tp")) / (F.lit(0.015) * md),
+            ),
+            6,
+        ).alias("cci"),
+    )

@@ -405,3 +405,46 @@ def seasonal_decompose(
             F.round(F.col("detrended") - F.col("seasonal"), 4).alias("resid"),
         )
     )
+
+
+def vwap_daily(
+    ticks: DataFrame,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Per-(symbol, day) volume-weighted average price — the
+    true-volume companion of :func:`twap_daily` (with unit volumes
+    the two coincide with the plain mean).
+
+    Exactness: price enters as DECIMAL(18,6) and volume as
+    DECIMAL(12,2), so the flow product (DECIMAL(31,8)) and both sums
+    accumulate exactly in int128 on every engine; the single closing
+    division is the only float op. Zero-volume days fall back to the
+    exact unweighted mean so the row is never NULL for a day that
+    traded.
+
+    Scale: pure map-side products then one (symbol, day) aggregation
+    with map-side partial combine — one shuffle carrying three
+    accumulators per group, no windows.
+    """
+    day = F.to_date(ts_col)
+    pq = F.round(F.col(price_col), 6).cast("decimal(18,6)")
+    vq = F.col(volume_col).cast("decimal(12,2)")
+    base = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        day.alias("date"),
+        pq.alias("pq"),
+        vq.alias("vq"),
+    )
+    sum_v = F.sum("vq")
+    wavg = F.sum(F.col("pq") * F.col("vq")).cast("double") / sum_v.cast(
+        "double"
+    )
+    mean = F.sum("pq").cast("double") / F.count(F.lit(1))
+    return base.groupBy("symbol", "date").agg(
+        F.round(F.when(sum_v > 0, wavg).otherwise(mean), 6).alias("vwap"),
+        sum_v.cast("double").alias("total_volume"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )

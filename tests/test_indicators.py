@@ -675,3 +675,174 @@ def test_event_study_offsets_complete(spark, sf_dir):
     for r in rows.values():
         assert r.n_obs >= 1
         assert r.mean_return is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch: channel oscillators, flow indicators, gaps, VWAP
+# ---------------------------------------------------------------------------
+
+
+def _ohlcv_df(spark, bars):
+    import datetime
+
+    rows = [
+        ("X", datetime.date(2024, 1, 1) + datetime.timedelta(days=i), o, h, l, c, v)
+        for i, (o, h, l, c, v) in enumerate(bars)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "symbol string, date date, daily_open double, daily_high double, "
+        "daily_low double, daily_close double, daily_volume long",
+    )
+
+
+def test_williams_r_bounds_and_pins(spark):
+    bars = [(100.0, 110.0, 90.0, 100.0 + i, 10) for i in range(6)]
+    # last close printed at the channel high -> %R = 0; at the low -> -100
+    bars.append((100.0, 110.0, 90.0, 110.0, 10))
+    bars.append((100.0, 110.0, 90.0, 90.0, 10))
+    out = indicators.williams_r(_ohlcv_df(spark, bars), n=3).orderBy("date").collect()
+    assert out
+    for r in out:
+        assert -100 - 1e-9 <= r.pct_r <= 1e-9
+        assert r.ll <= r.close <= r.hh or r.pct_r in (0.0, -100.0)
+    assert out[-2].pct_r == 0.0
+    assert out[-1].pct_r == -100.0
+
+
+def test_roc_momentum_exact(spark, daily):
+    out = indicators.roc_momentum(daily, n=5, close_col="close")
+    joined = {(r.symbol, r.date): r for r in out.collect()}
+    assert joined
+    for r in joined.values():
+        assert math.isclose(r.momentum, round(r.close - r.ref_close, 6), abs_tol=1e-9)
+        if r.ref_close:
+            assert math.isclose(
+                r.roc, round(100.0 * (r.close / r.ref_close - 1), 6), abs_tol=1e-4
+            )
+
+
+def test_mfi_bounds_and_all_up_pin(spark):
+    # monotone rising typical price -> all flow positive -> MFI = 100
+    bars = [(100.0, 101.0 + i, 99.0 + i, 100.0 + i, 10) for i in range(8)]
+    out = indicators.mfi(_ohlcv_df(spark, bars), n=4).collect()
+    assert out
+    for r in out:
+        assert -1e-9 <= r.mfi <= 100 + 1e-9
+        assert r.mfi == 100.0
+        assert r.neg_flow_sum == 0.0
+
+
+def test_cmf_bounds(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_cmf
+
+    rows = q_cmf(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.cmf is not None:
+            # the multiplier is in [-1, 1] so CMF is too
+            assert -1 - 1e-9 <= r.cmf <= 1 + 1e-9
+
+
+def test_ulcer_flat_series_is_zero(spark):
+    bars = [(100.0, 100.0, 100.0, 100.0, 10)] * 30
+    out = indicators.ulcer_index(
+        _ohlcv_df(spark, bars), n=5, close_col="daily_close"
+    ).collect()
+    assert out
+    for r in out:
+        assert r.ulcer_index == 0.0
+        assert r.dd_pct == 0.0
+
+
+def test_ulcer_nonnegative(spark, daily):
+    for r in indicators.ulcer_index(daily, n=5, close_col="close").collect():
+        assert r.ulcer_index >= 0
+        assert r.dd_pct <= 1e-9
+
+
+def test_keltner_band_ordering(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_keltner
+
+    rows = q_keltner(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kc_lower <= r.kc_mid <= r.kc_upper
+
+
+def test_gap_stats_hand_case(spark):
+    bars = [
+        (100.0, 105.0, 95.0, 100.0, 10),
+        # gap up 2% that fills (low trades back through 100)
+        (102.0, 106.0, 99.0, 104.0, 10),
+        # gap down that does NOT fill (high stays below prev close 104)
+        (101.0, 103.0, 100.0, 102.0, 10),
+        # no gap
+        (102.0, 103.0, 101.0, 102.5, 10),
+    ]
+    out = indicators.gap_stats(_ohlcv_df(spark, bars)).orderBy("date").collect()
+    assert [r.gap_dir for r in out] == [1, -1, 0]
+    assert [r.gap_filled for r in out] == [1, 0, 1]
+    assert math.isclose(out[0].gap_pct, 2.0, abs_tol=1e-9)
+
+
+def test_aroon_bounds_and_new_high_pin(spark):
+    # strictly rising highs: every day is the n-period high -> aroon_up = 100
+    bars = [(100.0, 100.0 + i, 90.0 - i, 95.0, 10) for i in range(15)]
+    out = indicators.aroon(_ohlcv_df(spark, bars), n=5).collect()
+    assert out
+    for r in out:
+        assert abs(r.aroon_up - 100.0) < 1e-9  # today is always the high
+        assert abs(r.aroon_down - 100.0) < 1e-9  # and the low (falling lows)
+    rows = indicators.aroon(_ohlcv_df(spark, [(100.0, 100.0, 90.0, 95.0, 10)] * 12), n=5).collect()
+    for r in rows:
+        # flat series: ties resolve to the most recent bar
+        assert 0 - 1e-9 <= r.aroon_up <= 100 + 1e-9
+        assert r.aroon_osc == 0.0
+
+
+def test_cci_flat_window_is_null_and_symmetry(spark):
+    flat = [(100.0, 100.0, 100.0, 100.0, 10)] * 25
+    out = indicators.cci(_ohlcv_df(spark, flat), n=5).collect()
+    assert out
+    for r in out:
+        assert r.cci is None  # zero mean deviation
+        assert r.mean_dev == 0.0
+
+
+def test_cci_matches_definition_small(spark):
+    import datetime
+
+    closes = [100.0, 102.0, 101.0, 104.0, 103.0, 106.0, 105.0]
+    bars = [(c, c + 1, c - 1, c, 10) for c in closes]
+    out = indicators.cci(_ohlcv_df(spark, bars), n=3).orderBy("date").collect()
+    # hand-verify the last row: tps are the closes (high+low+close)/3 = close
+    tps = closes
+    window = tps[-3:]
+    sma = round(sum(window) / 3, 6)
+    md = round(sum(abs(t - sma) for t in window) / 3, 6)
+    expect = round((tps[-1] - sma) / (0.015 * md), 6)
+    last = out[-1]
+    assert math.isclose(last.cci, expect, abs_tol=1e-6)
+    assert len(out) == len(closes) - 2
+
+
+def test_vwap_unit_volume_is_mean_and_hand_case(spark):
+    import datetime
+
+    rows = [
+        ("X", datetime.datetime(2024, 1, 1, 10, 0), 100.0, 2.0),
+        ("X", datetime.datetime(2024, 1, 1, 11, 0), 110.0, 1.0),
+        ("X", datetime.datetime(2024, 1, 2, 10, 0), 50.0, 0.0),
+    ]
+    from real_time_stock_market_data_pipeline__spark.operators import ohlcv
+
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, volume double"
+    )
+    out = {r.date.isoformat(): r for r in ohlcv.vwap_daily(df).collect()}
+    # (100*2 + 110*1) / 3
+    assert math.isclose(out["2024-01-01"].vwap, 310.0 / 3, abs_tol=1e-6)
+    assert out["2024-01-01"].n_trades == 2
+    # zero-volume day falls back to the unweighted mean
+    assert math.isclose(out["2024-01-02"].vwap, 50.0, abs_tol=1e-9)
