@@ -8091,6 +8091,214 @@ FROM t GROUP BY symbol, date
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 2: graph rank, churn, bloom prefilter, melt, charset
+# --------------------------------------------------------------------------
+
+
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-transition graph, 5 unrolled power
+    rounds (`operators/behavior.py:event_pagerank`); the oracle
+    replays the IDENTICAL SQL text, so equivalence is by
+    construction."""
+    return behavior.event_pagerank(
+        _events(spark, sf_dir), damping=0.85, n_iter=5
+    )
+
+
+def q_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly active/new/retained/churning user accounting
+    (`operators/behavior.py:churn_by_period`)."""
+    return behavior.churn_by_period(_events(spark, sf_dir), period="week")
+
+
+_CHURN_ORACLE = """
+WITH up AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS period_start
+  FROM events
+),
+f AS (
+  SELECT user_id, period_start,
+         lag(period_start) OVER wu = period_start - INTERVAL 7 DAY
+           AS was_prev,
+         lead(period_start) OVER wu = period_start + INTERVAL 7 DAY
+           AS active_next,
+         min(period_start) OVER wu = period_start AS is_first
+  FROM up
+  WINDOW wu AS (PARTITION BY user_id ORDER BY period_start)
+),
+per AS (
+  SELECT period_start,
+         count(*) AS n_active,
+         CAST(sum(CAST(is_first AS INT)) AS BIGINT) AS n_new,
+         CAST(sum(CAST(coalesce(was_prev, FALSE) AS INT)) AS BIGINT)
+           AS n_retained,
+         CAST(sum(CAST(NOT coalesce(active_next, FALSE) AS INT)) AS BIGINT)
+           AS n_churning_out
+  FROM f GROUP BY period_start
+)
+SELECT period_start, n_active, n_new, n_retained, n_churning_out,
+       round(CAST(n_churning_out AS DOUBLE) / n_active, 6) AS churn_rate
+FROM per
+WHERE period_start < (SELECT max(period_start) FROM per)
+"""
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter: tag the event stream with
+    membership of the high-value-purchaser key set, then audit the
+    filter per event type — events kept by the bloom, true members,
+    and false positives (`operators/sketches.py:bloom_build/
+    bloom_probe`). The false-negative count is structurally zero (a
+    Bloom filter never drops a member) and the tests pin that."""
+    ev = _events(spark, sf_dir)
+    keys = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    words = sketches.bloom_build(keys, "user_id", m_bits=1024, k_hashes=3)
+    probed = sketches.bloom_probe(
+        ev, words, "user_id", m_bits=1024, k_hashes=3
+    )
+    out = probed.join(
+        F.broadcast(keys.withColumn("is_member", F.lit(1))), "user_id", "left"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("bloom_pass").cast("int")).alias("n_bloom_pass"),
+        F.sum(F.coalesce(F.col("is_member"), F.lit(0))).alias("n_member"),
+        F.sum(
+            (F.col("bloom_pass") & F.col("is_member").isNull()).cast("int")
+        ).alias("n_false_pos"),
+    )
+
+
+_BLOOM_POS = (
+    "(CAST('0x' || substr(md5('bf' || {i} || ':' "
+    "|| CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 1024)"
+)
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value > 150
+),
+pos AS (
+  SELECT ({_BLOOM_POS.format(i="g.i")}) AS pos
+  FROM keys CROSS JOIN (SELECT unnest(range(3)) AS i) g
+),
+words AS (
+  SELECT CAST(pos // 32 AS INT) AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT event_type, user_id,
+         {_BLOOM_POS.format(i="0")} AS p0,
+         {_BLOOM_POS.format(i="1")} AS p1,
+         {_BLOOM_POS.format(i="2")} AS p2
+  FROM events
+),
+checked AS (
+  SELECT p.event_type, p.user_id,
+         ((coalesce(w0.word, 0) >> CAST(p.p0 % 32 AS INT)) & 1 = 1)
+         AND ((coalesce(w1.word, 0) >> CAST(p.p1 % 32 AS INT)) & 1 = 1)
+         AND ((coalesce(w2.word, 0) >> CAST(p.p2 % 32 AS INT)) & 1 = 1)
+           AS bloom_pass,
+         k.user_id IS NOT NULL AS is_member
+  FROM probe p
+  LEFT JOIN words w0 ON w0.word_idx = CAST(p.p0 // 32 AS INT)
+  LEFT JOIN words w1 ON w1.word_idx = CAST(p.p1 // 32 AS INT)
+  LEFT JOIN words w2 ON w2.word_idx = CAST(p.p2 // 32 AS INT)
+  LEFT JOIN keys k ON p.user_id = k.user_id
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(bloom_pass AS INT)) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(CAST(is_member AS INT)) AS BIGINT) AS n_member,
+       CAST(sum(CAST(bloom_pass AND NOT is_member AS INT)) AS BIGINT)
+         AS n_false_pos
+FROM checked GROUP BY event_type
+"""
+
+
+def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide OHLC frame melted to (symbol, date, metric, price) long
+    form via the native Expand node
+    (`operators/relational.py:unpivot_long`)."""
+    return relational.unpivot_long(
+        q_daily_metrics(spark, sf_dir),
+        ["symbol", "date"],
+        ["daily_open", "daily_high", "daily_low", "daily_close"],
+        "metric",
+        "price",
+    )
+
+
+_UNPIVOT_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE})
+SELECT symbol, date, 'daily_open' AS metric, daily_open AS price FROM d
+UNION ALL
+SELECT symbol, date, 'daily_high', daily_high FROM d
+UNION ALL
+SELECT symbol, date, 'daily_low', daily_low FROM d
+UNION ALL
+SELECT symbol, date, 'daily_close', daily_close FROM d
+"""
+
+
+def q_charset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition + mojibake screen over documents
+    (`operators/text.py:charset_stats`)."""
+    return text.charset_stats(_table("documents")(spark, sf_dir))
+
+
+_CHARSET_ORACLE = r"""
+WITH c AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+           AS n_letter,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '[ \t\r\n]', '', 'g'))
+           AS n_space,
+         length(text) - length(regexp_replace(text,
+           '[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]', '', 'g'))
+           AS n_ascii_other
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_chars, n_letter, n_digit, n_space, n_ascii_other,
+         n_chars - n_letter - n_digit - n_space - n_ascii_other
+           AS n_non_ascii,
+         round(CASE WHEN n_chars > 0
+                    THEN CAST(n_letter AS DOUBLE) / n_chars
+                    ELSE 0.0 END, 6) AS letter_ratio,
+         round(CASE WHEN n_chars > 0
+                    THEN CAST(n_digit AS DOUBLE) / n_chars
+                    ELSE 0.0 END, 6) AS digit_ratio,
+         round(CASE WHEN n_chars > 0
+                    THEN CAST(n_space AS DOUBLE) / n_chars
+                    ELSE 0.0 END, 6) AS space_ratio,
+         round(CASE WHEN n_chars > 0
+                    THEN CAST(n_chars - n_letter - n_digit - n_space
+                              - n_ascii_other AS DOUBLE) / n_chars
+                    ELSE 0.0 END, 6) AS non_ascii_ratio
+  FROM c
+)
+SELECT doc_id, n_chars, n_letter, n_digit, n_space, n_ascii_other,
+       n_non_ascii, letter_ratio, digit_ratio, space_ratio,
+       non_ascii_ratio,
+       CAST(n_chars > 0
+            AND (letter_ratio + space_ratio < 0.7
+                 OR non_ascii_ratio > 0.2) AS INT) AS suspect_charset
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8108,6 +8316,11 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "event_pagerank": q_event_pagerank,
+    "churn_weekly": q_churn_weekly,
+    "bloom_prefilter": q_bloom_prefilter,
+    "unpivot_daily": q_unpivot_daily,
+    "charset_stats": q_charset_stats,
     "williams_r": q_williams_r,
     "roc_momentum": q_roc_momentum,
     "mfi": q_mfi,
@@ -8324,6 +8537,13 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "event_pagerank": behavior.pagerank_sql(
+        behavior.transition_edges_sql("events"), damping=0.85, n_iter=5
+    ),
+    "churn_weekly": _CHURN_ORACLE,
+    "bloom_prefilter": _BLOOM_ORACLE,
+    "unpivot_daily": _UNPIVOT_ORACLE,
+    "charset_stats": _CHARSET_ORACLE,
     "williams_r": _WILLIAMS_ORACLE,
     "roc_momentum": _ROC_ORACLE,
     "mfi": _MFI_ORACLE,

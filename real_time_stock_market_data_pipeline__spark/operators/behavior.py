@@ -444,3 +444,305 @@ def conversion_latency(
             "p90_latency_s"
         ),
     )
+
+
+def transition_edges_sql(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    """SQL for the weighted first-order transition edge list
+    (src, dst, w) over per-user event sequences — the aggregation
+    half of :func:`event_pagerank`, shared verbatim with the DuckDB
+    oracle. One user-key shuffle (lead window), then a (src,dst)
+    groupBy with map-side combine."""
+    return f"""SELECT src, dst, count(*) AS w FROM (
+  SELECT {type_col} AS src,
+         lead({type_col}) OVER (PARTITION BY {user_col}
+                                ORDER BY {ts_col}, {id_col}) AS dst
+  FROM {table}
+) t WHERE dst IS NOT NULL GROUP BY src, dst"""
+
+
+def pagerank_sql(
+    edges_sql: str,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> str:
+    """ANSI-SQL PageRank over a weighted edge list (any engine runs
+    it verbatim): ``edges_sql`` must yield (src, dst, w). The
+    ``n_iter`` power-method rounds are UNROLLED into chained CTEs —
+    the same declarative-iteration design as
+    ``similarity.pca_power_iteration``.
+
+    Math: r_{t+1}(v) = (1-d)/N + d·(Σ_{u→v} p(u,v)·r_t(u) + D_t/N)
+    where p is the row-normalized transition probability and D_t the
+    rank mass on dangling nodes (nodes with no out-edges). Every
+    per-edge product is quantized with the bit-defined IEEE half-up
+    quantizer ``floor(x·10^12 + 0.5)/10^12`` (NOT round() — see
+    pca_power_iteration's docstring for the Double.toString trap) and
+    summed in DECIMAL(28,12), so each round is partition-order-exact
+    on every engine.
+
+    Scale: each iteration joins the rank frame (O(nodes)) against the
+    aggregated edge frame (O(edges)) — never the raw facts. On a
+    billion-node graph the identical plan distributes (rank shuffles
+    on dst, edges pre-partitioned on src); the dangling term stays a
+    scalar subquery — one tiny independent stage, no nested-loop
+    join. Feed a MATERIALIZED edge table (see :func:`event_pagerank`)
+    — engines that inline CTEs would otherwise recompute the edge
+    aggregation once per unrolled round.
+    """
+    q = "floor(({x}) * 1e12 + 0.5) / 1e12"
+    n_sql = "(SELECT n FROM nn)"
+    parts = [
+        f"""
+edges_w AS ({edges_sql}),
+nodes AS (
+  SELECT node FROM (
+    SELECT DISTINCT src AS node FROM edges_w
+    UNION SELECT DISTINCT dst AS node FROM edges_w
+  ) u GROUP BY node
+),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT src, dst,
+         CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p
+  FROM edges_w
+),
+dang AS (
+  SELECT node FROM nodes
+  WHERE node NOT IN (SELECT DISTINCT src FROM edges_w)
+),
+r0 AS (
+  SELECT node, {q.format(x=f'1.0 / {n_sql}')} AS r FROM nodes
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        prev = f"r{t - 1}"
+        contrib = q.format(x="prev.r * e.p")
+        dmass = (
+            f"(SELECT coalesce(CAST(sum(CAST(p.r AS DECIMAL(28,12)))"
+            f" AS DOUBLE), 0.0) FROM {prev} p"
+            f" JOIN dang dg ON p.node = dg.node)"
+        )
+        newr = q.format(
+            x=(
+                f"(1.0 - {damping!r}) / {n_sql} + {damping!r} * "
+                f"(coalesce(c.contrib, 0.0) + {dmass} / {n_sql})"
+            )
+        )
+        parts.append(
+            f""",
+r{t} AS (
+  SELECT n.node, {newr} AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST({contrib} AS DECIMAL(28,12))) AS DOUBLE)
+             AS contrib
+    FROM {prev} prev JOIN edges e ON e.src = prev.node
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, r AS pagerank FROM r{n_iter}"
+    )
+
+
+def event_pagerank(
+    events: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """PageRank over the first-order event-transition graph (nodes =
+    event types, weights = transition counts per
+    :func:`event_transitions`), numerically identical to the
+    :func:`pagerank_sql` oracle text.
+
+    Execution shape: the edge aggregation is the only pass over event
+    volume; everything after runs on the aggregated graph. The power
+    rounds are a DRIVER-PACED loop with a ``localCheckpoint`` per
+    round — the same lineage-truncation pattern as
+    ``dedup.neardup_clusters`` — because a fully-unrolled lineage
+    references r_{t-1} twice (neighbor contribution + dangling mass),
+    doubling the plan per round: 2^n_iter subtrees, measured 20 s for
+    5 rounds at sf0.001 vs ~2 s paced. The loop is over ITERATIONS,
+    never rows; the one driver scalar per round (dangling mass) is a
+    single aggregated value, skipped entirely when the graph has no
+    dangling nodes.
+
+    Exactness: every per-edge product is quantized with the IEEE
+    half-up quantizer ``floor(x·10^12 + 0.5)/10^12`` and summed in
+    DECIMAL(28,12) — partition-order-exact, and bit-identical to the
+    oracle's arithmetic (same op order, same IEEE semantics).
+
+    Scale: per round, one (node)-key broadcast-or-shuffle join of the
+    O(nodes) rank frame against the O(edges) edge frame and one
+    dim-sized groupBy — the canonical distributed-PageRank shape. For
+    a billion-node graph swap localCheckpoint for reliable
+    checkpointing and let AQE pick the join side; nothing else
+    changes.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    edges_w = (
+        pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    ).localCheckpoint()
+
+    nodes = (
+        edges_w.select(F.col("src").alias("node"))
+        .union(edges_w.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    wsrc = Window.partitionBy("src")
+    edges = edges_w.select(
+        "src",
+        "dst",
+        (F.col("w").cast("double") / F.sum("w").over(wsrc)).alias("p"),
+    ).localCheckpoint()
+    dang = nodes.join(
+        edges_w.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint()
+    has_dangling = dang.count() > 0
+
+    def q(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    r = nodes.select(
+        "node", q(F.lit(1.0) / F.lit(float(n))).alias("r")
+    ).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            r.alias("prev")
+            .join(edges.alias("e"), F.col("prev.node") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(
+                F.sum(
+                    q(F.col("prev.r") * F.col("e.p")).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        if has_dangling:
+            dmass = (
+                r.join(dang, "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("r").cast("decimal(28,12)")).cast(
+                            "double"
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+                .first()[0]
+            )
+        else:
+            dmass = 0.0
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                q(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dmass / n)
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.select("node", F.col("r").alias("pagerank"))
+
+
+def churn_by_period(
+    events: DataFrame,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-calendar-period user accounting: active, new (first period
+    ever), retained (also active the previous period), churned-in
+    (active the previous period but not this one), and the resulting
+    churn rate = churned_in / previous period's actives.
+
+    Shape: one distinct (user, period) aggregation — the only shuffle
+    that touches event volume — then per-user lag/min windows over the
+    tiny user-period frame and one final groupBy on period. "Previous
+    period" is strict calendar adjacency (period_start - interval),
+    not merely the previous active period, so a user who skips a week
+    churns and later re-appears as a returning active (counted
+    active, not new, not retained).
+
+    Scale: user-period cardinality ≪ event cardinality; everything
+    after the first aggregation is dimension-sized. The same plan at
+    100 TB: distinct pushes map-side, the windows shuffle only
+    user-period rows.
+    """
+    if period not in ("week", "month"):
+        raise ValueError(f"unsupported period {period!r}")
+    p = F.date_trunc(period, F.col(ts_col))
+    up = events.select(
+        F.col(user_col).alias("user_id"), p.alias("period_start")
+    ).distinct()
+    wu = Window.partitionBy("user_id").orderBy("period_start")
+    if period == "week":
+        prev_expr = F.col("period_start") - F.expr("INTERVAL 7 DAYS")
+        next_expr = F.col("period_start") + F.expr("INTERVAL 7 DAYS")
+    else:
+        prev_expr = F.add_months(F.col("period_start"), -1)
+        next_expr = F.add_months(F.col("period_start"), 1)
+    flags = up.select(
+        "user_id",
+        "period_start",
+        (F.lag("period_start").over(wu) == prev_expr).alias("was_prev"),
+        (F.lead("period_start").over(wu) == next_expr).alias("active_next"),
+        (F.min("period_start").over(wu) == F.col("period_start")).alias(
+            "is_first"
+        ),
+    )
+    per = flags.groupBy("period_start").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.col("is_first").cast("int")).alias("n_new"),
+        F.sum(F.coalesce(F.col("was_prev"), F.lit(False)).cast("int")).alias(
+            "n_retained"
+        ),
+        F.sum(
+            (~F.coalesce(F.col("active_next"), F.lit(False))).cast("int")
+        ).alias("n_churning_out"),
+    )
+    # churn rate of period t = users active in t that are NOT active in
+    # t+1, over t's actives — reported on t so the last period (whose
+    # future is unobserved) is dropped
+    wp = Window.orderBy("period_start")
+    out = per.select(
+        "period_start",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_churning_out",
+        F.round(
+            F.col("n_churning_out").cast("double") / F.col("n_active"), 6
+        ).alias("churn_rate"),
+        F.lead("period_start").over(wp).alias("__next"),
+    )
+    return out.where(F.col("__next").isNotNull()).drop("__next")

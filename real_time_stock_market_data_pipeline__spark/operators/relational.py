@@ -542,3 +542,32 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def unpivot_long(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long reshape (melt): one output row per (input row ×
+    value column), keyed by the id columns plus the source column's
+    name. The inverse of :func:`pivot_counts`'s wide form.
+
+    Uses the native ``DataFrame.unpivot`` (Spark's Expand node): a
+    map-side row expansion inside whole-stage codegen — no shuffle,
+    no UDF, output size = rows × len(value_cols). Value columns must
+    share a least-common type (Spark casts; mixing incompatible types
+    throws under ANSI mode — by design, a silent stringly melt hides
+    schema drift).
+
+    At 100 TB the Expand multiplies scan output, not scan input —
+    column pruning still reads only id + value columns from parquet.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        var_name,
+        value_name,
+    )

@@ -283,3 +283,113 @@ def cms_heavy_hitters(
         "n_est",
         (F.col("n_est") - F.col("n_exact")).alias("overcount"),
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a deterministic Bloom filter over a key set as a tiny
+    (word_idx, word) frame: ``m_bits`` bits stored as 32-bit words in
+    BIGINTs (a 32-bit word keeps every shift/mask inside the portable
+    positive-int64 range on all engines; 1<<63 sign-bit semantics are
+    NOT portable).
+
+    Hashes are engine-replayable md5 slices: bit position i of key k
+    is ``conv(md5('bf' || i || ':' || k)[:8], 16, 10) % m_bits`` —
+    the same integer-hash discipline as the MinHash constants
+    (``operators/dedup.py``), so DuckDB rebuilds the identical filter.
+
+    Shape: explode k positions per key (map-side), one groupBy on the
+    word index with a ``bit_or`` that combines map-side — the shuffle
+    carries at most ``m_bits/32`` partial words per task, regardless
+    of key count.
+    """
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    ks = F.col(key_col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bf{i}:"), ks)), 1, 8
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % m_bits
+            )
+            for i in range(k_hashes)
+        ]
+    )
+    pos = keys.select(F.explode(positions).alias("pos"))
+    # shiftleft/shiftright via expr: the PySpark wrappers take a
+    # Python-int bit count, but ours is a column
+    return pos.groupBy(F.expr("CAST(pos DIV 32 AS INT)").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).alias(
+            "word"
+        )
+    )
+
+
+def bloom_probe(
+    fact: DataFrame,
+    bloom_words: DataFrame,
+    key_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Tag each fact row with Bloom membership of ``key_col`` —
+    the shuffle-free prefilter for a semi-join whose build side is too
+    big to broadcast as an exact set but whose FILTER is tiny.
+
+    Each of the k probes is an equi-join on the probed word index
+    against the (m_bits/32)-row filter frame — Spark broadcasts it, so
+    the fact is never shuffled and gains one boolean column. At 100 TB
+    this is the shape that replaces `fact JOIN keys` (a full shuffle
+    of the fact) with `fact →(broadcast)→ σ(bloom) →(shuffle of
+    survivors only)→ exact verify`; with an fp rate of ~1% the
+    verify-join moves two orders of magnitude less data.
+
+    The flag is conjunctive over the k probed bits; a missing word row
+    (no key hashed into that word) means the bit is 0 → fail.
+    """
+    ks = F.col(key_col).cast("string")
+    out = fact
+    checks = []
+    for i in range(k_hashes):
+        pos = (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), ks)), 1, 8), 16, 10)
+            .cast("long")
+            % m_bits
+        )
+        wcol = f"__bw{i}"
+        out = out.withColumn(f"__pos{i}", pos).withColumn(
+            f"__widx{i}", F.expr(f"CAST(__pos{i} DIV 32 AS INT)")
+        ).withColumn(f"__bit{i}", F.expr(f"CAST(__pos{i} % 32 AS INT)"))
+        bw = F.broadcast(
+            bloom_words.select(
+                F.col("word_idx").alias(f"__widx{i}"), F.col("word").alias(wcol)
+            )
+        )
+        out = out.join(bw, f"__widx{i}", "left")
+        checks.append(
+            F.expr(
+                f"shiftright(coalesce({wcol}, CAST(0 AS BIGINT)), __bit{i}) & 1"
+            )
+            == 1
+        )
+    flag = checks[0]
+    for c in checks[1:]:
+        flag = flag & c
+    drop = [
+        c
+        for i in range(k_hashes)
+        for c in (f"__pos{i}", f"__widx{i}", f"__bit{i}", f"__bw{i}")
+    ]
+    return out.withColumn(flag_col, flag).drop(*drop)

@@ -928,3 +928,61 @@ def pii_spans(
     return e.unionByName(n).select(
         id_col, "span_type", (F.col("idx") + 1).alias("occurrence"), "span_text"
     )
+
+
+def charset_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-class composition: counts and ratios of
+    ASCII letters, digits, whitespace, other-ASCII (punctuation and
+    symbols), and non-ASCII — plus a ``suspect_charset`` flag for the
+    mojibake/binary-spill screen a corpus-cleaning pipeline runs
+    before language ID (a doc that is mostly neither letters nor
+    whitespace is not prose).
+
+    Counts are length deltas of class-targeted ``regexp_replace`` —
+    codegen regex, no Python path; ratios are single IEEE divisions
+    of integer counts, so any engine replays them bit-identically.
+    Map-side only: no shuffle at any size.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+
+    def n_of(cls: str) -> F.Column:
+        return n_chars - F.length(F.regexp_replace(t, cls, ""))
+
+    n_letter = n_of("[A-Za-z]")
+    n_digit = n_of("[0-9]")
+    n_space = n_of(r"[ \t\r\n]")
+    n_ascii_other = n_of(r"[\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]")
+    n_non_ascii = n_chars - n_letter - n_digit - n_space - n_ascii_other
+
+    def ratio(n: F.Column) -> F.Column:
+        return F.round(
+            F.when(n_chars > 0, n / n_chars).otherwise(F.lit(0.0)), 6
+        )
+
+    letter_ratio = ratio(n_letter)
+    space_ratio = ratio(n_space)
+    non_ascii_ratio = ratio(n_non_ascii)
+    suspect = (
+        (n_chars > 0)
+        & (
+            (letter_ratio + space_ratio < 0.7)
+            | (non_ascii_ratio > 0.2)
+        )
+    ).cast("int")
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_letter.alias("n_letter"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_ascii_other.alias("n_ascii_other"),
+        n_non_ascii.alias("n_non_ascii"),
+        letter_ratio.alias("letter_ratio"),
+        ratio(n_digit).alias("digit_ratio"),
+        space_ratio.alias("space_ratio"),
+        non_ascii_ratio.alias("non_ascii_ratio"),
+        suspect.alias("suspect_charset"),
+    )

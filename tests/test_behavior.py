@@ -256,3 +256,105 @@ def test_cumulative_users_monotone_and_total(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert rows[-1].cumulative_users == total_users
+
+
+# ---------------------------------------------------------------------------
+# Round-7: PageRank + churn
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_is_a_probability_vector(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.event_pagerank(ev, n_iter=3).collect()
+    assert rows
+    total = sum(r.pagerank for r in rows)
+    # quantized at 1e-12 per node; mass is conserved up to that
+    assert abs(total - 1.0) < 1e-9 * len(rows) + 1e-9
+    for r in rows:
+        assert r.pagerank > 0
+
+
+def test_pagerank_two_node_hand_case(spark):
+    import datetime
+
+    # A -> B -> A -> B ... for one user: symmetric 2-cycle, so the
+    # stationary distribution is uniform (0.5, 0.5) at every round.
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), 1, "A" if i % 2 == 0 else "B")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.node: r.pagerank for r in behavior.event_pagerank(df, n_iter=4).collect()}
+    assert abs(out["A"] - 0.5) < 1e-9
+    assert abs(out["B"] - 0.5) < 1e-9
+
+
+def test_pagerank_dangling_sink_gets_most_mass(spark):
+    import datetime
+
+    # every user path ends in 'sink' and sink never transitions out:
+    # the dangling redistribution keeps total mass 1 and the sink
+    # accumulates the largest rank.
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i, t in enumerate(["a", "b", "sink"]):
+            rows.append((eid, datetime.datetime(2024, 1, 1, u, i), u, t))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.node: r.pagerank for r in behavior.event_pagerank(df, n_iter=5).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-8
+    assert out["sink"] == max(out.values())
+
+
+def test_churn_accounting_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.churn_by_period(ev, "week").orderBy("period_start").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_retained <= r.n_active
+        assert 0 <= r.n_new <= r.n_active
+        assert 0 <= r.n_churning_out <= r.n_active
+        assert 0.0 <= r.churn_rate <= 1.0
+
+
+def test_churn_skipping_user_hand_case(spark):
+    import datetime
+
+    def ev(eid, day, user):
+        return (eid, datetime.datetime(2024, 1, day, 12), user, "click")
+
+    # weeks: Jan 1-7, 8-14, 15-21, 22-28.
+    # u1 active every week; u2 active wk1 + wk3 only (skips wk2).
+    rows = [
+        ev(0, 2, 1), ev(1, 9, 1), ev(2, 16, 1), ev(3, 23, 1),
+        ev(4, 3, 2), ev(5, 17, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r.period_start.day: r
+        for r in behavior.churn_by_period(df, "week").collect()
+    }
+    # wk1 (Jan 1): both active, both new; u2 churns out (absent wk2)
+    assert out[1].n_active == 2 and out[1].n_new == 2
+    assert out[1].n_churning_out == 1
+    # wk2 (Jan 8): only u1, retained, not new
+    assert out[8].n_active == 1 and out[8].n_retained == 1 and out[8].n_new == 0
+    # wk3 (Jan 15): u1 retained + u2 returning (active, NOT new, NOT retained)
+    assert out[15].n_active == 2 and out[15].n_retained == 1 and out[15].n_new == 0
+    # last week (Jan 22) is dropped — future unobserved
+    assert 22 not in out

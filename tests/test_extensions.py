@@ -382,3 +382,24 @@ def test_snapshot_diff_statuses(spark, sf_dir):
     assert by.get("unchanged")
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(len(v) for v in by.values()) == n_docs + len(by["added"])
+
+
+def test_unpivot_long_round_trip(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+        q_unpivot_daily,
+    )
+
+    wide = q_daily_metrics(spark, sf_dir)
+    long = q_unpivot_daily(spark, sf_dir)
+    assert long.count() == 4 * wide.count()
+    # re-pivot and compare one metric column exactly
+    back = (
+        long.groupBy("symbol", "date")
+        .pivot("metric", ["daily_close"])
+        .max("price")
+        .withColumnRenamed("daily_close", "rt_close")
+    )
+    joined = wide.join(back, ["symbol", "date"])
+    assert joined.where("daily_close <> rt_close").count() == 0
+    assert joined.count() == wide.count()

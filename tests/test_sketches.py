@@ -148,3 +148,56 @@ def test_cms_small_width_still_bounds_error(spark):
     for r in rows:
         assert r.n_exact == 20
         assert 20 <= r.n_est <= 1000
+
+
+# ---------------------------------------------------------------------------
+# Round-7: Bloom filter prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_drops_a_member(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    words = sketches.bloom_build(keys, "user_id")
+    probed = sketches.bloom_probe(ev, words, "user_id")
+    false_neg = (
+        probed.join(keys, "user_id", "left_semi")
+        .where(~F.col("bloom_pass"))
+        .count()
+    )
+    assert false_neg == 0
+
+
+def test_bloom_prefilter_audit_reconciles(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_bloom_prefilter,
+    )
+
+    rows = q_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # no false negatives => everything the bloom passed beyond the
+        # true members is exactly the false-positive count
+        assert r.n_bloom_pass == r.n_member + r.n_false_pos
+        assert r.n_bloom_pass <= r.n_events
+
+
+def test_bloom_fp_rate_is_small_on_disjoint_probe(spark):
+    # keys 0..99 in the filter; probe 100k disjoint keys — with
+    # m=4096, k=3 and 100 keys the expected fp rate is ~(1-e^-kn/m)^k
+    # ≈ 3e-4; assert an order-of-magnitude bound, deterministically
+    # (the hash is fixed, so this is a pinned result, not a flake).
+    keys = spark.range(0, 100).withColumnRenamed("id", "k")
+    probe = spark.range(1000, 21000).withColumnRenamed("id", "k")
+    words = sketches.bloom_build(keys, "k", m_bits=4096, k_hashes=3)
+    out = sketches.bloom_probe(probe, words, "k", m_bits=4096, k_hashes=3)
+    fp = out.where("bloom_pass").count()
+    assert fp < 20000 * 0.01

@@ -432,3 +432,36 @@ def test_pii_spans_match_redactor_counts(spark, sf_dir):
         assert counts.get((r.doc_id, "long_number"), 0) == r.n_long_numbers
     # every extracted email really matches the pattern shape
     assert all("@" in r.span_text for r in spans if r.span_type == "email")
+
+
+def test_charset_stats_ratios_partition_unity(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = t.charset_stats(docs).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_letter + r.n_digit + r.n_space + r.n_ascii_other + r.n_non_ascii
+            == r.n_chars
+        )
+        if r.n_chars:
+            s = r.letter_ratio + r.digit_ratio + r.space_ratio + r.non_ascii_ratio
+            assert s <= 1.0 + 1e-6
+
+
+def test_charset_stats_flags_binary_spill(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A perfectly ordinary English sentence."),
+            (2, "#$%^&*()!@ 0x00 1234 ~~ ||| ### $$$ %%%"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.charset_stats(docs).collect()}
+    assert out[1].suspect_charset == 0
+    assert out[2].suspect_charset == 1
+    assert out[3].suspect_charset == 0 and out[3].n_chars == 0
