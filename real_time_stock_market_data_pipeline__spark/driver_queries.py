@@ -8299,6 +8299,226 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 3: drift detection, JL projection, tolerant as-of
+# --------------------------------------------------------------------------
+
+#: weekend split shared by the drift queries: Spark dayofweek is
+#: 1=Sunday..7=Saturday; DuckDB dayofweek (dow) is 0=Sunday..6=Saturday.
+_WEEKEND_SQL = "CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END"
+
+
+def _events_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).withColumn(
+        "is_weekend", F.dayofweek("ts").isin(1, 7).cast("int")
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic per event type: weekday vs weekend
+    value distributions (`operators/metrics.py:ks_drift`)."""
+    return metrics.ks_drift(
+        _events_weekend_split(spark, sf_dir),
+        group_col="event_type",
+        side_col="is_weekend",
+        value_col="value",
+    )
+
+
+_KS_ORACLE = f"""
+WITH v AS (
+  SELECT event_type AS grp, value AS val, {_WEEKEND_SQL} AS is_b
+  FROM events
+),
+pv AS (
+  SELECT grp, val,
+         CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM v GROUP BY grp, val
+),
+g AS (
+  SELECT grp,
+         sum(ca) OVER wrun AS cum_a, sum(cb) OVER wrun AS cum_b,
+         sum(ca) OVER wall AS n_a, sum(cb) OVER wall AS n_b
+  FROM pv
+  WINDOW wrun AS (PARTITION BY grp ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY grp)
+)
+SELECT grp, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       round(max(CASE WHEN n_a > 0 AND n_b > 0
+                      THEN abs(CAST(cum_a AS DOUBLE) / n_a
+                               - CAST(cum_b AS DOUBLE) / n_b) END),
+             6) AS ks_stat
+FROM g GROUP BY grp
+"""
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type, weekday (reference)
+    vs weekend (current) (`operators/metrics.py:psi_drift`)."""
+    return metrics.psi_drift(
+        _events_weekend_split(spark, sf_dir),
+        group_col="event_type",
+        side_col="is_weekend",
+        value_col="value",
+        bin_width=25.0,
+        n_bins=8,
+    )
+
+
+_PSI_ORACLE = f"""
+WITH v AS (
+  SELECT event_type AS grp, value AS val, {_WEEKEND_SQL} AS is_b
+  FROM events
+),
+pb AS (
+  SELECT grp,
+         greatest(least(CAST(floor(val / 25.0) AS INT), 7), 0) AS bin,
+         CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cc
+  FROM v GROUP BY grp, bin
+),
+sh AS (
+  SELECT grp, bin,
+         round(CAST(cr AS DOUBLE) / sum(cr) OVER wall, 6) AS p,
+         round(CAST(cc AS DOUBLE) / sum(cc) OVER wall, 6) AS q,
+         sum(cr) OVER wall AS n_ref, sum(cc) OVER wall AS n_cur
+  FROM pb
+  WINDOW wall AS (PARTITION BY grp)
+)
+SELECT grp, CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       round(CAST(sum(CAST(round(
+           (greatest(p, 1e-6) - greatest(q, 1e-6))
+           * ln(greatest(p, 1e-6) / greatest(q, 1e-6)), 12)
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+FROM sh WHERE n_ref > 0 AND n_cur > 0
+GROUP BY grp
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of event type × day-of-week
+    (`operators/metrics.py:chi_square_independence`)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("weekday")
+    )
+    return metrics.chi_square_independence(ev, "event_type", "weekday")
+
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type AS a, dayofweek(ts) + 1 AS b, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS row_tot,
+         sum(o) OVER (PARTITION BY b) AS col_tot,
+         sum(o) OVER () AS n
+  FROM cells
+)
+SELECT round(CAST(sum(CAST(round(
+         (o - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / n)
+         * (o - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / n)
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / n), 10)
+       AS DECIMAL(28,10))) AS DOUBLE), 6) AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+         AS dof,
+       CAST(max(n) AS BIGINT) AS n
+FROM m
+"""
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ±1 Johnson–Lindenstrauss projection of the
+    embeddings to 16 dims, long form
+    (`operators/similarity.py:random_projection`)."""
+    return similarity.random_projection(
+        _table("embeddings")(spark, sf_dir), out_dim=16
+    )
+
+
+_RANDOM_PROJECTION_ORACLE = """
+WITH proj AS (
+  SELECT CAST(i // 16 AS INT) AS dim, CAST(i % 16 AS INT) AS k,
+         CASE WHEN CAST('0x' || substr(md5(
+                  'rp:' || CAST(CAST(i // 16 AS INT) AS VARCHAR)
+                  || ':' || CAST(CAST(i % 16 AS INT) AS VARCHAR)), 1, 8)
+                AS BIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS sign
+  FROM (SELECT unnest(range(1024)) AS i) r
+),
+x AS (
+  SELECT vec_id, t.i - 1 AS dim,
+         CAST(round(CAST(embedding[t.i] AS DOUBLE), 6)
+              AS DECIMAL(18,6)) AS x6
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+)
+SELECT x.vec_id, p.k AS out_dim,
+       {round_component} AS component
+FROM x JOIN proj p ON x.dim = p.dim
+GROUP BY x.vec_id, p.k
+""".format(
+    # /4 is exact in binary, so the quotient routinely lands on a
+    # literal 5 at the 7th decimal — the Spark-repr vs binary round
+    # tie _round_sql exists for
+    round_component=_round_sql(
+        "CAST(sum(CASE WHEN p.sign = 1 THEN x.x6 ELSE -x.x6 END)"
+        " AS DOUBLE) / sqrt(16.0)",
+        6,
+    )
+)
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 1-hour staleness bound + realized match age
+    (`operators/relational.py:asof_join_tolerance`)."""
+    ev = _events(spark, sf_dir)
+    purchases = dedup.dedup_keep_last(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id", "ts"],
+        order_by=["event_id"],
+    ).select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return relational.asof_join_tolerance(
+        ev.select("event_id", "ts", "user_id", "value"),
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        right_vals=["p_value"],
+        tolerance_us=3_600_000_000,
+    )
+
+
+_ASOF_TOLERANCE_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'purchase') t
+  WHERE rn = 1),
+j AS (
+  SELECT e.event_id, e.ts, e.user_id, e.value, p.p_ts, p.p_value
+  FROM events e ASOF LEFT JOIN p
+    ON e.user_id = p.user_id AND e.ts >= p.p_ts
+)
+SELECT event_id, ts, user_id, value,
+       CASE WHEN p_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(p_ts) <= 3600000000
+            THEN p_value END AS p_value,
+       CASE WHEN p_ts IS NOT NULL
+             AND epoch_us(ts) - epoch_us(p_ts) <= 3600000000
+            THEN epoch_us(ts) - epoch_us(p_ts) END AS asof_age_us
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8316,6 +8536,11 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "ks_drift": q_ks_drift,
+    "psi_drift": q_psi_drift,
+    "chi_square": q_chi_square,
+    "random_projection": q_random_projection,
+    "asof_tolerance": q_asof_tolerance,
     "event_pagerank": q_event_pagerank,
     "churn_weekly": q_churn_weekly,
     "bloom_prefilter": q_bloom_prefilter,
@@ -8537,6 +8762,11 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ks_drift": _KS_ORACLE,
+    "psi_drift": _PSI_ORACLE,
+    "chi_square": _CHI2_ORACLE,
+    "random_projection": _RANDOM_PROJECTION_ORACLE,
+    "asof_tolerance": _ASOF_TOLERANCE_ORACLE,
     "event_pagerank": behavior.pagerank_sql(
         behavior.transition_edges_sql("events"), damping=0.85, n_iter=5
     ),

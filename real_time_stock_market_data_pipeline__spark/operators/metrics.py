@@ -606,3 +606,194 @@ def trimmed_mean(
             6,
         ).alias("mean_trimmed"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group: the max
+    absolute ECDF gap between the side=false ("a") and side=true
+    ("b") distributions of ``value_col`` — the standard drift /
+    distribution-shift detector a data pipeline runs between a
+    reference window and a current window.
+
+    Exactness: ECDFs are ratios of running integer counts (one double
+    division each); the max over gaps is exact — no float summation
+    anywhere, so any engine replays it bit-identically.
+
+    Shape: one (group, value) aggregation over the facts, then
+    running-count windows and a final max per group — all on the same
+    group key, one shuffle lineage. Groups with an empty side emit
+    NULL (no distribution to compare).
+    """
+    b = F.col(side_col).cast("boolean")
+    per_val = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("val"),
+            F.when(~b, 1).otherwise(0).alias("ca"),
+            F.when(b, 1).otherwise(0).alias("cb"),
+        )
+        .groupBy("grp", "val")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    wrun = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    gaps = per_val.select(
+        "grp",
+        F.sum("ca").over(wrun).alias("cum_a"),
+        F.sum("cb").over(wrun).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return (
+        gaps.select(
+            "grp",
+            "n_a",
+            "n_b",
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), gap).alias("gap"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max("gap"), 6).alias("ks_stat"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+    bin_width: float = 25.0,
+    n_bins: int = 8,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group between the side=false
+    (reference) and side=true (current) distributions of
+    ``value_col``, over fixed-width bins with the overflow clamped
+    into the last bin: PSI = Σ_bins (p' − q')·ln(p'/q') with shares
+    floored at ``eps`` (the standard guard so an empty bin contributes
+    a finite penalty instead of ∞). Rule of thumb: <0.1 stable, >0.25
+    shifted.
+
+    Exactness: shares are integer-count divisions quantized to 6
+    decimals BEFORE the eps floor, each bin's term is quantized to 12
+    decimals before an exact DECIMAL sum — partition-order-independent
+    on every engine. ln of a quantized positive ratio is deterministic
+    IEEE.
+
+    Shape: one (group, bin) aggregation over the facts, per-group
+    totals as dimension-sized windows, one final groupBy — a single
+    shuffle lineage on the group key.
+    """
+    b = F.col(side_col).cast("boolean")
+    bin_col = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    bin_col = F.greatest(bin_col, F.lit(0))
+    per_bin = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bin_col.alias("bin"),
+            F.when(~b, 1).otherwise(0).alias("cr"),
+            F.when(b, 1).otherwise(0).alias("cc"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+    )
+    wall = Window.partitionBy("grp")
+    shares = per_bin.select(
+        "grp",
+        "bin",
+        F.round(
+            F.col("cr").cast("double") / F.sum("cr").over(wall), 6
+        ).alias("p"),
+        F.round(
+            F.col("cc").cast("double") / F.sum("cc").over(wall), 6
+        ).alias("q"),
+        F.sum("cr").over(wall).alias("n_ref"),
+        F.sum("cc").over(wall).alias("n_cur"),
+    )
+    pf = F.greatest(F.col("p"), F.lit(eps))
+    qf = F.greatest(F.col("q"), F.lit(eps))
+    term = F.round((pf - qf) * F.log(pf / qf), 12)
+    return (
+        shares.where((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("grp")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(
+                F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+            ).alias("psi"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two
+    categorical columns: one output row with the statistic, the
+    degrees of freedom, and N — the categorical-drift /
+    feature-dependence audit.
+
+    Exactness: the contingency table is exact integer counts;
+    expected counts are one double expression each ((row·col)/N,
+    fixed operand order); each cell's (o−e)²/e is quantized to 10
+    decimals before an exact DECIMAL sum, so the statistic is
+    identical under any partitioning.
+
+    Shape: one (a, b) aggregation over the facts — the only shuffle
+    that sees data volume — then margins as windows over the
+    dimension-sized table and one global fold of its cells.
+    """
+    cells = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    with_margins = cells.select(
+        "a",
+        "b",
+        "o",
+        F.sum("o").over(wa).alias("row_tot"),
+        F.sum("o").over(wb).alias("col_tot"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n")
+    )
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 10)
+    return with_margins.agg(
+        F.round(F.sum(term.cast("decimal(28,10)")).cast("double"), 6).alias(
+            "chi2"
+        ),
+        (
+            (F.count_distinct(F.col("a")) - 1)
+            * (F.count_distinct(F.col("b")) - 1)
+        ).alias("dof"),
+        F.max("n").alias("n"),
+    )

@@ -571,3 +571,73 @@ def unpivot_long(
         var_name,
         value_name,
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+    tolerance_us: int,
+) -> DataFrame:
+    """:func:`asof_join` with a staleness bound: the carried right row
+    only matches when ``left_ts - right_ts <= tolerance_us``
+    (microseconds); beyond it the right values are NULL — the
+    standard market-data rule "use the last quote, but never one
+    older than X".
+
+    Same union-and-carry shape as :func:`asof_join` (one shuffle, one
+    sort, O(1) window state); the carried struct additionally holds
+    the right row's event time, and one map-side comparison masks
+    stale matches. An extra ``asof_age_us`` column reports the
+    realized staleness of each match (NULL where unmatched).
+    """
+    lcols = left.columns
+    collide = {*right_vals, "asof_age_us"} & set(lcols)
+    if collide:
+        raise ValueError(
+            f"asof_join_tolerance: name collisions: {sorted(collide)}"
+        )
+    rv_struct = F.struct(
+        F.unix_micros(F.col(right_ts)).alias("__rts_us"),
+        *[F.col(c) for c in right_vals],
+    )
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None)
+        .cast(right.select(rv_struct.alias("__rv")).schema["__rv"].dataType)
+        .alias("__rv"),
+    )
+    r = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in on
+            else F.col(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        rv_struct.alias("__rv"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        *lcols,
+        F.col("__ts"),
+        F.col("__tag"),
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
+    )
+    age = F.unix_micros(F.col("__ts")) - F.col("__rv.__rts_us")
+    fresh = F.col("__rv").isNotNull() & (age <= F.lit(tolerance_us))
+    return carried.filter(F.col("__tag") == 1).select(
+        *lcols,
+        *[F.when(fresh, F.col(f"__rv.{c}")).alias(c) for c in right_vals],
+        F.when(fresh, age).alias("asof_age_us"),
+    )

@@ -904,3 +904,98 @@ def embedding_outliers(
         "dist2",
         F.col("rnk").cast("bigint").alias("outlier_rank"),
     )
+
+
+def random_projection(
+    embs: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project each embedding onto
+    ``out_dim`` deterministic ±1 hyperplanes (sign of an md5 hash of
+    the (in-dim, out-dim) cell — the same engine-portable pseudo-
+    randomness as the MinHash constants), scaled by 1/√out_dim. The
+    dimensionality-reduction step before a cheaper ANN index or a
+    coarse dedup pass; inner products are preserved in expectation
+    with variance 1/out_dim.
+
+    Exactness: inputs are quantized to 6 decimals; a ±1 sign keeps
+    the products exactly on the DECIMAL(18,6) lattice, so the per-
+    component sums are exact and the single √-scale division is the
+    only float op. Output is long form (id, out dim, component) —
+    array cells don't survive driver canonicalization, and the long
+    form feeds the existing long-form centroid/quantize operators.
+
+    Shape: the projection matrix is in_dim·out_dim rows built from
+    ``spark.range`` (no data scan), broadcast into the explode join;
+    one (id, k) aggregation — cost in_dim·out_dim per vector but one
+    shuffle carrying out_dim rows per vector.
+    """
+    spark = embs.sparkSession
+    proj = spark.range(in_dim * out_dim).select(
+        (F.col("id") / out_dim).cast("int").alias("dim"),
+        (F.col("id") % out_dim).cast("int").alias("k"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("rp:"),
+                                (F.col("id") / out_dim)
+                                .cast("int")
+                                .cast("string"),
+                                F.lit(":"),
+                                (F.col("id") % out_dim)
+                                .cast("int")
+                                .cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1
+        ).alias("sign"),
+    )
+    x = embs.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "xval"),
+    ).select(
+        "vid",
+        "dim",
+        F.round(F.col("xval").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("x6"),
+    )
+    joined = x.join(F.broadcast(proj), "dim")
+    return (
+        joined.groupBy("vid", "k")
+        .agg(
+            F.round(
+                # ±1 applied as a CASE negation keeps the sum on the
+                # exact DECIMAL lattice with identical typing on every
+                # engine (a decimal×integer product promotes
+                # differently across engines)
+                F.sum(
+                    F.when(F.col("sign") == 1, F.col("x6")).otherwise(
+                        -F.col("x6")
+                    )
+                ).cast("double")
+                / F.sqrt(F.lit(float(out_dim))),
+                6,
+            ).alias("component")
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("k").alias("out_dim"),
+            "component",
+        )
+    )

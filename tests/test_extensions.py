@@ -403,3 +403,63 @@ def test_unpivot_long_round_trip(spark, sf_dir):
     joined = wide.join(back, ["symbol", "date"])
     assert joined.where("daily_close <> rt_close").count() == 0
     assert joined.count() == wide.count()
+
+
+def test_asof_tolerance_masks_stale_and_reports_age(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(30)), (3, ts(120))],
+        "k long, lts timestamp",
+    ).withColumn("k", (F.col("k") * 0 + 1))
+    right = spark.createDataFrame(
+        [(1, ts(-10), 42.0)], "k long, rts timestamp, rv double"
+    )
+    out = {
+        r.lts: r
+        for r in relational.asof_join_tolerance(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_vals=["rv"], tolerance_us=3_600_000_000,
+        ).collect()
+    }
+    # 10 and 40 minutes stale: matched; 130 minutes: masked
+    assert out[ts(0)].rv == 42.0 and out[ts(0)].asof_age_us == 600_000_000
+    assert out[ts(30)].rv == 42.0
+    assert out[ts(120)].rv is None and out[ts(120)].asof_age_us is None
+
+
+def test_asof_tolerance_infinite_matches_plain_asof(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_asof_join,
+        _events,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        dedup,
+        relational,
+    )
+
+    ev = _events(spark, sf_dir)
+    purchases = dedup.dedup_keep_last(
+        ev.filter(F.col("event_type") == "purchase"),
+        keys=["user_id", "ts"],
+        order_by=["event_id"],
+    ).select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    tol = relational.asof_join_tolerance(
+        ev.select("event_id", "ts", "user_id", "value"),
+        purchases, on=["user_id"], left_ts="ts", right_ts="p_ts",
+        right_vals=["p_value"], tolerance_us=10**15,
+    ).select("event_id", "p_value")
+    plain = q_asof_join(spark, sf_dir).select(
+        "event_id", F.col("last_purchase_value").alias("p_value")
+    )
+    assert tol.exceptAll(plain).count() == 0
+    assert plain.exceptAll(tol).count() == 0

@@ -122,3 +122,89 @@ def test_trimmed_mean_ignores_planted_outlier(spark):
     # untrimmed mean is dragged by the planted outlier; trimmed is not
     assert r.mean_all > 10000
     assert 40 <= r.mean_trimmed <= 60
+
+
+# ---------------------------------------------------------------------------
+# Round-7: drift-detection family
+# ---------------------------------------------------------------------------
+
+
+def _two_sample_df(spark, a_vals, b_vals):
+    rows = [("g", v, 0) for v in a_vals] + [("g", v, 1) for v in b_vals]
+    return spark.createDataFrame(rows, "grp string, val double, is_b int")
+
+
+def test_ks_identical_samples_is_zero(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0] * 4
+    out = metrics.ks_drift(
+        _two_sample_df(spark, vals, vals), "grp", "is_b", "val"
+    ).collect()[0]
+    assert out.ks_stat == 0.0
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    out = metrics.ks_drift(
+        _two_sample_df(spark, [1.0, 2.0, 3.0], [10.0, 11.0]),
+        "grp", "is_b", "val",
+    ).collect()[0]
+    assert out.ks_stat == 1.0
+    assert out.n_a == 3 and out.n_b == 2
+
+
+def test_ks_bounds_on_real_data(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_ks_drift
+
+    for r in q_ks_drift(spark, sf_dir).collect():
+        if r.ks_stat is not None:
+            assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_psi_identical_samples_is_zero(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    vals = [float(v) for v in range(0, 200, 10)]
+    out = metrics.psi_drift(
+        _two_sample_df(spark, vals, vals), "grp", "is_b", "val"
+    ).collect()[0]
+    assert out.psi == 0.0
+
+
+def test_psi_shifted_distribution_is_large(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    a = [5.0] * 50          # all in bin 0
+    b = [180.0] * 50        # all in the top bin
+    out = metrics.psi_drift(
+        _two_sample_df(spark, a, b), "grp", "is_b", "val"
+    ).collect()[0]
+    # total-mass swap across bins: PSI far beyond the 0.25 "shifted" bar
+    assert out.psi > 1.0
+
+
+def test_chi_square_independent_table_is_zero(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    # perfectly proportional table: o == e in every cell -> chi2 = 0
+    rows = []
+    for a, na in [("x", 2), ("y", 4)]:
+        for b, nb in [(1, 3), (2, 6)]:
+            rows += [(a, b)] * (na * nb)
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = metrics.chi_square_independence(df, "a", "b").collect()[0]
+    assert out.chi2 == 0.0
+    assert out.dof == 1
+    assert out.n == len(rows)
+
+
+def test_chi_square_dof_on_real_data(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_chi_square,
+    )
+
+    out = q_chi_square(spark, sf_dir).collect()[0]
+    assert out.chi2 >= 0.0
+    assert out.dof >= 1

@@ -369,3 +369,46 @@ def test_embedding_outliers_planted_detection(spark):
     assert len(out) == 11  # ceil(5% of 201)
     top = min(out, key=lambda r: r.outlier_rank)
     assert top.vec_id == 999 and top.outlier_rank == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-7: JL random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_deterministic_and_shaped(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.random_projection(embs, out_dim=16)
+    n_vecs = embs.count()
+    assert a.count() == 16 * n_vecs
+    b = similarity.random_projection(embs, out_dim=16)
+    assert a.exceptAll(b).count() == 0  # pure function of the input
+
+
+def test_random_projection_preserves_norms_on_average(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    proj = similarity.random_projection(embs, out_dim=16)
+    pn = proj.groupBy("vec_id").agg(
+        F.sum(F.col("component") * F.col("component")).alias("psq")
+    )
+    on = embs.select(
+        "vec_id",
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        ).alias("osq"),
+    )
+    joined = pn.join(on, "vec_id").select(
+        (F.sum("psq") / F.sum("osq")).alias("ratio")
+    )
+    ratio = joined.collect()[0].ratio
+    # E[ratio] = 1 with variance ~2/out_dim per vector, averaged over
+    # 50 vectors; a fixed hash makes this a pinned value, not a flake
+    assert 0.7 < ratio < 1.3
