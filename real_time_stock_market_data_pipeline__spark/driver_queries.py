@@ -8519,6 +8519,272 @@ FROM j
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 4: ichimoku, pivots, ER, vortex, SCD2 lookup, timed funnel
+# --------------------------------------------------------------------------
+
+
+def q_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud (5/10/20 windows, 5-bar displacement — scaled
+    to the test horizon) (`operators/indicators.py:ichimoku`)."""
+    return indicators.ichimoku(
+        q_daily_metrics(spark, sf_dir),
+        tenkan_n=5,
+        kijun_n=10,
+        senkou_b_n=20,
+        shift=5,
+    )
+
+
+_ICHIMOKU_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+m AS (
+  SELECT symbol, date, daily_close AS close,
+         CASE WHEN count(*) OVER w5 >= 5
+              THEN (max(daily_high) OVER w5 + min(daily_low) OVER w5) / 2
+         END AS t_raw,
+         CASE WHEN count(*) OVER w10 >= 10
+              THEN (max(daily_high) OVER w10 + min(daily_low) OVER w10) / 2
+         END AS k_raw,
+         CASE WHEN count(*) OVER w20 >= 20
+              THEN (max(daily_high) OVER w20 + min(daily_low) OVER w20) / 2
+         END AS b_raw
+  FROM d
+  WINDOW w5 AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w10 AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY date
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT symbol, date, close,
+         round(t_raw, 6) AS tenkan,
+         round(k_raw, 6) AS kijun,
+         round((t_raw + k_raw) / 2, 6) AS sa,
+         round(b_raw, 6) AS sb
+  FROM m
+)
+SELECT symbol, date, close, tenkan, kijun,
+       lag(sa, 5) OVER wp AS senkou_a,
+       lag(sb, 5) OVER wp AS senkou_b,
+       lead(close, 5) OVER wp AS chikou
+FROM b
+WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+"""
+
+
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot ladder from the prior session
+    (`operators/indicators.py:pivot_points`)."""
+    return indicators.pivot_points(q_daily_metrics(spark, sf_dir))
+
+
+_PIVOT_POINTS_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+l AS (
+  SELECT symbol, date,
+         lag(daily_high) OVER wp AS ph,
+         lag(daily_low) OVER wp AS pl,
+         lag(daily_close) OVER wp AS pc
+  FROM d
+  WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+),
+p AS (
+  SELECT symbol, date, ph, pl, pc,
+         round((ph + pl + pc) / 3, 6) AS pv
+  FROM l WHERE pc IS NOT NULL
+)
+SELECT symbol, date,
+       ph AS prev_high, pl AS prev_low, pc AS prev_close,
+       pv AS pivot,
+       round(2 * pv - pl, 6) AS r1,
+       round(2 * pv - ph, 6) AS s1,
+       round(pv + (ph - pl), 6) AS r2,
+       round(pv - (ph - pl), 6) AS s2,
+       round(ph + 2 * (pv - pl), 6) AS r3,
+       round(pl - 2 * (ph - pv), 6) AS s3
+FROM p
+"""
+
+
+def q_kaufman_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio over a 10-day window
+    (`operators/indicators.py:kaufman_er`)."""
+    return indicators.kaufman_er(
+        _daily_close(spark, sf_dir), n=10, close_col="close"
+    )
+
+
+_KAUFMAN_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+dd AS (
+  SELECT symbol, date, close,
+         round(close - lag(close) OVER wp, 6) AS dch
+  FROM d
+  WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM dd WHERE dch IS NOT NULL),
+s AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(dch AS DECIMAL(18,6))) OVER w AS DOUBLE) AS net,
+         CAST(sum(CAST(abs(dch) AS DECIMAL(18,6))) OVER w AS DOUBLE) AS vol,
+         row_number() OVER wn AS rn
+  FROM f
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(net, 6) AS net_change,
+       round(vol, 6) AS path_length,
+       round(CASE WHEN vol <> 0 THEN abs(net) / vol END, 6) AS er
+FROM s WHERE rn >= 10
+"""
+
+
+def q_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator VI+/VI- over 14 days
+    (`operators/indicators.py:vortex`)."""
+    return indicators.vortex(q_daily_metrics(spark, sf_dir), n=14)
+
+
+_VORTEX_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+t AS (
+  SELECT symbol, date, daily_close AS close,
+         round(abs(daily_high - lag(daily_low) OVER wp), 6) AS vm_plus,
+         round(abs(daily_low - lag(daily_high) OVER wp), 6) AS vm_minus,
+         round(greatest(daily_high - daily_low,
+                        abs(daily_high - lag(daily_close) OVER wp),
+                        abs(daily_low - lag(daily_close) OVER wp)), 6) AS tr
+  FROM d
+  WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM t WHERE tr IS NOT NULL),
+s AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(vm_plus AS DECIMAL(18,6))) OVER w AS DOUBLE) AS vp,
+         CAST(sum(CAST(vm_minus AS DECIMAL(18,6))) OVER w AS DOUBLE) AS vm,
+         CAST(sum(CAST(tr AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trs,
+         row_number() OVER wn AS rn
+  FROM f
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close,
+       round(vp, 6) AS vm_plus_sum,
+       round(vm, 6) AS vm_minus_sum,
+       round(trs, 6) AS tr_sum,
+       round(CASE WHEN trs <> 0 THEN vp / trs END, 6) AS vi_plus,
+       round(CASE WHEN trs <> 0 THEN vm / trs END, 6) AS vi_minus
+FROM s WHERE rn >= 14
+"""
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time segment lookup for each order against a
+    two-version SCD2 customer dimension (every third customer moved
+    segment effective 1998-01-01)
+    (`operators/relational.py:scd2_lookup`)."""
+    ensure_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.lit("1998-01-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("segment"),
+        F.lit("1998-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    facts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("odate"),
+    )
+    return relational.scd2_lookup(
+        facts, dim, key_cols=["c_custkey"], attr_cols=["segment"],
+        ts_col="odate",
+    )
+
+
+_SCD2_LOOKUP_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_mktsegment FROM customer),
+dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         DATE '1990-01-01' AS valid_from,
+         CASE WHEN c_custkey % 3 = 0 THEN DATE '1998-01-01' END AS valid_to
+  FROM cust
+  UNION ALL
+  SELECT c_custkey, 'MOVED', DATE '1998-01-01', NULL
+  FROM cust WHERE c_custkey % 3 = 0
+)
+SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+       CAST(o.o_orderdate AS DATE) AS odate,
+       d.segment, d.valid_from AS version_from
+FROM orders o LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey
+  AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+  AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+"""
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: each step within 24 h of the previous
+    step's first arrival (`operators/behavior.py:funnel_conversion`
+    with max_gap_us)."""
+    return behavior.funnel_conversion(
+        _events(spark, sf_dir),
+        stages=["view", "click", "purchase"],
+        max_gap_us=86_400_000_000,
+    )
+
+
+_FUNNEL_WINDOWED_ORACLE = """
+WITH u1 AS (
+  SELECT user_id, event_type, ts,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+u2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t1
+                      AND epoch_us(ts) - epoch_us(t1) <= 86400000000
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM u1
+),
+u3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t2
+                      AND epoch_us(ts) - epoch_us(t2) <= 86400000000
+                     THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM u2
+),
+d AS (SELECT DISTINCT user_id, t1, t2, t3 FROM u3)
+SELECT count(t1) AS n_view_users,
+       count(t2) AS n_click_users,
+       count(t3) AS n_purchase_users,
+       round(CASE WHEN count(t1) > 0
+                  THEN CAST(count(t2) AS DOUBLE) / count(t1) END, 6)
+         AS rate_view_to_click,
+       round(CASE WHEN count(t2) > 0
+                  THEN CAST(count(t3) AS DOUBLE) / count(t2) END, 6)
+         AS rate_click_to_purchase
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8536,6 +8802,12 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "ichimoku": q_ichimoku,
+    "pivot_points": q_pivot_points,
+    "kaufman_er": q_kaufman_er,
+    "vortex": q_vortex,
+    "scd2_lookup": q_scd2_lookup,
+    "funnel_windowed": q_funnel_windowed,
     "ks_drift": q_ks_drift,
     "psi_drift": q_psi_drift,
     "chi_square": q_chi_square,
@@ -8762,6 +9034,12 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ichimoku": _ICHIMOKU_ORACLE,
+    "pivot_points": _PIVOT_POINTS_ORACLE,
+    "kaufman_er": _KAUFMAN_ORACLE,
+    "vortex": _VORTEX_ORACLE,
+    "scd2_lookup": _SCD2_LOOKUP_ORACLE,
+    "funnel_windowed": _FUNNEL_WINDOWED_ORACLE,
     "ks_drift": _KS_ORACLE,
     "psi_drift": _PSI_ORACLE,
     "chi_square": _CHI2_ORACLE,

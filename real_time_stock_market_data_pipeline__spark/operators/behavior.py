@@ -29,10 +29,19 @@ def funnel_conversion(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: a user reaches stage *k* only via an
     event at or after their stage *k−1* arrival time (the standard
     strictly-sequenced funnel, computed without a per-stage self-join).
+    With ``max_gap_us`` set, each step must additionally land within
+    that many microseconds of the previous step's arrival — the
+    time-bounded funnel ("purchased within an hour of clicking"),
+    same plan shape, one extra map-side comparison per stage. The
+    window is measured from the previous stage's FIRST arrival
+    (first-touch semantics, the common product-analytics contract); a
+    later re-occurrence of the previous stage does not re-open the
+    window.
 
     Implementation: one window pass per stage over the same
     ``user_id`` partitioning (Spark reuses the single exchange; each
@@ -51,6 +60,11 @@ def funnel_conversion(
         cond = F.col(type_col) == stage
         if prev_t is not None:
             cond = cond & (F.col(ts_col) >= prev_t)
+            if max_gap_us is not None:
+                cond = cond & (
+                    F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_t)
+                    <= F.lit(max_gap_us)
+                )
         t_name = f"t{i + 1}"
         cur = cur.withColumn(t_name, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev_t = F.col(t_name)

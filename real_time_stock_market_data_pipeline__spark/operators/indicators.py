@@ -2274,3 +2274,219 @@ def cci(
             6,
         ).alias("cci"),
     )
+
+
+def ichimoku(
+    daily: DataFrame,
+    tenkan_n: int = 9,
+    kijun_n: int = 26,
+    senkou_b_n: int = 52,
+    shift: int = 26,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Ichimoku cloud components: tenkan/kijun midlines of rolling
+    high-low channels, senkou spans A/B displaced ``shift`` bars
+    forward (the value shown at t was computed at t−shift — a ``lag``
+    of the midline columns), and the chikou lagging span (close
+    displaced backward: ``lead``).
+
+    Rolling extremes are exact; midline = (max+min)/2 is one IEEE op
+    quantized once. Rows keep NULLs where a window/displacement isn't
+    filled yet — the cloud is partially defined during warmup by
+    construction, and masking NULLs would misrepresent it.
+
+    Scale: one shuffle on symbol; the five frames share one partition
+    sort.
+    """
+
+    def midline(n: int) -> F.Column:
+        w = (
+            Window.partitionBy(symbol_col)
+            .orderBy(date_col)
+            .rowsBetween(-(n - 1), 0)
+        )
+        wn = Window.partitionBy(symbol_col).orderBy(date_col)
+        full = F.count(F.lit(1)).over(w) >= n
+        return F.when(
+            full, (F.max(high_col).over(w) + F.min(low_col).over(w)) / 2
+        )
+
+    tenkan = F.round(midline(tenkan_n), 6)
+    kijun = F.round(midline(kijun_n), 6)
+    senkou_a_now = F.round((midline(tenkan_n) + midline(kijun_n)) / 2, 6)
+    senkou_b_now = F.round(midline(senkou_b_n), 6)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        tenkan.alias("tenkan"),
+        kijun.alias("kijun"),
+        senkou_a_now.alias("__sa"),
+        senkou_b_now.alias("__sb"),
+    )
+    w2 = Window.partitionBy("symbol").orderBy("date")
+    return base.select(
+        "symbol",
+        "date",
+        "close",
+        "tenkan",
+        "kijun",
+        F.lag("__sa", shift).over(w2).alias("senkou_a"),
+        F.lag("__sb", shift).over(w2).alias("senkou_b"),
+        F.lead("close", shift).over(w2).alias("chikou"),
+    )
+
+
+def pivot_points(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Classic floor-trader pivot levels for each session from the
+    PREVIOUS session's high/low/close: P=(H+L+C)/3, R1=2P−L, S1=2P−H,
+    R2=P+(H−L), S2=P−(H−L), R3=H+2(P−L), S3=L−2(H−P).
+
+    Pure lag arithmetic; P is quantized once and every level derives
+    from the quantized P with fixed operand order, so the whole
+    ladder replays bit-identically. First session per symbol (no
+    prior bar) is dropped.
+
+    Scale: one shuffle on symbol, O(1) lag state.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    ph = F.lag(high_col).over(wlag)
+    pl = F.lag(low_col).over(wlag)
+    pc = F.lag(close_col).over(wlag)
+    p = F.round((ph + pl + pc) / 3, 6)
+    return (
+        daily.select(
+            F.col(symbol_col).alias("symbol"),
+            F.col(date_col).alias("date"),
+            ph.alias("prev_high"),
+            pl.alias("prev_low"),
+            pc.alias("prev_close"),
+            p.alias("pivot"),
+            F.round(2 * p - pl, 6).alias("r1"),
+            F.round(2 * p - ph, 6).alias("s1"),
+            F.round(p + (ph - pl), 6).alias("r2"),
+            F.round(p - (ph - pl), 6).alias("s2"),
+            F.round(ph + 2 * (p - pl), 6).alias("r3"),
+            F.round(pl - 2 * (ph - p), 6).alias("s3"),
+        )
+        .where(F.col("prev_close").isNotNull())
+    )
+
+
+def kaufman_er(
+    daily: DataFrame,
+    n: int = 10,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Kaufman Efficiency Ratio: |net n-day change| over the sum of
+    absolute daily changes in the window — 1 for a perfectly trending
+    series, →0 for pure chop (the adaptivity input of KAMA).
+
+    Daily absolute changes are quantized then DECIMAL-summed (order-
+    independent); the net change reuses the same quantized deltas'
+    window sum — NOT close_t − close_{t−n} — so numerator ≤
+    denominator holds EXACTLY on the quantized lattice and the ratio
+    is genuinely in [0,1]. NULL on a zero-volatility window.
+
+    Scale: one shuffle on symbol, streaming frames.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    d = F.round(F.col(close_col) - F.lag(close_col).over(wlag), 6)
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        d.alias("d"),
+    ).where(F.col("d").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+    net = F.sum(F.col("d").cast("decimal(18,6)")).over(w).cast("double")
+    vol = F.sum(F.abs(F.col("d")).cast("decimal(18,6)")).over(w).cast("double")
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(net, 6).alias("net_change"),
+            F.round(vol, 6).alias("path_length"),
+            F.round(F.when(vol != 0, F.abs(net) / vol), 6).alias("er"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )
+
+
+def vortex(
+    daily: DataFrame,
+    n: int = 14,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Vortex indicator: VI+ = Σ|high_t − low_{t−1}| / ΣTR and
+    VI− = Σ|low_t − high_{t−1}| / ΣTR over an n-day window (TR as in
+    :func:`atr`).
+
+    All three movement series are quantized then DECIMAL-summed; two
+    closing divisions. First day per symbol (no prior bar) is
+    excluded from the sums; rows before the window fills are dropped.
+    NULL on a zero-TR window.
+
+    Scale: one shuffle on symbol, streaming frames.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    hi, lo = F.col(high_col), F.col(low_col)
+    pc = F.lag(close_col).over(wlag)
+    ph = F.lag(high_col).over(wlag)
+    pl = F.lag(low_col).over(wlag)
+    tr = F.greatest(hi - lo, F.abs(hi - pc), F.abs(lo - pc))
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        F.round(F.abs(hi - pl), 6).alias("vm_plus"),
+        F.round(F.abs(lo - ph), 6).alias("vm_minus"),
+        F.round(tr, 6).alias("tr"),
+    ).where(F.col("tr").isNotNull())
+    w = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wn = Window.partitionBy("symbol").orderBy("date")
+
+    def s(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(18,6)")).over(w).cast("double")
+
+    tr_sum = s("tr")
+    return (
+        base.select(
+            "symbol",
+            "date",
+            "close",
+            F.round(s("vm_plus"), 6).alias("vm_plus_sum"),
+            F.round(s("vm_minus"), 6).alias("vm_minus_sum"),
+            F.round(tr_sum, 6).alias("tr_sum"),
+            F.round(F.when(tr_sum != 0, s("vm_plus") / tr_sum), 6).alias(
+                "vi_plus"
+            ),
+            F.round(F.when(tr_sum != 0, s("vm_minus") / tr_sum), 6).alias(
+                "vi_minus"
+            ),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n)
+        .drop("rn")
+    )

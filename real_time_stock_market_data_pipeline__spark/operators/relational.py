@@ -641,3 +641,49 @@ def asof_join_tolerance(
         *[F.when(fresh, F.col(f"__rv.{c}")).alias(c) for c in right_vals],
         F.when(fresh, age).alias("asof_age_us"),
     )
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD Type-2 table
+    (the read side of :func:`scd2_apply`): attach to each fact the
+    attribute values whose validity interval contains the fact's
+    event time — ``valid_from <= ts`` and (``valid_to`` IS NULL or
+    ``ts < valid_to``). Facts before the key's first version, in a
+    validity gap, or with an unknown key get NULLs.
+
+    Because SCD2 versions are non-overlapping per key, the candidate
+    is exactly the as-of match on ``valid_from`` — so this is the
+    union-and-carry :func:`asof_join` (one shuffle, one sort, O(1)
+    window state) plus a map-side expiry mask, NEVER an interval
+    range join: at 100 TB the BETWEEN-join formulation explodes on
+    hot keys while this shape stays linear. A ``version_from`` column
+    reports which version matched.
+    """
+    collide = {*attr_cols, "version_from"} & set(facts.columns)
+    if collide:
+        raise ValueError(f"scd2_lookup: name collisions: {sorted(collide)}")
+    right = dim.select(*key_cols, from_col, to_col, *attr_cols)
+    out = asof_join(
+        facts,
+        right,
+        on=key_cols,
+        left_ts=ts_col,
+        right_ts=from_col,
+        right_vals=[from_col, to_col, *attr_cols],
+    )
+    valid = F.col(from_col).isNotNull() & (
+        F.col(to_col).isNull() | (F.col(ts_col) < F.col(to_col))
+    )
+    return out.select(
+        *facts.columns,
+        *[F.when(valid, F.col(c)).alias(c) for c in attr_cols],
+        F.when(valid, F.col(from_col)).alias("version_from"),
+    )

@@ -358,3 +358,20 @@ def test_churn_skipping_user_hand_case(spark):
     assert out[15].n_active == 2 and out[15].n_retained == 1 and out[15].n_new == 0
     # last week (Jan 22) is dropped — future unobserved
     assert 22 not in out
+
+
+def test_windowed_funnel_never_beats_unbounded(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stages = ["view", "click", "purchase"]
+    unbounded = behavior.funnel_conversion(ev, stages).collect()[0]
+    bounded = behavior.funnel_conversion(
+        ev, stages, max_gap_us=3_600_000_000
+    ).collect()[0]
+    huge = behavior.funnel_conversion(ev, stages, max_gap_us=10**15).collect()[0]
+    assert bounded.n_click_users <= unbounded.n_click_users
+    assert bounded.n_purchase_users <= unbounded.n_purchase_users
+    assert huge == unbounded  # an unreachable bound degenerates to plain funnel

@@ -463,3 +463,57 @@ def test_asof_tolerance_infinite_matches_plain_asof(spark, sf_dir):
     )
     assert tol.exceptAll(plain).count() == 0
     assert plain.exceptAll(tol).count() == 0
+
+
+def test_scd2_lookup_versions_and_gaps(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [
+            # key 1: two contiguous versions
+            (1, "old", d(2020, 1, 1), d(2021, 1, 1)),
+            (1, "new", d(2021, 1, 1), None),
+            # key 2: one closed version then a GAP (no open version)
+            (2, "only", d(2020, 6, 1), d(2020, 9, 1)),
+        ],
+        "k long, seg string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, d(2020, 5, 5)),   # inside v1
+            (11, 1, d(2021, 1, 1)),   # boundary: v1 closed, v2 open (from-inclusive)
+            (12, 1, d(2019, 1, 1)),   # before first version
+            (13, 2, d(2020, 10, 1)),  # in the gap after close
+            (14, 3, d(2020, 1, 1)),   # unknown key
+        ],
+        "fid long, k long, ts date",
+    )
+    out = {
+        r.fid: r
+        for r in relational.scd2_lookup(
+            facts, dim, key_cols=["k"], attr_cols=["seg"], ts_col="ts"
+        ).collect()
+    }
+    assert out[10].seg == "old" and out[10].version_from == d(2020, 1, 1)
+    assert out[11].seg == "new" and out[11].version_from == d(2021, 1, 1)
+    assert out[12].seg is None and out[12].version_from is None
+    assert out[13].seg is None  # expired, no successor
+    assert out[14].seg is None
+
+
+def test_scd2_lookup_segment_switch_law(spark, sf_dir):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_scd2_lookup,
+    )
+
+    cutover = datetime.date(1998, 1, 1)
+    for r in q_scd2_lookup(spark, sf_dir).collect():
+        if r.c_custkey % 3 == 0 and r.odate >= cutover:
+            assert r.segment == "MOVED"
+        else:
+            assert r.segment != "MOVED" and r.segment is not None

@@ -846,3 +846,88 @@ def test_vwap_unit_volume_is_mean_and_hand_case(spark):
     assert out["2024-01-01"].n_trades == 2
     # zero-volume day falls back to the unweighted mean
     assert math.isclose(out["2024-01-02"].vwap, 50.0, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 4: ichimoku, pivots, ER, vortex
+# ---------------------------------------------------------------------------
+
+
+def test_ichimoku_midlines_inside_channel_and_displacement(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+    )
+
+    daily = q_daily_metrics(spark, sf_dir)
+    out = indicators.ichimoku(
+        daily, tenkan_n=5, kijun_n=10, senkou_b_n=20, shift=5
+    )
+    rows = out.orderBy("symbol", "date").collect()
+    assert rows
+    by_sym = {}
+    for r in rows:
+        by_sym.setdefault(r.symbol, []).append(r)
+    bars = {}
+    for b in daily.collect():
+        bars.setdefault(b.symbol, []).append(b)
+    for sym in bars:
+        bars[sym].sort(key=lambda b: b.date)
+    for sym, series in by_sym.items():
+        for i, r in enumerate(series):
+            # chikou is the close 5 bars ahead
+            if i + 5 < len(series):
+                assert r.chikou == series[i + 5].close
+            else:
+                assert r.chikou is None
+            # tenkan = midpoint of the trailing 5-bar high/low channel
+            if r.tenkan is not None:
+                window = bars[sym][max(0, i - 4): i + 1]
+                hh = max(b.daily_high for b in window)
+                ll = min(b.daily_low for b in window)
+                assert ll - 1e-9 <= r.tenkan <= hh + 1e-9
+    # displacement: senkou_a at t equals the midline average computed 5 bars back
+    for sym, series in by_sym.items():
+        for i in range(5, len(series)):
+            prev = series[i - 5]
+            if prev.tenkan is not None and prev.kijun is not None:
+                expect = round((prev.tenkan + prev.kijun) / 2, 6)
+                assert abs(series[i].senkou_a - expect) < 1e-9
+
+
+def test_pivot_ladder_ordering(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_pivot_points,
+    )
+
+    for r in q_pivot_points(spark, sf_dir).collect():
+        assert r.s3 <= r.s2 + 1e-9
+        assert r.s2 <= r.s1 + 1e-9
+        assert r.s1 <= r.pivot + 1e-9
+        assert r.pivot <= r.r1 + 1e-9
+        assert r.r1 <= r.r2 + 1e-9
+        assert r.r2 <= r.r3 + 1e-9
+
+
+def test_kaufman_er_bounds_and_trend_pin(spark):
+    import datetime
+
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), 100.0 + 2.0 * i)
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.kaufman_er(df, n=5, close_col="close").collect()
+    assert out
+    for r in out:
+        assert 0.0 - 1e-9 <= r.er <= 1.0 + 1e-9
+        # monotone trend: |net| == path length -> ER exactly 1
+        assert r.er == 1.0
+
+
+def test_vortex_uptrend_dominance(spark):
+    bars = [(100.0, 102.0 + 3 * i, 98.0 + 3 * i, 100.0 + 3 * i, 10) for i in range(20)]
+    out = indicators.vortex(_ohlcv_df(spark, bars), n=5).collect()
+    assert out
+    for r in out:
+        assert r.vi_plus >= 0 and r.vi_minus >= 0
+        assert r.vi_plus > r.vi_minus  # rising bars: +VM dominates
