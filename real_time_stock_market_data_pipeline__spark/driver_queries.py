@@ -8785,6 +8785,160 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 5: audio frame energy, MinHash audit, corpus report
+# --------------------------------------------------------------------------
+
+
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS/peak over the synthetic WAV clips — 1→N audio
+    fan-out with real stdlib decode
+    (`operators/multimodal.py:audio_frame_energy`); the oracle replays
+    the sample spec (`multimodal._wav_bytes`) declaratively."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(_table("documents")(spark, sf_dir))
+    return multimodal.audio_frame_energy(
+        media.where(F.col("kind") == "audio"), frame_len=64
+    )
+
+
+_AUDIO_FRAMES_ORACLE = """
+WITH aud AS (
+  SELECT doc_id, 160 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+sv AS (
+  SELECT doc_id, CAST(i // 64 AS INT) AS frame_idx,
+         ((doc_id * 13 + i * 17) % 2003) - 1001 AS s
+  FROM smp
+)
+SELECT doc_id AS media_id, frame_idx,
+       CAST(count(*) AS INT) AS n_in_frame,
+       CAST(max(abs(s)) AS INT) AS peak,
+       sqrt(CAST(sum(s * s) AS DOUBLE) / count(*)) AS rms
+FROM sv GROUP BY doc_id, frame_idx
+"""
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: signature-estimated vs true Jaccard
+    on every LSH candidate pair
+    (`operators/dedup.py:minhash_accuracy`)."""
+    return dedup.minhash_accuracy(_table("documents")(spark, sf_dir))
+
+
+def _minhash_accuracy_oracle() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(dedup.MINHASH_PERMS)
+    )
+    return f"""
+WITH {_minhash_cte()},
+est AS (
+  SELECT c.id_a, c.id_b,
+         round(({match_sum}) / {float(dedup.MINHASH_PERMS)!r}, 6)
+           AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+),
+tr AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                    THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                    ELSE 0.0 END, 4) AS true_jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT e.id_a, e.id_b, e.est_jaccard, t.true_jaccard,
+       round(abs(e.est_jaccard - t.true_jaccard), 6) AS abs_err
+FROM est e JOIN tr t ON e.id_a = t.id_a AND e.id_b = t.id_b
+"""
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard: volume, mean length/quality,
+    exact-duplicate and near-duplicate exposure — the composition a
+    data-curation run reads before deciding per-source treatment
+    (text_stats × exact-dup grouping × LSH candidate ids)."""
+    docs = _table("documents")(spark, sf_dir)
+    stats = text.text_stats(docs).select("doc_id", "n_words", "quality_score")
+    norm = docs.select(
+        "doc_id", "source", dedup.normalized_text("text").alias("nrm")
+    )
+    nc = norm.groupBy("nrm").agg(F.count(F.lit(1)).alias("c"))
+    cand = dedup.dedup_minhash_pairs(docs).localCheckpoint(eager=True)
+    nd_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_nd", F.lit(1))
+    )
+    base = (
+        norm.join(nc, "nrm")
+        .join(stats, "doc_id")
+        .join(nd_ids, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("n_words").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_words"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_exact_dup"),
+        F.sum(F.coalesce(F.col("is_nd"), F.lit(0))).alias("n_neardup"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_nd"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("neardup_fraction"),
+    )
+
+
+def _corpus_report_oracle() -> str:
+    return f"""
+WITH {_minhash_cte()},
+nd_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM cand
+    UNION ALL SELECT id_b AS doc_id FROM cand
+  ) u
+),
+nrm AS (
+  SELECT doc_id, source, {_NORM.format(col="text")} AS nrm FROM documents
+),
+nc AS (SELECT nrm, count(*) AS c FROM nrm GROUP BY nrm),
+base AS (
+  SELECT n.source, s.n_words, s.quality_score,
+         CASE WHEN c2.c > 1 THEN 1 ELSE 0 END AS is_exact_dup,
+         CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_nd
+  FROM nrm n
+  JOIN ({_TEXT_STATS_ORACLE}) s ON n.doc_id = s.doc_id
+  JOIN nc c2 ON n.nrm = c2.nrm
+  LEFT JOIN nd_ids nd ON n.doc_id = nd.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(CAST(sum(n_words) AS DOUBLE) / count(*), 6) AS mean_words,
+       round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_quality,
+       CAST(sum(is_exact_dup) AS BIGINT) AS n_exact_dup,
+       CAST(sum(is_nd) AS BIGINT) AS n_neardup,
+       round(CAST(sum(is_nd) AS DOUBLE) / count(*), 6) AS neardup_fraction
+FROM base GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8802,6 +8956,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "audio_frames": q_audio_frames,
+    "minhash_accuracy": q_minhash_accuracy,
+    "corpus_report": q_corpus_report,
     "ichimoku": q_ichimoku,
     "pivot_points": q_pivot_points,
     "kaufman_er": q_kaufman_er,
@@ -9034,6 +9191,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "audio_frames": _AUDIO_FRAMES_ORACLE,
+    "minhash_accuracy": _minhash_accuracy_oracle(),
+    "corpus_report": _corpus_report_oracle(),
     "ichimoku": _ICHIMOKU_ORACLE,
     "pivot_points": _PIVOT_POINTS_ORACLE,
     "kaufman_er": _KAUFMAN_ORACLE,

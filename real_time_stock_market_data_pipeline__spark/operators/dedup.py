@@ -167,32 +167,27 @@ def minhash_signature_from_hashes(
     )
 
 
-def minhash_bands(
+def minhash_signature_frame(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     perms: int = MINHASH_PERMS,
-    band_rows: int = MINHASH_BAND_ROWS,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, band_idx, band_hash) — one row per document per band.
+    """(id, m0..m{perms-1}) — one row per document with at least one
+    shingle, carrying the full MinHash signature as plain long
+    columns. The shared signature stage of :func:`minhash_bands` (LSH
+    banding) and :func:`minhash_accuracy` (estimator audit).
 
-    Documents with zero shingles (fewer than ``shingle_k`` words) are
-    excluded *before* banding: their all-NULL signatures would otherwise
-    collapse onto a single ``md5('')`` bucket in every band — a skew
-    bomb that goes quadratic on short-doc-heavy corpora at 100 TB.
-    Short docs are exact-dedup territory (`dedup_exact`), not LSH.
+    Stays in whole-stage codegen end-to-end: explode shingle
+    *positions* to rows, hash each shingle with ordinary (vectorized)
+    string expressions, and reduce the permutations as plain min()
+    aggregates — higher-order functions (transform/array_min) always
+    evaluate interpreted in Spark. Rows explode within the input
+    partition, so the groupBy's partial aggregation computes full
+    per-doc minimums map-side and the shuffle carries one
+    (id, ``perms`` longs) row per document.
     """
-    n_bands = perms // band_rows
-    # Stay in whole-stage codegen end-to-end: explode shingle *positions*
-    # to rows, hash each shingle with ordinary (vectorized) string
-    # expressions, and reduce the 16 permutations as plain min()
-    # aggregates. Higher-order functions (transform/array_min) always
-    # evaluate interpreted in Spark — the earlier array-based shapes
-    # spent the whole bench there. Rows explode within the input
-    # partition, so the groupBy's partial aggregation computes full
-    # per-doc minimums map-side and the shuffle carries one
-    # (id, 16 longs) row per document.
     toks = (
         ensure_min_parallelism(docs)
         .select(
@@ -219,7 +214,7 @@ def minhash_bands(
         F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long").alias("h"),
     )
     # duplicate shingles don't change a min, so no distinct needed
-    sig = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min(
                 (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
@@ -228,6 +223,26 @@ def minhash_bands(
             for i in range(perms)
         ]
     )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per document per band.
+
+    Documents with zero shingles (fewer than ``shingle_k`` words) are
+    excluded *before* banding: their all-NULL signatures would otherwise
+    collapse onto a single ``md5('')`` bucket in every band — a skew
+    bomb that goes quadratic on short-doc-heavy corpora at 100 TB.
+    Short docs are exact-dedup territory (`dedup_exact`), not LSH.
+    """
+    n_bands = perms // band_rows
+    sig = minhash_signature_frame(docs, id_col, text_col, perms, shingle_k)
     bands = F.array(
         *[
             F.struct(
@@ -699,4 +714,90 @@ def incremental_neardup_indexed(
         )
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Estimator audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-estimated Jaccard (fraction of
+    matching permutations — exact multiples of 1/perms) next to the
+    TRUE shingle Jaccard, with the absolute error. The sketch-quality
+    harness that tells you whether ``perms`` is sized right before a
+    100 TB dedup run — the MinHash analogue of the ANN ``recall@k``
+    evaluation query.
+
+    Cost ∝ collision volume, never corpus²: candidates come from the
+    banded self-join, signatures and shingle arrays are built only
+    for candidate ids (left-semi prefilter), and the candidate set is
+    eagerly localCheckpointed (three consumers — same rationale as
+    :func:`ngram_jaccard_pairs`).
+    """
+    cand = dedup_minhash_pairs(
+        docs, id_col, text_col, shingle_k=shingle_k
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    hit = docs.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=True)
+    sig = minhash_signature_frame(hit, id_col, text_col, perms, shingle_k)
+    sh = hit.select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(perms)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(perms)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(perms)
+    )
+    est = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(perms)), 6).alias("est_jaccard"),
+        )
+    )
+    truth = (
+        cand.join(
+            sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a"
+        )
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(
+                    F.col("uni") > 0, F.col("inter") / F.col("uni")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("true_jaccard"),
+        )
+    )
+    return est.join(truth, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "true_jaccard",
+        F.round(
+            F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6
+        ).alias("abs_err"),
     )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import wave
 from array import array
 from collections.abc import Iterator
@@ -390,7 +391,9 @@ def _decode_wav(payload: bytes) -> dict:
         "sample_rate": rate,
         "duration_ms": n * 1000 // rate,
         "peak": peak,
-        "rms": (ssq / total) ** 0.5 if total else None,
+        # math.sqrt is the correctly-rounded IEEE sqrt (x ** 0.5
+        # goes through pow and can be one ulp off DuckDB's sqrt)
+        "rms": math.sqrt(ssq / total) if total else None,
     }
 
 
@@ -431,3 +434,69 @@ def decode_media(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_in_frame", IntegerType()),
+        StructField("peak", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Per-frame audio energy: split each PCM WAV payload into
+    fixed-length sample frames and emit one row per frame with its
+    sample count, integer peak, and RMS — the 1→N audio analysis
+    twin of :func:`sample_frames` (which fans out image frames), and
+    the feature a silence/loudness segmenter consumes.
+
+    Decode runs inside Arrow-batched ``mapInPandas`` on the stdlib
+    ``wave`` module — payload bytes never shuffle; the fan-out output
+    is a narrow typed relation (≈ n_samples/frame_len rows per clip).
+    RMS is ``(Σs² / n) ** 0.5`` on exact integer sums — the identical
+    IEEE expression the byte-spec oracle replays. Non-audio rows are
+    ignored by contract (filter ``kind = 'audio'`` upstream; a non-
+    RIFF payload in an audio row still raises loudly).
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in FRAME_ENERGY_SCHEMA.names}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                p = bytes(payload) if payload is not None else b""
+                if not p.startswith(b"RIFF"):
+                    raise ValueError(
+                        f"media_id={mid}: audio row without RIFF magic"
+                    )
+                with wave.open(io.BytesIO(p), "rb") as wf:
+                    if wf.getsampwidth() != 2:
+                        raise ValueError("only 16-bit PCM WAV supported")
+                    n = wf.getnframes()
+                    samples = array("h")
+                    samples.frombytes(wf.readframes(n))
+                for f0 in range(0, len(samples), frame_len):
+                    chunk = samples[f0 : f0 + frame_len]
+                    ssq = 0
+                    peak = 0
+                    for s in chunk:
+                        ssq += s * s
+                        a = -s if s < 0 else s
+                        if a > peak:
+                            peak = a
+                    cnt = len(chunk)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f0 // frame_len)
+                    rows["n_in_frame"].append(cnt)
+                    rows["peak"].append(peak)
+                    rows["rms"].append(math.sqrt(ssq / cnt) if cnt else None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames, schema=FRAME_ENERGY_SCHEMA)

@@ -517,3 +517,72 @@ def test_scd2_lookup_segment_switch_law(spark, sf_dir):
             assert r.segment == "MOVED"
         else:
             assert r.segment != "MOVED" and r.segment is not None
+
+
+def test_audio_frames_reassemble_clips(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = multimodal.synthetic_media(docs).where(F.col("kind") == "audio")
+    frames = multimodal.audio_frame_energy(media, frame_len=64)
+    decoded = multimodal.decode_media(media).select("media_id", "n_samples")
+    per_clip = frames.groupBy("media_id").agg(
+        F.sum("n_in_frame").alias("n_total"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_idx").alias("max_idx"),
+    )
+    joined = per_clip.join(decoded, "media_id").collect()
+    assert joined
+    for r in joined:
+        assert r.n_total == r.n_samples          # no sample lost or doubled
+        assert r.n_frames == -(-r.n_samples // 64)  # ceil
+        assert r.max_idx == r.n_frames - 1
+    for r in frames.collect():
+        assert r.rms <= r.peak + 1e-9            # RMS never exceeds the peak
+        assert 1 <= r.n_in_frame <= 64
+
+
+def test_minhash_accuracy_pins_identical_docs(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words everywhere")],
+        "doc_id long, text string",
+    )
+    rows = dedup.minhash_accuracy(docs).collect()
+    assert rows  # identical docs must collide in every band
+    pair = {(r.id_a, r.id_b): r for r in rows}[(1, 2)]
+    assert pair.est_jaccard == 1.0
+    assert pair.true_jaccard == 1.0
+    assert pair.abs_err == 0.0
+
+
+def test_minhash_accuracy_estimates_are_lattice_bounded(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = dedup.minhash_accuracy(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard * 16 - round(r.est_jaccard * 16)) < 1e-9
+        assert 0.0 <= r.true_jaccard <= 1.0
+        assert r.abs_err <= 1.0
+
+
+def test_corpus_report_reconciles(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_corpus_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = q_corpus_report(spark, sf_dir).collect()
+    assert {r.source for r in rows} == {
+        r.source for r in docs.select("source").distinct().collect()
+    }
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.neardup_fraction <= 1.0
+        assert r.n_neardup <= r.n_docs and r.n_exact_dup <= r.n_docs
+        assert 0.0 <= r.mean_quality <= 1.0
