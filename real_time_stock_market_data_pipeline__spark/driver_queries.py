@@ -8939,6 +8939,155 @@ FROM base GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 6: bounded-state stream dedup, Gini, centroid similarity
+# --------------------------------------------------------------------------
+
+
+def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate streaming dedup with a single 48-bit Bloom word of
+    state per user, drained availableNow
+    (`streaming/stateful.py:stream_bloom_dedup`); the oracle is a
+    recursive CTE walking the identical (ts, id)-ordered bloom fold."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import (
+        pipeline,
+        stateful,
+    )
+
+    ensure_engine_conf(spark)
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet")
+    ticks = src.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat_ws("|", "event_type", "props").alias("fp"),
+    )
+    out = stateful.stream_bloom_dedup(ticks)
+    tmp = tempfile.mkdtemp(prefix="sbf_q_")
+    name = "stream_bloom_dedup_q"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "fp",
+    )
+
+
+_SBF_POS = (
+    "CAST(CAST('0x' || substr(md5('sbf{i}:' || fp), 1, 8) AS BIGINT)"
+    " % 48 AS INT)"
+)
+
+_STREAM_BLOOM_DEDUP_ORACLE = f"""
+WITH RECURSIVE b AS (
+  SELECT user_id, ts, event_id,
+         event_type || '|' || props AS fp,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+bb AS (
+  SELECT user_id, ts, event_id, fp, rn,
+         (CAST(1 AS BIGINT) << {_SBF_POS.format(i=0)})
+         | (CAST(1 AS BIGINT) << {_SBF_POS.format(i=1)}) AS bits
+  FROM b
+),
+rec AS (
+  SELECT user_id, ts, event_id, fp, rn, bits,
+         CAST(0 AS BIGINT) AS prev_word
+  FROM bb WHERE rn = 1
+  UNION ALL
+  SELECT n.user_id, n.ts, n.event_id, n.fp, n.rn, n.bits,
+         r.prev_word | r.bits
+  FROM bb n JOIN rec r ON n.user_id = r.user_id AND n.rn = r.rn + 1
+)
+SELECT user_id, ts, event_id, fp
+FROM rec WHERE prev_word & bits <> bits
+"""
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini inequality of event values per type
+    (`operators/metrics.py:gini`)."""
+    return metrics.gini(
+        _events(spark, sf_dir), group_col="event_type", value_col="value"
+    )
+
+
+_GINI_ORACLE = """
+WITH b AS (
+  SELECT event_type AS grp,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS xq
+  FROM events
+),
+r AS (
+  SELECT grp, xq,
+         row_number() OVER (PARTITION BY grp ORDER BY xq) AS rn
+  FROM b
+),
+a AS (
+  SELECT grp, count(*) AS n,
+         CAST(sum(xq) AS DOUBLE) AS sx,
+         CAST(sum(xq * CAST(rn AS DECIMAL(12,0))) AS DOUBLE) AS swx
+  FROM r GROUP BY grp
+)
+SELECT grp, n, round(sx, 6) AS total,
+       round(CASE WHEN sx <> 0
+                  THEN 2.0 * swx / (n * sx) - CAST(n + 1 AS DOUBLE) / n
+             END, 6) AS gini
+FROM a
+"""
+
+
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (`operators/similarity.py:centroid_similarity`)."""
+    return similarity.centroid_similarity(_table("embeddings")(spark, sf_dir))
+
+
+_CENTROID_SIM_ORACLE = """
+WITH c AS (
+  SELECT label, i AS dim,
+         floor((CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+               * 1e6 + 0.5) / 1e6 AS cv
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY label, i
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b, a.dim,
+         a.cv AS ca, b.cv AS cb
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+),
+g AS (
+  SELECT label_a, label_b,
+         CAST(sum(CAST(floor(ca * cb * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(floor(ca * ca * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS na,
+         CAST(sum(CAST(floor(cb * cb * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS nb
+  FROM p GROUP BY label_a, label_b
+)
+SELECT label_a, label_b,
+       floor((CASE WHEN na > 0 AND nb > 0
+                   THEN dot / (sqrt(na) * sqrt(nb)) END)
+             * 1e6 + 0.5) / 1e6 AS cosine
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8956,6 +9105,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "stream_bloom_dedup": q_stream_bloom_dedup,
+    "gini": q_gini,
+    "centroid_similarity": q_centroid_similarity,
     "audio_frames": q_audio_frames,
     "minhash_accuracy": q_minhash_accuracy,
     "corpus_report": q_corpus_report,
@@ -9191,6 +9343,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_bloom_dedup": _STREAM_BLOOM_DEDUP_ORACLE,
+    "gini": _GINI_ORACLE,
+    "centroid_similarity": _CENTROID_SIM_ORACLE,
     "audio_frames": _AUDIO_FRAMES_ORACLE,
     "minhash_accuracy": _minhash_accuracy_oracle(),
     "corpus_report": _corpus_report_oracle(),

@@ -797,3 +797,51 @@ def chi_square_independence(
         ).alias("dof"),
         F.max("n").alias("n"),
     )
+
+
+def gini(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of ``value_col`` per group (0 = perfectly
+    equal, →1 = one row holds everything) via the rank formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted values —
+    the inequality audit a corpus-balance or revenue-concentration
+    report runs (the distribution-level companion of the HHI query).
+    Defined for non-negative values; a zero-sum group yields NULL.
+
+    Exactness: values are quantized to 6 decimals; both Σx and Σi·x
+    are exact DECIMAL sums (rank enters as DECIMAL(12,0)), and tied
+    values make the rank assignment irrelevant — a tie block
+    contributes x·Σ(consecutive ranks) regardless of which tied row
+    takes which rank — so no tiebreak column is needed and the result
+    is partition-independent.
+
+    Shape: one shuffle on the group key (rank window + aggregation on
+    one lineage).
+    """
+    xq = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    base = df.select(F.col(group_col).alias("grp"), xq.alias("xq"))
+    ranked = base.select(
+        "grp", "xq", F.row_number().over(
+            Window.partitionBy("grp").orderBy("xq")
+        ).alias("rn")
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum(F.col("xq") * F.col("rn").cast("decimal(12,0)"))
+        .cast("double")
+        .alias("swx"),
+    )
+    g = (
+        F.lit(2.0) * F.col("swx") / (F.col("n") * F.col("sx"))
+        - (F.col("n") + 1).cast("double") / F.col("n")
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.round("sx", 6).alias("total"),
+        F.round(F.when(F.col("sx") != 0, g), 6).alias("gini"),
+    )

@@ -999,3 +999,58 @@ def random_projection(
             "component",
         )
     )
+
+
+def centroid_similarity(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-confusability report read next to the
+    silhouette audit (two labels with near-1 centroid cosine are
+    candidates for merging before a balance-aware sample).
+
+    Builds on :func:`embedding_centroids` (long form, exact decimal
+    means); centroids are quantized with the bit-defined IEEE half-up
+    quantizer ``floor(x·10^6 + 0.5)/10^6`` (NOT round — see
+    :func:`pca_power_iteration` for the Double.toString trap), pair
+    products and squared norms likewise at 12 digits before exact
+    DECIMAL sums, and the one cosine division runs in a fixed operand
+    order — fully engine-replayable. The self-join is on the dim key
+    of a label×dim-sized frame: dimension-scale work after one corpus
+    aggregation, never a corpus self-join.
+    """
+
+    def q(col: F.Column, k: int) -> F.Column:
+        return F.floor(col * F.lit(float(10**k)) + F.lit(0.5)) / F.lit(
+            float(10**k)
+        )
+
+    cent = embedding_centroids(embs, group_col=label_col, vec_col=vec_col)
+    cq = cent.select(
+        F.col(label_col).alias("lbl"),
+        "dim",
+        q(F.col("centroid"), 6).alias("c"),
+    )
+    a = cq.select(F.col("lbl").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cq.select(F.col("lbl").alias("label_b"), "dim", F.col("c").alias("cb"))
+    pairs = a.join(b, "dim").where(F.col("label_a") < F.col("label_b"))
+
+    def dsum(col: F.Column) -> F.Column:
+        return F.sum(q(col, 12).cast("decimal(28,12)")).cast("double")
+
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        dsum(F.col("ca") * F.col("cb")).alias("dot"),
+        dsum(F.col("ca") * F.col("ca")).alias("na"),
+        dsum(F.col("cb") * F.col("cb")).alias("nb"),
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return agg.select(
+        "label_a",
+        "label_b",
+        q(F.when((F.col("na") > 0) & (F.col("nb") > 0), cos), 6).alias(
+            "cosine"
+        ),
+    )

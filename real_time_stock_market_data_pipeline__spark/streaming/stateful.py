@@ -265,3 +265,101 @@ def stream_cusum_daily(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BLOOM_DEDUP_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts", StringType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("fp", StringType(), False),
+    ]
+)
+
+BLOOM_DEDUP_STATE = StructType(
+    [
+        StructField("word", LongType(), True),
+        StructField("last_ts", StringType(), True),
+        StructField("last_id", LongType(), True),
+    ]
+)
+
+_SBF_BITS = 48  # stay clear of the int64 sign bit on every engine
+_SBF_HASHES = 2
+
+
+def _sbf_positions(fp: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"sbf{i}:{fp}".encode()).hexdigest()[:8], 16)
+        % _SBF_BITS
+        for i in range(_SBF_HASHES)
+    ]
+
+
+def stream_bloom_dedup(
+    source: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Approximate streaming dedup with BOUNDED state: per key, a
+    single 48-bit Bloom word over the fingerprint column — a row is
+    emitted only if at least one of its 2 hash bits is unseen, then
+    its bits are set. The O(1)-state alternative to
+    ``dropDuplicates`` (whose state grows with distinct keys seen and
+    needs watermark eviction): at 100 TB of events per key-space this
+    holds ONE long per key forever, trading a deterministic,
+    replayable false-positive drop rate (~(1−e^(−2n/48))² after n
+    distinct fingerprints) for unbounded retention.
+
+    Determinism: the md5 bit positions are engine-portable
+    (`sbf{i}:` + fingerprint, same discipline as
+    ``sketches.bloom_build``), rows fold in (ts, id) order, and
+    late/replayed rows at or before the per-key high-water mark are
+    dropped — so an ``availableNow`` drain is exactly replayed by the
+    DuckDB recursive-CTE oracle walking the same order.
+
+    Emit in append mode; the fingerprint should be computed with
+    Spark expressions upstream so this handler only hashes strings.
+    """
+
+    def update(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            word, last_ts, last_id = state.get
+            word = int(word)
+        else:
+            word, last_ts, last_id = 0, "", -1
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows["_ts_str"] = rows[ts_col].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        rows = rows.sort_values(["_ts_str", id_col]).reset_index(drop=True)
+        out = {k: [] for k in BLOOM_DEDUP_OUTPUT.names}
+        for _, r in rows.iterrows():
+            ts_s, rid = r["_ts_str"], int(r[id_col])
+            if (ts_s, rid) <= (last_ts, last_id):
+                continue
+            last_ts, last_id = ts_s, rid
+            fp = str(r[fp_col])
+            bits = 0
+            for p in _sbf_positions(fp):
+                bits |= 1 << p
+            if word & bits != bits:  # at least one unseen bit -> keep
+                out["user_id"].append(int(key[0]))
+                out["ts"].append(ts_s)
+                out["event_id"].append(rid)
+                out["fp"].append(fp)
+            word |= bits
+        state.update((word, last_ts, last_id))
+        yield pd.DataFrame(out)
+
+    return source.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=BLOOM_DEDUP_OUTPUT,
+        stateStructType=BLOOM_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

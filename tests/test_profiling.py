@@ -208,3 +208,27 @@ def test_chi_square_dof_on_real_data(spark, sf_dir):
     out = q_chi_square(spark, sf_dir).collect()[0]
     assert out.chi2 >= 0.0
     assert out.dof >= 1
+
+
+def test_gini_pins(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    equal = spark.createDataFrame(
+        [("g", 5.0)] * 10, "grp string, val double"
+    )
+    out = metrics.gini(equal, "grp", "val").collect()[0]
+    assert out.gini == 0.0
+    # one holder of everything: G = (n-1)/n
+    onehot = spark.createDataFrame(
+        [("g", 0.0)] * 9 + [("g", 100.0)], "grp string, val double"
+    )
+    out = metrics.gini(onehot, "grp", "val").collect()[0]
+    assert abs(out.gini - 0.9) < 1e-9
+
+
+def test_gini_bounds_on_real_data(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_gini
+
+    for r in q_gini(spark, sf_dir).collect():
+        if r.gini is not None:
+            assert -1e-9 <= r.gini <= 1.0

@@ -412,3 +412,15 @@ def test_random_projection_preserves_norms_on_average(spark, sf_dir):
     # E[ratio] = 1 with variance ~2/out_dim per vector, averaged over
     # 50 vectors; a fixed hash makes this a pinned value, not a flake
     assert 0.7 < ratio < 1.3
+
+
+def test_centroid_similarity_bounds_and_pair_count(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = embs.select("label").distinct().count()
+    rows = similarity.centroid_similarity(embs).collect()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.label_a < r.label_b

@@ -100,3 +100,46 @@ def test_stream_cusum_invariants_and_resets(spark, sf_dir):
     # so s_neg grows at most 0.75/day against the 2.0 threshold)
     alarms = {r.alarm for r in rows}
     assert 1 in alarms and 0 in alarms
+
+
+# ---------------------------------------------------------------------------
+# Round-7: bounded-state Bloom dedup
+# ---------------------------------------------------------------------------
+
+
+def test_stream_bloom_dedup_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_stream_bloom_dedup,
+    )
+
+    out = q_stream_bloom_dedup(spark, sf_dir).collect()
+    assert out
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert len(out) <= ev
+    # a fingerprint is emitted at most once per user (bits set after
+    # the first sight always collide with themselves)
+    seen = set()
+    for r in out:
+        assert (r.user_id, r.fp) not in seen
+        seen.add((r.user_id, r.fp))
+
+
+def test_stream_bloom_dedup_first_row_always_kept(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_stream_bloom_dedup,
+    )
+
+    out = q_stream_bloom_dedup(spark, sf_dir)
+    first = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"))
+    )
+    # the chronologically first event of every user starts from an
+    # empty bloom word -> must be in the kept set
+    missing = first.join(
+        out.select("user_id", "event_id"), ["user_id", "event_id"], "left_anti"
+    ).count()
+    assert missing == 0
