@@ -9088,6 +9088,168 @@ FROM g
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 7: KAMA recursion, session funnel, Mann-Whitney U
+# --------------------------------------------------------------------------
+
+
+def q_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman Adaptive Moving Average (applyInPandas recursion over
+    declaratively-computed efficiency ratios)
+    (`operators/indicators.py:kama`)."""
+    return indicators.kama(
+        _daily_close(spark, sf_dir), n=10, fast=2, slow=30, close_col="close"
+    )
+
+
+def _kama_oracle(n: int = 10, fast: int = 2, slow: int = 30) -> str:
+    a_f = 2.0 / (fast + 1)
+    a_s = 2.0 / (slow + 1)
+    spread = a_f - a_s
+    sc = (
+        f"(CASE WHEN e.er IS NULL THEN 0.0"
+        f" ELSE (e.er * {spread!r} + {a_s!r})"
+        f" * (e.er * {spread!r} + {a_s!r}) END)"
+    )
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_CLOSE_CTE}),
+dd AS (
+  SELECT symbol, date, close,
+         round(close - lag(close) OVER wp, 6) AS dch
+  FROM d
+  WINDOW wp AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM dd WHERE dch IS NOT NULL),
+s AS (
+  SELECT symbol, date, close,
+         CAST(sum(CAST(dch AS DECIMAL(18,6))) OVER kw AS DOUBLE) AS net,
+         CAST(sum(CAST(abs(dch) AS DECIMAL(18,6))) OVER kw AS DOUBLE) AS vol,
+         row_number() OVER kwn AS rn
+  FROM f
+  WINDOW kw AS (PARTITION BY symbol ORDER BY date
+                ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW),
+         kwn AS (PARTITION BY symbol ORDER BY date)
+),
+e AS (
+  SELECT symbol, date, close,
+         round(CASE WHEN vol <> 0 THEN abs(net) / vol END, 6) AS er,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS krn
+  FROM s WHERE rn >= {n}
+),
+rec AS (
+  SELECT symbol, date, close, er, krn, close AS kama
+  FROM e WHERE krn = 1
+  UNION ALL
+  SELECT e.symbol, e.date, e.close, e.er, e.krn,
+         r.kama + {sc} * (e.close - r.kama)
+  FROM e JOIN rec r ON e.symbol = r.symbol AND e.krn = r.krn + 1
+)
+SELECT symbol, date, close, er, {_round_sql("kama", 6)} AS kama FROM rec
+"""
+
+
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped view→click→purchase funnel (30-min gap
+    sessions) (`operators/behavior.py:session_funnel`)."""
+    return behavior.session_funnel(
+        _events(spark, sf_dir),
+        stages=["view", "click", "purchase"],
+        gap_seconds=1800,
+    )
+
+
+_SESSION_FUNNEL_ORACLE = """
+WITH s0 AS (
+  SELECT user_id, event_type AS etype, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s1 AS (
+  SELECT user_id, etype, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM s0
+),
+u1 AS (
+  SELECT *, min(CASE WHEN etype = 'view' THEN ts END) OVER ws AS t1
+  FROM s1 WINDOW ws AS (PARTITION BY user_id, session_id)
+),
+u2 AS (
+  SELECT *, min(CASE WHEN etype = 'click' AND ts >= t1 THEN ts END)
+              OVER ws AS t2
+  FROM u1 WINDOW ws AS (PARTITION BY user_id, session_id)
+),
+u3 AS (
+  SELECT *, min(CASE WHEN etype = 'purchase' AND ts >= t2 THEN ts END)
+              OVER ws AS t3
+  FROM u2 WINDOW ws AS (PARTITION BY user_id, session_id)
+),
+d AS (SELECT DISTINCT user_id, session_id, t1, t2, t3 FROM u3)
+SELECT count(*) AS n_sessions,
+       count(t1) AS n_view_sessions,
+       count(t2) AS n_click_sessions,
+       count(t3) AS n_purchase_sessions,
+       round(CASE WHEN count(t1) > 0
+                  THEN CAST(count(t2) AS DOUBLE) / count(t1) END, 6)
+         AS rate_view_to_click,
+       round(CASE WHEN count(t2) > 0
+                  THEN CAST(count(t3) AS DOUBLE) / count(t2) END, 6)
+         AS rate_click_to_purchase
+FROM d
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum drift statistics per event type,
+    weekday vs weekend (`operators/metrics.py:mann_whitney_u`)."""
+    return metrics.mann_whitney_u(
+        _events_weekend_split(spark, sf_dir),
+        group_col="event_type",
+        side_col="is_weekend",
+        value_col="value",
+    )
+
+
+_MANN_WHITNEY_ORACLE = f"""
+WITH v AS (
+  SELECT event_type AS grp, value AS val, {_WEEKEND_SQL} AS is_b
+  FROM events
+),
+r AS (
+  SELECT grp, is_b,
+         CAST(rank() OVER (PARTITION BY grp ORDER BY val) AS DOUBLE)
+         + CAST(count(*) OVER (PARTITION BY grp, val) - 1 AS DOUBLE) / 2
+           AS avg_rank
+  FROM v
+),
+a AS (
+  SELECT grp,
+         CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CAST(CASE WHEN is_b = 1 THEN avg_rank ELSE 0.0 END
+                       AS DECIMAL(28,1))) AS DOUBLE) AS r_b
+  FROM r GROUP BY grp
+)
+SELECT grp, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN r_b END AS rank_sum_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(n_a * n_b AS DOUBLE)
+                 - (r_b - CAST(n_b * (n_b + 1) AS DOUBLE) / 2) END AS u_a,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN r_b - CAST(n_b * (n_b + 1) AS DOUBLE) / 2 END AS u_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN least(
+              CAST(n_a * n_b AS DOUBLE)
+              - (r_b - CAST(n_b * (n_b + 1) AS DOUBLE) / 2),
+              r_b - CAST(n_b * (n_b + 1) AS DOUBLE) / 2) END AS u_stat
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9105,6 +9267,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "kama": q_kama,
+    "session_funnel": q_session_funnel,
+    "mann_whitney": q_mann_whitney,
     "stream_bloom_dedup": q_stream_bloom_dedup,
     "gini": q_gini,
     "centroid_similarity": q_centroid_similarity,
@@ -9343,6 +9508,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "kama": _kama_oracle(),
+    "session_funnel": _SESSION_FUNNEL_ORACLE,
+    "mann_whitney": _MANN_WHITNEY_ORACLE,
     "stream_bloom_dedup": _STREAM_BLOOM_DEDUP_ORACLE,
     "gini": _GINI_ORACLE,
     "centroid_similarity": _CENTROID_SIM_ORACLE,

@@ -760,3 +760,68 @@ def churn_by_period(
         F.lead("period_start").over(wp).alias("__next"),
     )
     return out.where(F.col("__next").isNotNull()).drop("__next")
+
+
+def session_funnel(
+    events: DataFrame,
+    stages: list[str],
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Session-scoped ordered funnel: the strict-sequence funnel of
+    :func:`funnel_conversion`, but each (user, gap-session) is an
+    independent funnel attempt — "did the user view → click →
+    purchase *within one visit*", the session-grain conversion metric
+    product analytics dashboards report.
+
+    Sessions are the same lag-flag + running-sum construction as
+    ``temporal.sessionize`` (total (ts, id) order ⇒ engine-portable
+    ids); the stage-arrival windows then partition by (user,
+    session) — the whole pipeline is ONE shuffle on the user key,
+    every window sharing the partition sort. Returns a single row:
+    total sessions, sessions reaching each stage, step rates.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least two stages")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_s = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    cur = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+        F.sum(new_s).over(wrun).alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    prev_t: F.Column | None = None
+    t_cols: list[str] = []
+    for i, stage in enumerate(stages):
+        cond = F.col("etype") == stage
+        if prev_t is not None:
+            cond = cond & (F.col("ts") >= prev_t)
+        t_name = f"t{i + 1}"
+        cur = cur.withColumn(t_name, F.min(F.when(cond, F.col("ts"))).over(ws))
+        prev_t = F.col(t_name)
+        t_cols.append(t_name)
+    per_session = cur.select("user_id", "session_id", *t_cols).distinct()
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("n_sessions")]
+    aggs += [
+        F.count(t).alias(f"n_{stage}_sessions")
+        for t, stage in zip(t_cols, stages)
+    ]
+    for i in range(1, len(stages)):
+        prev_n = F.count(t_cols[i - 1])
+        cur_n = F.count(t_cols[i])
+        aggs.append(
+            F.round(
+                F.when(prev_n > 0, cur_n.cast("double") / prev_n), 6
+            ).alias(f"rate_{stages[i - 1]}_to_{stages[i]}")
+        )
+    return per_session.agg(*aggs)

@@ -2490,3 +2490,73 @@ def vortex(
         .where(F.col("rn") >= n)
         .drop("rn")
     )
+
+
+def kama(
+    daily: DataFrame,
+    n: int = 10,
+    fast: int = 2,
+    slow: int = 30,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Kaufman Adaptive Moving Average: an EMA whose smoothing
+    constant adapts to the :func:`kaufman_er` efficiency ratio —
+    sc_t = (er_t·(α_fast − α_slow) + α_slow)², kama_t = kama_{t−1} +
+    sc_t·(close_t − kama_{t−1}) — fast in trends, near-frozen in
+    chop.
+
+    Like :func:`ema_macd` this is a data-dependent recursion no
+    window frame expresses: the ER inputs are computed declaratively
+    (windows, quantized to 6 decimals so the recursion consumes a
+    portable lattice), then an ``applyInPandas`` scalar walk per
+    symbol replays the literal update in fixed IEEE order — matched
+    bit-for-bit by the DuckDB recursive-CTE oracle. Seeded with
+    ``kama = close`` on each symbol's first ER-complete row. A
+    zero-volatility window (er NULL) freezes the average (sc = 0 by
+    convention: no information, no movement).
+
+    Scale: one symbol shuffle for the ER windows; the walk is
+    parallel across symbols with O(1) state (calendar-bounded series,
+    same argument as ``ema_macd``).
+    """
+    import pandas as pd
+
+    a_f = 2.0 / (fast + 1)
+    a_s = 2.0 / (slow + 1)
+    spread = a_f - a_s
+
+    base = kaufman_er(
+        daily, n=n, symbol_col=symbol_col, date_col=date_col,
+        close_col=close_col,
+    ).select("symbol", "date", "close", "er")
+    schema_out = "symbol string, date date, close double, er double, kama double"
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        k = None
+        out = []
+        for x, er in zip(pdf["close"], pdf["er"]):
+            x = float(x)
+            if k is None:
+                k = x
+            else:
+                if er is None or pd.isna(er):
+                    sc = 0.0
+                else:
+                    s = float(er) * spread + a_s
+                    sc = s * s
+                k = k + sc * (x - k)
+            out.append(k)
+        pdf["kama"] = pd.Series(out, dtype="float64")
+        return pdf
+
+    walked = base.groupBy("symbol").applyInPandas(walk, schema=schema_out)
+    return walked.select(
+        "symbol",
+        "date",
+        "close",
+        "er",
+        F.round("kama", 6).alias("kama"),
+    )

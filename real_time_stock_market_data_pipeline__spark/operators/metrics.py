@@ -845,3 +845,68 @@ def gini(
         F.round("sx", 6).alias("total"),
         F.round(F.when(F.col("sx") != 0, g), 6).alias("gini"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Whitney U (rank-sum) statistics per group between the
+    side=false ("a") and side=true ("b") samples — the rank-based,
+    outlier-robust companion of :func:`ks_drift` (KS keys on the
+    largest ECDF gap; U on the whole ordering).
+
+    Ties carry their textbook average rank, computed as
+    ``rank() + (tie_count − 1)/2`` — an exact multiple of ½, so the
+    rank sums accumulate exactly in DECIMAL(28,1) and U_a + U_b =
+    n_a·n_b holds identically on every engine. No float summation
+    anywhere; the outputs (integers and half-integers as doubles) are
+    exactly representable. Groups with an empty side yield NULL U.
+
+    Shape: rank + tie-count windows and the final fold all partition
+    by the group key — one shuffle lineage.
+    """
+    b = F.col(side_col).cast("boolean")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        b.alias("is_b"),
+    )
+    wrk = Window.partitionBy("grp").orderBy("val")
+    wtie = Window.partitionBy("grp", "val")
+    ranked = base.select(
+        "grp",
+        "is_b",
+        (
+            F.rank().over(wrk).cast("double")
+            + (F.count(F.lit(1)).over(wtie) - 1).cast("double") / 2
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("is_b"), F.col("avg_rank"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,1)")
+        )
+        .cast("double")
+        .alias("r_b"),
+    )
+    u_b = (
+        F.col("r_b")
+        - (F.col("n_b") * (F.col("n_b") + 1)).cast("double") / 2
+    )
+    u_a = (F.col("n_a") * F.col("n_b")).cast("double") - u_b
+    valid = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "grp",
+        "n_a",
+        "n_b",
+        F.when(valid, F.col("r_b")).alias("rank_sum_b"),
+        F.when(valid, u_a).alias("u_a"),
+        F.when(valid, u_b).alias("u_b"),
+        F.when(valid, F.least(u_a, u_b)).alias("u_stat"),
+    )

@@ -195,3 +195,62 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total_bytes / target⌉ files with an atomic directory swap (same
+    crash-recovery discipline as :func:`merge_upsert_parquet`). The
+    operational chore every long-running streaming sink needs — a
+    foreachBatch MERGE that runs every minute leaves thousands of
+    KB-scale files whose open/footer overhead eventually dominates
+    scan time; at 100 TB the NameNode/listing cost alone forces this.
+
+    Returns a report dict (files/bytes before and after, row count —
+    asserted unchanged). Coalesce, not repartition: compaction must
+    not pay a shuffle, it only concatenates row groups (losing any
+    within-file ordering is acceptable for parquet scan workloads;
+    re-sort explicitly if a zorder_key layout must be preserved).
+    """
+    import glob
+
+    before = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in before)
+    n_target = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path) or ".")
+    try:
+        df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+        check = spark.read.parquet(tmp).count()
+        if check != n_rows:
+            raise RuntimeError(
+                f"compaction row mismatch: {n_rows} -> {check}; source left intact"
+            )
+        old = path + ".compact_old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    after = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_before": total,
+        "bytes_after": sum(os.path.getsize(f) for f in after),
+        "rows": n_rows,
+    }

@@ -375,3 +375,23 @@ def test_windowed_funnel_never_beats_unbounded(spark, sf_dir):
     assert bounded.n_click_users <= unbounded.n_click_users
     assert bounded.n_purchase_users <= unbounded.n_purchase_users
     assert huge == unbounded  # an unreachable bound degenerates to plain funnel
+
+
+def test_session_funnel_never_beats_user_funnel(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stages = ["view", "click", "purchase"]
+    sess = behavior.session_funnel(ev, stages, gap_seconds=1800).collect()[0]
+    assert sess.n_view_sessions <= sess.n_sessions
+    assert sess.n_click_sessions <= sess.n_view_sessions or True
+    # monotone down the funnel
+    assert sess.n_purchase_sessions <= sess.n_click_sessions <= sess.n_view_sessions
+    # with an infinite gap each user is one session: must equal the
+    # plain per-user funnel's counts
+    one = behavior.session_funnel(ev, stages, gap_seconds=10**9).collect()[0]
+    user = behavior.funnel_conversion(ev, stages).collect()[0]
+    assert one.n_view_sessions == user.n_view_users
+    assert one.n_purchase_sessions == user.n_purchase_users

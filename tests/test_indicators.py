@@ -931,3 +931,27 @@ def test_vortex_uptrend_dominance(spark):
     for r in out:
         assert r.vi_plus >= 0 and r.vi_minus >= 0
         assert r.vi_plus > r.vi_minus  # rising bars: +VM dominates
+
+
+def test_kama_constant_series_is_flat(spark):
+    import datetime
+
+    rows = [("X", datetime.date(2024, 1, 1 + i), 50.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.kama(df, n=5, close_col="close").collect()
+    assert out
+    for r in out:
+        assert r.kama == 50.0
+
+
+def test_kama_tracks_strong_trend_faster_than_chop(spark):
+    import datetime
+
+    # trending series: ER = 1 -> sc = alpha_fast^2-ish, kama moves
+    trend = [("T", datetime.date(2024, 1, 1 + i), 100.0 + 2.0 * i) for i in range(25)]
+    df = spark.createDataFrame(trend, "symbol string, date date, close double")
+    rows = sorted(indicators.kama(df, n=5, close_col="close").collect(), key=lambda r: r.date)
+    # kama strictly increases once past the seed and lags below close
+    for a, b in zip(rows, rows[1:]):
+        assert b.kama > a.kama - 1e-9
+        assert b.kama <= b.close + 1e-9

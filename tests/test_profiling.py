@@ -232,3 +232,33 @@ def test_gini_bounds_on_real_data(spark, sf_dir):
     for r in q_gini(spark, sf_dir).collect():
         if r.gini is not None:
             assert -1e-9 <= r.gini <= 1.0
+
+
+def test_mann_whitney_identity_and_hand_case(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    # textbook: a = {1,2,3}, b = {4,5} -> b holds ranks 4,5 ->
+    # R_b = 9, U_b = 9 - 3 = 6, U_a = 0
+    df = spark.createDataFrame(
+        [("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 0), ("g", 4.0, 1), ("g", 5.0, 1)],
+        "grp string, val double, is_b int",
+    )
+    out = metrics.mann_whitney_u(df, "grp", "is_b", "val").collect()[0]
+    assert out.u_b == 6.0 and out.u_a == 0.0 and out.u_stat == 0.0
+    # ties: all values equal -> every avg_rank = (n+1)/2, U_a = U_b = n_a*n_b/2
+    tied = spark.createDataFrame(
+        [("g", 7.0, i % 2) for i in range(10)], "grp string, val double, is_b int"
+    )
+    t = metrics.mann_whitney_u(tied, "grp", "is_b", "val").collect()[0]
+    assert t.u_a == t.u_b == t.n_a * t.n_b / 2
+
+
+def test_mann_whitney_sum_identity_real_data(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_mann_whitney,
+    )
+
+    for r in q_mann_whitney(spark, sf_dir).collect():
+        if r.u_a is not None:
+            assert abs(r.u_a + r.u_b - r.n_a * r.n_b) < 1e-6
+            assert r.u_stat == min(r.u_a, r.u_b)

@@ -337,3 +337,23 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, streamed.select(*cols).collect())) == sorted(
         map(tuple, batch.select(*cols).collect())
     )
+
+
+def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from real_time_stock_market_data_pipeline__spark import sinks
+
+    dest = str(tmp_path / "frag")
+    # fragment: 24 tiny files
+    spark.range(0, 2400).repartition(24).write.parquet(dest)
+    before = len(glob.glob(f"{dest}/*.parquet"))
+    assert before >= 24
+    report = sinks.compact_parquet(spark, dest, target_file_bytes=10**9)
+    assert report["files_before"] == before
+    assert report["files_after"] == 1
+    assert report["rows"] == 2400
+    assert spark.read.parquet(dest).count() == 2400
+    # ids survive exactly
+    got = {r.id for r in spark.read.parquet(dest).collect()}
+    assert got == set(range(2400))
