@@ -9250,6 +9250,164 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 8: cluster-aware split, Spearman, VPIN
+# --------------------------------------------------------------------------
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split keyed on near-dup cluster
+    ids — all members of a component share a split
+    (`operators/dedup.py:cluster_aware_split`)."""
+    return dedup.cluster_aware_split(_table("documents")(spark, sf_dir))
+
+
+def _cluster_split_oracle() -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef',"
+        f" substr(md5(CAST(split_key AS VARCHAR)), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH RECURSIVE {_minhash_cte()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+reach AS (
+  SELECT u AS src, u AS dst FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+),
+comp AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+k AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.src
+),
+b AS (SELECT doc_id, split_key, ({decode}) % 1000000 AS bucket FROM k)
+SELECT doc_id, split_key, bucket,
+       CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of daily volume vs |daily change|
+    per symbol — the volume-volatility association
+    (`operators/metrics.py:spearman_corr`)."""
+    d = q_daily_metrics(spark, sf_dir).where(
+        F.col("daily_change").isNotNull()
+    )
+    return metrics.spearman_corr(
+        d.select(
+            "symbol",
+            F.col("daily_volume").alias("xv"),
+            F.abs(F.col("daily_change")).alias("yv"),
+        ),
+        group_col="symbol",
+        x_col="xv",
+        y_col="yv",
+    )
+
+
+_SPEARMAN_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+v AS (
+  SELECT symbol AS grp, daily_volume AS xv, abs(daily_change) AS yv
+  FROM d WHERE daily_change IS NOT NULL
+),
+r AS (
+  SELECT grp,
+         CAST(rank() OVER (PARTITION BY grp ORDER BY xv) AS DOUBLE)
+         + CAST(count(*) OVER (PARTITION BY grp, xv) - 1 AS DOUBLE) / 2
+           AS rx,
+         CAST(rank() OVER (PARTITION BY grp ORDER BY yv) AS DOUBLE)
+         + CAST(count(*) OVER (PARTITION BY grp, yv) - 1 AS DOUBLE) / 2
+           AS ry
+  FROM v
+),
+a AS (
+  SELECT grp, count(*) AS n,
+         CAST(sum(CAST(rx AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ry AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(rx * rx AS DECIMAL(28,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(ry * ry AS DECIMAL(28,2))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(rx * ry AS DECIMAL(28,2))) AS DOUBLE) AS sxy
+  FROM r GROUP BY grp
+)
+SELECT grp, n,
+       round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS spearman_rho
+FROM a
+"""
+
+
+def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN flow toxicity over tick-rule classified event ticks
+    (20-tick buckets, trailing 5 — sized so the smallest test SF
+    still emits rows) (`operators/indicators.py:vpin`)."""
+    ev = _events(spark, sf_dir)
+    return indicators.vpin(
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            "ts",
+            F.col("value").alias("price"),
+            F.col("event_id").alias("id"),
+        ),
+        bucket_ticks=20,
+        n_buckets=5,
+    )
+
+
+_VPIN_ORACLE = """
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS date, ts, event_id,
+         value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn,
+         CASE WHEN value > lag(value) OVER wd THEN 1
+              WHEN value < lag(value) OVER wd THEN -1 END AS raw
+  FROM events
+  WINDOW wd AS (PARTITION BY event_type, CAST(ts AS DATE)
+                ORDER BY ts, event_id)
+),
+s AS (
+  SELECT symbol, (rn - 1) // 20 AS bucket,
+         coalesce(last_value(raw IGNORE NULLS)
+           OVER (PARTITION BY symbol, date ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS sign
+  FROM t
+),
+pb AS (
+  SELECT symbol, CAST(bucket AS BIGINT) AS bucket,
+         count(*) AS n_ticks,
+         round(CAST(abs(sum(sign)) AS DOUBLE) / count(*), 6) AS imbalance
+  FROM s GROUP BY symbol, bucket
+),
+roll AS (
+  SELECT symbol, bucket, n_ticks, imbalance,
+         round(CAST(sum(CAST(imbalance AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               / count(*) OVER w, 6) AS vpin,
+         row_number() OVER wn AS rn
+  FROM pb
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY bucket)
+)
+SELECT symbol, bucket, n_ticks, imbalance, vpin
+FROM roll WHERE rn >= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9267,6 +9425,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "cluster_split": q_cluster_split,
+    "spearman": q_spearman,
+    "vpin": q_vpin,
     "kama": q_kama,
     "session_funnel": q_session_funnel,
     "mann_whitney": q_mann_whitney,
@@ -9508,6 +9669,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cluster_split": _cluster_split_oracle(),
+    "spearman": _SPEARMAN_ORACLE,
+    "vpin": _VPIN_ORACLE,
     "kama": _kama_oracle(),
     "session_funnel": _SESSION_FUNNEL_ORACLE,
     "mann_whitney": _MANN_WHITNEY_ORACLE,

@@ -801,3 +801,51 @@ def minhash_accuracy(
             F.abs(F.col("est_jaccard") - F.col("true_jaccard")), 6
         ).alias("abs_err"),
     )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[tuple[str, float]] | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash-range split of
+    ``sampling.hash_split``, but keyed on the near-dup CLUSTER id
+    instead of the document id — every member of a near-duplicate
+    component lands in the SAME split. Splitting near-identical
+    documents across train and eval silently inflates benchmark
+    scores; this is the split a serious LLM-data pipeline actually
+    needs, and the reason :func:`neardup_clusters` exists upstream of
+    sharding. Singletons fall back to their own id, so the split
+    remains ~weight-proportional.
+
+    Output: (id, split_key, bucket, split). Same zero-shuffle split
+    decision once the cluster labels exist; cluster labeling cost is
+    the LSH pipeline (collision-bounded, never corpus²).
+    """
+    from real_time_stock_market_data_pipeline__spark.operators.sampling import (
+        HASH_BUCKETS,
+        hash_bucket,
+    )
+
+    weights = weights or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    clusters = neardup_clusters(docs, id_col, text_col)
+    labeled = docs.select(id_col).join(
+        clusters.select(id_col, "cluster_id"), id_col, "left"
+    )
+    key = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    b = hash_bucket(key, HASH_BUCKETS)
+    expr = F.lit(weights[-1][0])
+    cum = 0.0
+    thresholds = []
+    for label, w in weights[:-1]:
+        cum += w
+        thresholds.append((label, int(cum * HASH_BUCKETS)))
+    for label, t in reversed(thresholds):
+        expr = F.when(b < t, F.lit(label)).otherwise(expr)
+    return labeled.select(
+        F.col(id_col),
+        key.alias("split_key"),
+        b.alias("bucket"),
+        expr.alias("split"),
+    )

@@ -2560,3 +2560,87 @@ def kama(
         "er",
         F.round("kama", 6).alias("kama"),
     )
+
+
+def vpin(
+    ticks: DataFrame,
+    bucket_ticks: int = 50,
+    n_buckets: int = 10,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    id_col: str = "id",
+) -> DataFrame:
+    """VPIN — Volume-synchronized Probability of INformed trading
+    (Easley, López de Prado, O'Hara 2012), unit-volume form: ticks
+    are tick-rule classified (same zero-tick carry and daily reset as
+    :func:`tick_rule`), grouped into fixed-size volume buckets, and
+    VPIN is the trailing-``n_buckets`` mean of each bucket's absolute
+    order-flow imbalance |Σsign|/size. The flow-toxicity gauge read
+    next to :func:`kyle_lambda`.
+
+    Exactness: signs and bucket ordinals are pure integer window
+    arithmetic over the total (ts, id) order; each imbalance is one
+    integer division quantized to 6; the trailing mean is an exact
+    DECIMAL fold. Partial trailing windows are dropped.
+
+    Shape: one symbol-key shuffle; the sign/bucket windows and the
+    per-bucket groupBy share the partition sort, then the trailing
+    window runs over the tiny bucket frame.
+    """
+    wday = Window.partitionBy(
+        symbol_col, F.to_date(F.col(ts_col))
+    ).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(price_col).over(wday)
+    raw = (
+        F.when(F.col(price_col) > prev, 1)
+        .when(F.col(price_col) < prev, -1)
+        .otherwise(F.lit(None).cast("int"))
+    )
+    wcarry = wday.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sign = F.coalesce(F.last(raw, ignorenulls=True).over(wcarry), F.lit(0))
+    wsym = Window.partitionBy(symbol_col).orderBy(F.col(ts_col), F.col(id_col))
+    base = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        sign.alias("sign"),
+        ((F.row_number().over(wsym) - 1) / bucket_ticks)
+        .cast("long")
+        .alias("bucket"),
+    )
+    per_bucket = base.groupBy("symbol", "bucket").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.abs(F.sum("sign")).alias("abs_imbalance"),
+    )
+    imb = F.round(
+        F.col("abs_imbalance").cast("double") / F.col("n_ticks"), 6
+    )
+    wroll = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-(n_buckets - 1), 0)
+    )
+    wn = Window.partitionBy("symbol").orderBy("bucket")
+    return (
+        per_bucket.select(
+            "symbol",
+            "bucket",
+            "n_ticks",
+            imb.alias("imbalance"),
+        )
+        .select(
+            "symbol",
+            "bucket",
+            "n_ticks",
+            "imbalance",
+            F.round(
+                F.sum(F.col("imbalance").cast("decimal(18,6)"))
+                .over(wroll)
+                .cast("double")
+                / F.count(F.lit(1)).over(wroll),
+                6,
+            ).alias("vpin"),
+            F.row_number().over(wn).alias("rn"),
+        )
+        .where(F.col("rn") >= n_buckets)
+        .drop("rn")
+    )

@@ -910,3 +910,67 @@ def mann_whitney_u(
         F.when(valid, u_b).alias("u_b"),
         F.when(valid, F.least(u_a, u_b)).alias("u_stat"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation of two columns per group — Pearson
+    on tie-averaged ranks, the monotone-association measure that is
+    robust to outliers and nonlinearity (vs the package's exact
+    Pearson in ``indicators.pairwise_correlation``).
+
+    Tie-averaged ranks (``rank() + (ties−1)/2``) are exact multiples
+    of ½, their products exact multiples of ¼ — so all five sufficient
+    sums accumulate exactly in DECIMAL(28,2) and the single closing
+    formula is fixed-order IEEE. Engine-identical under any
+    partitioning; NULL on a zero-variance side.
+
+    Shape: two rank windows + one tie-count window per axis and the
+    final fold, all partitioned by the group key — one shuffle
+    lineage.
+    """
+
+    def avg_rank(col: str) -> F.Column:
+        wr = Window.partitionBy("grp").orderBy(F.col(col))
+        wt = Window.partitionBy("grp", col)
+        return (
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt) - 1).cast("double") / 2
+        )
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).alias("xv"),
+        F.col(y_col).alias("yv"),
+    )
+    ranked = base.select(
+        "grp",
+        avg_rank("xv").alias("rx"),
+        avg_rank("yv").alias("ry"),
+    )
+
+    def d2(col: F.Column) -> F.Column:
+        return F.sum(col.cast("decimal(28,2)")).cast("double")
+
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        d2(F.col("rx")).alias("sx"),
+        d2(F.col("ry")).alias("sy"),
+        d2(F.col("rx") * F.col("rx")).alias("sxx"),
+        d2(F.col("ry") * F.col("ry")).alias("syy"),
+        d2(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = cov / F.sqrt(vx * vy)
+    return agg.select(
+        "grp",
+        "n",
+        F.round(F.when((vx > 0) & (vy > 0), rho), 6).alias("spearman_rho"),
+    )

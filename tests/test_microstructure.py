@@ -206,3 +206,36 @@ def test_ofi_bounds_and_consistency_with_tick_rule(spark, sf_dir):
         by_day[(b.symbol, b.bar_start.date())] += b.n_buy - b.n_sell
     for r in q_tick_rule(spark, sf_dir).collect():
         assert by_day[(r.symbol, r.date)] == r.n_buy - r.n_sell
+
+
+def test_vpin_bounds_and_one_sided_pin(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import q_vpin
+
+    rows = q_vpin(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.imbalance <= 1.0
+        assert 0.0 <= r.vpin <= 1.0
+        assert r.n_ticks >= 1
+
+
+def test_vpin_strict_uptrend_is_one(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import indicators
+
+    rows = [
+        ("X", datetime.datetime(2024, 1, 1, 10, 0, i), 100.0 + i, i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, id long"
+    )
+    out = indicators.vpin(df, bucket_ticks=10, n_buckets=3).collect()
+    assert out
+    for r in out:
+        # every classified tick is a buy; only the very first tick of
+        # the day is unclassified (sign 0), diluting bucket 0 which
+        # has rolled out of every surviving window or not: imbalance
+        # of full-buy buckets is 1
+        assert r.vpin > 0.9

@@ -262,3 +262,28 @@ def test_mann_whitney_sum_identity_real_data(spark, sf_dir):
         if r.u_a is not None:
             assert abs(r.u_a + r.u_b - r.n_a * r.n_b) < 1e-6
             assert r.u_stat == min(r.u_a, r.u_b)
+
+
+def test_spearman_pins(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    # perfect monotone association -> rho = 1; anti-monotone -> -1
+    mono = spark.createDataFrame(
+        [("g", float(i), float(i * i)) for i in range(1, 11)],
+        "grp string, xv double, yv double",
+    )
+    out = metrics.spearman_corr(mono, "grp", "xv", "yv").collect()[0]
+    assert out.spearman_rho == 1.0
+    anti = spark.createDataFrame(
+        [("g", float(i), float(-i)) for i in range(1, 11)],
+        "grp string, xv double, yv double",
+    )
+    out = metrics.spearman_corr(anti, "grp", "xv", "yv").collect()[0]
+    assert out.spearman_rho == -1.0
+    # constant side -> NULL (zero variance)
+    flat = spark.createDataFrame(
+        [("g", float(i), 5.0) for i in range(1, 11)],
+        "grp string, xv double, yv double",
+    )
+    out = metrics.spearman_corr(flat, "grp", "xv", "yv").collect()[0]
+    assert out.spearman_rho is None

@@ -465,3 +465,27 @@ def test_charset_stats_flags_binary_spill(spark):
     assert out[1].suspect_charset == 0
     assert out[2].suspect_charset == 1
     assert out[3].suspect_charset == 0 and out[3].n_chars == 0
+
+
+def test_cluster_aware_split_keeps_clusters_together(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.cluster_aware_split(docs)
+    assert out.count() == docs.count()
+    # every member of one split_key shares one split label
+    violations = (
+        out.groupBy("split_key")
+        .agg(F.count_distinct("split").alias("k"))
+        .where("k > 1")
+        .count()
+    )
+    assert violations == 0
+    # the split keys of clustered docs are the cluster ids
+    clusters = dedup.neardup_clusters(docs)
+    joined = out.join(clusters, "doc_id").where(
+        F.col("split_key") != F.col("cluster_id")
+    )
+    assert joined.count() == 0
