@@ -9408,6 +9408,151 @@ FROM roll WHERE rn >= 5
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 9: rolling median, containment, trending terms, session PMI
+# --------------------------------------------------------------------------
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling median of daily closes (explode fan-out +
+    constant-size sorted selection)
+    (`operators/metrics.py:rolling_median`)."""
+    return metrics.rolling_median(
+        _daily_close(spark, sf_dir),
+        group_col="symbol",
+        order_col="date",
+        value_col="close",
+        n=7,
+    )
+
+
+_ROLLING_MEDIAN_ORACLE = f"""
+WITH d AS ({_DAILY_CLOSE_CTE}),
+b AS (
+  SELECT symbol AS grp, date AS ord, close AS val,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+f AS (
+  SELECT grp, ord, val, rn, rn + g.off AS wend, g.off
+  FROM b CROSS JOIN (SELECT unnest(range(7)) AS off) g
+),
+a AS (
+  SELECT grp, wend,
+         max(CASE WHEN off = 0 THEN ord END) AS ord_w,
+         max(CASE WHEN off = 0 THEN val END) AS val_w,
+         count(*) AS n_members,
+         list_sort(list(val))[4] AS rolling_median
+  FROM f GROUP BY grp, wend
+)
+SELECT grp AS symbol, ord_w AS date, val_w AS close, rolling_median
+FROM a WHERE n_members = 7
+"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over LSH candidates — the
+    quote-inclusion detector
+    (`operators/dedup.py:ngram_containment_pairs`)."""
+    return dedup.ngram_containment_pairs(
+        _table("documents")(spark, sf_dir), threshold=0.8
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_minhash_cte()},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(list_distinct(sa.sh)) AS n_a,
+         len(list_distinct(sb.sh)) AS n_b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+),
+r AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN n_a > 0
+                    THEN CAST(inter AS DOUBLE) / n_a ELSE 0.0 END, 4)
+           AS containment_a,
+         round(CASE WHEN n_b > 0
+                    THEN CAST(inter AS DOUBLE) / n_b ELSE 0.0 END, 4)
+           AS containment_b
+  FROM scored
+)
+SELECT id_a, id_b, containment_a, containment_b
+FROM r WHERE containment_a >= 0.8 OR containment_b >= 0.8
+"""
+
+
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms over-represented in the odd-doc-id snapshot vs
+    the even one (add-one-smoothed log share ratio)
+    (`operators/text.py:trending_terms`)."""
+    docs = _table("documents")(spark, sf_dir).withColumn(
+        "is_b", (F.col("doc_id") % 2 == 1).cast("int")
+    )
+    return text.trending_terms(docs, side_col="is_b", top_k=20)
+
+
+_TRENDING_ORACLE = f"""
+WITH tk AS (
+  SELECT CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_b,
+         unnest({_TOKS}) AS term
+  FROM documents
+),
+f AS (SELECT * FROM tk WHERE term <> ''),
+c AS (
+  SELECT term,
+         CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM f GROUP BY term
+),
+g AS (
+  SELECT term, c_a, c_b,
+         sum(c_a) OVER () AS na, sum(c_b) OVER () AS nb,
+         count(*) OVER () AS v
+  FROM c
+)
+SELECT term, c_a, c_b,
+       round(ln((CAST(c_b + 1 AS DOUBLE) / (nb + v))
+                / (CAST(c_a + 1 AS DOUBLE) / (na + v))), 6) AS trend_score
+FROM g ORDER BY trend_score DESC, term LIMIT 20
+"""
+
+
+def q_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-presence PMI within 30-min gap sessions
+    (`operators/behavior.py:session_copresence_pmi`)."""
+    return behavior.session_copresence_pmi(
+        _events(spark, sf_dir), gap_seconds=1800
+    )
+
+
+def _session_pmi_oracle() -> str:
+    prefix = """
+WITH s0 AS (
+  SELECT user_id, event_type AS etype, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s1 AS (
+  SELECT user_id, etype,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM s0
+),
+pres AS (SELECT DISTINCT user_id, session_id, etype FROM s1)"""
+    body = behavior.copresence_pmi_sql("pres")
+    head, rest = body.split("WITH", 1)
+    return prefix + "," + rest
+
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9425,6 +9570,10 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "rolling_median": q_rolling_median,
+    "ngram_containment": q_ngram_containment,
+    "trending_terms": q_trending_terms,
+    "session_pmi": q_session_pmi,
     "cluster_split": q_cluster_split,
     "spearman": q_spearman,
     "vpin": q_vpin,
@@ -9669,6 +9818,10 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "rolling_median": _ROLLING_MEDIAN_ORACLE,
+    "ngram_containment": _CONTAINMENT_ORACLE,
+    "trending_terms": _TRENDING_ORACLE,
+    "session_pmi": _session_pmi_oracle(),
     "cluster_split": _cluster_split_oracle(),
     "spearman": _SPEARMAN_ORACLE,
     "vpin": _VPIN_ORACLE,

@@ -825,3 +825,83 @@ def session_funnel(
             ).alias(f"rate_{stages[i - 1]}_to_{stages[i]}")
         )
     return per_session.agg(*aggs)
+
+
+def copresence_pmi_sql(pres_table: str) -> str:
+    """PMI SQL over a session-presence relation (user_id, session_id,
+    etype — one row per type present in a session): for every event-
+    type pair, pointwise mutual information of co-occurring in one
+    session, ``ln(p(a,b)/(p(a)·p(b)))`` with probabilities as exact
+    session-count ratios. Shared verbatim by
+    :func:`session_copresence_pmi` (Spark) and the DuckDB oracle, so
+    the arithmetic is identical by construction. Every total is a
+    scalar subquery — one tiny independent stage, no nested-loop
+    join."""
+    n_sql = "(SELECT n FROM nn)"
+    return f"""
+WITH nn AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT user_id, session_id FROM {pres_table}
+  ) t
+),
+ec AS (SELECT etype, count(*) AS n_e FROM {pres_table} GROUP BY etype),
+pairs AS (
+  SELECT a.etype AS etype_a, b.etype AS etype_b, count(*) AS n_ab
+  FROM {pres_table} a JOIN {pres_table} b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.etype < b.etype
+  GROUP BY 1, 2
+)
+SELECT p.etype_a, p.etype_b, p.n_ab, ea.n_e AS n_a, eb.n_e AS n_b,
+       round(ln((CAST(p.n_ab AS DOUBLE) / {n_sql})
+                / ((CAST(ea.n_e AS DOUBLE) / {n_sql})
+                   * (CAST(eb.n_e AS DOUBLE) / {n_sql}))), 6) AS pmi
+FROM pairs p
+JOIN ec ea ON p.etype_a = ea.etype
+JOIN ec eb ON p.etype_b = eb.etype
+"""
+
+
+def session_copresence_pmi(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event-type co-presence PMI at session grain: which behaviors
+    travel together within one visit (PMI > 0) and which repel
+    (PMI < 0) — the association-mining companion of
+    :func:`event_lift` (user grain) and :func:`session_paths`
+    (sequence grain).
+
+    The heavy stage — gap sessionization over raw events (same
+    construction as :func:`session_funnel`) collapsed to the DISTINCT
+    (user, session, type) presence relation — runs ONCE and is
+    eagerly localCheckpointed; :func:`copresence_pmi_sql` then runs
+    over that tiny relation (≤ sessions × type-cardinality rows), so
+    Spark's CTE inlining re-reads a checkpointed frame, not the
+    corpus. The pair self-join is keyed on (user, session): cost
+    Σ types-per-session², bounded by type-cardinality², never
+    events².
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_s = F.when(
+        prev_us.isNull() | ((us - prev_us) > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    pres = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("etype"),
+            F.sum(new_s).over(wrun).alias("session_id"),
+        )
+        .select("user_id", "session_id", "etype")
+        .distinct()
+        .localCheckpoint()
+    )
+    pres.createOrReplaceTempView("__pmi_pres")
+    return events.sparkSession.sql(copresence_pmi_sql("__pmi_pres"))

@@ -849,3 +849,71 @@ def cluster_aware_split(
         b.alias("bucket"),
         expr.alias("split"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT over LSH candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| — the quote-inclusion detector. A short
+    document pasted inside a long one has low symmetric Jaccard
+    (union is large) but containment ≈ 1 on the short side, which is
+    exactly the near-dup class :func:`ngram_jaccard_pairs` under-
+    reports. Pairs are kept when EITHER side's containment clears the
+    threshold.
+
+    Same scale shape as the Jaccard verify: candidates from the
+    banded self-join, shingle arrays built only for candidate ids,
+    both intermediates eagerly localCheckpointed. Cost ∝ collision
+    volume.
+    """
+    cand = dedup_minhash_pairs(docs, id_col, text_col, shingle_k=k)
+    if materialize:
+        cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
+        F.col(id_col), shingles(text_col, k).alias("sh")
+    )
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    j = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))),
+        )
+        .withColumn("n_a", F.size(F.array_distinct(F.col("sh_a"))))
+        .withColumn("n_b", F.size(F.array_distinct(F.col("sh_b"))))
+    )
+    cont_a = F.round(
+        F.when(F.col("n_a") > 0, F.col("inter") / F.col("n_a")).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    cont_b = F.round(
+        F.when(F.col("n_b") > 0, F.col("inter") / F.col("n_b")).otherwise(
+            F.lit(0.0)
+        ),
+        4,
+    )
+    out = j.select(
+        "id_a",
+        "id_b",
+        cont_a.alias("containment_a"),
+        cont_b.alias("containment_b"),
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold)
+    )

@@ -974,3 +974,53 @@ def spearman_corr(
         "n",
         F.round(F.when((vx > 0) & (vy > 0), rho), 6).alias("spearman_rho"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    n: int = 7,
+) -> DataFrame:
+    """Exact rolling median (discrete, lower-middle for even ``n``)
+    over the trailing n-row window — the outlier-robust smoother that
+    a rolling mean is not. No native Spark window expresses an exact
+    windowed median, so each row fans out to the n window-ends it
+    belongs to (the same explode pattern as the CCI mean-deviation)
+    and each window group selects its k-th smallest via
+    ``sort_array(collect_list(...))`` — safe because group size is
+    the CONSTANT n, never data-sized; cost n·rows shuffled once.
+
+    Pure value selection — no float arithmetic at all, so the result
+    is trivially engine-exact. Windows that aren't full are dropped.
+    """
+    k = (n + 1) // 2  # 1-based lower middle
+    wn = Window.partitionBy(group_col).orderBy(order_col)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).alias("val"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    fan = base.select(
+        "grp",
+        "ord",
+        "val",
+        "rn",
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("off"),
+    ).withColumn("wend", F.col("rn") + F.col("off"))
+    agg = fan.groupBy("grp", "wend").agg(
+        F.max(F.when(F.col("off") == 0, F.col("ord"))).alias("ord"),
+        F.max(F.when(F.col("off") == 0, F.col("val"))).alias("val"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("val")).alias("__sorted"),
+    )
+    # select the k-th only on full windows — ANSI element_at throws on
+    # the short groups at the series edge, which the filter drops
+    return agg.where(F.col("n_members") == n).select(
+        F.col("grp").alias(group_col),
+        F.col("ord").alias(order_col),
+        F.col("val").alias(value_col),
+        F.element_at(F.col("__sorted"), k).alias("rolling_median"),
+    )

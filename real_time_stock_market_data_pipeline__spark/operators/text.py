@@ -986,3 +986,52 @@ def charset_stats(
         non_ascii_ratio.alias("non_ascii_ratio"),
         suspect.alias("suspect_charset"),
     )
+
+
+def trending_terms(
+    docs: DataFrame,
+    side_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k trending terms between two corpus snapshots: per term,
+    occurrence counts in the side=false ("before") and side=true
+    ("after") slices and the add-one-smoothed log share ratio
+    ``ln(((c_b+1)/(N_b+V)) / ((c_a+1)/(N_a+V)))`` — positive means
+    over-represented in the after slice. The vocabulary-drift monitor
+    a corpus-refresh pipeline reads before retraining a tokenizer.
+
+    Exactness: every input to the ln is a ratio of exact integer
+    counts built in a fixed expression order — deterministic IEEE.
+    Global totals (N_a, N_b, V) ride as windows over the
+    vocabulary-sized term frame, never the raw corpus.
+
+    Shape: tokenize → explode → (term) groupBy with map-side combine
+    — one corpus shuffle carrying term partials — then
+    dimension-sized windows and a global top-k (per-partition top-k +
+    single-reduce merge).
+    """
+    b = F.col(side_col).cast("boolean")
+    toks = docs.select(
+        b.alias("is_b"), F.explode(_toks(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("c_b"),
+    )
+    wall = Window.partitionBy()
+    na = F.sum("c_a").over(wall)
+    nb = F.sum("c_b").over(wall)
+    v = F.count(F.lit(1)).over(wall)
+    score = F.round(
+        F.log(
+            ((F.col("c_b") + 1) / (nb + v)) / ((F.col("c_a") + 1) / (na + v))
+        ),
+        6,
+    )
+    return (
+        counts.select("term", "c_a", "c_b", score.alias("trend_score"))
+        .orderBy(F.col("trend_score").desc(), F.col("term"))
+        .limit(top_k)
+    )

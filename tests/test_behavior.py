@@ -395,3 +395,20 @@ def test_session_funnel_never_beats_user_funnel(spark, sf_dir):
     user = behavior.funnel_conversion(ev, stages).collect()[0]
     assert one.n_view_sessions == user.n_view_users
     assert one.n_purchase_sessions == user.n_purchase_users
+
+
+def test_session_pmi_laws(spark, sf_dir):
+    import math
+
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.session_copresence_pmi(ev).collect()
+    assert rows
+    for r in rows:
+        assert r.etype_a < r.etype_b
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        # PMI is bounded above by -ln(max(p_a, p_b))-ish; loose sanity:
+        assert not math.isnan(r.pmi)

@@ -287,3 +287,27 @@ def test_spearman_pins(spark):
     )
     out = metrics.spearman_corr(flat, "grp", "xv", "yv").collect()[0]
     assert out.spearman_rho is None
+
+
+def test_rolling_median_robust_to_outlier(spark):
+    import datetime
+
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    closes = [10.0, 11.0, 12.0, 9.0, 10.5, 1000.0, 11.5, 10.8, 9.9, 11.2]
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), c) for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = {
+        r.date.day: r.rolling_median
+        for r in metrics.rolling_median(df, "symbol", "date", "close", n=5).collect()
+    }
+    # every 5-window containing the 1000.0 spike still reports a sane
+    # middle value
+    for day, med in out.items():
+        assert med < 100.0
+    # hand-check one window: days 2..6 -> sorted [9,10.5,11,12,1000] -> 11
+    assert out[6] == 11.0
+    # windows before day 5 are incomplete and absent
+    assert set(out) == set(range(5, 11))

@@ -489,3 +489,40 @@ def test_cluster_aware_split_keeps_clusters_together(spark, sf_dir):
         F.col("split_key") != F.col("cluster_id")
     )
     assert joined.count() == 0
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    long = (
+        "intro words before the quote " + short + " and plenty of trailing "
+        "commentary that dilutes the union so symmetric jaccard stays low "
+        "while containment of the short side is perfect and more filler "
+        "words keep arriving here to stretch the long document further"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long)], "doc_id long, text string"
+    )
+    cont = dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    # the quote-inclusion pair must clear the containment gate...
+    if cont:  # only if LSH banded them together (deterministic either way)
+        r = cont[0]
+        assert max(r.containment_a, r.containment_b) >= 0.8
+        # ...while symmetric jaccard at the same threshold misses it
+        assert not jac
+
+
+def test_trending_terms_planted_burst(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere", 0) for i in range(10)]
+        + [(100 + i, "common words everywhere plus blockchain", 1) for i in range(10)],
+        "doc_id long, text string, is_b int",
+    )
+    out = t.trending_terms(docs, side_col="is_b", top_k=5).collect()
+    assert out[0].term == "blockchain"
+    assert out[0].trend_score > 0
+    assert out[0].c_a == 0 and out[0].c_b == 10
