@@ -9553,6 +9553,229 @@ pres AS (SELECT DISTINCT user_id, session_id, etype FROM s1)"""
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 10: rate alerts, CDC apply, volume bars, kNN label eval
+# --------------------------------------------------------------------------
+
+
+def q_stream_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rate alerts (6 h windows, count>3),
+    drained availableNow
+    (`streaming/pipeline.py:stream_rate_alert`)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    tmp = tempfile.mkdtemp(prefix="alert_q_")
+    src = pipeline.read_file_stream(spark, f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("symbol"), "ts"
+    )
+    q = pipeline.stream_rate_alert(
+        src,
+        target_path=f"{tmp}/out",
+        checkpoint_path=f"{tmp}/ckpt",
+        duration="6 hours",
+        threshold=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "symbol", "window_start", "window_end", "n_events", "severity"
+    )
+
+
+_STREAM_RATE_ALERT_ORACLE = """
+WITH w AS (
+  SELECT event_type AS symbol,
+         make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+           AS window_start
+  FROM events
+),
+a AS (
+  SELECT symbol, window_start,
+         window_start + INTERVAL 6 HOUR AS window_end,
+         count(*) AS n_events
+  FROM w GROUP BY symbol, window_start
+),
+mx AS (SELECT max(ts) AS m FROM events)
+SELECT a.symbol, a.window_start, a.window_end, a.n_events,
+       round(CAST(a.n_events AS DOUBLE) / 3, 6) AS severity
+FROM a, mx
+WHERE a.n_events > 3
+  AND epoch_ms(a.window_end) <= epoch_ms(mx.m) - 60000
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-batch application to the customer snapshot: every
+    5th customer updated (last of two conflicting ops wins by seq),
+    every 7th deleted, 100 fresh inserts
+    (`operators/relational.py:cdc_apply`)."""
+    ensure_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd_stale = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("STALE").alias("c_mktsegment"),
+        F.col("c_acctbal"),
+    )
+    upd_fresh = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 10).alias("c_acctbal"),
+    )
+    dels = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    ins = spark.range(1_000_000, 1_000_100).select(
+        F.col("id").alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = upd_stale.unionByName(upd_fresh).unionByName(dels).unionByName(ins)
+    return relational.cdc_apply(
+        cust,
+        changes,
+        key_cols=["c_custkey"],
+        payload_cols=["c_mktsegment", "c_acctbal"],
+    )
+
+
+_CDC_APPLY_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+-- untouched: neither updated (%5), deleted (%7), nor an insert key
+SELECT c_custkey, c_mktsegment, c_acctbal FROM cust
+WHERE c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
+UNION ALL
+-- updated and NOT deleted: the seq=2 fresh update wins over seq=1;
+-- a key hit by both %5 and %7 takes the delete (seq=3 is highest)
+SELECT c_custkey, 'UPDATED', c_acctbal + 10 FROM cust
+WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+UNION ALL
+-- inserts
+SELECT 1000000 + i AS c_custkey, 'NEW', 0.0
+FROM (SELECT unnest(range(100)) AS i) g
+"""
+
+
+def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-volume bars over lineitem's true quantities (López de
+    Prado information-driven bars)
+    (`operators/ohlcv.py:volume_bars`)."""
+    ensure_engine_conf(spark)
+    li = _table("lineitem")(spark, sf_dir).withColumn(
+        "lid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    return ohlcv.volume_bars(
+        li,
+        bar_volume=5000,
+        symbol_col="l_returnflag",
+        ts_col="l_shipdate",
+        price_col="l_extendedprice",
+        volume_col="l_quantity",
+        id_col="lid",
+    )
+
+
+_VOLUME_BARS_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS symbol, l_shipdate AS ts,
+         l_orderkey * 100 + l_linenumber AS tid,
+         l_extendedprice AS price,
+         CAST(l_quantity AS DECIMAL(18,2)) AS vq
+  FROM lineitem
+),
+c AS (
+  SELECT *, sum(vq) OVER w AS cum
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, tid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT *,
+         CAST(floor(CAST(cum - vq AS DOUBLE) / 5000.0) AS BIGINT) AS bar
+  FROM c
+)
+SELECT DISTINCT symbol, bar,
+       min(ts) OVER wb AS bar_start,
+       max(ts) OVER wb AS bar_end,
+       round(first_value(price) OVER wb, 6) AS bar_open,
+       round(max(price) OVER wb, 6) AS bar_high,
+       round(min(price) OVER wb, 6) AS bar_low,
+       round(last_value(price) OVER wb, 6) AS bar_close,
+       CAST(sum(vq) OVER wb AS DOUBLE) AS bar_volume,
+       count(*) OVER wb AS n_ticks
+FROM b
+WINDOW wb AS (PARTITION BY symbol, bar ORDER BY ts, tid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction vs truth on a deterministic
+    query sample (`operators/similarity.py:knn_label_eval`)."""
+    ensure_engine_conf(spark)
+    return similarity.knn_label_eval(
+        load_table(spark, sf_dir, "embeddings"), query_mod=50, k=10
+    )
+
+
+def _knn_label_eval_oracle(query_mod: int = 50, k: int = 10) -> str:
+    dot = _coldot_sql("p.qe", "e.embedding")
+    ne = _coldot_sql("e.embedding", "e.embedding")
+    nq = _coldot_sql("p.qe", "p.qe")
+    cos = (
+        f"CASE WHEN sqrt({ne}) > 0 AND sqrt({nq}) > 0 "
+        f"THEN ({dot}) / (sqrt({ne}) * sqrt({nq})) END"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+  FROM embeddings WHERE vec_id % {query_mod} = 0
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS nn_id, e.label, {cos} AS cosine
+  FROM q p JOIN embeddings e ON e.vec_id <> p.query_id
+),
+topk AS (
+  SELECT query_id, nn_id, label FROM (
+    SELECT query_id, nn_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC NULLS LAST, nn_id) AS rn
+    FROM cand
+  ) WHERE rn <= {k}
+),
+votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM topk GROUP BY query_id, label
+),
+maj AS (
+  SELECT query_id, label AS predicted_label,
+         CAST(n_votes AS BIGINT) AS n_votes
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT m.query_id, q.true_label, m.predicted_label, m.n_votes,
+       CAST(q.true_label = m.predicted_label AS INT) AS correct
+FROM maj m JOIN q ON m.query_id = q.query_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9570,6 +9793,10 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "stream_rate_alert": q_stream_rate_alert,
+    "cdc_apply": q_cdc_apply,
+    "volume_bars": q_volume_bars,
+    "knn_label_eval": q_knn_label_eval,
     "rolling_median": q_rolling_median,
     "ngram_containment": q_ngram_containment,
     "trending_terms": q_trending_terms,
@@ -9818,6 +10045,10 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "stream_rate_alert": _STREAM_RATE_ALERT_ORACLE,
+    "cdc_apply": _CDC_APPLY_ORACLE,
+    "volume_bars": _VOLUME_BARS_ORACLE,
+    "knn_label_eval": _knn_label_eval_oracle(),
     "rolling_median": _ROLLING_MEDIAN_ORACLE,
     "ngram_containment": _CONTAINMENT_ORACLE,
     "trending_terms": _TRENDING_ORACLE,

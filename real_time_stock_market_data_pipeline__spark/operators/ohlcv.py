@@ -448,3 +448,57 @@ def vwap_daily(
         sum_v.cast("double").alias("total_volume"),
         F.count(F.lit(1)).alias("n_trades"),
     )
+
+
+def volume_bars(
+    ticks: DataFrame,
+    bar_volume: int,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    id_col: str = "id",
+) -> DataFrame:
+    """Volume bars (López de Prado's information-driven bars): per
+    symbol, ticks accumulate into a bar until ~``bar_volume`` units
+    have traded, then the next bar opens — so bar frequency tracks
+    ACTIVITY, not the clock, and per-bar return distributions are
+    closer to IID than time bars. Bar id = ⌊exclusive-prefix-volume /
+    bar_volume⌋ over the total (ts, id) order; a tick belongs to the
+    bar its first unit lands in (bars can slightly overshoot —
+    ticks are atomic).
+
+    Exactness: the prefix volume is an exact DECIMAL running sum; the
+    bar ordinal is one double division of that exact value (≤2^53,
+    lossless) floored identically on every engine; OHLC picks are
+    struct min_by/max_by over the same total order (the
+    :func:`daily_metrics` idiom — deterministic ties).
+
+    Shape: one symbol shuffle; running-sum window and the (symbol,
+    bar) groupBy share the partition sort, map-side partials carry
+    six accumulators per bar.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(F.col(ts_col), F.col(id_col))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vq = F.col(volume_col).cast("decimal(18,2)")
+    cum = F.sum(vq).over(wrun)
+    bar = F.floor((cum - vq).cast("double") / F.lit(float(bar_volume)))
+    base = ticks.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("tid"),
+        F.col(price_col).alias("price"),
+        vq.alias("vq"),
+        bar.alias("bar"),
+    )
+    okey = F.struct(F.col("ts"), F.col("tid"))
+    return base.groupBy("symbol", "bar").agg(
+        F.min("ts").alias("bar_start"),
+        F.max("ts").alias("bar_end"),
+        F.round(F.min_by("price", okey), 6).alias("bar_open"),
+        F.round(F.max("price"), 6).alias("bar_high"),
+        F.round(F.min("price"), 6).alias("bar_low"),
+        F.round(F.max_by("price", okey), 6).alias("bar_close"),
+        F.sum("vq").cast("double").alias("bar_volume"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -687,3 +687,51 @@ def scd2_lookup(
         *[F.when(valid, F.col(c)).alias(c) for c in attr_cols],
         F.when(valid, F.col(from_col)).alias("version_from"),
     )
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a CDC change batch (Debezium-style I/U/D op codes) to a
+    snapshot: per key, the HIGHEST-``seq`` change wins — an I or U
+    replaces the row (insert-or-update; a dangling U still lands, the
+    tolerant convention), a D deletes it; untouched keys pass through.
+    The change-data counterpart of :func:`merge_upsert` (which has no
+    delete leg) and the Type-1 sibling of :func:`scd2_apply`.
+
+    Shape: one keep-last dedup of the change batch (window rn over
+    the batch — change batches are micro-batch-sized), one anti-join
+    to drop touched keys from the snapshot, one union of surviving
+    upserts. Two key-hash shuffles of batch-sized inputs; the
+    snapshot passes through a single anti-join — at 100 TB that is
+    the only stage that sees the big side, and AQE broadcasts the
+    deduped batch.
+    """
+    # lazy executor-side op validation (no driver collect): an unknown
+    # op code fails the job loudly instead of being silently dropped
+    checked_op = F.when(
+        F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(F.lit("cdc_apply: unknown op code "), F.col(op_col))
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn(op_col, checked_op)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = snapshot.join(
+        latest.select(*key_cols), key_cols, "left_anti"
+    )
+    upserts = latest.where(F.col(op_col) != "D").select(
+        *key_cols, *payload_cols
+    )
+    return untouched.select(*key_cols, *payload_cols).unionByName(upserts)

@@ -1054,3 +1054,73 @@ def centroid_similarity(
             "cosine"
         ),
     )
+
+
+def knn_label_eval(
+    embs: DataFrame,
+    query_mod: int = 50,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label-prediction harness: for a deterministic query sample
+    (ids ≡ 0 mod ``query_mod``), predict each query's label by
+    majority vote of its ``k`` exact nearest neighbors (self
+    excluded) and report prediction vs truth — the
+    labeled-embedding-quality eval that sits next to ``ann_recall``
+    (retrieval quality) and ``silhouette`` (cluster geometry).
+
+    Exact-by-construction: :func:`ivf_knn_join` probed at ALL cells
+    is brute force (property-tested equivalence) while keeping the
+    cell equi-join plan — never a cartesian on the Spark side. Self
+    is fetched as the (k+1)-th candidate and dropped, then the vote
+    reranks with the (count desc, label asc) deterministic tiebreak.
+
+    Scale: one corpus scan for cell assignment + one broadcast-batch
+    equi-join; votes and majority run on k·|queries| rows.
+    """
+    queries = embs.where(F.col(id_col) % query_mod == 0)
+    nn = ivf_knn_join(
+        embs,
+        queries,
+        k=k + 1,
+        n_probe=IVF_CENTROIDS_N,
+        vec_col=vec_col,
+        id_col=id_col,
+        q_vec_col=vec_col,
+        q_id_col=id_col,
+    ).where(F.col("nn_id") != F.col("query_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id")
+    )
+    topk = nn.withColumn("__rn", F.row_number().over(wq)).where(
+        F.col("__rn") <= k
+    )
+    votes = topk.join(
+        embs.select(F.col(id_col).alias("nn_id"), F.col(label_col)), "nn_id"
+    ).groupBy("query_id", label_col).agg(F.count(F.lit(1)).alias("n_votes"))
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col(label_col)
+    )
+    maj = (
+        votes.withColumn("__rn", F.row_number().over(wm))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col(label_col).alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = embs.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return maj.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "predicted_label",
+        "n_votes",
+        (F.col("true_label") == F.col("predicted_label"))
+        .cast("int")
+        .alias("correct"),
+    )

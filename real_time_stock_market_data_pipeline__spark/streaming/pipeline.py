@@ -473,3 +473,55 @@ def stream_interval_left_join(
         )
     )
     return l.join(r, cond, "left_outer").drop("__rkey")
+
+
+def stream_rate_alert(
+    source: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    duration: str = "6 hours",
+    threshold: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming rate alerting: watermarked tumbling-window event
+    counts per key, emitting ONLY windows whose count exceeds the
+    threshold — the volume-spike / flood detector a monitoring
+    pipeline hangs off the event stream. Severity = count/threshold.
+
+    Append mode on a real streaming aggregation: a window is emitted
+    exactly once, after the watermark passes its end — so alerts are
+    final (no flapping restatements) and the parquet sink needs no
+    MERGE. The filter sits above the aggregate and below the sink:
+    state is every open window (bounded by watermark eviction), but
+    the sink only ever sees breaches.
+    """
+    agg = (
+        source.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(symbol_col).alias("symbol"),
+            F.window(F.col(ts_col), duration).alias("window"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .where(F.col("n_events") > threshold)
+        .select(
+            "symbol",
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.lit(threshold), 6
+            ).alias("severity"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", target_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

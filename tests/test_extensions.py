@@ -586,3 +586,88 @@ def test_corpus_report_reconciles(spark, sf_dir):
         assert 0.0 <= r.neardup_fraction <= 1.0
         assert r.n_neardup <= r.n_docs and r.n_exact_dup <= r.n_docs
         assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_cdc_apply_hand_case(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "a1"),
+            (1, "U", 2, "a2"),   # later seq wins
+            (2, "D", 1, None),
+            (4, "I", 1, "d"),
+            (5, "D", 1, None),   # dangling delete: no-op
+        ],
+        "k long, op string, seq int, v string",
+    )
+    out = {
+        r.k: r.v
+        for r in relational.cdc_apply(
+            snap, changes, key_cols=["k"], payload_cols=["v"]
+        ).collect()
+    }
+    assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_cdc_apply_rejects_unknown_op(spark):
+    import pyspark.errors
+
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame([(1, "X", 1, "z")], "k long, op string, seq int, v string")
+    try:
+        relational.cdc_apply(snap, bad, ["k"], ["v"]).collect()
+        raise AssertionError("expected the unknown op to fail the job")
+    except Exception as exc:  # Spark wraps the raise_error
+        assert "unknown op code" in str(exc)
+
+
+def test_volume_bars_conservation_and_size(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import ohlcv
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "lid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    bars = ohlcv.volume_bars(
+        li, bar_volume=5000, symbol_col="l_returnflag", ts_col="l_shipdate",
+        price_col="l_extendedprice", volume_col="l_quantity", id_col="lid",
+    )
+    got = bars.groupBy("symbol").agg(
+        F.sum("bar_volume").alias("v"), F.sum("n_ticks").alias("n")
+    )
+    want = li.groupBy(F.col("l_returnflag").alias("symbol")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = got.join(want, "symbol").collect()
+    assert j
+    for r in j:
+        assert abs(r[1] - r[3]) < 1e-6 and r[2] == r[4]  # volume + ticks conserved
+    for r in bars.collect():
+        assert r.bar_low <= r.bar_open <= r.bar_high
+        assert r.bar_low <= r.bar_close <= r.bar_high
+        # every bar except possibly each symbol's last reached the target
+        # (can overshoot; undershoot only at the series tail)
+
+
+def test_knn_label_eval_shape_and_bounds(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.knn_label_eval(embs, query_mod=50, k=10).collect()
+    n_queries = embs.where("vec_id % 50 = 0").count()
+    assert len(out) == n_queries
+    for r in out:
+        assert 1 <= r.n_votes <= 10
+        assert r.correct in (0, 1)
+        assert r.correct == int(r.true_label == r.predicted_label)

@@ -357,3 +357,16 @@ def test_compact_parquet_preserves_rows_and_shrinks_files(spark, tmp_path):
     # ids survive exactly
     got = {r.id for r in spark.read.parquet(dest).collect()}
     assert got == set(range(2400))
+
+
+def test_stream_rate_alert_only_breaches(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_stream_rate_alert,
+    )
+
+    rows = q_stream_rate_alert(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events > 3
+        assert r.severity > 1.0
+        assert (r.window_end - r.window_start).total_seconds() == 6 * 3600
