@@ -9776,6 +9776,110 @@ FROM maj m JOIN q ON m.query_id = q.query_id
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 11: Holt smoothing, feature hashing, class balancing
+# --------------------------------------------------------------------------
+
+
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level+trend, one-step
+    forecast) (`operators/indicators.py:holt_linear`)."""
+    return indicators.holt_linear(
+        _daily_close(spark, sf_dir), alpha=0.3, beta=0.1, close_col="close"
+    )
+
+
+def _holt_oracle(alpha: float = 0.3, beta: float = 0.1) -> str:
+    # literals generated from the SAME Python floats the walk uses —
+    # writing 0.7 in SQL parses to a double that can differ by one ulp
+    # from Python's computed (1 - 0.3)
+    one_m_a = 1 - alpha
+    one_m_b = 1 - beta
+    lvl = f"({alpha!r} * b.close + {one_m_a!r} * (r.level + r.trend))"
+    return f"""
+WITH RECURSIVE d AS ({_DAILY_CLOSE_CTE}),
+b AS (
+  SELECT symbol, date, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
+  FROM d
+),
+x1 AS (SELECT symbol, close AS first_close FROM b WHERE rn = 1),
+rec AS (
+  SELECT b.symbol, b.date, b.close, b.rn,
+         b.close AS level,
+         b.close - x1.first_close AS trend
+  FROM b JOIN x1 ON b.symbol = x1.symbol WHERE b.rn = 2
+  UNION ALL
+  SELECT b.symbol, b.date, b.close, b.rn,
+         {lvl},
+         {beta!r} * ({lvl} - r.level) + {one_m_b!r} * r.trend
+  FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, date, close,
+       {_round_sql("level", 6)} AS level,
+       {_round_sql("trend", 6)} AS trend,
+       {_round_sql("level + trend", 6)} AS forecast
+FROM rec
+"""
+
+
+def q_hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words features, long form
+    (`operators/text.py:hashed_bow`)."""
+    return text.hashed_bow(_table("documents")(spark, sf_dir), n_features=256)
+
+
+_HASHED_BOW_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+f AS (SELECT * FROM tk WHERE term <> ''),
+h AS (
+  SELECT doc_id,
+         CAST(h0 % 256 AS INT) AS bucket,
+         ((h0 // 256) % 2) * 2 - 1 AS sign
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5('fh:' || term), 1, 8) AS BIGINT) AS h0
+    FROM f
+  ) t
+)
+SELECT doc_id, bucket,
+       CAST(sum(sign) AS BIGINT) AS weight,
+       count(*) AS n_tokens
+FROM h GROUP BY doc_id, bucket
+"""
+
+
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic downsample of every language to the minority
+    class size (`operators/sampling.py:balanced_downsample`)."""
+    docs = _table("documents")(spark, sf_dir).select(
+        "doc_id", "lang", "source"
+    )
+    return sampling.balanced_downsample(docs, label_col="lang", id_col="doc_id")
+
+
+def _balanced_downsample_oracle() -> str:
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef',"
+        f" substr(md5(CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+cap AS (SELECT min(n) AS cap FROM c),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ({decode}) % 1000000, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r, cap WHERE rn <= cap.cap
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9793,6 +9897,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "holt_linear": q_holt_linear,
+    "hashed_bow": q_hashed_bow,
+    "balanced_downsample": q_balanced_downsample,
     "stream_rate_alert": q_stream_rate_alert,
     "cdc_apply": q_cdc_apply,
     "volume_bars": q_volume_bars,
@@ -9843,6 +9950,10 @@ QUERIES: dict[str, QueryFn] = {
     "var_cvar": q_var_cvar,
     "adx": q_adx,
     "pca_pc1": q_pca_pc1,
+    # ---- below this line: outside the 50-slot driver window — the
+    # ---- remaining round-6 queries awaiting a driver row (the local
+    # ---- 3-SF gate is their evidence until then), then the
+    # ---- multiply-green veterans
     "peak_concurrency": q_peak_concurrency,
     "hurst": q_hurst,
     "weighted_sample": q_weighted_sample,
@@ -9936,9 +10047,6 @@ QUERIES: dict[str, QueryFn] = {
     "underwater_spells": q_underwater_spells,
     "event_lift": q_event_lift,
     "session_paths": q_session_paths,
-    # ---- below this line: outside the 50-slot window — round-6
-    # ---- queries awaiting a driver row (local 3-SF gate is their
-    # ---- evidence until then), then the multiply-green veterans
     "customer_distribution": q_customer_distribution,
     "forecast_revenue": q_forecast_revenue,
     "top_supplier": q_top_supplier,
@@ -10045,6 +10153,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "holt_linear": _holt_oracle(),
+    "hashed_bow": _HASHED_BOW_ORACLE,
+    "balanced_downsample": _balanced_downsample_oracle(),
     "stream_rate_alert": _STREAM_RATE_ALERT_ORACLE,
     "cdc_apply": _CDC_APPLY_ORACLE,
     "volume_bars": _VOLUME_BARS_ORACLE,

@@ -2644,3 +2644,78 @@ def vpin(
         .where(F.col("rn") >= n_buckets)
         .drop("rn")
     )
+
+
+def holt_linear(
+    daily: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend): the
+    one-step-ahead forecaster for trending series that plain EMA
+    under-tracks. Recursions (fixed IEEE order, matching the
+    recursive-CTE oracle term for term):
+
+        level_t = α·x_t + (1−α)·(level_{t−1} + trend_{t−1})
+        trend_t = β·(level_t − level_{t−1}) + (1−β)·trend_{t−1}
+        forecast_{t+1|t} = level_t + trend_t
+
+    Seeded at each symbol's second row with level = x₂,
+    trend = x₂ − x₁ (the standard two-point seed; row 1 is consumed
+    by the seed and not emitted). Same ``applyInPandas`` walk shape
+    as :func:`ema_macd`: parallel across symbols, O(1) state.
+    """
+    import pandas as pd
+
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+    )
+    schema_out = (
+        "symbol string, date date, close double, "
+        "level double, trend double, forecast double"
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        lvl = tr = None
+        prev_x = None
+        keep, levels, trends, fcs = [], [], [], []
+        for x in pdf["close"]:
+            x = float(x)
+            if lvl is None:
+                if prev_x is None:
+                    prev_x = x
+                    keep.append(False)
+                    levels.append(None)
+                    trends.append(None)
+                    fcs.append(None)
+                    continue
+                lvl = x
+                tr = x - prev_x
+            else:
+                prev_lvl = lvl
+                lvl = alpha * x + (1 - alpha) * (lvl + tr)
+                tr = beta * (lvl - prev_lvl) + (1 - beta) * tr
+            keep.append(True)
+            levels.append(lvl)
+            trends.append(tr)
+            fcs.append(lvl + tr)
+        pdf["level"] = pd.Series(levels, dtype="float64")
+        pdf["trend"] = pd.Series(trends, dtype="float64")
+        pdf["forecast"] = pd.Series(fcs, dtype="float64")
+        return pdf[pd.Series(keep)]
+
+    walked = base.groupBy("symbol").applyInPandas(walk, schema=schema_out)
+    return walked.select(
+        "symbol",
+        "date",
+        "close",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )

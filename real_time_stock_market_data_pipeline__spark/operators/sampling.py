@@ -207,3 +207,39 @@ def zorder_key(
         bit_b = F.shiftrightunsigned(F.col("bucket_b"), i).bitwiseAND(F.lit(1))
         zkey = zkey + bit_a * F.lit(1 << (2 * i + 1)) + bit_b * F.lit(1 << (2 * i))
     return based.withColumn("zkey", zkey)
+
+
+def balanced_downsample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic class balancing: downsample every label to the
+    MINORITY class size by keeping each label's lowest-hash-ranked
+    rows — the id-hash makes membership a pure function of the data
+    (same rows kept on any cluster, any partitioning), unlike
+    ``sampleBy``'s seeded-RNG rows-by-position. The class-imbalance
+    guard before training a classifier on skewed labels.
+
+    Shape: one aggregation pass for the label counts (label-
+    cardinality rows; the global minimum is a window over THAT tiny
+    frame, never over the data), broadcast back by label, then one
+    label-key shuffle for the deterministic rank window. Output drops
+    nothing but rows: schema-stable.
+    """
+    counts = df.groupBy(F.col(label_col)).agg(
+        F.count(F.lit(1)).alias("__n_label")
+    )
+    cap = counts.select(
+        F.col(label_col),
+        F.min("__n_label").over(Window.partitionBy()).alias("__cap"),
+    )
+    wr = Window.partitionBy(label_col).orderBy(
+        hash_bucket(F.col(id_col)), F.col(id_col)
+    )
+    ranked = df.join(F.broadcast(cap), label_col).withColumn(
+        "__rn", F.row_number().over(wr)
+    )
+    return ranked.where(F.col("__rn") <= F.col("__cap")).drop(
+        "__rn", "__cap"
+    )

@@ -1035,3 +1035,39 @@ def trending_terms(
         .orderBy(F.col("trend_score").desc(), F.col("term"))
         .limit(top_k)
     )
+
+
+def hashed_bow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = 256,
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) bag of words: every token maps
+    to ``md5 % n_features`` with a ±1 sign from a second hash bit, and
+    per-document bucket totals form a fixed-width sparse feature
+    vector in long form (doc, bucket, weight) — the tokenizer-free
+    featurization a linear classifier or nearest-centroid router
+    consumes (Weinberger et al. 2009; the sign hash unbiases
+    collisions). Same md5 discipline as the MinHash/Bloom constants —
+    any engine rebuilds identical features.
+
+    Shape: tokenize → explode (rows stay in their input partition) →
+    one (doc, bucket) groupBy with map-side combine; output ≤
+    min(tokens, n_features) rows per doc. Integer arithmetic only.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("term"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h % n_features).cast("int")
+    sign = ((h / n_features).cast("long") % 2) * 2 - 1
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
+    )

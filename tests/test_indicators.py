@@ -955,3 +955,22 @@ def test_kama_tracks_strong_trend_faster_than_chop(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.kama > a.kama - 1e-9
         assert b.kama <= b.close + 1e-9
+
+
+def test_holt_linear_tracks_exact_line(spark):
+    import datetime
+
+    # on a perfect line, level == close and trend == slope forever
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), 100.0 + 3.0 * i) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = sorted(
+        indicators.holt_linear(df, close_col="close").collect(),
+        key=lambda r: r.date,
+    )
+    assert len(out) == 14  # first row consumed by the seed
+    for r in out:
+        assert abs(r.level - r.close) < 1e-6
+        assert abs(r.trend - 3.0) < 1e-6
+        assert abs(r.forecast - (r.close + 3.0)) < 1e-6

@@ -116,3 +116,23 @@ def test_skew_stats_shares(spark, sf_dir):
     assert all(r.vs_mean_ratio > 0 for r in rows)
     ranks = sorted(r.rank for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_balanced_downsample_equalizes_classes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    out = sampling.balanced_downsample(docs, "lang", "doc_id")
+    sizes = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    orig = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cap = min(orig.values())
+    assert set(sizes) == set(orig)
+    for lang, n in sizes.items():
+        assert n == cap
+    # determinism: kept set is a pure function of the data
+    again = sampling.balanced_downsample(docs, "lang", "doc_id")
+    assert out.exceptAll(again).count() == 0

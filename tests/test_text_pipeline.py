@@ -526,3 +526,17 @@ def test_trending_terms_planted_burst(spark):
     assert out[0].term == "blockchain"
     assert out[0].trend_score > 0
     assert out[0].c_a == 0 and out[0].c_b == 10
+
+
+def test_hashed_bow_deterministic_and_conserves_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = t.hashed_bow(docs, n_features=256)
+    b = t.hashed_bow(docs, n_features=256)
+    assert a.exceptAll(b).count() == 0
+    for r in a.collect()[:50]:
+        assert abs(r.weight) <= r.n_tokens
+        assert 0 <= r.bucket < 256
