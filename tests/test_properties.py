@@ -258,3 +258,69 @@ def test_incremental_neardup_finds_its_sources(spark, sf_dir):
     assert found >= 0.9 * len(eligible)
     for sb in hits.values():
         assert 1 <= sb <= 8
+
+
+def test_round7_operators_partitioning_invariant(spark, sf_dir):
+    """Round-7 exactness-critical operators hash identically under
+    different parallelism — the decimal/rank/quantizer recipes at
+    work."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        behavior,
+        indicators,
+        metrics,
+        similarity,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    embs = load_table(spark, sf_dir, "embeddings")
+    daily = ohlcv.daily_metrics(
+        ev, symbol_col="event_type", ts_col="ts",
+        price_col="value", id_col="event_id",
+    )
+
+    daily_cases = [
+        lambda d: indicators.williams_r(d, n=5),
+        lambda d: indicators.mfi(d, n=5),
+        lambda d: indicators.cmf(d, n=5),
+        lambda d: indicators.aroon(d, n=5),
+        lambda d: indicators.cci(d, n=5),
+        lambda d: indicators.kaufman_er(d, n=5, close_col="daily_close"),
+        lambda d: indicators.vortex(d, n=5),
+        lambda d: indicators.pivot_points(d),
+        lambda d: indicators.kama(d, n=5, close_col="daily_close"),
+        lambda d: indicators.holt_linear(d, close_col="daily_close"),
+        lambda d: metrics.rolling_median(
+            d, "symbol", "date", "daily_close", n=5
+        ),
+    ]
+    for fn in daily_cases:
+        assert _hash_df(fn(daily.coalesce(1))) == _hash_df(
+            fn(daily.repartition(13))
+        ), fn
+
+    ev_weekend = ev.withColumn(
+        "is_weekend", F.dayofweek("ts").isin(1, 7).cast("int")
+    )
+    ev_cases = [
+        lambda e: metrics.ks_drift(e, "event_type", "is_weekend", "value"),
+        lambda e: metrics.psi_drift(e, "event_type", "is_weekend", "value"),
+        lambda e: metrics.chi_square_independence(e, "event_type", "user_id"),
+        lambda e: metrics.mann_whitney_u(e, "event_type", "is_weekend", "value"),
+        lambda e: metrics.gini(e, "event_type", "value"),
+        lambda e: behavior.churn_by_period(e, "week"),
+        lambda e: behavior.event_pagerank(e, n_iter=3),
+        lambda e: behavior.session_copresence_pmi(e),
+    ]
+    for fn in ev_cases:
+        assert _hash_df(fn(ev_weekend.coalesce(1))) == _hash_df(
+            fn(ev_weekend.repartition(17))
+        ), fn
+
+    emb_cases = [
+        lambda m: similarity.random_projection(m, out_dim=8),
+        lambda m: similarity.centroid_similarity(m),
+    ]
+    for fn in emb_cases:
+        assert _hash_df(fn(embs.coalesce(1))) == _hash_df(
+            fn(embs.repartition(7))
+        ), fn
