@@ -9880,6 +9880,62 @@ SELECT doc_id, lang, source FROM r, cap WHERE rn <= cap.cap
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 12: leakage-free feature matrix
+# --------------------------------------------------------------------------
+
+
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised training matrix: backward-only features + next-day
+    return label per (symbol, day)
+    (`operators/indicators.py:feature_matrix`)."""
+    return indicators.feature_matrix(q_daily_metrics(spark, sf_dir), n=5)
+
+
+_FEATURE_MATRIX_ORACLE = f"""
+WITH d AS ({_DAILY_EVENTS_ORACLE}),
+b AS (
+  SELECT symbol, date, daily_close AS close, daily_high AS high,
+         daily_low AS low, CAST(daily_volume AS BIGINT) AS volume,
+         round(CASE WHEN lag(daily_close) OVER wl <> 0
+                    THEN daily_close / lag(daily_close) OVER wl - 1 END,
+               6) AS ret_1d
+  FROM d
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (
+  SELECT symbol, date, close, ret_1d, volume,
+         CAST(sum(CAST(close AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / count(*) OVER w AS sma,
+         max(high) OVER w AS hh, min(low) OVER w AS ll,
+         CAST(sum(volume) OVER w AS DOUBLE) / count(*) OVER w AS vmean,
+         count(ret_1d) OVER w AS n_rets,
+         count(*) OVER w AS n_rows,
+         CAST(sum(CAST(ret_1d AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         CAST(sum(CAST(ret_1d AS DECIMAL(19,6))
+                  * CAST(ret_1d AS DECIMAL(19,6))) OVER w AS DOUBLE) AS sxx,
+         lead(ret_1d) OVER wl AS label_next_ret
+  FROM b
+  WINDOW w AS (PARTITION BY symbol ORDER BY date
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         wl AS (PARTITION BY symbol ORDER BY date)
+)
+SELECT symbol, date, close, ret_1d,
+       round(CASE WHEN sma <> 0 THEN close / sma - 1 END, 6) AS sma_ratio,
+       round(CASE WHEN hh <> ll THEN (close - ll) / (hh - ll) END, 6)
+         AS channel_pos,
+       round(CASE WHEN n_rows >= 2
+                  THEN sqrt(greatest((sxx - sx * sx / n_rows)
+                                     / (n_rows - 1), 0.0)) END, 6)
+         AS ret_vol,
+       round(CASE WHEN vmean <> 0 THEN volume / vmean END, 6)
+         AS volume_ratio,
+       label_next_ret
+FROM f
+WHERE n_rets >= 5 AND ret_1d IS NOT NULL AND label_next_ret IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9897,6 +9953,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "feature_matrix": q_feature_matrix,
     "holt_linear": q_holt_linear,
     "hashed_bow": q_hashed_bow,
     "balanced_downsample": q_balanced_downsample,
@@ -10153,6 +10210,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "feature_matrix": _FEATURE_MATRIX_ORACLE,
     "holt_linear": _holt_oracle(),
     "hashed_bow": _HASHED_BOW_ORACLE,
     "balanced_downsample": _balanced_downsample_oracle(),

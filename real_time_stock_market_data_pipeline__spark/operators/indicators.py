@@ -2719,3 +2719,87 @@ def holt_linear(
         F.round("trend", 6).alias("trend"),
         F.round("forecast", 6).alias("forecast"),
     )
+
+
+def feature_matrix(
+    daily: DataFrame,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+    high_col: str = "daily_high",
+    low_col: str = "daily_low",
+    volume_col: str = "daily_volume",
+    n: int = 5,
+) -> DataFrame:
+    """Leakage-free supervised training matrix: per (symbol, day),
+    backward-looking features — 1-day return, close/SMA_n ratio,
+    position in the n-day high/low channel, n-day return volatility,
+    volume vs its n-day mean — and the NEXT day's return as the
+    label. Features at t read only ≤ t; the label reads exactly t+1
+    (one ``lead``) — the point-in-time discipline that keeps a
+    backtest honest, made structural instead of hoped-for.
+
+    All features reuse the package's exactness recipes (quantized
+    returns, DECIMAL rolling sums, guarded divisions), so the matrix
+    is bit-reproducible for dataset versioning. Rows survive only
+    when every feature AND the label are defined (full windows, next
+    day exists).
+
+    Shape: one symbol shuffle; every window shares the partition
+    sort; one map-side projection at the end.
+    """
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    w = Window.partitionBy(symbol_col).orderBy(date_col).rowsBetween(
+        -(n - 1), 0
+    )
+    ret = F.round(
+        F.when(
+            F.lag(close_col).over(wlag) != 0,
+            F.col(close_col) / F.lag(close_col).over(wlag) - 1,
+        ),
+        6,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        F.col(close_col).alias("close"),
+        F.col(high_col).alias("high"),
+        F.col(low_col).alias("low"),
+        F.col(volume_col).cast("long").alias("volume"),
+        ret.alias("ret_1d"),
+    )
+    w2 = Window.partitionBy("symbol").orderBy("date").rowsBetween(-(n - 1), 0)
+    wl2 = Window.partitionBy("symbol").orderBy("date")
+    sma = F.sum(F.col("close").cast("decimal(18,6)")).over(w2).cast(
+        "double"
+    ) / F.count(F.lit(1)).over(w2)
+    hh = F.max("high").over(w2)
+    ll = F.min("low").over(w2)
+    vmean = F.sum("volume").over(w2).cast("double") / F.count(F.lit(1)).over(
+        w2
+    )
+    vol = _roll_std(F.col("ret_1d"), w2)
+    full = F.count("ret_1d").over(w2) >= n
+    feats = base.select(
+        "symbol",
+        "date",
+        "close",
+        "ret_1d",
+        F.round(F.when(sma != 0, F.col("close") / sma - 1), 6).alias(
+            "sma_ratio"
+        ),
+        F.round(
+            F.when(hh != ll, (F.col("close") - ll) / (hh - ll)), 6
+        ).alias("channel_pos"),
+        F.round(vol, 6).alias("ret_vol"),
+        F.round(F.when(vmean != 0, F.col("volume") / vmean), 6).alias(
+            "volume_ratio"
+        ),
+        F.lead("ret_1d").over(wl2).alias("label_next_ret"),
+        full.alias("__full"),
+    )
+    return feats.where(
+        F.col("__full")
+        & F.col("ret_1d").isNotNull()
+        & F.col("label_next_ret").isNotNull()
+    ).drop("__full")

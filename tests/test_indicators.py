@@ -974,3 +974,48 @@ def test_holt_linear_tracks_exact_line(spark):
         assert abs(r.level - r.close) < 1e-6
         assert abs(r.trend - 3.0) < 1e-6
         assert abs(r.forecast - (r.close + 3.0)) < 1e-6
+
+
+def test_feature_matrix_no_lookahead(spark, sf_dir):
+    """The label at (symbol, t) must equal the feature ret_1d at
+    (symbol, t+1) — and features must be reproducible from data
+    truncated at t (backward-only)."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_daily_metrics,
+    )
+
+    daily = q_daily_metrics(spark, sf_dir)
+    fm = indicators.feature_matrix(daily, n=5)
+    rows = sorted(fm.collect(), key=lambda r: (r.symbol, r.date))
+    by_key = {(r.symbol, r.date): r for r in rows}
+    assert rows
+    for r in rows:
+        nxt = [
+            x for x in rows
+            if x.symbol == r.symbol and x.date > r.date
+        ]
+        if nxt and (r.symbol, min(n.date for n in nxt)) in by_key:
+            n0 = by_key[(r.symbol, min(n.date for n in nxt))]
+            # consecutive matrix rows: label(t) == ret_1d(t+1)
+            if (n0.date - r.date).days == 1:
+                assert abs(r.label_next_ret - n0.ret_1d) < 1e-9
+    for r in rows:
+        assert 0.0 - 1e-9 <= r.channel_pos <= 1.0 + 1e-9
+        assert r.ret_vol >= 0
+
+
+def test_market_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from real_time_stock_market_data_pipeline__spark import jobs
+
+    run = jobs.market_pipeline(
+        spark, f"{sf_dir}/events.parquet", str(tmp_path / "out")
+    )
+    assert run.ok
+    names = [r.name for r in run.results]
+    assert names == ["gate", "ingest", "daily_bars", "features", "risk"]
+    assert run.value("features") > 0
+    assert run.value("risk") > 0
+    feats = spark.read.parquet(str(tmp_path / "out" / "features"))
+    assert "label_next_ret" in feats.columns
+    risk = spark.read.parquet(str(tmp_path / "out" / "risk"))
+    assert {"sharpe_annual", "var_5pct"} <= set(risk.columns)
