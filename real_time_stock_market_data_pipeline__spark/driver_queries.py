@@ -9699,7 +9699,7 @@ WITH t AS (
 c AS (
   SELECT *, sum(vq) OVER w AS cum
   FROM t
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts, tid
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, tid, price, vq
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 b AS (
@@ -9717,7 +9717,7 @@ SELECT DISTINCT symbol, bar,
        CAST(sum(vq) OVER wb AS DOUBLE) AS bar_volume,
        count(*) OVER wb AS n_ticks
 FROM b
-WINDOW wb AS (PARTITION BY symbol, bar ORDER BY ts, tid
+WINDOW wb AS (PARTITION BY symbol, bar ORDER BY ts, tid, price, vq
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
@@ -9788,15 +9788,16 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _holt_oracle(alpha: float = 0.3, beta: float = 0.1) -> str:
+def _holt_cte(alpha: float = 0.3, beta: float = 0.1) -> str:
+    """The Holt recursion as a reusable CTE chain ending in ``rec``;
+    shared by the holt_linear and forecast_eval oracles."""
     # literals generated from the SAME Python floats the walk uses —
     # writing 0.7 in SQL parses to a double that can differ by one ulp
     # from Python's computed (1 - 0.3)
     one_m_a = 1 - alpha
     one_m_b = 1 - beta
     lvl = f"({alpha!r} * b.close + {one_m_a!r} * (r.level + r.trend))"
-    return f"""
-WITH RECURSIVE d AS ({_DAILY_CLOSE_CTE}),
+    return f"""d AS ({_DAILY_CLOSE_CTE}),
 b AS (
   SELECT symbol, date, close,
          row_number() OVER (PARTITION BY symbol ORDER BY date) AS rn
@@ -9813,7 +9814,12 @@ rec AS (
          {lvl},
          {beta!r} * ({lvl} - r.level) + {one_m_b!r} * r.trend
   FROM b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
-)
+)"""
+
+
+def _holt_oracle(alpha: float = 0.3, beta: float = 0.1) -> str:
+    return f"""
+WITH RECURSIVE {_holt_cte(alpha, beta)}
 SELECT symbol, date, close,
        {_round_sql("level", 6)} AS level,
        {_round_sql("trend", 6)} AS trend,
@@ -9936,6 +9942,144 @@ WHERE n_rets >= 5 AND ret_1d IS NOT NULL AND label_next_ret IS NOT NULL
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 13: cohort LTV, dollar bars, forecast skill
+# --------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (purchase revenue per cohort-age,
+    accumulated) (`operators/behavior.py:cohort_ltv`)."""
+    return behavior.cohort_ltv(_events(spark, sf_dir))
+
+
+_COHORT_LTV_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type AS etype, CAST(ts AS DATE) AS day,
+         round(value, 6) AS rev,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events
+),
+per AS (
+  SELECT cohort_day, day - cohort_day AS day_offset,
+         sum(CAST(CASE WHEN etype = 'purchase' THEN rev ELSE 0.0 END
+                  AS DECIMAL(18,6))) AS _rev
+  FROM e GROUP BY cohort_day, day - cohort_day
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM (
+    SELECT DISTINCT user_id, cohort_day FROM e
+  ) t GROUP BY cohort_day
+),
+curve AS (
+  SELECT cohort_day, day_offset,
+         round(CAST(_rev AS DOUBLE), 6) AS revenue,
+         round(CAST(sum(_rev) OVER (PARTITION BY cohort_day
+                                    ORDER BY day_offset
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE), 6)
+           AS cum_revenue
+  FROM per
+)
+SELECT c.cohort_day, c.day_offset, c.revenue, c.cum_revenue,
+       s.cohort_size,
+       round(c.cum_revenue / s.cohort_size, 6) AS ltv_per_user
+FROM curve c JOIN sizes s ON c.cohort_day = s.cohort_day
+"""
+
+
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-notional dollar bars over lineitem
+    (`operators/ohlcv.py:dollar_bars`)."""
+    ensure_engine_conf(spark)
+    li = _table("lineitem")(spark, sf_dir).withColumn(
+        "lid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    return ohlcv.dollar_bars(
+        li,
+        bar_notional=20_000_000,
+        symbol_col="l_returnflag",
+        ts_col="l_shipdate",
+        price_col="l_extendedprice",
+        volume_col="l_quantity",
+        id_col="lid",
+    )
+
+
+_DOLLAR_BARS_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS symbol, l_shipdate AS ts,
+         l_orderkey * 100 + l_linenumber AS tid,
+         l_extendedprice AS price,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+              * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,8)) AS vq
+  FROM lineitem
+),
+c AS (
+  SELECT *, sum(vq) OVER w AS cum
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, tid, price, vq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT *,
+         CAST(floor(CAST(cum - vq AS DOUBLE) / 20000000.0) AS BIGINT) AS bar
+  FROM c
+)
+SELECT DISTINCT symbol, bar,
+       min(ts) OVER wb AS bar_start,
+       max(ts) OVER wb AS bar_end,
+       round(first_value(price) OVER wb, 6) AS bar_open,
+       round(max(price) OVER wb, 6) AS bar_high,
+       round(min(price) OVER wb, 6) AS bar_low,
+       round(last_value(price) OVER wb, 6) AS bar_close,
+       CAST(sum(vq) OVER wb AS DOUBLE) AS bar_notional,
+       count(*) OVER wb AS n_ticks
+FROM b
+WINDOW wb AS (PARTITION BY symbol, bar ORDER BY ts, tid, price, vq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-vs-naive one-step forecast skill per symbol
+    (`operators/indicators.py:forecast_eval`)."""
+    return indicators.forecast_eval(
+        _daily_close(spark, sf_dir), alpha=0.3, beta=0.1, close_col="close"
+    )
+
+
+def _forecast_eval_oracle(alpha: float = 0.3, beta: float = 0.1) -> str:
+    return f"""
+WITH RECURSIVE {_holt_cte(alpha, beta)},
+h AS (
+  SELECT symbol, date, close,
+         {_round_sql("level + trend", 6)} AS forecast
+  FROM rec
+),
+er AS (
+  SELECT symbol,
+         round(abs(lead(close) OVER wl - forecast), 6) AS e_holt,
+         round(abs(lead(close) OVER wl - close), 6) AS e_naive
+  FROM h
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM er WHERE e_naive IS NOT NULL),
+a AS (
+  SELECT symbol, count(*) AS n_evals,
+         round(CAST(sum(CAST(e_holt AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mae_holt,
+         round(CAST(sum(CAST(e_naive AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 6) AS mae_naive
+  FROM f GROUP BY symbol
+)
+SELECT symbol, n_evals, mae_holt, mae_naive,
+       round(CASE WHEN mae_naive <> 0
+                  THEN 1 - mae_holt / mae_naive END, 6) AS skill
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9953,6 +10097,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "cohort_ltv": q_cohort_ltv,
+    "dollar_bars": q_dollar_bars,
+    "forecast_eval": q_forecast_eval,
     "feature_matrix": q_feature_matrix,
     "holt_linear": q_holt_linear,
     "hashed_bow": q_hashed_bow,
@@ -10210,6 +10357,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "cohort_ltv": _COHORT_LTV_ORACLE,
+    "dollar_bars": _DOLLAR_BARS_ORACLE,
+    "forecast_eval": _forecast_eval_oracle(),
     "feature_matrix": _FEATURE_MATRIX_ORACLE,
     "holt_linear": _holt_oracle(),
     "hashed_bow": _HASHED_BOW_ORACLE,

@@ -905,3 +905,74 @@ def session_copresence_pmi(
     )
     pres.createOrReplaceTempView("__pmi_pres")
     return events.sparkSession.sql(copresence_pmi_sql("__pmi_pres"))
+
+
+def cohort_ltv(
+    events: DataFrame,
+    revenue_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day,
+    revenue (``revenue_type`` event values) summed per cohort-age
+    offset and accumulated along the offset — the revenue companion
+    of :func:`cohort_retention`, read as "how much has the day-X
+    cohort spent by age N". Also reports per-user LTV
+    (cum_revenue / cohort size).
+
+    Exactness: revenue is quantized then DECIMAL-summed per
+    (cohort, offset); the running accumulation is a window over the
+    cohort-triangle frame (cohorts × horizon — tiny), so both sums
+    are exact and the one division is IEEE. Cohort sizes count
+    DISTINCT users of the cohort (not just payers).
+
+    Shape: one user-key shuffle for the cohort window, one
+    (cohort, offset) groupBy, then dimension-sized windows.
+    """
+    w = Window.partitionBy(user_col)
+    day = F.to_date(ts_col)
+    enriched = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        day.alias("day"),
+        F.round(F.col(value_col), 6).alias("rev"),
+        F.min(day).over(w).alias("cohort_day"),
+    )
+    per = enriched.groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset")).agg(
+        F.sum(
+            F.when(F.col("etype") == revenue_type, F.col("rev"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        ).alias("_rev"),
+    )
+    sizes = (
+        enriched.select("user_id", "cohort_day")
+        .distinct()
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    wrun = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = per.select(
+        "cohort_day",
+        "day_offset",
+        F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+        F.round(F.sum("_rev").over(wrun).cast("double"), 6).alias(
+            "cum_revenue"
+        ),
+    )
+    return curve.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "revenue",
+        "cum_revenue",
+        "cohort_size",
+        F.round(F.col("cum_revenue") / F.col("cohort_size"), 6).alias(
+            "ltv_per_user"
+        ),
+    )

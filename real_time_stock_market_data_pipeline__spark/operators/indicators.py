@@ -2803,3 +2803,63 @@ def feature_matrix(
         & F.col("ret_1d").isNotNull()
         & F.col("label_next_ret").isNotNull()
     ).drop("__full")
+
+
+def forecast_eval(
+    daily: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Forecast-skill report: per symbol, the mean absolute one-step
+    error of the :func:`holt_linear` forecast vs the NAIVE forecast
+    (tomorrow = today), and the resulting skill score
+    ``1 − MAE_holt/MAE_naive`` (positive = the model beats
+    persistence — the honest baseline every forecast must clear;
+    cf. MASE, Hyndman & Koehler 2006).
+
+    Both error series are quantized then DECIMAL-summed; evaluation
+    rows are exactly those with a realized next close. One symbol
+    shuffle end-to-end on top of the Holt walk.
+    """
+    h = holt_linear(
+        daily,
+        alpha=alpha,
+        beta=beta,
+        symbol_col=symbol_col,
+        date_col=date_col,
+        close_col=close_col,
+    )
+    wl = Window.partitionBy("symbol").orderBy("date")
+    nxt = F.lead("close").over(wl)
+    errs = h.select(
+        "symbol",
+        F.round(F.abs(nxt - F.col("forecast")), 6).alias("e_holt"),
+        F.round(F.abs(nxt - F.col("close")), 6).alias("e_naive"),
+    ).where(F.col("e_naive").isNotNull())
+
+    def dmean(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(18,6)")).cast(
+            "double"
+        ) / F.count(F.lit(1))
+
+    agg = errs.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_evals"),
+        F.round(dmean("e_holt"), 6).alias("mae_holt"),
+        F.round(dmean("e_naive"), 6).alias("mae_naive"),
+    )
+    return agg.select(
+        "symbol",
+        "n_evals",
+        "mae_holt",
+        "mae_naive",
+        F.round(
+            F.when(
+                F.col("mae_naive") != 0,
+                1 - F.col("mae_holt") / F.col("mae_naive"),
+            ),
+            6,
+        ).alias("skill"),
+    )

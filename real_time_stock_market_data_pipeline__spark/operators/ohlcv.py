@@ -458,6 +458,7 @@ def volume_bars(
     price_col: str = "price",
     volume_col: str = "volume",
     id_col: str = "id",
+    volume_decimal: str = "decimal(18,2)",
 ) -> DataFrame:
     """Volume bars (López de Prado's information-driven bars): per
     symbol, ticks accumulate into a bar until ~``bar_volume`` units
@@ -478,9 +479,17 @@ def volume_bars(
     bar) groupBy share the partition sort, map-side partials carry
     six accumulators per bar.
     """
-    w = Window.partitionBy(symbol_col).orderBy(F.col(ts_col), F.col(id_col))
+    # the order must be RESULT-total: ids in real feeds can collide
+    # (the test lineitem has duplicate (orderkey, linenumber) pairs),
+    # and an untotal order makes both the running volume and the
+    # open/close picks engine-dependent — so price and volume join the
+    # key; rows still tied after that are full duplicates, for which
+    # any order yields the identical result set
+    w = Window.partitionBy(symbol_col).orderBy(
+        F.col(ts_col), F.col(id_col), F.col(price_col), F.col(volume_col)
+    )
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vq = F.col(volume_col).cast("decimal(18,2)")
+    vq = F.col(volume_col).cast(volume_decimal)
     cum = F.sum(vq).over(wrun)
     bar = F.floor((cum - vq).cast("double") / F.lit(float(bar_volume)))
     base = ticks.select(
@@ -491,7 +500,7 @@ def volume_bars(
         vq.alias("vq"),
         bar.alias("bar"),
     )
-    okey = F.struct(F.col("ts"), F.col("tid"))
+    okey = F.struct(F.col("ts"), F.col("tid"), F.col("price"), F.col("vq"))
     return base.groupBy("symbol", "bar").agg(
         F.min("ts").alias("bar_start"),
         F.max("ts").alias("bar_end"),
@@ -502,3 +511,38 @@ def volume_bars(
         F.sum("vq").cast("double").alias("bar_volume"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+def dollar_bars(
+    ticks: DataFrame,
+    bar_notional: int,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+    price_col: str = "price",
+    volume_col: str = "volume",
+    id_col: str = "id",
+) -> DataFrame:
+    """Dollar bars: :func:`volume_bars` accumulating traded NOTIONAL
+    (price × quantity) instead of quantity — the López de Prado bar
+    family member that also normalizes across price regimes (a stock
+    that doubles needs half the shares per bar). The notional enters
+    as an exact DECIMAL product (price DECIMAL(18,6) × quantity
+    DECIMAL(12,2) → DECIMAL(31,8), widened losslessly), so the prefix
+    accumulation stays on the exact lattice; everything else is the
+    volume-bar machinery unchanged.
+    """
+    notional = F.col(price_col).cast("decimal(18,6)") * F.col(
+        volume_col
+    ).cast("decimal(12,2)")
+    t = ticks.withColumn("__notional", notional)
+    out = volume_bars(
+        t,
+        bar_volume=bar_notional,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        price_col=price_col,
+        volume_col="__notional",
+        id_col=id_col,
+        volume_decimal="decimal(28,8)",
+    )
+    return out.withColumnRenamed("bar_volume", "bar_notional")

@@ -412,3 +412,33 @@ def test_session_pmi_laws(spark, sf_dir):
         assert r.n_ab <= min(r.n_a, r.n_b)
         # PMI is bounded above by -ln(max(p_a, p_b))-ish; loose sanity:
         assert not math.isnan(r.pmi)
+
+
+def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.cohort_ltv(ev).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    total = 0.0
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.day_offset)
+        prev = -1.0
+        for r in series:
+            assert r.cum_revenue >= prev - 1e-9  # cumulative is monotone
+            prev = r.cum_revenue
+            assert abs(r.ltv_per_user - round(r.cum_revenue / r.cohort_size, 6)) < 1e-9
+        total += series[-1].cum_revenue
+    want = (
+        ev.where("event_type = 'purchase'")
+        .agg(F.round(F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double"), 4))
+        .collect()[0][0]
+    )
+    assert abs(total - want) < 1e-2  # all purchase revenue lands in some cohort

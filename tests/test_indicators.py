@@ -1019,3 +1019,18 @@ def test_market_pipeline_end_to_end(spark, sf_dir, tmp_path):
     assert "label_next_ret" in feats.columns
     risk = spark.read.parquet(str(tmp_path / "out" / "risk"))
     assert {"sharpe_annual", "var_5pct"} <= set(risk.columns)
+
+
+def test_forecast_eval_perfect_line_has_positive_skill(spark):
+    import datetime
+
+    # Holt locks onto a perfect line (level=close, trend=slope), so
+    # its one-step error is ~0 while naive's is the slope
+    rows = [
+        ("X", datetime.date(2024, 1, 1 + i), 100.0 + 3.0 * i) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.forecast_eval(df, close_col="close").collect()[0]
+    assert out.mae_holt < 1e-5
+    assert abs(out.mae_naive - 3.0) < 1e-6
+    assert out.skill > 0.99

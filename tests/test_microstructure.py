@@ -239,3 +239,42 @@ def test_vpin_strict_uptrend_is_one(spark):
         # has rolled out of every surviving window or not: imbalance
         # of full-buy buckets is 1
         assert r.vpin > 0.9
+
+
+def test_dollar_bars_target_notional(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import ohlcv
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "lid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    bars = ohlcv.dollar_bars(
+        li, bar_notional=20_000_000, symbol_col="l_returnflag",
+        ts_col="l_shipdate", price_col="l_extendedprice",
+        volume_col="l_quantity", id_col="lid",
+    ).collect()
+    assert bars
+    # notional conservation across bars per symbol
+    by_sym = {}
+    for b in bars:
+        by_sym.setdefault(b.symbol, 0.0)
+        by_sym[b.symbol] += b.bar_notional
+        assert b.bar_low <= b.bar_open <= b.bar_high
+        assert b.bar_low <= b.bar_close <= b.bar_high
+    want = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * F.col("l_quantity").cast("decimal(12,2)")
+            ).cast("double")
+        )
+        .collect()
+    }
+    for sym, tot in by_sym.items():
+        assert abs(tot - want[sym]) < 1.0
