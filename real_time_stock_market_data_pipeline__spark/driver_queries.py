@@ -10080,6 +10080,103 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 14: boilerplate stripping, QQ drill-down
+# --------------------------------------------------------------------------
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate sentence removal (df > 2 dropped,
+    order-preserving rebuild)
+    (`operators/text.py:strip_boilerplate`)."""
+    return text.strip_boilerplate(
+        _table("documents")(spark, sf_dir), max_df=2
+    )
+
+
+_STRIP_BOILERPLATE_ORACLE = f"""
+WITH arrs AS (
+  SELECT doc_id,
+         string_split_regex({_NORM.format(col="text")}, '\\. ') AS arr
+  FROM documents
+),
+sent AS (
+  SELECT doc_id, r.i AS pos, arr[r.i] AS s
+  FROM arrs, unnest(range(1, len(arr) + 1)) AS r(i)
+  WHERE length(arr[r.i]) > 0
+),
+counts AS (
+  SELECT md5(s) AS h, count(DISTINCT doc_id) AS nd
+  FROM sent GROUP BY md5(s)
+),
+flagged AS (
+  SELECT st.doc_id, st.pos, st.s, c.nd
+  FROM sent st JOIN counts c ON md5(st.s) = c.h
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_sentences,
+         CAST(sum(CASE WHEN nd > 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         coalesce(string_agg(CASE WHEN nd <= 2 THEN s END, '. '
+                             ORDER BY pos), '') AS cleaned_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.cleaned_text, '') AS cleaned_text,
+       coalesce(r.n_sentences, 0) AS n_sentences,
+       coalesce(r.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+def q_qq_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete QQ table per event type, weekday vs weekend — the
+    drill-down behind a KS alarm
+    (`operators/metrics.py:qq_quantiles`)."""
+    return metrics.qq_quantiles(
+        _events_weekend_split(spark, sf_dir),
+        group_col="event_type",
+        side_col="is_weekend",
+        value_col="value",
+    )
+
+
+def _qq_oracle() -> str:
+    picks = []
+    gaps = []
+    for label, num, den in metrics.QQ_LEVELS:
+        for side, sfx in ((0, "ref"), (1, "cur")):
+            picks.append(
+                f"max(CASE WHEN is_b = {side}"
+                f" AND rn = (n * {num} + {den - 1}) // {den}"
+                f" THEN val END) AS {label}_{sfx}"
+            )
+        gaps.append(
+            f"round({label}_cur - {label}_ref, 6) AS {label}_gap"
+        )
+    return f"""
+WITH v AS (
+  SELECT event_type AS grp, value AS val, {_WEEKEND_SQL} AS is_b
+  FROM events
+),
+r AS (
+  SELECT grp, is_b, val,
+         row_number() OVER (PARTITION BY grp, is_b ORDER BY val) AS rn,
+         count(*) OVER (PARTITION BY grp, is_b) AS n
+  FROM v
+),
+a AS (
+  SELECT grp, {", ".join(picks)}
+  FROM r GROUP BY grp
+)
+SELECT grp,
+       {", ".join(f"{l}_ref, {l}_cur" for l, _, _ in metrics.QQ_LEVELS)},
+       {", ".join(gaps)}
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10097,6 +10194,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "strip_boilerplate": q_strip_boilerplate,
+    "qq_quantiles": q_qq_quantiles,
     "cohort_ltv": q_cohort_ltv,
     "dollar_bars": q_dollar_bars,
     "forecast_eval": q_forecast_eval,
@@ -10357,6 +10456,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "strip_boilerplate": _STRIP_BOILERPLATE_ORACLE,
+    "qq_quantiles": _qq_oracle(),
     "cohort_ltv": _COHORT_LTV_ORACLE,
     "dollar_bars": _DOLLAR_BARS_ORACLE,
     "forecast_eval": _forecast_eval_oracle(),

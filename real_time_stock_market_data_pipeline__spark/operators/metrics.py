@@ -1024,3 +1024,65 @@ def rolling_median(
         F.col("val").alias(value_col),
         F.element_at(F.col("__sorted"), k).alias("rolling_median"),
     )
+
+
+#: (label, numerator, denominator) of the QQ probe levels — exact
+#: rationals so k = ceil(q·n) stays in integer arithmetic (0.1*140 in
+#: floats is 14.000000000000002 and ceils to the wrong rank).
+QQ_LEVELS = (("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10))
+
+
+def qq_quantiles(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """QQ comparison table per group: the discrete p10/p25/p50/p75/p90
+    quantiles of the side=false (reference) and side=true (current)
+    samples side by side with their gaps — the WHERE-did-it-shift
+    drill-down behind a :func:`ks_drift` alarm.
+
+    Quantiles are discrete rank selections (k = ⌈q·n⌉, computed in
+    integer arithmetic — float q·n mis-ceils exact multiples), so no
+    interpolation formula and no float path at all; the gaps are one
+    subtraction each. Groups with an empty side yield NULLs.
+
+    Shape: one rank window per (group, side) partition and one final
+    group fold — a single shuffle lineage.
+    """
+    b = F.col(side_col).cast("boolean")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        b.alias("is_b"),
+        F.col(value_col).alias("val"),
+    )
+    wrk = Window.partitionBy("grp", "is_b").orderBy("val")
+    wn = Window.partitionBy("grp", "is_b")
+    ranked = base.select(
+        "grp",
+        "is_b",
+        "val",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(side_is_b: bool, num: int, den: int) -> F.Column:
+        k = F.expr(f"(n * {num} + {den - 1}) DIV {den}")
+        cond = (F.col("is_b") == side_is_b) & (F.col("rn") == k)
+        return F.max(F.when(cond, F.col("val")))
+
+    aggs = []
+    for label, num, den in QQ_LEVELS:
+        aggs.append(pick(False, num, den).alias(f"{label}_ref"))
+        aggs.append(pick(True, num, den).alias(f"{label}_cur"))
+    out = ranked.groupBy("grp").agg(*aggs)
+    gap_cols = [
+        F.round(F.col(f"{l}_cur") - F.col(f"{l}_ref"), 6).alias(f"{l}_gap")
+        for l, _, _ in QQ_LEVELS
+    ]
+    return out.select(
+        "grp",
+        *[c for l, _, _ in QQ_LEVELS for c in (f"{l}_ref", f"{l}_cur")],
+        *gap_cols,
+    )

@@ -1071,3 +1071,76 @@ def hashed_bow(
         .groupBy(id_col, "bucket")
         .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 2,
+) -> DataFrame:
+    """Boilerplate removal: drop every sentence that appears (verbatim
+    after normalization) in MORE than ``max_df`` documents — the
+    cleaning action on the signal :func:`sentence_dedup_stats` only
+    reports. Headers, footers, and licence blurbs repeat across a
+    corpus; unique prose doesn't (C4-style line-level dedup,
+    Raffel et al. 2020, at sentence grain).
+
+    Output: (id, cleaned_text, n_sentences, n_dropped) for EVERY
+    input document — cleaned text preserves original sentence order
+    ('. '-joined; documents whose sentences are all boilerplate come
+    back empty, and sentence-free documents pass through with zero
+    counts).
+
+    Scale: sentences explode in place and shuffle as md5 keys; the
+    document-frequency aggregate is map-side partial; reconstruction
+    is one per-doc sort of its OWN sentences (`array_sort` of
+    (pos, sentence) structs — bounded by document length, never
+    corpus-sized).
+    """
+    from real_time_stock_market_data_pipeline__spark.operators.dedup import (
+        normalized_text,
+    )
+
+    sent = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), r"\. ")).alias(
+            "pos", "s"
+        ),
+    ).filter(F.length("s") > 0)
+    counts = sent.groupBy(F.md5("s").alias("h")).agg(
+        F.count_distinct(F.col(id_col)).alias("nd")
+    )
+    flagged = sent.withColumn("h", F.md5("s")).join(counts, "h")
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum(F.when(F.col("nd") > max_df, 1).otherwise(0)).alias(
+            "n_dropped"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("nd") <= max_df,
+                            F.struct(F.col("pos"), F.col("s")),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            ". ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+            F.coalesce(F.col("n_sentences"), F.lit(0)).alias("n_sentences"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+        )
+    )

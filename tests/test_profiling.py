@@ -311,3 +311,21 @@ def test_rolling_median_robust_to_outlier(spark):
     assert out[6] == 11.0
     # windows before day 5 are incomplete and absent
     assert set(out) == set(range(5, 11))
+
+
+def test_qq_quantiles_monotone_and_identical_sides(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import metrics
+
+    vals = [float(v) for v in range(1, 41)]
+    df = spark.createDataFrame(
+        [("g", v, 0) for v in vals] + [("g", v, 1) for v in vals],
+        "grp string, val double, is_b int",
+    )
+    r = metrics.qq_quantiles(df, "grp", "is_b", "val").collect()[0]
+    # identical samples: every gap is exactly 0
+    for l in ("p10", "p25", "p50", "p75", "p90"):
+        assert r[f"{l}_gap"] == 0.0
+    # quantiles are monotone across levels
+    assert r.p10_ref <= r.p25_ref <= r.p50_ref <= r.p75_ref <= r.p90_ref
+    # discrete convention: p50 of 40 values = 20th smallest = 20.0
+    assert r.p50_ref == 20.0

@@ -540,3 +540,40 @@ def test_hashed_bow_deterministic_and_conserves_tokens(spark, sf_dir):
     for r in a.collect()[:50]:
         assert abs(r.weight) <= r.n_tokens
         assert 0 <= r.bucket < 256
+
+
+def test_strip_boilerplate_removes_shared_footer(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    footer = "subscribe to our newsletter for more"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique thoughts one. {footer}."),
+            (2, f"different prose two. {footer}."),
+            (3, f"third body text here. {footer}."),
+            (4, "no footer in this one at all."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.strip_boilerplate(docs, max_df=2).collect()}
+    # the footer appears in 3 docs > max_df=2 -> stripped everywhere
+    for i in (1, 2, 3):
+        assert footer not in out[i].cleaned_text
+        assert out[i].n_dropped == 1
+        assert out[i].cleaned_text  # unique sentence survives
+    assert out[4].n_dropped == 0
+    assert "no footer" in out[4].cleaned_text
+    assert out[5].cleaned_text == "" and out[5].n_sentences == 0
+
+
+def test_strip_boilerplate_preserves_order(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "alpha first. beta second. gamma third.")],
+        "doc_id long, text string",
+    )
+    out = t.strip_boilerplate(docs, max_df=2).collect()[0]
+    assert out.cleaned_text.index("alpha") < out.cleaned_text.index("beta")
+    assert out.cleaned_text.index("beta") < out.cleaned_text.index("gamma")
