@@ -10177,6 +10177,84 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 15: hierarchy pointer doubling, real PPM resize
+# --------------------------------------------------------------------------
+
+
+def q_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root/depth resolution of the decimal-digit customer forest
+    (parent = custkey DIV 10) by log-round pointer doubling; the
+    oracle walks every chain with a recursive CTE
+    (`operators/relational.py:resolve_hierarchy`)."""
+    ensure_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    div = F.expr("c_custkey DIV 10")
+    nodes = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(div != 0, div).alias("parent"),
+    )
+    return relational.resolve_hierarchy(nodes, "id", "parent")
+
+
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE n AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey // 10 = 0 THEN NULL
+              ELSE c_custkey // 10 END AS parent
+  FROM customer
+),
+rec AS (
+  SELECT id, id AS cur, 0 AS depth FROM n
+  UNION ALL
+  SELECT r.id, n2.parent AS cur, r.depth + 1
+  FROM rec r JOIN n n2 ON r.cur = n2.id
+  WHERE n2.parent IS NOT NULL
+)
+SELECT r.id, r.cur AS root, r.depth
+FROM rec r JOIN n n3 ON r.cur = n3.id
+WHERE n3.parent IS NULL
+"""
+
+
+def q_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor PPM downsampling (stride 2) with exact
+    resized per-channel sums; the oracle replays the sampled pixel
+    grid from the byte spec
+    (`operators/multimodal.py:resize_ppm_stats`)."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    media = multimodal.synthetic_media(_table("documents")(spark, sf_dir))
+    return multimodal.resize_ppm_stats(
+        media.where(F.col("kind") == "image"), factor=2
+    )
+
+
+_RESIZE_PPM_ORACLE = """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+dims AS (
+  SELECT doc_id, w, h, (w + 1) // 2 AS nw, (h + 1) // 2 AS nh FROM img
+),
+grid AS (
+  SELECT doc_id, w, h, nw, nh,
+         3 * ((yy.i * 2) * w + (xx.i * 2)) AS j0
+  FROM dims, unnest(range(0, nh)) AS yy(i), unnest(range(0, nw)) AS xx(i)
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS orig_w, CAST(h AS INT) AS orig_h,
+       CAST(nw AS INT) AS new_w, CAST(nh AS INT) AS new_h,
+       CAST(sum((doc_id * 7 + j0 * 11) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 7 + (j0 + 1) * 11) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id * 7 + (j0 + 2) * 11) % 256) AS BIGINT) AS sum_b
+FROM grid GROUP BY doc_id, w, h, nw, nh
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10194,6 +10272,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "hierarchy": q_hierarchy,
+    "resize_ppm": q_resize_ppm,
     "strip_boilerplate": q_strip_boilerplate,
     "qq_quantiles": q_qq_quantiles,
     "cohort_ltv": q_cohort_ltv,
@@ -10456,6 +10536,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "hierarchy": _HIERARCHY_ORACLE,
+    "resize_ppm": _RESIZE_PPM_ORACLE,
     "strip_boilerplate": _STRIP_BOILERPLATE_ORACLE,
     "qq_quantiles": _qq_oracle(),
     "cohort_ltv": _COHORT_LTV_ORACLE,

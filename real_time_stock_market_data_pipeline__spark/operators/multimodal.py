@@ -500,3 +500,68 @@ def audio_frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(frames, schema=FRAME_ENERGY_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orig_w", IntegerType(), True),
+        StructField("orig_h", IntegerType(), True),
+        StructField("new_w", IntegerType(), True),
+        StructField("new_h", IntegerType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+    ]
+)
+
+
+def resize_ppm_stats(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image downsampling for the stdlib-parseable container:
+    nearest-neighbor stride-``factor`` resize of each binary PPM
+    (pixel (y, x) of the output reads pixel (y·f, x·f) of the input)
+    with the resized image's exact per-channel sums — the decoded-
+    feature upgrade of :func:`resize_media`'s digest-stub plumbing,
+    same Arrow-batched no-shuffle shape. Feature sums instead of
+    payload bytes keep the result oracle-replayable (the byte spec is
+    closed-form) and driver-canonicalizable.
+
+    Non-image rows are ignored by contract (filter kind='image'
+    upstream); non-P6 payloads raise loudly.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in RESIZED_SCHEMA.names}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                p = bytes(payload) if payload is not None else b""
+                d = _decode_ppm(p)  # raises on non-P6
+                w, h = d["width"], d["height"]
+                # re-parse the body for pixel access (decode returns sums)
+                header_end = p.index(b"255\n") + 4
+                body = p[header_end:]
+                new_w = (w + factor - 1) // factor
+                new_h = (h + factor - 1) // factor
+                sums = [0, 0, 0]
+                for yy in range(new_h):
+                    for xx in range(new_w):
+                        base = 3 * ((yy * factor) * w + (xx * factor))
+                        for c in range(3):
+                            sums[c] += body[base + c]
+                rows["media_id"].append(int(mid))
+                rows["orig_w"].append(w)
+                rows["orig_h"].append(h)
+                rows["new_w"].append(new_w)
+                rows["new_h"].append(new_h)
+                rows["sum_r"].append(sums[0])
+                rows["sum_g"].append(sums[1])
+                rows["sum_b"].append(sums[2])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -735,3 +735,89 @@ def cdc_apply(
         *key_cols, *payload_cols
     )
     return untouched.select(*key_cols, *payload_cols).unionByName(upserts)
+
+
+def resolve_hierarchy(
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve every node of a parent-pointer forest to its ROOT and
+    DEPTH by pointer doubling (Wyllie's list-ranking jump): each round
+    replaces every pointer with its pointer's pointer and adds the
+    distances, so convergence takes ⌈log₂ depth⌉ rounds — the
+    distributed answer to hierarchical dimensions (org charts, BOM
+    trees, category taxonomies) that a recursive CTE walks row at a
+    time. A root is a node with NULL parent (depth 0, its own root).
+
+    Driver-paced loop over ROUNDS (never rows), one equi-join per
+    round on the node key, lineage truncated per round with
+    ``localCheckpoint`` — the same discipline as
+    ``dedup.neardup_clusters`` / ``behavior.event_pagerank``. The
+    fixpoint test ships one integer per round. Raises after
+    ``max_rounds`` (2^20-deep chains are a data bug, not a workload).
+
+    All arithmetic is integer; output is (id, root, depth) — exact on
+    any engine, which is what lets a recursive-CTE oracle check a
+    log-round distributed algorithm.
+    """
+    # state: (id, ptr, dist) — ptr = current jump target (NULL once
+    # rooted is encoded as ptr == id for join simplicity), dist =
+    # accumulated hops to ptr
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("ptr"),
+        F.when(F.col(parent_col).isNull(), 0).otherwise(1).alias("dist"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        jump = state.select(
+            F.col("id").alias("ptr"),
+            F.col("ptr").alias("ptr2"),
+            F.col("dist").alias("dist2"),
+        )
+        nxt = (
+            state.join(jump, "ptr")
+            .select(
+                "id",
+                F.col("ptr2").alias("ptr"),
+                (F.col("dist") + F.col("dist2")).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        # converged when no pointer moved this round (every chain has
+        # reached a self-pointing root)
+        moved = (
+            nxt.alias("a")
+            .join(state.alias("b"), "id")
+            .where(F.col("a.ptr") != F.col("b.ptr"))
+            .count()
+        )
+        state = nxt
+        if moved == 0:
+            # a CYCLE also reaches a fixpoint (every member ends up
+            # self-pointing after doubling around the loop) — a true
+            # root must be a node whose ORIGINAL parent is NULL
+            bad = (
+                state.join(
+                    nodes.select(
+                        F.col(id_col).alias("ptr"),
+                        F.col(parent_col).alias("__p"),
+                    ),
+                    "ptr",
+                )
+                .where(F.col("__p").isNotNull())
+                .count()
+            )
+            if bad:
+                raise RuntimeError(
+                    "resolve_hierarchy: cycle detected — "
+                    f"{bad} node(s) resolve to a non-root"
+                )
+            return state.select(
+                "id", F.col("ptr").alias("root"), F.col("dist").alias("depth")
+            )
+    raise RuntimeError(
+        f"resolve_hierarchy: no fixpoint after {max_rounds} rounds "
+        "(deeper tree than 2^max_rounds)"
+    )

@@ -671,3 +671,47 @@ def test_knn_label_eval_shape_and_bounds(spark, sf_dir):
         assert 1 <= r.n_votes <= 10
         assert r.correct in (0, 1)
         assert r.correct == int(r.true_label == r.predicted_label)
+
+
+def test_resolve_hierarchy_deep_chain_and_forest(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    # two trees: 1 -> 2 -> 3 -> 4 -> 5 (chain), 10 root alone
+    rows = [(1, None), (2, 1), (3, 2), (4, 3), (5, 4), (10, None), (11, 10)]
+    nodes = spark.createDataFrame(rows, "id long, parent long")
+    out = {r.id: r for r in relational.resolve_hierarchy(nodes, "id", "parent").collect()}
+    assert out[1].root == 1 and out[1].depth == 0
+    assert out[5].root == 1 and out[5].depth == 4
+    assert out[10].root == 10 and out[10].depth == 0
+    assert out[11].root == 10 and out[11].depth == 1
+
+
+def test_resolve_hierarchy_detects_cycle(spark):
+    from real_time_stock_market_data_pipeline__spark.operators import relational
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "id long, parent long")
+    try:
+        relational.resolve_hierarchy(cyc, "id", "parent", max_rounds=5)
+        raise AssertionError("expected cycle detection")
+    except RuntimeError as exc:
+        assert "cycle" in str(exc)
+
+
+def test_resize_ppm_matches_full_decode_when_factor_1(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = multimodal.synthetic_media(docs).where(F.col("kind") == "image")
+    full = {r.media_id: r for r in multimodal.decode_media(media).collect()}
+    rs = {r.media_id: r for r in multimodal.resize_ppm_stats(media, factor=1).collect()}
+    assert set(full) == set(rs)
+    for mid, r in rs.items():
+        f = full[mid]
+        # factor 1 = identity: sums equal the full decode's sums
+        assert (r.sum_r, r.sum_g, r.sum_b) == (f.sum_r, f.sum_g, f.sum_b)
+        assert (r.new_w, r.new_h) == (f.width, f.height)
+    half = {r.media_id: r for r in multimodal.resize_ppm_stats(media, factor=2).collect()}
+    for mid, r in half.items():
+        assert r.new_w == (r.orig_w + 1) // 2
+        assert r.new_h == (r.orig_h + 1) // 2
+        assert r.sum_r <= full[mid].sum_r  # strict subset of pixels
