@@ -10255,6 +10255,142 @@ FROM grid GROUP BY doc_id, w, h, nw, nh
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 16: Ljung-Box, engagement decay, AMS F2
+# --------------------------------------------------------------------------
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test on daily returns, lags 1..5
+    (`operators/indicators.py:ljung_box`)."""
+    return indicators.ljung_box(
+        _daily_close(spark, sf_dir), h=5, close_col="close"
+    )
+
+
+def _ljung_box_oracle(h: int = 5) -> str:
+    q12 = "floor(({x}) * 1e12 + 0.5) / 1e12"
+    lag_cols = ",\n         ".join(
+        f"lag(d, {k}) OVER wl AS d{k}" for k in range(1, h + 1)
+    )
+    nums = ",\n         ".join(
+        f"CAST(sum(CAST({q12.format(x=f'd * d{k}')} AS DECIMAL(28,12)))"
+        f" AS DOUBLE) AS num{k}"
+        for k in range(1, h + 1)
+    )
+    rho = {
+        k: f"(CASE WHEN den <> 0 THEN num{k} / den END)" for k in range(1, h + 1)
+    }
+    qsum = " + ".join(
+        f"{rho[k]} * {rho[k]} / (n - {k})" for k in range(1, h + 1)
+    )
+    rho_outs = ",\n       ".join(
+        f"round({rho[k]}, 6) AS rho_{k}" for k in range(1, h + 1)
+    )
+    return f"""
+WITH d0 AS ({_DAILY_CLOSE_CTE}),
+rr AS (
+  SELECT symbol, date,
+         round(CASE WHEN lag(close) OVER wl <> 0
+                    THEN close / lag(close) OVER wl - 1 END, 6) AS r
+  FROM d0
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+f AS (SELECT * FROM rr WHERE r IS NOT NULL),
+m AS (
+  SELECT symbol, date, r,
+         {q12.format(x="CAST(sum(CAST(r AS DECIMAL(18,6))) OVER wa AS DOUBLE) / count(*) OVER wa")} AS rbar
+  FROM f
+  WINDOW wa AS (PARTITION BY symbol)
+),
+dv AS (SELECT symbol, date, {q12.format(x="r - rbar")} AS d FROM m),
+lg AS (
+  SELECT symbol, d,
+         {lag_cols}
+  FROM dv
+  WINDOW wl AS (PARTITION BY symbol ORDER BY date)
+),
+a AS (
+  SELECT symbol, count(*) AS n,
+         CAST(sum(CAST({q12.format(x="d * d")} AS DECIMAL(28,12)))
+              AS DOUBLE) AS den,
+         {nums}
+  FROM lg GROUP BY symbol
+)
+SELECT symbol, n,
+       {rho_outs},
+       round(CASE WHEN n > {h + 1}
+                  THEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2)
+                       * ({qsum}) END, 6) AS lb_q
+FROM a
+"""
+
+
+def q_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed per-user engagement scores as of 2024-03-01
+    (`operators/behavior.py:engagement_score`)."""
+    return behavior.engagement_score(
+        _events(spark, sf_dir), as_of="2024-03-01"
+    )
+
+
+def _engagement_oracle() -> str:
+    table = behavior.decay_table(7.0)
+    arr = "[" + ", ".join(repr(v) for v in table) + "]"
+    return f"""
+WITH t AS (
+  SELECT user_id,
+         DATE '2024-03-01' - CAST(ts AS DATE) AS age,
+         CASE event_type WHEN 'click' THEN 1.0 WHEN 'purchase' THEN 5.0
+              WHEN 'signup' THEN 3.0 ELSE 0.5 END AS w
+  FROM events
+),
+d AS (
+  SELECT user_id,
+         CAST(round(w * (CASE WHEN age >= 0 AND age < {len(table)}
+                              THEN ({arr})[age + 1]
+                              ELSE 0.0 END), 8) AS DECIMAL(18,8)) AS term
+  FROM t
+)
+SELECT user_id, count(*) AS n_events,
+       {_round_sql("CAST(sum(term) AS DOUBLE)", 6)} AS engagement
+FROM d GROUP BY user_id
+"""
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch vs exact second frequency moment of user_id
+    (`operators/sketches.py:ams_f2`)."""
+    return sketches.ams_f2(_events(spark, sf_dir), "user_id")
+
+
+def _ams_f2_oracle(n_sketches: int = 16) -> str:
+    sign = (
+        "((CAST('0x' || substr(md5('ams{j}:' || k), 1, 8) AS BIGINT) % 2)"
+        " * 2 - 1)"
+    )
+    s_cols = ",\n         ".join(
+        f"sum(f * {sign.format(j=j)}) AS S{j}" for j in range(n_sketches)
+    )
+    sq = " + ".join(f"S{j} * S{j}" for j in range(n_sketches))
+    return f"""
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS f
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact,
+         {s_cols}
+  FROM counts
+)
+SELECT f2_exact,
+       round(CAST(({sq}) AS DOUBLE) / {float(n_sketches)!r}, 6) AS f2_est,
+       round(abs(CAST(({sq}) AS DOUBLE) / {float(n_sketches)!r}
+                 - CAST(f2_exact AS DOUBLE)) / f2_exact, 6) AS rel_err
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10272,6 +10408,9 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "ljung_box": q_ljung_box,
+    "engagement": q_engagement,
+    "ams_f2": q_ams_f2,
     "hierarchy": q_hierarchy,
     "resize_ppm": q_resize_ppm,
     "strip_boilerplate": q_strip_boilerplate,
@@ -10536,6 +10675,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ljung_box": _ljung_box_oracle(),
+    "engagement": _engagement_oracle(),
+    "ams_f2": _ams_f2_oracle(),
     "hierarchy": _HIERARCHY_ORACLE,
     "resize_ppm": _RESIZE_PPM_ORACLE,
     "strip_boilerplate": _STRIP_BOILERPLATE_ORACLE,

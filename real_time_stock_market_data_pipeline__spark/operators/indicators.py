@@ -2863,3 +2863,91 @@ def forecast_eval(
             6,
         ).alias("skill"),
     )
+
+
+def ljung_box(
+    daily: DataFrame,
+    h: int = 5,
+    symbol_col: str = "symbol",
+    date_col: str = "date",
+    close_col: str = "daily_close",
+) -> DataFrame:
+    """Ljung–Box portmanteau test per symbol: autocorrelations of
+    daily returns at lags 1..h around the series mean, and
+    Q = n(n+2)·Σ ρ_k²/(n−k) — the are-returns-white-noise audit read
+    before trusting any autocorrelation-based signal (large Q ⇒
+    dependence; χ²_h tail for significance).
+
+    Exactness: returns are quantized; the series mean uses the exact
+    DECIMAL sum; deviations and their lagged products are quantized
+    with the IEEE floor quantizer at 12 digits before DECIMAL(28,12)
+    sums — every ρ_k is partition-order-exact and Q is one fixed-
+    order expression over them. Symbols with fewer than h+2 returns
+    or zero variance yield NULL Q.
+
+    Shape: one symbol shuffle; the mean window, h lag windows, and
+    the final fold share the partition sort.
+    """
+
+    def q12(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    wlag = Window.partitionBy(symbol_col).orderBy(date_col)
+    wall = Window.partitionBy(symbol_col)
+    ret = F.round(
+        F.when(
+            F.lag(close_col).over(wlag) != 0,
+            F.col(close_col) / F.lag(close_col).over(wlag) - 1,
+        ),
+        6,
+    )
+    base = daily.select(
+        F.col(symbol_col).alias("symbol"),
+        F.col(date_col).alias("date"),
+        ret.alias("r"),
+    ).where(F.col("r").isNotNull())
+    wl2 = Window.partitionBy("symbol").orderBy("date")
+    wa2 = Window.partitionBy("symbol")
+    rbar = q12(
+        F.sum(F.col("r").cast("decimal(18,6)")).over(wa2).cast("double")
+        / F.count(F.lit(1)).over(wa2)
+    )
+    dev = base.select(
+        "symbol", "date", q12(F.col("r") - rbar).alias("d")
+    )
+    lags = dev.select(
+        "symbol",
+        "d",
+        *[F.lag("d", k).over(wl2).alias(f"d{k}") for k in range(1, h + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q12(F.col("d") * F.col("d")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("den"),
+    ]
+    for k in range(1, h + 1):
+        aggs.append(
+            F.sum(
+                q12(F.col("d") * F.col(f"d{k}")).cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias(f"num{k}")
+        )
+    agg = lags.groupBy("symbol").agg(*aggs)
+    rhos = [
+        F.when(F.col("den") != 0, F.col(f"num{k}") / F.col("den"))
+        for k in range(1, h + 1)
+    ]
+    qsum = None
+    for k, rho in enumerate(rhos, start=1):
+        term = rho * rho / (F.col("n") - k)
+        qsum = term if qsum is None else qsum + term
+    n = F.col("n").cast("double")
+    lb = n * (n + 2) * qsum
+    return agg.select(
+        "symbol",
+        "n",
+        *[F.round(rho, 6).alias(f"rho_{k}") for k, rho in enumerate(rhos, 1)],
+        F.round(F.when(F.col("n") > h + 1, lb), 6).alias("lb_q"),
+    )

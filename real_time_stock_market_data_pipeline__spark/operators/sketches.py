@@ -393,3 +393,67 @@ def bloom_probe(
         for c in (f"__pos{i}", f"__widx{i}", f"__bit{i}", f"__bw{i}")
     ]
     return out.withColumn(flag_col, flag).drop(*drop)
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    n_sketches: int = 16,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996):
+    F₂ = Σ_x f(x)² estimated as the average of ``n_sketches``
+    independent (Σ_x f(x)·±1_j(x))² — the join-size / self-join-cost
+    estimator whose state is one integer per sketch, mergeable across
+    partitions by plain addition. Signs are engine-replayable md5
+    bits (same discipline as the Bloom/MinHash constants), so the
+    estimate is deterministic, and the EXACT F₂ rides along as the
+    checked error — the same honest-sketch contract as
+    :func:`kmv_distinct`.
+
+    Shape: one (key) groupBy over the facts — the only shuffle — then
+    sketch sums AND exact F₂ fold together in a single aggregation
+    over the key-frequency frame (no second pass, no one-row join).
+    Integer arithmetic end-to-end; the only divisions are the final
+    mean and relative error.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    sign_cols = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"ams{j}:"), F.col("k"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1
+        )
+        for j in range(n_sketches)
+    ]
+    agg = counts.agg(
+        F.sum(F.col("f") * F.col("f")).alias("f2_exact"),
+        *[
+            F.sum(F.col("f") * sign_cols[j]).alias(f"S{j}")
+            for j in range(n_sketches)
+        ],
+    )
+    est = None
+    for j in range(n_sketches):
+        sq = F.col(f"S{j}") * F.col(f"S{j}")
+        est = sq if est is None else est + sq
+    est = est.cast("double") / F.lit(float(n_sketches))
+    return agg.select(
+        "f2_exact",
+        F.round(est, 6).alias("f2_est"),
+        F.round(
+            F.abs(est - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact"),
+            6,
+        ).alias("rel_err"),
+    )

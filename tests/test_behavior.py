@@ -442,3 +442,22 @@ def test_cohort_ltv_monotone_and_reconciles(spark, sf_dir):
         .collect()[0][0]
     )
     assert abs(total - want) < 1e-2  # all purchase revenue lands in some cohort
+
+
+def test_engagement_decay_laws(spark):
+    import datetime
+
+    def ev(eid, day, etype):
+        return (eid, datetime.datetime(2024, 1, day, 12), 1, etype)
+
+    df = spark.createDataFrame(
+        [ev(0, 1, "purchase"), ev(1, 29, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    # as_of = Jan 29: the same-day purchase counts 5.0, the 28-day-old
+    # one 5 * 2^-4 = 0.3125
+    out = behavior.engagement_score(df, as_of="2024-01-29").collect()[0]
+    assert abs(out.engagement - (5.0 + 0.3125)) < 1e-6
+    # moving as_of later strictly decays the score
+    later = behavior.engagement_score(df, as_of="2024-02-26").collect()[0]
+    assert later.engagement < out.engagement

@@ -1034,3 +1034,28 @@ def test_forecast_eval_perfect_line_has_positive_skill(spark):
     assert out.mae_holt < 1e-5
     assert abs(out.mae_naive - 3.0) < 1e-6
     assert out.skill > 0.99
+
+
+def test_ljung_box_iid_vs_trending(spark):
+    import datetime
+
+    # strongly autocorrelated returns (long alternating blocks) must
+    # produce a much larger Q than the same values shuffled-ish
+    rows = []
+    c = 100.0
+    for i in range(60):
+        c *= 1.01 if (i // 10) % 2 == 0 else 0.99  # 10-day momentum blocks
+        rows.append(("A", datetime.date(2024, 1, 1) + datetime.timedelta(days=i), c))
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.ljung_box(df, h=5, close_col="close").collect()[0]
+    assert out.lb_q is not None and out.lb_q > 30  # strong dependence
+    assert abs(out.rho_1) <= 1.0 + 1e-9
+
+
+def test_ljung_box_short_series_null(spark):
+    import datetime
+
+    rows = [("X", datetime.date(2024, 1, 1 + i), 100.0 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "symbol string, date date, close double")
+    out = indicators.ljung_box(df, h=5, close_col="close").collect()[0]
+    assert out.lb_q is None  # n <= h+1: no test
