@@ -10391,6 +10391,125 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 17: Markov absorption, embedding dispersion
+# --------------------------------------------------------------------------
+
+
+def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step purchase-absorption probability per event type
+    (`operators/behavior.py:absorption_prob`)."""
+    return behavior.absorption_prob(
+        _events(spark, sf_dir), target="purchase", k=4
+    )
+
+
+def _markov_absorption_oracle(target: str = "purchase", k: int = 4) -> str:
+    q12 = "floor(({x}) * 1e12 + 0.5) / 1e12"
+    parts = [
+        f"""
+e0 AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+ec AS (SELECT src, dst, count(*) AS n FROM e0 WHERE dst IS NOT NULL
+       GROUP BY src, dst),
+edges AS (
+  SELECT src, dst, CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+  FROM ec
+),
+nodes AS (
+  SELECT node FROM (
+    SELECT DISTINCT src AS node FROM ec
+    UNION SELECT DISTINCT dst AS node FROM ec
+  ) u GROUP BY node
+),
+p0 AS (
+  SELECT node, CASE WHEN node = '{target}' THEN 1.0 ELSE 0.0 END AS p_abs
+  FROM nodes
+)"""
+    ]
+    for t in range(1, k + 1):
+        prev = f"p{t - 1}"
+        parts.append(
+            f""",
+p{t} AS (
+  SELECT n.node,
+         CASE WHEN n.node = '{target}' THEN 1.0
+              ELSE {q12.format(x="coalesce(s.step, 0.0)")} END AS p_abs
+  FROM nodes n LEFT JOIN (
+    SELECT e.src,
+           CAST(sum(CAST({q12.format(x="e.p * pp.p_abs")}
+                         AS DECIMAL(28,12))) AS DOUBLE) AS step
+    FROM edges e JOIN {prev} pp ON e.dst = pp.node
+    GROUP BY e.src
+  ) s ON n.node = s.src
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT node, round(p_abs, 6) AS absorb_prob FROM p{k}"
+    )
+
+
+def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label centroid-cosine dispersion report
+    (`operators/similarity.py:embedding_dispersion`)."""
+    ensure_engine_conf(spark)
+    return similarity.embedding_dispersion(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+_EMBEDDING_DISPERSION_ORACLE = """
+WITH c AS (
+  SELECT label AS lbl, i AS dim,
+         floor((CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                              AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+               * 1e6 + 0.5) / 1e6 AS cv
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+  GROUP BY label, i
+),
+cn AS (
+  SELECT lbl,
+         CAST(sum(CAST(floor(cv * cv * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS cn2
+  FROM c GROUP BY lbl
+),
+x AS (
+  SELECT vec_id AS vid, label AS lbl, t.i AS dim,
+         floor(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) / 1e6 AS x6
+  FROM embeddings, unnest(range(1, 65)) AS t(i)
+),
+pm AS (
+  SELECT x.vid, x.lbl,
+         CAST(sum(CAST(floor(x.x6 * c.cv * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(floor(x.x6 * x.x6 * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS xn2
+  FROM x JOIN c ON x.lbl = c.lbl AND x.dim = c.dim
+  GROUP BY x.vid, x.lbl
+),
+cs AS (
+  SELECT pm.lbl,
+         floor((CASE WHEN xn2 > 0 AND cn2 > 0
+                     THEN dot / (sqrt(xn2) * sqrt(cn2)) END)
+               * 1e6 + 0.5) / 1e6 AS cos_c
+  FROM pm JOIN cn ON pm.lbl = cn.lbl
+)
+SELECT lbl AS label, count(*) AS n_members,
+       round(CAST(sum(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_cos,
+       min(cos_c) AS min_cos,
+       round(1 - CAST(sum(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS dispersion
+FROM cs GROUP BY lbl
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10408,6 +10527,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "markov_absorption": q_markov_absorption,
+    "embedding_dispersion": q_embedding_dispersion,
     "ljung_box": q_ljung_box,
     "engagement": q_engagement,
     "ams_f2": q_ams_f2,
@@ -10675,6 +10796,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "markov_absorption": _markov_absorption_oracle(),
+    "embedding_dispersion": _EMBEDDING_DISPERSION_ORACLE,
     "ljung_box": _ljung_box_oracle(),
     "engagement": _engagement_oracle(),
     "ams_f2": _ams_f2_oracle(),

@@ -1034,3 +1034,81 @@ def engagement_score(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("term").cast("double"), 6).alias("engagement"),
     )
+
+
+def absorption_prob(
+    events: DataFrame,
+    target: str,
+    k: int = 4,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """k-step absorption probability of the first-order event chain:
+    for every event type, the probability of reaching ``target``
+    within k transitions — p₀(target)=1 else 0;
+    p_{t+1}(v) = 1 if v = target else Σ_u P(v→u)·p_t(u) — the
+    "how close is each behavior to converting" read of the
+    :func:`event_transitions` matrix.
+
+    Same execution shape as :func:`event_pagerank`: the edge
+    aggregation is the only pass over event volume (one lead-window
+    shuffle + one (src,dst) groupBy, localCheckpointed); the k
+    propagation rounds are a driver-paced loop over the tiny matrix
+    with per-round lineage truncation. Products are quantized with
+    the IEEE 1e-12 quantizer before DECIMAL sums — every round is
+    partition-order-exact and replayed by the unrolled-CTE oracle.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    edges = counts.select(
+        "src",
+        "dst",
+        (F.col("n").cast("double") / F.sum("n").over(wsrc)).alias("p"),
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def q12(col: F.Column) -> F.Column:
+        return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    prob = nodes.select(
+        "node",
+        F.when(F.col("node") == target, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("p_abs"),
+    ).localCheckpoint()
+    for _ in range(k):
+        stepped = (
+            edges.join(
+                prob.select(F.col("node").alias("dst"), F.col("p_abs")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.sum(q12(F.col("p") * F.col("p_abs")).cast("decimal(28,12)"))
+                .cast("double")
+                .alias("step")
+            )
+        )
+        prob = (
+            nodes.join(stepped.select(F.col("src").alias("node"), "step"), "node", "left")
+            .select(
+                "node",
+                F.when(F.col("node") == target, F.lit(1.0))
+                .otherwise(q12(F.coalesce(F.col("step"), F.lit(0.0))))
+                .alias("p_abs"),
+            )
+            .localCheckpoint()
+        )
+    return prob.select("node", F.round("p_abs", 6).alias(f"absorb_prob"))

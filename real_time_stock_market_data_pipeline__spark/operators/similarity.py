@@ -1124,3 +1124,87 @@ def knn_label_eval(
         .cast("int")
         .alias("correct"),
     )
+
+
+def embedding_dispersion(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Within-cluster dispersion report: per label, the mean and
+    minimum cosine of members to their OWN label centroid, and
+    dispersion = 1 − mean cosine — the compactness companion of
+    :func:`silhouette_by_label` (separation) and
+    :func:`centroid_similarity` (confusability); a high-dispersion
+    label is a candidate for splitting before balance-aware sampling.
+
+    Exactness: centroids and member coordinates are quantized with
+    the IEEE 1e-6 quantizer, per-member dot/norm products at 1e-12
+    before DECIMAL sums, member cosines quantized before the exact
+    per-label DECIMAL mean. The centroid frame is label×dim-sized and
+    broadcasts into the member explode join — one corpus pass.
+    """
+
+    def q(col: F.Column, kk: int) -> F.Column:
+        return F.floor(col * F.lit(float(10**kk)) + F.lit(0.5)) / F.lit(
+            float(10**kk)
+        )
+
+    cent = embedding_centroids(embs, group_col=label_col, vec_col=vec_col)
+    cq = cent.select(
+        F.col(label_col).alias("lbl"), "dim", q(F.col("centroid"), 6).alias("c")
+    )
+    cnorm = cq.groupBy("lbl").agg(
+        F.sum(q(F.col("c") * F.col("c"), 12).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("cn2")
+    )
+    x = embs.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col)).alias("pos", "xv"),
+    ).select(
+        "vid",
+        "lbl",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        q(F.col("xv").cast("double"), 6).alias("x6"),
+    )
+    per_member = (
+        x.join(F.broadcast(cq), ["lbl", "dim"])
+        .groupBy("vid", "lbl")
+        .agg(
+            F.sum(q(F.col("x6") * F.col("c"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum(q(F.col("x6") * F.col("x6"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("xn2"),
+        )
+    )
+    cosed = per_member.join(F.broadcast(cnorm), "lbl").select(
+        "lbl",
+        q(
+            F.when(
+                (F.col("xn2") > 0) & (F.col("cn2") > 0),
+                F.col("dot") / (F.sqrt(F.col("xn2")) * F.sqrt(F.col("cn2"))),
+            ),
+            6,
+        ).alias("cos_c"),
+    )
+    return cosed.groupBy(F.col("lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("cos_c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_cos"),
+        F.min("cos_c").alias("min_cos"),
+        F.round(
+            1
+            - F.sum(F.col("cos_c").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dispersion"),
+    )

@@ -461,3 +461,36 @@ def test_engagement_decay_laws(spark):
     # moving as_of later strictly decays the score
     later = behavior.engagement_score(df, as_of="2024-02-26").collect()[0]
     assert later.engagement < out.engagement
+
+
+def test_absorption_probability_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    k4 = {r.node: r.absorb_prob for r in behavior.absorption_prob(ev, "purchase", k=4).collect()}
+    k2 = {r.node: r.absorb_prob for r in behavior.absorption_prob(ev, "purchase", k=2).collect()}
+    assert k4["purchase"] == 1.0
+    for node, p in k4.items():
+        assert 0.0 <= p <= 1.0
+        # absorption probability is monotone in the horizon
+        assert p >= k2[node] - 1e-9
+
+
+def test_absorption_deterministic_chain(spark):
+    import datetime
+
+    # a -> b -> purchase deterministic chain for one user
+    rows = [
+        (0, datetime.datetime(2024, 1, 1, 10, 0), 1, "a"),
+        (1, datetime.datetime(2024, 1, 1, 10, 1), 1, "b"),
+        (2, datetime.datetime(2024, 1, 1, 10, 2), 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r.node: r.absorb_prob for r in behavior.absorption_prob(df, "purchase", k=2).collect()}
+    assert out["a"] == 1.0 and out["b"] == 1.0 and out["purchase"] == 1.0
+    short = {r.node: r.absorb_prob for r in behavior.absorption_prob(df, "purchase", k=1).collect()}
+    assert short["a"] == 0.0 and short["b"] == 1.0  # a needs two hops

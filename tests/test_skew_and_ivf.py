@@ -424,3 +424,29 @@ def test_centroid_similarity_bounds_and_pair_count(spark, sf_dir):
     for r in rows:
         assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
         assert r.label_a < r.label_b
+
+
+def test_embedding_dispersion_tight_vs_spread(spark):
+    from pyspark.sql import Row
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    def vec(base, eps, i):
+        v = [0.0] * 64
+        v[base] = 1.0
+        v[(base + 1) % 64] = eps * (i + 1)
+        return v
+
+    rows = (
+        # label 0: nearly identical vectors -> low dispersion
+        [Row(vec_id=i, embedding=vec(0, 0.001, i), label=0) for i in range(6)]
+        # label 1: widely spread directions -> higher dispersion
+        + [Row(vec_id=10 + i, embedding=[1.0 if j == i * 9 else 0.0 for j in range(64)], label=1) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {r.label: r for r in similarity.embedding_dispersion(df).collect()}
+    assert out[0].dispersion < 0.01
+    assert out[1].dispersion > out[0].dispersion
+    for r in out.values():
+        assert -1.0 - 1e-9 <= r.min_cos <= 1.0 + 1e-9
+        assert r.mean_cos >= r.min_cos - 1e-9
