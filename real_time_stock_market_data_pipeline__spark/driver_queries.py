@@ -10510,6 +10510,147 @@ FROM cs GROUP BY lbl
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 18: drift time series, ANN threshold calibration
+# --------------------------------------------------------------------------
+
+
+def q_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly KS drift series: every later calendar week's value
+    distribution vs the FIRST week, per event type — the monitoring
+    time series a drift alarm consumes (composition over
+    `operators/metrics.py:ks_drift`). The week list is driver-
+    enumerated (a dimension, same index-build precedent as the IVF
+    centroids) so baseline replication stays an equi-join-free
+    explode, never a nested-loop join."""
+    ev = _events(spark, sf_dir).withColumn(
+        "week", F.date_trunc("week", F.col("ts"))
+    )
+    weeks = sorted(
+        r.week for r in ev.select("week").distinct().collect()
+    )
+    base_week, later = weeks[0], weeks[1:]
+    wfmt = F.date_format(F.col("w"), "yyyy-MM-dd")
+    cur = ev.where(F.col("week") != F.lit(base_week)).select(
+        F.concat_ws(
+            "|", "event_type", F.date_format("week", "yyyy-MM-dd")
+        ).alias("grp"),
+        F.col("value").alias("val"),
+        F.lit(1).alias("is_b"),
+    )
+    base = (
+        ev.where(F.col("week") == F.lit(base_week))
+        .withColumn(
+            "w",
+            F.explode(F.array(*[F.lit(w) for w in later])),
+        )
+        .select(
+            F.concat_ws("|", "event_type", wfmt).alias("grp"),
+            F.col("value").alias("val"),
+            F.lit(0).alias("is_b"),
+        )
+    )
+    return metrics.ks_drift(
+        cur.unionByName(base), group_col="grp", side_col="is_b",
+        value_col="val",
+    )
+
+
+_DRIFT_SERIES_ORACLE = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+wk AS (SELECT DISTINCT week FROM e),
+base_w AS (SELECT min(week) AS bw FROM wk),
+later AS (SELECT week FROM wk WHERE week > (SELECT bw FROM base_w)),
+v AS (
+  SELECT event_type || '|' || strftime(week, '%Y-%m-%d') AS grp,
+         value AS val, 1 AS is_b
+  FROM e WHERE week > (SELECT bw FROM base_w)
+  UNION ALL
+  SELECT e.event_type || '|' || strftime(l.week, '%Y-%m-%d') AS grp,
+         e.value AS val, 0 AS is_b
+  FROM e, later l WHERE e.week = (SELECT bw FROM base_w)
+),
+pv AS (
+  SELECT grp, val,
+         CAST(sum(CASE WHEN is_b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN is_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM v GROUP BY grp, val
+),
+g AS (
+  SELECT grp,
+         sum(ca) OVER wrun AS cum_a, sum(cb) OVER wrun AS cum_b,
+         sum(ca) OVER wall AS n_a, sum(cb) OVER wall AS n_b
+  FROM pv
+  WINDOW wrun AS (PARTITION BY grp ORDER BY val
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY grp)
+)
+SELECT grp, CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b,
+       round(max(CASE WHEN n_a > 0 AND n_b > 0
+                      THEN abs(CAST(cum_a AS DOUBLE) / n_a
+                               - CAST(cum_b AS DOUBLE) / n_b) END),
+             6) AS ks_stat
+FROM g GROUP BY grp
+"""
+
+
+def q_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine histogram of ALL same-LSH-bucket embedding pairs in
+    0.05 bins — the curve that calibrates the near-dup threshold
+    before a full dedup run (composition over
+    `operators/similarity.py:embedding_neardup_pairs`)."""
+    ensure_engine_conf(spark)
+    pairs = similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=-2.0
+    )
+    binned = pairs.select(
+        F.floor(F.col("cosine") * 20).cast("int").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(
+        "bin",
+        F.round(F.col("bin") / 20.0, 2).alias("bin_lo"),
+        "n_pairs",
+    )
+
+
+def _threshold_calibration_oracle() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    cos = (
+        f"CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 "
+        f"THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
+    return f"""
+WITH bkt AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings),
+pr AS (
+  SELECT CAST(floor(({cos}) * 20) AS INT) AS bin
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT bin, round(bin / 20.0, 2) AS bin_lo, count(*) AS n_pairs
+FROM pr GROUP BY bin
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10527,6 +10668,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "drift_series": q_drift_series,
+    "threshold_calibration": q_threshold_calibration,
     "markov_absorption": q_markov_absorption,
     "embedding_dispersion": q_embedding_dispersion,
     "ljung_box": q_ljung_box,
@@ -10796,6 +10939,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "drift_series": _DRIFT_SERIES_ORACLE,
+    "threshold_calibration": _threshold_calibration_oracle(),
     "markov_absorption": _markov_absorption_oracle(),
     "embedding_dispersion": _EMBEDDING_DISPERSION_ORACLE,
     "ljung_box": _ljung_box_oracle(),

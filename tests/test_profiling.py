@@ -329,3 +329,19 @@ def test_qq_quantiles_monotone_and_identical_sides(spark):
     assert r.p10_ref <= r.p25_ref <= r.p50_ref <= r.p75_ref <= r.p90_ref
     # discrete convention: p50 of 40 values = 20th smallest = 20.0
     assert r.p50_ref == 20.0
+
+
+def test_drift_series_covers_all_later_weeks(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_drift_series,
+    )
+
+    rows = q_drift_series(spark, sf_dir).collect()
+    assert rows
+    # grp = "<type>|<week>", one row per (type, later week); baseline
+    # side always populated, ks within bounds
+    for r in rows:
+        etype, week = r.grp.split("|")
+        assert r.n_a > 0  # replicated baseline present for every week
+        if r.ks_stat is not None:
+            assert 0.0 <= r.ks_stat <= 1.0

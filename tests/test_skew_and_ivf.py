@@ -450,3 +450,22 @@ def test_embedding_dispersion_tight_vs_spread(spark):
     for r in out.values():
         assert -1.0 - 1e-9 <= r.min_cos <= 1.0 + 1e-9
         assert r.mean_cos >= r.min_cos - 1e-9
+
+
+def test_threshold_calibration_counts_all_bucket_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries import (
+        q_threshold_calibration,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    hist = q_threshold_calibration(spark, sf_dir).collect()
+    assert hist
+    total = sum(r.n_pairs for r in hist)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.embedding_neardup_pairs(embs, threshold=-2.0).count()
+    assert total == pairs  # histogram partitions the candidate pairs
+    for r in hist:
+        assert -20 <= r.bin <= 20
+        assert abs(r.bin_lo - r.bin / 20.0) < 1e-9
