@@ -10651,6 +10651,71 @@ FROM pr GROUP BY bin
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 19: linear attribution, length-band document gate
+# --------------------------------------------------------------------------
+
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch conversion credit per event type
+    (`operators/behavior.py:linear_attribution`)."""
+    return behavior.linear_attribution(_events(spark, sf_dir))
+
+
+_LINEAR_ATTRIBUTION_ORACLE = """
+WITH f AS (
+  SELECT user_id, event_type AS etype, ts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS conv_ts
+  FROM events
+),
+t AS (
+  SELECT user_id, etype FROM f
+  WHERE conv_ts IS NOT NULL AND ts <= conv_ts
+),
+c AS (
+  SELECT user_id, etype,
+         CAST(round(1.0 / count(*) OVER (PARTITION BY user_id), 8)
+              AS DECIMAL(18,8)) AS credit
+  FROM t
+)
+SELECT etype AS touch_type, count(*) AS n_touches,
+       round(CAST(sum(credit) AS DOUBLE), 6) AS credit_total
+FROM c GROUP BY etype
+"""
+
+
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p5..p95 word-count band gate
+    (`operators/text.py:length_band_filter`)."""
+    return text.length_band_filter(_table("documents")(spark, sf_dir))
+
+
+_LENGTH_BAND_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang AS grp, len({_TOKS}) AS n_words FROM documents
+),
+r AS (
+  SELECT doc_id, grp, n_words,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY n_words, doc_id) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM t
+),
+b AS (
+  SELECT grp,
+         max(CASE WHEN rn = greatest((n * 1 + 19) // 20, 1)
+                  THEN n_words END) AS lo_band,
+         max(CASE WHEN rn = (n * 19 + 19) // 20 THEN n_words END)
+           AS hi_band
+  FROM r GROUP BY grp
+)
+SELECT r.doc_id, r.grp AS lang, r.n_words, b.lo_band, b.hi_band
+FROM r JOIN b ON r.grp = b.grp
+WHERE r.n_words >= b.lo_band AND r.n_words <= b.hi_band
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10668,6 +10733,8 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "linear_attribution": q_linear_attribution,
+    "length_band": q_length_band,
     "drift_series": q_drift_series,
     "threshold_calibration": q_threshold_calibration,
     "markov_absorption": q_markov_absorption,
@@ -10939,6 +11006,8 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "linear_attribution": _LINEAR_ATTRIBUTION_ORACLE,
+    "length_band": _LENGTH_BAND_ORACLE,
     "drift_series": _DRIFT_SERIES_ORACLE,
     "threshold_calibration": _threshold_calibration_oracle(),
     "markov_absorption": _markov_absorption_oracle(),

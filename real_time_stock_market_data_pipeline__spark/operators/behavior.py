@@ -1112,3 +1112,53 @@ def absorption_prob(
             .localCheckpoint()
         )
     return prob.select("node", F.round("p_abs", 6).alias(f"absorb_prob"))
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: each converting user's credit
+    of 1 is split EQUALLY across all their touches at or before the
+    FIRST conversion (the conversion event included) — the
+    every-touch-matters counterpart of
+    :func:`first_touch_attribution`. Non-converting users contribute
+    nothing. Total credit across types = number of converting users
+    (property-tested).
+
+    Exactness: per-user credit is 1/k with integer k, quantized to 8
+    digits before the exact DECIMAL per-type sum — the only float op
+    is the one division. One user-key shuffle (first-conversion
+    window + touch filter share it), then a type-keyed fold of
+    touch-sized rows.
+    """
+    wu = Window.partitionBy(user_col)
+    first_conv = F.min(
+        F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    ).over(wu)
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+        first_conv.alias("conv_ts"),
+    ).where(
+        F.col("conv_ts").isNotNull() & (F.col("ts") <= F.col("conv_ts"))
+    )
+    wtouch = Window.partitionBy("user_id")
+    credited = flagged.select(
+        "user_id",
+        "etype",
+        F.round(
+            F.lit(1.0) / F.count(F.lit(1)).over(wtouch), 8
+        ).alias("credit"),
+    )
+    return credited.groupBy(F.col("etype").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(18,8)")).cast("double"), 6
+        ).alias("credit_total"),
+    )

@@ -1144,3 +1144,64 @@ def strip_boilerplate(
             F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
         )
     )
+
+
+def length_band_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    lo_num: int = 1,
+    lo_den: int = 20,
+    hi_num: int = 19,
+    hi_den: int = 20,
+) -> DataFrame:
+    """Length-outlier document gate: per group (language), keep only
+    documents whose word count lies within the group's discrete
+    [p(lo), p(hi)] band (default p5..p95) — the degenerate-document
+    screen (fragments and concatenation accidents) a corpus pipeline
+    runs between quality scoring and dedup; per-group bands because
+    honest lengths differ by language.
+
+    Band ranks use the integer ⌈q·n⌉ arithmetic of
+    ``metrics.qq_quantiles`` (float q·n mis-ceils); the band frame is
+    group-cardinality-sized and broadcasts back — one rank window +
+    one broadcast join, a single data shuffle on the group key.
+    Output: (id, group, n_words, lo_band, hi_band), kept rows only.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.size(_toks(text_col)).alias("n_words"),
+    )
+    wrk = Window.partitionBy("grp").orderBy("n_words", id_col)
+    wn = Window.partitionBy("grp")
+    ranked = toks.select(
+        F.col(id_col),
+        "grp",
+        "n_words",
+        F.row_number().over(wrk).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_k = F.expr(f"(n * {lo_num} + {lo_den - 1}) DIV {lo_den}")
+    hi_k = F.expr(f"(n * {hi_num} + {hi_den - 1}) DIV {hi_den}")
+    bands = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == F.greatest(lo_k, F.lit(1)), F.col("n_words"))).alias(
+            "lo_band"
+        ),
+        F.max(F.when(F.col("rn") == hi_k, F.col("n_words"))).alias("hi_band"),
+    )
+    return (
+        ranked.join(F.broadcast(bands), "grp")
+        .where(
+            (F.col("n_words") >= F.col("lo_band"))
+            & (F.col("n_words") <= F.col("hi_band"))
+        )
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            "n_words",
+            "lo_band",
+            "hi_band",
+        )
+    )

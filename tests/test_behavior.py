@@ -494,3 +494,45 @@ def test_absorption_deterministic_chain(spark):
     assert out["a"] == 1.0 and out["b"] == 1.0 and out["purchase"] == 1.0
     short = {r.node: r.absorb_prob for r in behavior.absorption_prob(df, "purchase", k=1).collect()}
     assert short["a"] == 0.0 and short["b"] == 1.0  # a needs two hops
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.linear_attribution(ev).collect()
+    total_credit = sum(r.credit_total for r in rows)
+    n_converters = (
+        ev.where("event_type = 'purchase'").select("user_id").distinct().count()
+    )
+    # total credit ~= number of converting users (8-digit per-touch
+    # quantization leaves at most n_touches * 5e-9 drift)
+    assert abs(total_credit - n_converters) < 1e-3
+
+
+def test_linear_attribution_hand_case(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, mins, user, etype):
+        return (eid, t0 + datetime.timedelta(minutes=mins), user, etype)
+
+    # user 1: view, click, purchase, then a post-conversion view
+    # (ignored); user 2: never converts
+    df = spark.createDataFrame(
+        [
+            ev(0, 0, 1, "view"), ev(1, 1, 1, "click"),
+            ev(2, 2, 1, "purchase"), ev(3, 3, 1, "view"),
+            ev(4, 0, 2, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r.touch_type: r.credit_total for r in behavior.linear_attribution(df).collect()}
+    assert abs(out["view"] - 1 / 3) < 1e-6
+    assert abs(out["click"] - 1 / 3) < 1e-6
+    assert abs(out["purchase"] - 1 / 3) < 1e-6

@@ -577,3 +577,22 @@ def test_strip_boilerplate_preserves_order(spark):
     out = t.strip_boilerplate(docs, max_df=2).collect()[0]
     assert out.cleaned_text.index("alpha") < out.cleaned_text.index("beta")
     assert out.cleaned_text.index("beta") < out.cleaned_text.index("gamma")
+
+
+def test_length_band_filter_drops_tails_per_group(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = t.length_band_filter(docs)
+    n_in = docs.count()
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_in
+    for r in kept.collect():
+        assert r.lo_band <= r.n_words <= r.hi_band
+    # per group, the kept fraction is ~90% (p5..p95), never below 80%
+    per = kept.groupBy("lang").count().collect()
+    orig = {r.lang: r[1] for r in docs.groupBy("lang").count().collect()}
+    for r in per:
+        assert r[1] / orig[r.lang] >= 0.8
