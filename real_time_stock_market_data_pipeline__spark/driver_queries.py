@@ -10783,6 +10783,10 @@ QUERIES: dict[str, QueryFn] = {
     "psi_drift": q_psi_drift,
     "chi_square": q_chi_square,
     "random_projection": q_random_projection,
+    # ---- below this line: outside the 50-slot driver window — the
+    # ---- earlier round-7 batches and round-6 queries awaiting a
+    # ---- driver row (the triple-SF local sweep is their evidence
+    # ---- until then), then the multiply-green veterans
     "asof_tolerance": q_asof_tolerance,
     "event_pagerank": q_event_pagerank,
     "churn_weekly": q_churn_weekly,
@@ -10803,10 +10807,6 @@ QUERIES: dict[str, QueryFn] = {
     "var_cvar": q_var_cvar,
     "adx": q_adx,
     "pca_pc1": q_pca_pc1,
-    # ---- below this line: outside the 50-slot driver window — the
-    # ---- remaining round-6 queries awaiting a driver row (the local
-    # ---- 3-SF gate is their evidence until then), then the
-    # ---- multiply-green veterans
     "peak_concurrency": q_peak_concurrency,
     "hurst": q_hurst,
     "weighted_sample": q_weighted_sample,

@@ -268,3 +268,32 @@ def test_read_kafka_stream_builds_real_kafka_source_options(spark, wire_messages
         assert got[r["event_id"]]["symbol_key"] == r["event_type"]
         assert got[r["event_id"]]["value"] == r["value"]
         assert got[r["event_id"]]["ts"] == r["ts"]
+
+
+def test_real_kafka_format_reaches_datasource_lookup(spark):
+    """The ONE line the mock can't cover is the default
+    ``format("kafka")`` string itself. Executing it without the
+    spark-sql-kafka jar must fail at Spark's data-source LOOKUP with
+    the kafka-specific guidance — proving the builder wires the real
+    format name end to end; with the jar on the classpath the same
+    call is the production path."""
+    from pyspark.sql.types import StructType
+
+    try:
+        pipeline.read_kafka_stream(
+            spark,
+            servers="broker:9092",
+            topic="ticks",
+            schema=StructType(),
+        )
+        raise AssertionError(
+            "expected the kafka data-source lookup to fail without the jar"
+        )
+    except Exception as exc:
+        msg = str(exc)
+        assert "kafka" in msg.lower()
+        assert (
+            "Failed to find" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "structured-streaming-kafka" in msg
+        )
