@@ -10716,6 +10716,47 @@ WHERE r.n_words >= b.lo_band AND r.n_words <= b.hi_band
 
 
 # --------------------------------------------------------------------------
+# Round-7 batch 20: last-touch attribution
+# --------------------------------------------------------------------------
+
+
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution per event type
+    (`operators/behavior.py:last_touch_attribution`)."""
+    return behavior.last_touch_attribution(_events(spark, sf_dir))
+
+
+_LAST_TOUCH_ORACLE = """
+WITH f AS (
+  SELECT user_id, event_type AS etype, ts, event_id AS eid,
+         min(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id) AS conv_ts
+  FROM events
+),
+fc AS (SELECT * FROM f WHERE conv_ts IS NOT NULL),
+pre AS (
+  SELECT user_id, etype,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, eid DESC) AS rn
+  FROM fc WHERE ts < conv_ts
+),
+lastpre AS (SELECT user_id, etype AS touch_type FROM pre WHERE rn = 1),
+allconv AS (SELECT DISTINCT user_id FROM fc),
+direct AS (
+  SELECT a.user_id, 'purchase' AS touch_type
+  FROM allconv a LEFT JOIN lastpre l ON a.user_id = l.user_id
+  WHERE l.user_id IS NULL
+),
+cr AS (SELECT * FROM lastpre UNION ALL SELECT * FROM direct),
+pt AS (SELECT touch_type, count(*) AS n_conversions FROM cr GROUP BY 1)
+SELECT touch_type, n_conversions,
+       round(CAST(n_conversions AS DOUBLE)
+             / sum(n_conversions) OVER (), 6) AS share
+FROM pt
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10733,6 +10774,7 @@ QUERIES: dict[str, QueryFn] = {
     # ---- carries the round-7 additions first, then the newest
     # ---- round-6 queries; the rest queue for a driver row in later
     # ---- rounds, with the triple-SF local sweep as their evidence.
+    "last_touch": q_last_touch,
     "linear_attribution": q_linear_attribution,
     "length_band": q_length_band,
     "drift_series": q_drift_series,
@@ -11006,6 +11048,7 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "last_touch": _LAST_TOUCH_ORACLE,
     "linear_attribution": _LINEAR_ATTRIBUTION_ORACLE,
     "length_band": _LENGTH_BAND_ORACLE,
     "drift_series": _DRIFT_SERIES_ORACLE,

@@ -1162,3 +1162,62 @@ def linear_attribution(
             F.sum(F.col("credit").cast("decimal(18,8)")).cast("double"), 6
         ).alias("credit_total"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: credit each converting user's
+    conversion to the LAST touch strictly before their first
+    conversion event (users whose first event is the conversion
+    itself credit the conversion type) — completing the attribution
+    family (:func:`first_touch_attribution`,
+    :func:`linear_attribution`). Per touch type: converting users
+    credited, plus each type's share of all conversions.
+
+    One user-key shuffle: the first-conversion window and the
+    max-by-(ts,id) last-touch pick share the exchange; integer counts
+    and one division.
+    """
+    wu = Window.partitionBy(user_col)
+    first_conv = F.min(
+        F.when(F.col(type_col) == conversion_type, F.col(ts_col))
+    ).over(wu)
+    flagged = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        first_conv.alias("conv_ts"),
+    ).where(F.col("conv_ts").isNotNull())
+    pre = flagged.where(F.col("ts") < F.col("conv_ts"))
+    last_pre = pre.groupBy("user_id").agg(
+        F.max_by("etype", F.struct(F.col("ts"), F.col("eid"))).alias(
+            "touch_type"
+        )
+    )
+    # users converting on their very first event: no pre-conversion
+    # touch -> credit the conversion type itself
+    all_conv = flagged.select("user_id").distinct()
+    direct = all_conv.join(last_pre.select("user_id"), "user_id", "left_anti").select(
+        "user_id", F.lit(conversion_type).alias("touch_type")
+    )
+    credited = last_pre.unionByName(direct)
+    wall = Window.partitionBy()
+    per_type = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions")
+    )
+    return per_type.select(
+        "touch_type",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(wall),
+            6,
+        ).alias("share"),
+    )

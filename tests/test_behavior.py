@@ -536,3 +536,40 @@ def test_linear_attribution_hand_case(spark):
     assert abs(out["view"] - 1 / 3) < 1e-6
     assert abs(out["click"] - 1 / 3) < 1e-6
     assert abs(out["purchase"] - 1 / 3) < 1e-6
+
+
+def test_last_touch_attribution_laws(spark, sf_dir):
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = behavior.last_touch_attribution(ev).collect()
+    n_conv = (
+        ev.where("event_type = 'purchase'").select("user_id").distinct().count()
+    )
+    assert sum(r.n_conversions for r in rows) == n_conv
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-5
+
+
+def test_last_touch_hand_case(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+
+    def ev(eid, mins, user, etype):
+        return (eid, t0 + datetime.timedelta(minutes=mins), user, etype)
+
+    df = spark.createDataFrame(
+        [
+            # user 1: view -> click -> purchase => last touch = click
+            ev(0, 0, 1, "view"), ev(1, 1, 1, "click"), ev(2, 2, 1, "purchase"),
+            # user 2: purchase is the very first event => credited to purchase
+            ev(3, 0, 2, "purchase"),
+            # user 3: never converts
+            ev(4, 0, 3, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {r.touch_type: r.n_conversions for r in behavior.last_touch_attribution(df).collect()}
+    assert out == {"click": 1, "purchase": 1}
