@@ -8961,7 +8961,13 @@ def q_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.concat_ws("|", "event_type", "props").alias("fp"),
+        # F.concat (null-propagating, matching the oracle's ||) —
+        # concat_ws would silently skip a NULL props and disagree
+        F.concat(
+            F.coalesce("event_type", F.lit("")),
+            F.lit("|"),
+            F.coalesce("props", F.lit("")),
+        ).alias("fp"),
     )
     out = stateful.stream_bloom_dedup(ticks)
     tmp = tempfile.mkdtemp(prefix="sbf_q_")
@@ -8991,7 +8997,7 @@ _SBF_POS = (
 _STREAM_BLOOM_DEDUP_ORACLE = f"""
 WITH RECURSIVE b AS (
   SELECT user_id, ts, event_id,
-         event_type || '|' || props AS fp,
+         coalesce(event_type, '') || '|' || coalesce(props, '') AS fp,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
   FROM events
@@ -10528,6 +10534,19 @@ def q_drift_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     weeks = sorted(
         r.week for r in ev.select("week").distinct().collect()
     )
+    if len(weeks) < 2:
+        # degenerate scale factor: <2 distinct weeks means no
+        # (baseline, later) pair exists — return an empty frame with
+        # the ks_drift output schema instead of exploding an empty
+        # literal array (which would be a zero-column F.array()).
+        return metrics.ks_drift(
+            ev.select(
+                F.lit("").alias("grp"),
+                F.col("value").alias("val"),
+                F.lit(0).alias("is_b"),
+            ).limit(0),
+            group_col="grp", side_col="is_b", value_col="val",
+        )
     base_week, later = weeks[0], weeks[1:]
     wfmt = F.date_format(F.col("w"), "yyyy-MM-dd")
     cur = ev.where(F.col("week") != F.lit(base_week)).select(

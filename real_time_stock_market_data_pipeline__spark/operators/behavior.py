@@ -695,9 +695,10 @@ def churn_by_period(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Per-calendar-period user accounting: active, new (first period
-    ever), retained (also active the previous period), churned-in
-    (active the previous period but not this one), and the resulting
-    churn rate = churned_in / previous period's actives.
+    ever), retained (also active the previous period), churned (active
+    THIS period but absent the next — churning OUT, reported on the
+    period being left), and the resulting churn rate = churned /
+    this period's actives.
 
     Shape: one distinct (user, period) aggregation — the only shuffle
     that touches event volume — then per-user lag/min windows over the

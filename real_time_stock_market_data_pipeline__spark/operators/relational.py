@@ -721,7 +721,14 @@ def cdc_apply(
             F.concat(F.lit("cdc_apply: unknown op code "), F.col(op_col))
         )
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    # seq desc picks the winner; op + payload break equal-seq ties so
+    # the survivor is deterministic (not partition/plan dependent)
+    # rather than whichever row row_number() happened to see first.
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(),
+        F.col(op_col).desc(),
+        *[F.col(c).desc_nulls_last() for c in payload_cols],
+    )
     latest = (
         changes.withColumn(op_col, checked_op)
         .withColumn("__rn", F.row_number().over(w))

@@ -386,7 +386,6 @@ def test_session_funnel_never_beats_user_funnel(spark, sf_dir):
     stages = ["view", "click", "purchase"]
     sess = behavior.session_funnel(ev, stages, gap_seconds=1800).collect()[0]
     assert sess.n_view_sessions <= sess.n_sessions
-    assert sess.n_click_sessions <= sess.n_view_sessions or True
     # monotone down the funnel
     assert sess.n_purchase_sessions <= sess.n_click_sessions <= sess.n_view_sessions
     # with an infinite gap each user is one session: must equal the
