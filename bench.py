@@ -69,6 +69,37 @@ BENCH_QUERIES = [
     "chunk_documents",
 ]
 
+#: Second tier, added round 8: the round-6/7 families (iterative graph,
+#: CDC/SCD2, streaming stateful, corpus-ops, drift, high-fanout window
+#: shapes) so regressions where the registry now lives show up in
+#: BENCH_r{N}. Kept SEPARATE from BENCH_QUERIES so the headline
+#: ``value`` stays sum-comparable with the round-3 self-baseline
+#: (BASELINE.md); this tier reports its own ``tier2_total``.
+TIER2_QUERIES = [
+    # iterative / driver-paced loops
+    "event_pagerank",
+    "markov_absorption",
+    "hierarchy",
+    # CDC / SCD2
+    "cdc_apply",
+    "scd2_lookup",
+    # streaming stateful (runs its drained availableNow query inside)
+    "stream_bloom_dedup",
+    # corpus-pipeline operational shell
+    "corpus_report",
+    "minhash_accuracy",
+    "cluster_split",
+    "hashed_bow",
+    # drift monitoring / calibration
+    "threshold_calibration",
+    "drift_series",
+    # high-fanout window / explode shapes
+    "rolling_median",
+    "dau_wau",
+    "session_funnel",
+    "volume_bars",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,9 +109,25 @@ def main() -> None:
         sf = -1.0
 
     from real_time_stock_market_data_pipeline__spark import driver_queries
-    from real_time_stock_market_data_pipeline__spark.session import get_spark
+    from real_time_stock_market_data_pipeline__spark.session import (
+        default_parallelism,
+        get_spark,
+        scale_profile,
+    )
 
-    spark = get_spark("rtsmdp-bench")
+    # A/B flag: SPARK_GRAFT_SCALE_PROFILE=1 builds the session through
+    # scale_profile()'s sizing math (AQE advisory sizes, broadcast
+    # threshold, skew factors, zstd, RocksDB state) applied at the
+    # LOCAL cluster shape — the sanity check that the 100 TB profile's
+    # formulas don't regress a small suite. Both totals are recorded in
+    # BASELINE.md's self-measured section.
+    use_profile = os.environ.get("SPARK_GRAFT_SCALE_PROFILE", "") == "1"
+    extra = (
+        scale_profile(executors=1, executor_cores=default_parallelism())
+        if use_profile
+        else None
+    )
+    spark = get_spark("rtsmdp-bench", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     # JVM/codegen warmup outside the timed section
@@ -92,24 +139,37 @@ def main() -> None:
     # bench signal — it gets an "err" entry and a 0-cost timing instead.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        try:
-            fn = driver_queries.QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — bench must always emit
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # A failed query must not flatter the headline: with any error the
-    # sum of the surviving timings is NOT comparable to an all-green
-    # run, so `value` goes null and `failed_queries` says why.
-    total = round(sum(timings.values()), 3) if not errors else None
+    def run_tier(names: list[str]) -> float | None:
+        tier_total = 0.0
+        ok = True
+        for name in names:
+            try:
+                fn = driver_queries.QUERIES[name]
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+                tier_total += timings[name]
+            except Exception as exc:  # noqa: BLE001 — bench must always emit
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                ok = False
+        return round(tier_total, 3) if ok else None
+
+    # A failed query must not flatter its tier total: the sum of the
+    # surviving timings is NOT comparable to an all-green run, so the
+    # tier total goes null and `failed_queries` says why. `value`
+    # remains the ORIGINAL 34-query headline so it stays comparable
+    # with the round-3 self-baseline; tier2 covers the round-6/7
+    # families under its own total.
+    total = run_tier(BENCH_QUERIES)
+    tier2_total = run_tier(TIER2_QUERIES)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tier2_total": tier2_total,
+        "scale_profile": use_profile,
         "failed_queries": len(errors),
         "sf": sf,
     }

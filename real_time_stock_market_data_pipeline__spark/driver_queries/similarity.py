@@ -1,0 +1,414 @@
+"""Embedding similarity: brute/ANN/IVF top-k, kNN join, quantize/outliers, PCA/JL.
+
+Split out of the original single-file driver_queries module; sections
+are verbatim (code moved, not rewritten) so oracle parity is untouched.
+"""
+
+from __future__ import annotations
+
+from real_time_stock_market_data_pipeline__spark.driver_queries._shared import *  # noqa: F401,F403
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query point: embedding of vec_id=0 (a plan literal — at
+    scale this is a parameter, never a join)."""
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+# The oracles are static SQL, so they pull the same query vector via a
+# scalar cross join on vec_id=0 ("qe") instead of inlined literals.
+_DIM = similarity.EMBEDDING_DIM
+
+_Q_SUB = "(SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q"
+
+# Left-associative double addition chains — SQL `+` parses
+# left-associative, so ((t1+t2)+t3)+… matches the engine's fold
+# bit-for-bit (see similarity._fold_sum). No decimals: DuckDB's
+# double→decimal cast rounds through double arithmetic and drifts.
+_DOT_QE = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+_SQ_EMB = " + ".join(
+    f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+_SQ_QE = " + ".join(
+    f"CAST(qe[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+
+_COSINE_QE = (
+    f"CASE WHEN sqrt({_SQ_EMB}) > 0 THEN "
+    f"({_DOT_QE}) / (sqrt({_SQ_EMB}) * sqrt({_SQ_QE})) END"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+_COSINE_TOPK_ORACLE = f"""
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ann_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * ({plane[i]!r})"
+        for i in range(len(plane))
+    )
+
+
+def _ann_topk_oracle() -> str:
+    emb_bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    qe_bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('qe', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    return f"""
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+WHERE ({emb_bits}) = ({qe_bits})
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    return similarity.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def _embedding_neardup_oracle() -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_plane_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END)"
+        for p in similarity.ANN_PLANES
+    )
+    dot = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    na = " + ".join(
+        f"CAST(a.embedding[{i + 1}] AS DOUBLE) * CAST(a.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    nb = " + ".join(
+        f"CAST(b.embedding[{i + 1}] AS DOUBLE) * CAST(b.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+    cos = (
+        f"CASE WHEN sqrt({na}) > 0 AND sqrt({nb}) > 0 "
+        f"THEN ({dot}) / (sqrt({na}) * sqrt({nb})) END"
+    )
+    return f"""
+WITH bkt AS (SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({cos}) >= 0.3
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), q, k=10)
+
+
+def _coldot_sql(a: str, b: str) -> str:
+    """Left-associative column·column dot chain (same fold order as
+    similarity._dot_fold, so the doubles agree bitwise)."""
+    return " + ".join(
+        f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+        for i in range(_DIM)
+    )
+
+
+def _ivf_topk_oracle() -> str:
+    """IVF in plain SQL: centroids = lowest-id vectors, assignment =
+    row_number over (sim DESC, cell ASC) — the same argmax-with-lowest-
+    id-tiebreak the engine's array_max-over-(s, -i) computes. sim is
+    dot·(1/|c|): the row's own norm is a common factor, so it drops out
+    of the argmax, exactly as in similarity.ivf_assign."""
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+probes AS (
+  SELECT c.cell,
+         ROW_NUMBER() OVER (ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+  FROM centn c CROSS JOIN {_Q_SUB}
+)
+SELECT vec_id, {_COSINE_QE} AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+WHERE vec_id IN (SELECT a.vec_id FROM assign a
+                 WHERE a.rn = 1
+                   AND a.cell IN (SELECT p.cell FROM probes p WHERE p.rn <= {n_p}))
+ORDER BY cosine DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index materialized as a parquet cell-partition layout, then
+    probed with partition pruning (PartitionFilters plan-asserted in
+    tests) — result identical to ``ivf_topk``, so it shares that
+    oracle. The write-then-read happens inside the query, like
+    ``partitioned_scan``."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+    cents = similarity.ivf_write_index(embs, path)
+    return similarity.ivf_topk_indexed(
+        spark, path, _query_vector(spark, sf_dir), cents, k=10
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
+    query vectors via the IVF cell equi-join (never a cartesian). The
+    oracle replays cell assignment, per-query probe ranking, the cell
+    join, and the per-query row_number top-k in SQL."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 4)
+    return similarity.ivf_knn_join(embs, queries, k=3)
+
+
+def _knn_join_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    dot_eq = _coldot_sql("e.embedding", "p.qe")
+    ne = _coldot_sql("e.embedding", "e.embedding")
+    nq = _coldot_sql("p.qe", "p.qe")
+    cos = (
+        f"CASE WHEN sqrt({ne}) > 0 AND sqrt({nq}) > 0 "
+        f"THEN ({dot_eq}) / (sqrt({ne}) * sqrt({nq})) END"
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+corpus AS (SELECT vec_id, embedding, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+qp AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.query_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN centn c
+  ) WHERE rn <= {n_p}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id AS nn_id, {cos} AS cosine
+  FROM qp p JOIN corpus e ON p.cell = e.cell
+)
+SELECT query_id, nn_id, cosine FROM (
+  SELECT query_id, nn_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC NULLS LAST, nn_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One declarative Lloyd iteration seeded with the IVF coarse
+    quantizer (16 lowest-id vectors): nearest-centroid assignment is a
+    map-side fold, the centroid update a partially-aggregated groupBy.
+    The oracle replays assignment (row_number argmax with the same
+    tiebreak) and the quantized-mean update in SQL."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(embs)
+    return similarity.kmeans_step(embs, cents)
+
+
+def _kmeans_step_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+members AS (SELECT cell, embedding FROM assign WHERE rn = 1)
+SELECT cell, i AS dim,
+       CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,
+       count(*) AS n
+FROM members, unnest(range(1, 65)) AS t(i)
+GROUP BY cell, i
+"""
+
+
+def q_synthetic_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 deterministic generator (`stream_data_producer.py:73-110`
+    contract: per-symbol daily OHLCV with high ≥ max(open, close) ≥
+    min(open, close) ≥ low). The generator derives all entropy from
+    md5("<id>:<seed>:<salt>") and builds prices in integer cents, so
+    the DuckDB oracle replays it bit-identically — this was the one
+    registered query without an oracle through round 5."""
+    from real_time_stock_market_data_pipeline__spark.sources.external import (
+        synthetic_ohlcv,
+    )
+
+    ensure_engine_conf(spark)
+    return synthetic_ohlcv(spark, days=30)
+
+
+# Replays sources/external.py:synthetic_ohlcv(days=30, seed=42,
+# base=100.0) exactly: same md5 keys, same integer-cent arithmetic,
+# same final /100.0 double division (bit-identical IEEE in both
+# engines because every operand is an exact integer).
+_SYNTHETIC_OHLCV_ORACLE = """
+WITH g AS (SELECT id FROM range(150) t(id)),
+h AS (
+  SELECT id,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:o'), 1, 8) AS BIGINT) AS ho,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:s'), 1, 8) AS BIGINT) AS hs,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:c'), 1, 8) AS BIGINT) AS hc,
+    CAST('0x' || substr(md5(CAST(id AS VARCHAR) || ':42:v'), 1, 8) AS BIGINT) AS hv
+  FROM g
+),
+c AS (
+  SELECT id,
+    10000 + ho % 10000 AS o_c,
+    hs % 500 AS s_c,
+    10000 + ho % 10000 + hc % 1000 - 500 AS c_c,
+    hv % 1000000 + 1000 AS volume
+  FROM h
+)
+SELECT
+  list_extract(['AAPL','MSFT','GOOG','AMZN','TSLA'],
+               CAST(id % 5 AS INT) + 1) AS symbol,
+  DATE '2024-01-01' + CAST(id // 5 AS INT) AS "date",
+  o_c / 100.0 AS open,
+  (greatest(o_c, c_c) + s_c) / 100.0 AS high,
+  (least(o_c, c_c) - s_c) / 100.0 AS low,
+  c_c / 100.0 AS close,
+  volume
+FROM c
+"""
+
+
+def q_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-UDF scale path. By contract it returns the same top-k as
+    ``cosine_topk``; NumPy's BLAS dot accumulates in a different order
+    than the SQL fold, so the last ulp can differ — the registered
+    projection quantizes the cosine at 6 digits (as does the oracle),
+    making the equality oracle-checkable without promising bitwise
+    float identity."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    out = similarity.cosine_topk_fast(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, rank_digits=6
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# Ranks on the 6-digit-quantized cosine (ties → vec_id) on BOTH sides,
+# so a near-tie at the rank-k boundary cannot produce a member-set
+# mismatch between NumPy-BLAS and SQL-fold summation orders.
+_COSINE_TOPK_FAST_ORACLE = f"""
+SELECT vec_id, round({_COSINE_QE}, 6) AS cosine
+FROM embeddings CROSS JOIN {_Q_SUB}
+ORDER BY round({_COSINE_QE}, 6) DESC NULLS LAST, vec_id
+LIMIT 10
+"""
+
+
+
+
+__all__ = [
+    "_COSINE_QE",
+    "_COSINE_TOPK_FAST_ORACLE",
+    "_COSINE_TOPK_ORACLE",
+    "_DIM",
+    "_DOT_QE",
+    "_Q_SUB",
+    "_SQ_EMB",
+    "_SQ_QE",
+    "_SYNTHETIC_OHLCV_ORACLE",
+    "_ann_topk_oracle",
+    "_coldot_sql",
+    "_embedding_neardup_oracle",
+    "_ivf_topk_oracle",
+    "_kmeans_step_oracle",
+    "_knn_join_oracle",
+    "_plane_dot_sql",
+    "_query_vector",
+    "q_ann_topk",
+    "q_cosine_topk",
+    "q_cosine_topk_fast",
+    "q_embedding_neardup_pairs",
+    "q_ivf_topk",
+    "q_ivf_topk_indexed",
+    "q_kmeans_step",
+    "q_knn_join",
+    "q_synthetic_ohlcv",
+]

@@ -14,7 +14,7 @@ this). All operators are single-pass window/groupBy compositions:
   types (attribution) — tiny relative to input at any scale.
 
 Counts are integers and ratios are single IEEE divisions, so every
-operator has a bit-exact DuckDB oracle (`driver_queries.py`).
+operator has a bit-exact DuckDB oracle (the `driver_queries` package).
 """
 
 from __future__ import annotations

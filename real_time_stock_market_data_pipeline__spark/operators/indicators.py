@@ -8,7 +8,7 @@ Bollinger bands, RSI, EMA/MACD, drawdowns, realized volatility, and
 pairwise return correlations.
 
 Exactness rules (so every indicator has a bit-exact DuckDB oracle —
-see `driver_queries.py` and the package README):
+see the `driver_queries` package and the package README):
 
 - Rolling sums run over a DECIMAL(18,6) view of the input, so they are
   order-independent and replayable by any engine regardless of

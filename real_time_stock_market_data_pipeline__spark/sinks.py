@@ -151,6 +151,12 @@ def merge_upsert_parquet(
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)  # recover from a crash mid-swap
+    elif os.path.exists(path) and os.path.exists(old):
+        # crash AFTER the new state went live but before cleanup: the
+        # .old dir is superseded garbage, and a non-empty .old would
+        # make the rename below fail with ENOTEMPTY (found by
+        # tests/test_crash_recovery.py failure injection)
+        shutil.rmtree(old)
     if input_ready(spark, path):
         current = spark.read.parquet(path)
         merged = merge_upsert(current, batch.select(*current.columns), keys)
