@@ -6,7 +6,8 @@ The Spark-side plumbing is real and tested: schemas, Arrow-batched
 tiers:
 
 - **Real, pure-stdlib decode** for trivially-parseable containers —
-  binary PPM (P6) images and PCM WAV audio — in :func:`decode_media`:
+  binary PPM (P6) / 24-bit BMP images and PCM WAV audio — in
+  :func:`decode_media`:
   actual byte-level header parsing + pixel/sample statistics, no
   external codec library needed, oracle-checked end-to-end (the
   ``media_decode`` driver query replays the decoded features in
@@ -22,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import io
 import math
+import struct
 import wave
 from array import array
 from collections.abc import Iterator
@@ -272,6 +274,82 @@ def _ppm_bytes(d: int) -> tuple[bytes, int, int]:
     return b"P6\n%d %d\n255\n" % (w, h) + body, w, h
 
 
+def _bmp_bytes(d: int) -> tuple[bytes, int, int]:
+    """Deterministic 24-bit uncompressed BMP for media id ``d``,
+    encoding the SAME logical image as :func:`_ppm_bytes` (top-down
+    row-major interleaved-RGB byte j = (d*7 + j*11) % 256): the pixels
+    are re-packed the way the BMP container demands — bottom-up row
+    order, BGR channel order, rows padded to 4 bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB). Sharing the logical
+    image means a decoder that mishandles ANY of those three container
+    quirks produces different channel sums than the PPM closed form —
+    exactly what the oracle checks."""
+    w, h = 4 + d % 5, 3 + d % 7
+    rgb = bytes((d * 7 + j * 11) % 256 for j in range(3 * w * h))
+    row_size = (3 * w + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[3 * (y * w + x) : 3 * (y * w + x) + 3]
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - 3 * w)
+        body += row
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(body), w, h
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER or larger):
+    validate magic/bpp/BI_RGB, honor the declared pixel-array offset,
+    strip the 4-byte row padding, un-flip bottom-up row order (negative
+    DIB height = top-down, also handled), and de-interleave BGR.
+    Returns the same stat dict as :func:`_decode_ppm` (fmt='bmp')."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP (missing BM magic)")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    row_size = (3 * w + 3) & ~3
+    need = pixel_off + row_size * h
+    if len(payload) < need:
+        raise ValueError(
+            f"truncated BMP body: want {need} bytes, got {len(payload)}"
+        )
+    sum_r = sum_g = sum_b = 0
+    for y in range(h):
+        src_y = (h - 1 - y) if bottom_up else y
+        off = pixel_off + src_y * row_size
+        row = payload[off : off + 3 * w]
+        sum_b += sum(row[0::3])
+        sum_g += sum(row[1::3])
+        sum_r += sum(row[2::3])
+    return {
+        "fmt": "bmp",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 def _wav_bytes(d: int) -> tuple[bytes, int]:
     """Deterministic mono 16-bit 8 kHz WAV for media id ``d``:
     n=160+d%100 samples, sample i = ((d*13 + i*17) % 2003) - 1001.
@@ -290,12 +368,22 @@ def _wav_bytes(d: int) -> tuple[bytes, int]:
     return buf.getvalue(), n
 
 
-def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthetic_media(
+    docs: DataFrame, id_col: str = "doc_id", image_fmt: str = "ppm"
+) -> DataFrame:
     """Deterministic media fixture over any id column: even ids become
-    real binary-PPM images, odd ids real PCM WAV clips (see
-    :func:`_ppm_bytes` / :func:`_wav_bytes` for the byte spec). Built
+    real binary images — PPM by default, 24-bit BMP with
+    ``image_fmt="bmp"`` (same logical pixels, different container) —
+    odd ids real PCM WAV clips (see :func:`_ppm_bytes` /
+    :func:`_bmp_bytes` / :func:`_wav_bytes` for the byte specs). Built
     in ``mapInPandas`` so payload construction is distributed and
     never shuffles; same ids ⇒ same bytes on any cluster layout."""
+    if image_fmt not in ("ppm", "bmp"):
+        raise ValueError(f"unsupported image_fmt {image_fmt!r}")
+    img_bytes = _ppm_bytes if image_fmt == "ppm" else _bmp_bytes
+    img_mime = (
+        "image/x-portable-pixmap" if image_fmt == "ppm" else "image/bmp"
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -303,11 +391,11 @@ def synthetic_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for d in pdf[id_col]:
                 d = int(d)
                 if d % 2 == 0:
-                    payload, w, h = _ppm_bytes(d)
+                    payload, w, h = img_bytes(d)
                     rows["media_id"].append(d)
                     rows["kind"].append("image")
                     rows["payload"].append(payload)
-                    rows["mime"].append("image/x-portable-pixmap")
+                    rows["mime"].append(img_mime)
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["duration_ms"].append(None)
@@ -419,13 +507,15 @@ def decode_media(media: DataFrame) -> DataFrame:
                 p = bytes(payload) if payload is not None else b""
                 if p.startswith(b"P6"):
                     d = _decode_ppm(p)
+                elif p.startswith(b"BM"):
+                    d = _decode_bmp(p)
                 elif p.startswith(b"RIFF"):
                     d = _decode_wav(p)
                 else:
                     raise ValueError(
                         f"media_id={mid}: unrecognized container "
-                        f"(magic={p[:4]!r}); only PPM/P6 and RIFF/WAV "
-                        "decode without codec libraries"
+                        f"(magic={p[:4]!r}); only PPM/P6, BMP, and "
+                        "RIFF/WAV decode without codec libraries"
                     )
                 rows["media_id"].append(int(mid))
                 rows["kind"].append(kind)

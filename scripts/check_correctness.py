@@ -109,6 +109,7 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("--describe", action="store_true")
     ap.add_argument("--no-pandas", action="store_true")
+    ap.add_argument("--json", default=None, help="write per-query results to this JSON file")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -134,6 +135,7 @@ def main() -> int:
 
     only = set(args.only.split(",")) if args.only else None
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -145,6 +147,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"status": "fail",
+                             "problems": [f"spark error: {type(e).__name__}"],
+                             "sec": round(time.time() - t0, 2)}
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle, rows-only)")
@@ -157,6 +162,9 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"status": "fail",
+                             "problems": [f"duckdb error: {type(e).__name__}"],
+                             "sec": round(time.time() - t0, 2)}
             continue
         dt = time.time() - t0
         problems = []
@@ -187,13 +195,24 @@ def main() -> int:
             else:
                 if sph != oph:
                     problems.append(f"pandas-hash spark={sph} duck={oph}")
+        dt = time.time() - t0
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
+            results[name] = {"status": "fail", "problems": problems,
+                             "rows": len(srows), "sec": round(dt, 2)}
         else:
             print(f"PASS  {name}: {len(srows)} rows, {dt:.1f}s")
             n_pass += 1
+            results[name] = {"status": "pass", "rows": len(srows),
+                             "sec": round(dt, 2)}
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if args.json:
+        import json
+
+        Path(args.json).write_text(json.dumps(
+            {"sf_dir": args.sf, "n_pass": n_pass, "n_fail": n_fail,
+             "queries": results}, indent=1))
     spark.stop()
     return 1 if n_fail else 0
 

@@ -715,3 +715,90 @@ def test_resize_ppm_matches_full_decode_when_factor_1(spark, sf_dir):
         assert r.new_w == (r.orig_w + 1) // 2
         assert r.new_h == (r.orig_h + 1) // 2
         assert r.sum_r <= full[mid].sum_r  # strict subset of pixels
+
+
+def test_decode_bmp_known_answer():
+    """Hand-built 2×2 24-bit BMP: logical top-down RGB pixels
+    (1,2,3) (4,5,6) / (7,8,9) (10,11,12), packed bottom-up BGR with
+    2 pad bytes per row — decoded sums must match the logical image."""
+    import struct
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_bmp,
+    )
+
+    # rows bottom-up: file row 0 = logical row 1, BGR order + padding
+    body = (
+        bytes([9, 8, 7, 12, 11, 10]) + b"\x00\x00"
+        + bytes([3, 2, 1, 6, 5, 4]) + b"\x00\x00"
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    d = _decode_bmp(hdr + dib + body)
+    assert d["width"] == 2 and d["height"] == 2 and d["n_pixels"] == 4
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (1 + 4 + 7 + 10, 2 + 5 + 8 + 11, 3 + 6 + 9 + 12)
+
+
+def test_decode_bmp_top_down_negative_height():
+    """Negative DIB height = top-down row order: same logical image as
+    the bottom-up probe must decode to identical sums."""
+    import struct
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_bmp,
+    )
+
+    body = (
+        bytes([3, 2, 1, 6, 5, 4]) + b"\x00\x00"
+        + bytes([9, 8, 7, 12, 11, 10]) + b"\x00\x00"
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(body), 0, 0, 0, 0)
+    d = _decode_bmp(hdr + dib + body)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (22, 26, 30)
+
+
+def test_decode_bmp_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _bmp_bytes,
+        _decode_bmp,
+    )
+
+    with _pytest.raises(ValueError, match="BM magic"):
+        _decode_bmp(b"P6\n1 1\n255\n...")
+    # 8bpp palette BMP must be refused, not silently mis-summed
+    hdr = struct.pack("<2sIHHI", b"BM", 58, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+    with _pytest.raises(ValueError, match="24-bit"):
+        _decode_bmp(hdr + dib + b"\x00" * 4)
+    # truncated pixel array
+    good, _, _ = _bmp_bytes(2)
+    with _pytest.raises(ValueError, match="truncated BMP body"):
+        _decode_bmp(good[:-3])
+
+
+def test_bmp_and_ppm_containers_agree(spark, sf_dir):
+    """The two image containers carry the same logical pixels, so
+    decode_media over BMP media must equal decode over PPM media on
+    every stat column except fmt."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    stats = ["width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"]
+    out = {}
+    for fmt in ("ppm", "bmp"):
+        media = multimodal.synthetic_media(docs, image_fmt=fmt)
+        dec = multimodal.decode_media(media.where(F.col("kind") == "image"))
+        out[fmt] = {
+            r["media_id"]: tuple(r[c] for c in stats)
+            for r in dec.collect()
+        }
+        fmts = {r["fmt"] for r in dec.select("fmt").distinct().collect()}
+        assert fmts == {fmt}
+    assert out["ppm"] == out["bmp"]
