@@ -61,3 +61,36 @@ def test_registry_callables_named_after_keys():
             key,
             name,
         )
+
+
+def test_family_modules_export_disjoint_names():
+    # __init__ star-imports every family module; a name defined in two
+    # would silently shadow depending on import order. Keep exports
+    # pairwise disjoint (cross-module imports are excluded: __all__
+    # lists only section-defined names).
+    import ast as _ast
+    import real_time_stock_market_data_pipeline__spark.driver_queries as pkg
+
+    pkg_dir = Path(pkg.__file__).parent
+    owners: dict[str, str] = {}
+    clashes = []
+    for mod in sorted(pkg_dir.glob("*.py")):
+        if mod.name in ("__init__.py", "_shared.py"):
+            continue
+        tree = _ast.parse(mod.read_text())
+        exported = None
+        for node in tree.body:
+            if (
+                isinstance(node, _ast.Assign)
+                and any(
+                    isinstance(t, _ast.Name) and t.id == "__all__"
+                    for t in node.targets
+                )
+            ):
+                exported = [c.value for c in node.value.elts]
+        assert exported is not None, f"{mod.name} lacks __all__"
+        for name in exported:
+            if name in owners:
+                clashes.append((name, owners[name], mod.name))
+            owners[name] = mod.name
+    assert not clashes, f"duplicate exports across family modules: {clashes}"
