@@ -83,6 +83,13 @@ DOCS = {
                     "eval, cohort LTV, bars.",
 }
 
+if not SRC.exists():
+    sys.exit(
+        "already applied: driver_queries.py was split into the "
+        "driver_queries/ package by this script (round 8); kept for "
+        "provenance only"
+    )
+
 src = SRC.read_text()
 lines = src.splitlines(keepends=True)
 SEP = re.compile(r"^# -{10,}")
