@@ -40,15 +40,31 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The two COMPUTED per-row expressions route double->decimal through
+# VARCHAR (the _round_sql recipe): Spark's double->decimal cast rounds
+# the shortest decimal repr (BigDecimal.valueOf) HALF_UP while plain
+# DuckDB rounds the exact binary value — they disagree exactly when a
+# product's repr ends in a literal 5 at the 7th fractional digit
+# (first hit by sum_charge at the x10 stress SF: one row in 6M).
+# Raw columns keep the direct cast: their stored doubles carry <= 3
+# fractional digits, so the 6-dp cast never rounds.
+#
+# Every aggregate DECIMAL -> DOUBLE goes through VARCHAR: DuckDB's
+# direct decimal-to-double conversion double-rounds (scaled int128 ->
+# double -> /10^scale) and is off by one ulp from the correctly-rounded
+# value once the scaled integer exceeds 2^53 — Spark's
+# BigDecimal.doubleValue IS correctly rounded, and so is DuckDB's
+# VARCHAR -> DOUBLE strtod. First hit by sum_charge ~2.8e10 at the x10
+# stress SF (sums at sf0.1 stay under the 2^53/10^6 ~ 9e9 boundary).
 _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
-  CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(35,17)), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(sum(CAST(round(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS VARCHAR) AS DECIMAL(35,17)), 6) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+  CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
