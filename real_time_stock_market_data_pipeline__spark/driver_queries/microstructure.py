@@ -475,7 +475,7 @@ s AS (
 )
 SELECT symbol, date, n AS n_pairs,
   round(CASE WHEN n >= 2
-        THEN (sxy - sx * sy / n) / (n - 1) END, 6) AS serial_cov,
+        THEN (sxy - sx * sy / n) / (n - 1) END, 6) + 0.0 AS serial_cov,
   round(CASE WHEN n >= 2 AND (sxy - sx * sy / n) / (n - 1) < 0
         THEN 2 * sqrt(-((sxy - sx * sy / n) / (n - 1))) END, 6)
     AS roll_spread

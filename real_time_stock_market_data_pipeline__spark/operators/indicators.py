@@ -584,9 +584,13 @@ def roll_spread(
     sxy = F.sum(dx * dy).cast("double")
     cov = (sxy - sx * sy / n) / (n - F.lit(1))
     spread = F.when((n >= 2) & (cov < 0), 2 * F.sqrt(-cov))
+    # + 0.0 AFTER the round collapses IEEE -0.0 to +0.0: a tiny
+    # negative covariance (clone-tick days) rounds to -0.0, whose sign
+    # DuckDB keeps but Spark's repr-based round drops — normalize both
+    # sides (same + 0.0 in the SQL oracle)
     return pairs.groupBy("symbol", "date").agg(
         n.alias("n_pairs"),
-        F.round(F.when(n >= 2, cov), 6).alias("serial_cov"),
+        (F.round(F.when(n >= 2, cov), 6) + F.lit(0.0)).alias("serial_cov"),
         F.round(spread, 6).alias("roll_spread"),
     )
 
