@@ -507,13 +507,19 @@ def pagerank_sql(
     scalar subquery — one tiny independent stage, no nested-loop
     join. Feed a MATERIALIZED edge table (see :func:`event_pagerank`)
     — engines that inline CTEs would otherwise recompute the edge
-    aggregation once per unrolled round.
+    aggregation once per unrolled round. The emitted CTE carries an
+    explicit ``AS MATERIALIZED`` hint for exactly that reason: DuckDB
+    inlines multiply-referenced CTEs by default, and feeding the raw
+    1M-row aggregation re-ran it per reference — ~100 GB transient
+    memory at the x10 stress SF (found by the sf1.0 sweep); with the
+    hint the same oracle runs in seconds. (Postgres/DuckDB syntax;
+    this text is executed by the DuckDB oracle only.)
     """
     q = "floor(({x}) * 1e12 + 0.5) / 1e12"
     n_sql = "(SELECT n FROM nn)"
     parts = [
         f"""
-edges_w AS ({edges_sql}),
+edges_w AS MATERIALIZED ({edges_sql}),
 nodes AS (
   SELECT node FROM (
     SELECT DISTINCT src AS node FROM edges_w
