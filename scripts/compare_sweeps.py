@@ -28,6 +28,7 @@ def main() -> int:
         (n, base.get(n, {}).get("status"), big.get(n, {}).get("status"))
         for n in sorted(set(base) | set(big))
         if base.get(n, {}).get("status") != big.get(n, {}).get("status")
+        and "skipped" not in str(big.get(n, {}).get("status"))
     ]
     for n, a, b in flips:
         print(f"STATUS {n}: {a} -> {b}")
@@ -42,10 +43,13 @@ def main() -> int:
     for ratio, n, bs, rs in sorted(breaches, reverse=True):
         print(f"RATIO  {n}: {bs:.1f}s -> {rs:.1f}s ({ratio:.1f}x)")
 
-    slow = sorted(big.items(), key=lambda kv: -kv[1]["sec"])[:10]
+    slow = sorted(
+        ((n, r) for n, r in big.items() if "sec" in r),
+        key=lambda kv: -kv[1]["sec"],
+    )[:10]
     print("slowest at big SF: " + ", ".join(f"{n} {r['sec']:.0f}s" for n, r in slow))
-    tb = sum(r["sec"] for r in base.values())
-    tg = sum(r["sec"] for r in big.values())
+    tb = sum(r.get("sec", 0) for r in base.values())
+    tg = sum(r.get("sec", 0) for r in big.values())
     print(f"totals: base {tb:.0f}s, big {tg:.0f}s "
           f"({tg / tb:.1f}x for the SF step)")
     return 1 if flips else 0
