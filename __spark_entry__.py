@@ -39,3 +39,13 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query, on the
     pre-registered table views."""
     return dict(driver_queries.ORACLES)
+
+
+def oracle_py() -> dict[str, Callable]:
+    """Python-replay oracles (callable(duckdb_con) -> pandas DataFrame)
+    for the few queries whose SQL oracle is correct but impractically
+    slow at stress scale factors (the recursive-CTE greedy-packing
+    walk). Used only by the local gate's ``--py-oracles`` mode
+    (scripts/check_correctness.py); the round driver keeps running the
+    ``oracle_sql()`` form at sf0.01."""
+    return dict(driver_queries.PY_ORACLES)

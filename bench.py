@@ -140,9 +140,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def run_tier(names: list[str]) -> float | None:
+    def run_tier(names: list[str]) -> tuple[float | None, int]:
         tier_total = 0.0
-        ok = True
+        n_failed = 0
         for name in names:
             try:
                 fn = driver_queries.QUERIES[name]
@@ -152,17 +152,20 @@ def main() -> None:
                 tier_total += timings[name]
             except Exception as exc:  # noqa: BLE001 — bench must always emit
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                ok = False
-        return round(tier_total, 3) if ok else None
+                n_failed += 1
+        return (round(tier_total, 3) if not n_failed else None), n_failed
 
     # A failed query must not flatter its tier total: the sum of the
     # surviving timings is NOT comparable to an all-green run, so the
-    # tier total goes null and `failed_queries` says why. `value`
+    # tier total goes null and its failure count says why. `value`
     # remains the ORIGINAL 34-query headline so it stays comparable
     # with the round-3 self-baseline; tier2 covers the round-6/7
-    # families under its own total.
-    total = run_tier(BENCH_QUERIES)
-    tier2_total = run_tier(TIER2_QUERIES)
+    # families under its own total. Failure counts are PER TIER
+    # (`failed_queries` = tier 1 only, matching the pre-round-8
+    # invariant failed_queries > 0 ⟺ value = null; tier 2 reports
+    # its own `tier2_failed_queries`).
+    total, n_failed_t1 = run_tier(BENCH_QUERIES)
+    tier2_total, n_failed_t2 = run_tier(TIER2_QUERIES)
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -170,7 +173,8 @@ def main() -> None:
         "queries": timings,
         "tier2_total": tier2_total,
         "scale_profile": use_profile,
-        "failed_queries": len(errors),
+        "failed_queries": n_failed_t1,
+        "tier2_failed_queries": n_failed_t2,
         "sf": sf,
     }
     if errors:

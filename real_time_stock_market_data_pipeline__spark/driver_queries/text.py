@@ -493,6 +493,57 @@ walk AS (
 SELECT source, doc_id, chunk_idx, n_tokens, bin_id, bin_fill FROM walk
 """
 
+# Non-recursive prefix of the greedy oracle: chunk + tokenize + order.
+# Shared by the Python-replay oracle below, which exists because the
+# recursive-CTE walk re-joins `ordered` once per row — fine at the
+# driver's sf0.01, quadratic-in-practice at the sf1.0 stress sweep
+# (~106k chunk rows). The replay fetches this prefix from DuckDB and
+# walks it imperatively in Python — still a second, independent engine
+# pinning the applyInPandas operator's semantics.
+_TOKEN_PACK_GREEDY_TOK_SQL = """
+SELECT d.source, c.doc_id, c.chunk_idx,
+       len(string_split(c.chunk_text, ' ')) AS n_tokens
+FROM (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk_text
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(text) <= 200 THEN 1
+                ELSE (length(text) - 40 + 159) // 160 END AS n_chunks
+    FROM documents
+  ) n, unnest(range(n.n_chunks)) AS t(i)
+) c JOIN documents d ON c.doc_id = d.doc_id
+ORDER BY d.source, c.doc_id, c.chunk_idx
+"""
+
+
+def _token_pack_greedy_oracle_py(con):
+    """Python-replay oracle for ``token_pack_greedy`` (budget=256):
+    DuckDB computes the chunk/tokenize prefix declaratively, Python
+    replays the first-fit walk per source in one ordered pass —
+    O(rows) instead of the recursive CTE's per-row re-join. Returns a
+    pandas DataFrame with the same columns as the Spark result."""
+    import pandas as pd
+
+    pdf = con.execute(_TOKEN_PACK_GREEDY_TOK_SQL).df()
+    budget = 256
+    bin_ids, fills = [], []
+    prev_source, bin_id, fill = None, 0, 0
+    for source, t in zip(pdf["source"], pdf["n_tokens"]):
+        t = int(t)
+        if source != prev_source:
+            prev_source, bin_id, fill = source, 0, 0
+        if fill > 0 and fill + t > budget:
+            bin_id += 1
+            fill = 0
+        bin_ids.append(bin_id)
+        fills.append(fill)
+        fill += t
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    pdf["bin_fill"] = pd.Series(fills, dtype="int64")
+    return pdf
+
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document quota: keep the 10 largest docs per source
@@ -1436,6 +1487,7 @@ __all__ = [
     "_TOKEN_COUNT_ORACLE",
     "_TOKEN_PACK_GREEDY_ORACLE",
     "_TOKEN_PACK_ORACLE",
+    "_token_pack_greedy_oracle_py",
     "_TRENDING_ORACLE",
     "_WEEKDAY_RETURNS_ORACLE",
     "_ZIPF_ORACLE",

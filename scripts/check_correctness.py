@@ -109,6 +109,11 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("--describe", action="store_true")
     ap.add_argument("--no-pandas", action="store_true")
+    ap.add_argument(
+        "--py-oracles", action="store_true",
+        help="substitute oracle_py() Python-replay oracles where "
+             "registered (stress SFs where the SQL oracle is "
+             "impractically slow); results are marked oracle='py'")
     ap.add_argument("--json", default=None, help="write per-query results to this JSON file")
     args = ap.parse_args()
 
@@ -123,6 +128,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    py_oracles = (
+        entrymod.oracle_py() if args.py_oracles
+        and hasattr(entrymod, "oracle_py") else {}
+    )
 
     if args.describe:
         n_bad = describe_sweep(con, oracles)
@@ -134,7 +143,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     only = set(args.only.split(",")) if args.only else None
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skipped = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
@@ -154,11 +163,23 @@ def main() -> int:
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle, rows-only)")
             n_pass += 1
+            results[name] = {"status": "rows_only", "rows": len(srows),
+                             "sec": round(time.time() - t0, 2)}
             continue
+        oracle_kind = "py" if name in py_oracles else "sql"
+        opdf = None
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            if oracle_kind == "py":
+                opdf = py_oracles[name](con)
+                ocols = list(opdf.columns)
+                orows = [
+                    tuple(r)
+                    for r in opdf.itertuples(index=False, name=None)
+                ]
+            else:
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
@@ -185,11 +206,15 @@ def main() -> int:
                     if a != b:
                         print(f"      first diff:\n      spark: {a}\n      duck : {b}")
                         break
+        pandas_leg = None
         if not problems and not args.no_pandas:
             # driver-mirroring pandas canonicalization
             try:
                 sph = pandas_canon_hash(sdf.toPandas())
-                oph = pandas_canon_hash(con.execute(oracles[name]).df())
+                oph = pandas_canon_hash(
+                    opdf if opdf is not None
+                    else con.execute(oracles[name]).df()
+                )
             except Exception as e:
                 # the pandas leg RE-EXECUTES the oracle; at stress SFs a
                 # heavy oracle (recursive-CTE pagerank at 1M events) can
@@ -200,6 +225,8 @@ def main() -> int:
                 if "OutOfMemory" in type(e).__name__ or "OutOfMemory" in str(e):
                     print(f"      note {name}: pandas leg skipped "
                           f"(oracle re-execution OOM; raw hash already equal)")
+                    pandas_leg = "skipped_oom"
+                    n_skipped += 1
                 else:
                     problems.append(
                         f"pandas-canon err: {type(e).__name__}: {e}"
@@ -218,13 +245,18 @@ def main() -> int:
             n_pass += 1
             results[name] = {"status": "pass", "rows": len(srows),
                              "sec": round(dt, 2)}
-    print(f"\n{n_pass} pass / {n_fail} fail")
+            if pandas_leg is not None:
+                results[name]["pandas_leg"] = pandas_leg
+            if oracle_kind != "sql":
+                results[name]["oracle"] = oracle_kind
+    print(f"\n{n_pass} pass / {n_fail} fail"
+          + (f" ({n_skipped} pandas-leg skips)" if n_skipped else ""))
     if args.json:
         import json
 
         Path(args.json).write_text(json.dumps(
             {"sf_dir": args.sf, "n_pass": n_pass, "n_fail": n_fail,
-             "queries": results}, indent=1))
+             "n_skipped": n_skipped, "queries": results}, indent=1))
     spark.stop()
     return 1 if n_fail else 0
 
