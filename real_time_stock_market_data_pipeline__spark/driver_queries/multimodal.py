@@ -162,6 +162,51 @@ FROM imgf
 """
 
 
+def q_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second real audio container (round 9, mirroring round 8's BMP):
+    the SAME logical samples as `media_decode`'s WAVs, re-packed as
+    big-endian AIFF (80-bit extended sample rate in COMM, offset
+    preamble in SSND, byte-swapped PCM) and decoded by the pure-stdlib
+    AIFF parser (`operators/multimodal.py:_decode_aiff` via
+    `decode_media`). The oracle replays the WAV closed form — so
+    mishandling any container quirk (endianness above all) garbles
+    peak/rms and breaks the hash."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    media = multimodal.synthetic_media(docs, audio_fmt="aiff")
+    return multimodal.decode_media(media.where(F.col("kind") == "audio"))
+
+
+_AIFF_DECODE_ORACLE = """
+WITH aud AS (
+  SELECT doc_id, 160 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+smp AS (
+  SELECT doc_id, n, ((doc_id * 13 + unnest(range(0, n)) * 17) % 2003) - 1001 AS s
+  FROM aud
+),
+audf AS (
+  SELECT doc_id, n, max(abs(s)) AS peak, sum(s * s) AS ssq
+  FROM smp GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 'aiff' AS fmt,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS BIGINT) AS n_pixels,
+       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+       CAST(NULL AS BIGINT) AS sum_b,
+       CAST(n AS BIGINT) AS n_samples, 8000 AS sample_rate,
+       CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(peak AS INT) AS peak,
+       sqrt(CAST(ssq AS DOUBLE) / n) AS rms
+FROM audf
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-7 batch 5: audio frame energy, MinHash audit, corpus report
 # --------------------------------------------------------------------------
@@ -410,6 +455,8 @@ __all__ = [
     "q_media_decode",
     "q_bmp_decode",
     "_BMP_DECODE_ORACLE",
+    "q_aiff_decode",
+    "_AIFF_DECODE_ORACLE",
     "q_media_features",
     "q_minhash_accuracy",
     "q_resize_ppm",

@@ -350,6 +350,120 @@ def _decode_bmp(payload: bytes) -> dict:
     }
 
 
+def _pack_f80(x: float) -> bytes:
+    """Pack a positive number as the 80-bit IEEE 754 extended float
+    the AIFF COMM chunk demands (1 sign + 15 exponent + 64 mantissa
+    with an EXPLICIT leading-1 bit — the container quirk x86 callers
+    forget). Sample rates are small positive integers here, so the
+    normalize loop is exact."""
+    if x <= 0:
+        raise ValueError("AIFF sample rate must be positive")
+    exp = 16383 + 63
+    m = int(x)
+    if m != x:
+        raise ValueError("only integral sample rates supported")
+    while m < 1 << 63:
+        m <<= 1
+        exp -= 1
+    while m >= 1 << 64:
+        m >>= 1
+        exp += 1
+    return struct.pack(">HQ", exp, m)
+
+
+def _unpack_f80(b: bytes) -> float:
+    """Inverse of :func:`_pack_f80` (sign bit honored, denormals not
+    needed for sample rates)."""
+    exp, m = struct.unpack(">HQ", b)
+    sign = -1.0 if exp & 0x8000 else 1.0
+    exp &= 0x7FFF
+    return sign * m * 2.0 ** (exp - 16383 - 63)
+
+
+def _aiff_bytes(d: int) -> tuple[bytes, int]:
+    """Deterministic mono 16-bit 8 kHz AIFF for media id ``d``:
+    the SAME logical samples as :func:`_wav_bytes`
+    (n=160+d%100, sample i = ((d*13 + i*17) % 2003) - 1001), re-packed
+    the way the AIFF container demands — big-endian everything
+    (RIFF/WAV is little-endian), an 80-bit extended-float sample rate
+    in COMM, and an 8-byte offset/blocksize preamble in SSND. Sharing
+    the logical samples means a decoder that mishandles ANY of those
+    quirks (endianness above all: byte-swapped int16 garbles peak/rms,
+    not just order) produces different statistics than the WAV closed
+    form — exactly what the oracle checks. Hand-packed because the
+    stdlib ``aifc`` module was removed in Python 3.13 (PEP 594)."""
+    n = 160 + d % 100
+    samples = array("h", (((d * 13 + i * 17) % 2003) - 1001 for i in range(n)))
+    if struct.pack("=H", 1) == struct.pack("<H", 1):  # little-endian host
+        samples.byteswap()
+    frames = samples.tobytes()
+    comm = struct.pack(">hLh", 1, n, 16) + _pack_f80(8000.0)
+    ssnd_body = struct.pack(">LL", 0, 0) + frames
+    chunks = (
+        b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd_body)) + ssnd_body
+    )
+    # IFF chunks are word-aligned; 16-bit frames keep sizes even, so no
+    # pad bytes arise here, but the decoder still handles them.
+    form = b"AIFF" + chunks
+    return b"FORM" + struct.pack(">L", len(form)) + form, n
+
+
+def _decode_aiff(payload: bytes) -> dict:
+    """Parse an AIFF (FORM/AIFF IFF container): walk the chunk list
+    honoring word alignment, read COMM (channels / frame count /
+    bits-per-sample / 80-bit extended sample rate) and SSND (offset +
+    blocksize preamble, then big-endian PCM frames). Returns the same
+    stat dict as :func:`_decode_wav` (fmt='aiff')."""
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF (missing FORM/AIFF magic)")
+    channels = n_frames = bits = None
+    rate = None
+    frames = None
+    i = 12
+    end = min(len(payload), 8 + struct.unpack(">L", payload[4:8])[0])
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = struct.unpack(">L", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise ValueError("truncated COMM chunk")
+            channels, n_frames, bits = struct.unpack(">hLh", body[:8])
+            rate = _unpack_f80(body[8:18])
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("truncated SSND chunk")
+            offset, _block = struct.unpack(">LL", body[:8])
+            frames = body[8 + offset :]
+        i += 8 + size + (size & 1)  # IFF word alignment pad
+    if channels is None or frames is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    if bits != 16:
+        raise ValueError("only 16-bit PCM AIFF supported")
+    rate_i = int(rate)
+    samples = array("h")
+    samples.frombytes(frames[: 2 * n_frames * channels])
+    if struct.pack("=H", 1) == struct.pack("<H", 1):  # little-endian host
+        samples.byteswap()
+    total = len(samples)
+    ssq = 0
+    peak = 0
+    for s in samples:
+        ssq += s * s
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+    return {
+        "fmt": "aiff",
+        "n_samples": total,
+        "sample_rate": rate_i,
+        "duration_ms": n_frames * 1000 // rate_i,
+        "peak": peak,
+        "rms": math.sqrt(ssq / total) if total else None,
+    }
+
+
 def _wav_bytes(d: int) -> tuple[bytes, int]:
     """Deterministic mono 16-bit 8 kHz WAV for media id ``d``:
     n=160+d%100 samples, sample i = ((d*13 + i*17) % 2003) - 1001.
@@ -369,21 +483,30 @@ def _wav_bytes(d: int) -> tuple[bytes, int]:
 
 
 def synthetic_media(
-    docs: DataFrame, id_col: str = "doc_id", image_fmt: str = "ppm"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    image_fmt: str = "ppm",
+    audio_fmt: str = "wav",
 ) -> DataFrame:
     """Deterministic media fixture over any id column: even ids become
     real binary images — PPM by default, 24-bit BMP with
     ``image_fmt="bmp"`` (same logical pixels, different container) —
-    odd ids real PCM WAV clips (see :func:`_ppm_bytes` /
-    :func:`_bmp_bytes` / :func:`_wav_bytes` for the byte specs). Built
-    in ``mapInPandas`` so payload construction is distributed and
-    never shuffles; same ids ⇒ same bytes on any cluster layout."""
+    odd ids real PCM audio clips — WAV by default, big-endian AIFF
+    with ``audio_fmt="aiff"`` (same logical samples, different
+    container; see :func:`_ppm_bytes` / :func:`_bmp_bytes` /
+    :func:`_wav_bytes` / :func:`_aiff_bytes` for the byte specs).
+    Built in ``mapInPandas`` so payload construction is distributed
+    and never shuffles; same ids ⇒ same bytes on any cluster layout."""
     if image_fmt not in ("ppm", "bmp"):
         raise ValueError(f"unsupported image_fmt {image_fmt!r}")
+    if audio_fmt not in ("wav", "aiff"):
+        raise ValueError(f"unsupported audio_fmt {audio_fmt!r}")
     img_bytes = _ppm_bytes if image_fmt == "ppm" else _bmp_bytes
     img_mime = (
         "image/x-portable-pixmap" if image_fmt == "ppm" else "image/bmp"
     )
+    aud_bytes = _wav_bytes if audio_fmt == "wav" else _aiff_bytes
+    aud_mime = "audio/wav" if audio_fmt == "wav" else "audio/aiff"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -400,11 +523,11 @@ def synthetic_media(
                     rows["height"].append(h)
                     rows["duration_ms"].append(None)
                 else:
-                    payload, n = _wav_bytes(d)
+                    payload, n = aud_bytes(d)
                     rows["media_id"].append(d)
                     rows["kind"].append("audio")
                     rows["payload"].append(payload)
-                    rows["mime"].append("audio/wav")
+                    rows["mime"].append(aud_mime)
                     rows["width"].append(None)
                     rows["height"].append(None)
                     rows["duration_ms"].append(n * 1000 // 8000)
@@ -511,11 +634,14 @@ def decode_media(media: DataFrame) -> DataFrame:
                     d = _decode_bmp(p)
                 elif p.startswith(b"RIFF"):
                     d = _decode_wav(p)
+                elif p.startswith(b"FORM"):
+                    d = _decode_aiff(p)
                 else:
                     raise ValueError(
                         f"media_id={mid}: unrecognized container "
-                        f"(magic={p[:4]!r}); only PPM/P6, BMP, and "
-                        "RIFF/WAV decode without codec libraries"
+                        f"(magic={p[:4]!r}); only PPM/P6, BMP, "
+                        "RIFF/WAV, and FORM/AIFF decode without "
+                        "codec libraries"
                     )
                 rows["media_id"].append(int(mid))
                 rows["kind"].append(kind)

@@ -802,3 +802,123 @@ def test_bmp_and_ppm_containers_agree(spark, sf_dir):
         fmts = {r["fmt"] for r in dec.select("fmt").distinct().collect()}
         assert fmts == {fmt}
     assert out["ppm"] == out["bmp"]
+
+
+def test_decode_aiff_known_answer():
+    """Hand-built mono 16-bit AIFF with samples (100, -200, 300):
+    big-endian frames, 80-bit extended 8 kHz rate — decoded stats must
+    match the arithmetic, and must equal the WAV decode of the same
+    logical samples."""
+    import io
+    import struct
+    import wave
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_aiff,
+        _decode_wav,
+        _pack_f80,
+    )
+
+    frames = struct.pack(">3h", 100, -200, 300)
+    comm = struct.pack(">hLh", 1, 3, 16) + _pack_f80(8000.0)
+    ssnd = struct.pack(">LL", 0, 0) + frames
+    chunks = (
+        b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    payload = b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+    d = _decode_aiff(payload)
+    assert d["fmt"] == "aiff"
+    assert d["n_samples"] == 3 and d["sample_rate"] == 8000
+    assert d["peak"] == 300
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<3h", 100, -200, 300))
+    w = _decode_wav(buf.getvalue())
+    for k in ("n_samples", "sample_rate", "duration_ms", "peak", "rms"):
+        assert d[k] == w[k], k
+
+
+def test_decode_aiff_ssnd_offset_and_pad():
+    """SSND offset preamble and IFF odd-size pad bytes must be
+    honored: 2 junk offset bytes before the frames, and an odd-sized
+    ANNO chunk (padded) preceding COMM."""
+    import struct
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_aiff,
+        _pack_f80,
+    )
+
+    frames = struct.pack(">2h", 1000, -1000)
+    comm = struct.pack(">hLh", 1, 2, 16) + _pack_f80(8000.0)
+    ssnd = struct.pack(">LL", 2, 0) + b"\xde\xad" + frames
+    anno = b"x"  # odd size -> 1 pad byte follows
+    chunks = (
+        b"ANNO" + struct.pack(">L", len(anno)) + anno + b"\x00"
+        + b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+    )
+    payload = b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+    d = _decode_aiff(payload)
+    assert d["n_samples"] == 2 and d["peak"] == 1000
+
+
+def test_decode_aiff_rejects_unsupported():
+    import struct
+
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _aiff_bytes,
+        _decode_aiff,
+        _pack_f80,
+    )
+
+    with _pytest.raises(ValueError, match="FORM/AIFF magic"):
+        _decode_aiff(b"RIFF....WAVE")
+    # 8-bit PCM must be refused, not byte-garbled
+    comm = struct.pack(">hLh", 1, 1, 8) + _pack_f80(8000.0)
+    ssnd = struct.pack(">LL", 0, 0) + b"\x7f"
+    chunks = (
+        b"COMM" + struct.pack(">L", len(comm)) + comm
+        + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd + b"\x00"
+    )
+    payload = b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+    with _pytest.raises(ValueError, match="16-bit"):
+        _decode_aiff(payload)
+    # missing SSND
+    comm = struct.pack(">hLh", 1, 0, 16) + _pack_f80(8000.0)
+    chunks = b"COMM" + struct.pack(">L", len(comm)) + comm
+    payload = b"FORM" + struct.pack(">L", 4 + len(chunks)) + b"AIFF" + chunks
+    with _pytest.raises(ValueError, match="COMM or SSND"):
+        _decode_aiff(payload)
+    good, _ = _aiff_bytes(3)
+    assert _decode_aiff(good)["fmt"] == "aiff"
+
+
+def test_aiff_and_wav_containers_agree(spark, sf_dir):
+    """The two audio containers carry the same logical samples, so
+    decode_media over AIFF media must equal decode over WAV media on
+    every stat column except fmt (mirror of the BMP/PPM agreement
+    test — a byte-swap bug would garble peak/rms, not just order)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    stats = ["n_samples", "sample_rate", "duration_ms", "peak", "rms"]
+    out = {}
+    for fmt in ("wav", "aiff"):
+        media = multimodal.synthetic_media(docs, audio_fmt=fmt)
+        dec = multimodal.decode_media(media.where(F.col("kind") == "audio"))
+        out[fmt] = {
+            r["media_id"]: tuple(r[c] for c in stats)
+            for r in dec.collect()
+        }
+        fmts = {r["fmt"] for r in dec.select("fmt").distinct().collect()}
+        assert fmts == {fmt}
+    assert out["wav"] == out["aiff"]
