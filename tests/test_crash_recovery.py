@@ -142,3 +142,116 @@ def test_crash_mid_swap_then_different_later_batch(spark, workdir):
         ("BBB", "2024-01-01", 20.0),
         ("CCC", "2024-01-01", 31.0),
     }
+
+
+# --------------------------------------------------------------------------
+# Round 9: T4/T10 under crash at the STREAMING layer (the round-8 tests
+# above cover the sink's swap protocol; these cover checkpoint restart)
+# --------------------------------------------------------------------------
+
+from datetime import datetime as _dt
+
+from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+_EV_SCHEMA = "symbol string, ts timestamp, price double"
+
+#: Two event files with disjoint symbols so the per-batch MERGE result
+#: equals the one-shot result regardless of batch boundaries.
+_FILE1 = [
+    ("AAA", _dt(2024, 1, 1, 10, 0, 5), 10.0),
+    ("AAA", _dt(2024, 1, 1, 10, 7, 0), 12.0),
+    ("AAA", _dt(2024, 1, 1, 10, 31, 0), 11.0),
+    ("BBB", _dt(2024, 1, 1, 10, 2, 0), 20.0),
+    ("BBB", _dt(2024, 1, 1, 10, 44, 0), 24.0),
+]
+_FILE2 = [
+    ("CCC", _dt(2024, 1, 1, 10, 3, 0), 30.0),
+    ("CCC", _dt(2024, 1, 1, 10, 9, 0), 33.0),
+    ("DDD", _dt(2024, 1, 1, 10, 50, 0), 40.0),
+]
+
+
+def _append_file(spark, src_dir, rows):
+    spark.createDataFrame(rows, _EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+
+def _drain(spark, src_dir, target, ckpt):
+    q = pipeline.stream_realtime_metrics(
+        pipeline.read_file_stream(spark, src_dir),
+        target_path=target,
+        checkpoint_path=ckpt,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+
+def _table_rows(spark, path):
+    return {
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .select(
+            "symbol",
+            "window_start",
+            "moving_avg_price_15m",
+            "moving_avg_price_1h",
+            "total_volume_15m",
+        )
+        .collect()
+    }
+
+
+def test_checkpoint_restart_mid_stream_exactly_once(spark, workdir):
+    """Kill a stream_realtime_metrics run between micro-batches
+    (stop() after batch 1 commits), restart from the SAME checkpoint
+    with new input present — the restarted query must process ONLY the
+    new file, and the final table must equal an uninterrupted run over
+    all input (T4 checkpoint recovery + T10 idempotent sink)."""
+    src = os.path.join(workdir, "src")
+    _append_file(spark, src, _FILE1)
+
+    tgt, ckpt = os.path.join(workdir, "t"), os.path.join(workdir, "c")
+    _drain(spark, src, tgt, ckpt)  # batch 1 committed, query stopped
+    after_b1 = _table_rows(spark, tgt)
+    assert {r[0] for r in after_b1} == {"AAA", "BBB"}
+
+    _append_file(spark, src, _FILE2)  # arrives while the query is down
+    _drain(spark, src, tgt, ckpt)  # restart from checkpoint
+    final = _table_rows(spark, tgt)
+
+    # control: uninterrupted drain of the same input
+    tgt2, ckpt2 = os.path.join(workdir, "t2"), os.path.join(workdir, "c2")
+    _drain(spark, src, tgt2, ckpt2)
+    assert final == _table_rows(spark, tgt2)
+    # batch-1 rows were not recomputed differently by the restart
+    assert after_b1 <= final
+
+
+def test_checkpoint_rollback_replays_batch_idempotently(spark, workdir):
+    """Crash BEFORE the checkpoint commit of a batch whose sink write
+    already landed — the at-least-once window foreachBatch exposes.
+    Simulated exactly: drain batch 1, back up the checkpoint, drain
+    batch 2 (sink updated), then restore the checkpoint to its
+    post-batch-1 state and restart. The engine re-delivers batch 2
+    into a sink that already has it; the keyed MERGE must absorb the
+    replay so the table equals the no-crash result."""
+    src = os.path.join(workdir, "src")
+    _append_file(spark, src, _FILE1)
+
+    tgt, ckpt = os.path.join(workdir, "t"), os.path.join(workdir, "c")
+    _drain(spark, src, tgt, ckpt)
+    ckpt_backup = os.path.join(workdir, "c_backup")
+    shutil.copytree(ckpt, ckpt_backup)
+
+    _append_file(spark, src, _FILE2)
+    _drain(spark, src, tgt, ckpt)  # batch 2 applied to the sink
+    no_crash = _table_rows(spark, tgt)
+
+    # crash between sink write and checkpoint commit: checkpoint says
+    # batch 2 never happened, sink says it did
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_backup, ckpt)
+    _drain(spark, src, tgt, ckpt)  # restart re-delivers batch 2
+
+    assert _table_rows(spark, tgt) == no_crash

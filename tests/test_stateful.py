@@ -143,3 +143,74 @@ def test_stream_bloom_dedup_first_row_always_kept(spark, sf_dir):
         out.select("user_id", "event_id"), ["user_id", "event_id"], "left_anti"
     ).count()
     assert missing == 0
+
+
+def test_stream_bloom_dedup_fp_rate_within_model_bound(spark):
+    """Turn the docstring FP math (streaming/stateful.py:
+    stream_bloom_dedup — ~(1−e^(−2n/48))² after n distinct
+    fingerprints) into a checked invariant: feed K keys × N DISTINCT
+    fingerprints through the real operator; every dropped row is by
+    construction a false positive. The measured count must sit within
+    a concentration bound of the EXACT uniform-hash model expectation
+    (DP over the bit-count distribution — tighter than the e-form, so
+    a wrong word size / hash count / broken fold moves the count far
+    outside the bound). The corpus is seeded, so the measured value is
+    deterministic — no flake."""
+    import math
+    from datetime import datetime, timedelta
+
+    BITS, HASHES = 48, 2
+    K, N = 64, 48
+
+    # exact model: pmf over number of set bits; fp_i = E[(k/48)^2]
+    pmf = {0: 1.0}
+    expected = 0.0
+    for _ in range(N):
+        expected_i = sum(p * (k / BITS) ** 2 for k, p in pmf.items())
+        expected += K * expected_i
+        nxt: dict[int, float] = {}
+        for k, p in pmf.items():
+            free = BITS - k
+            p0 = (k / BITS) ** 2
+            p2 = (free / BITS) * ((free - 1) / BITS)
+            p1 = 1.0 - p0 - p2
+            for dk, pp in ((0, p0), (1, p1), (2, p2)):
+                if pp > 0:
+                    nxt[k + dk] = nxt.get(k + dk, 0.0) + p * pp
+        pmf = nxt
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (key, t0 + timedelta(seconds=i), key * N + i, f"k{key}_fp{i}")
+        for key in range(K)
+        for i in range(N)
+    ]
+    tmp = tempfile.mkdtemp(prefix="sbf_fp_")
+    src_dir = os.path.join(tmp, "src")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, fp string"
+    ).coalesce(1).write.parquet(src_dir)
+
+    src = pipeline.read_file_stream(spark, src_dir)
+    out = stateful.stream_bloom_dedup(src)
+    name = "sbf_fp_rate_t"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name).count()
+    measured_fp = K * N - emitted
+
+    # saturated 48-bit words must actually produce false positives...
+    assert measured_fp > 0
+    # ...and the count must track the model: 4σ (binomial, var ≤ E)
+    # plus 5% slack for md5-vs-uniform deviation
+    bound = 4 * math.sqrt(expected) + 0.05 * expected
+    assert abs(measured_fp - expected) <= bound, (
+        f"measured {measured_fp} vs model {expected:.1f} ± {bound:.1f}"
+    )
