@@ -6,8 +6,8 @@ The Spark-side plumbing is real and tested: schemas, Arrow-batched
 tiers:
 
 - **Real, pure-stdlib decode** for trivially-parseable containers —
-  binary PPM (P6) / 24-bit BMP images and PCM WAV audio — in
-  :func:`decode_media`:
+  binary PPM (P6) / 24-bit BMP images and PCM WAV / big-endian AIFF
+  audio — in :func:`decode_media`:
   actual byte-level header parsing + pixel/sample statistics, no
   external codec library needed, oracle-checked end-to-end (the
   ``media_decode`` driver query replays the decoded features in
@@ -248,7 +248,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        StructField("fmt", StringType(), False),  # ppm | wav
+        StructField("fmt", StringType(), False),  # ppm | bmp | wav | aiff
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_pixels", LongType(), True),
