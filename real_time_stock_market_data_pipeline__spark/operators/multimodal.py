@@ -5,9 +5,9 @@ The Spark-side plumbing is real and tested: schemas, Arrow-batched
 ``mapInPandas`` signatures, partitioning-safe batch shapes. Two decode
 tiers:
 
-- **Real, pure-stdlib decode** for trivially-parseable containers —
-  binary PPM (P6) / 24-bit BMP images and PCM WAV / big-endian AIFF
-  audio — in :func:`decode_media`:
+- **Real, pure-stdlib decode** for stdlib-parseable containers —
+  binary PPM (P6) / 24-bit BMP / zlib-DEFLATE PNG images and PCM WAV /
+  big-endian AIFF audio — in :func:`decode_media`:
   actual byte-level header parsing + pixel/sample statistics, no
   external codec library needed, oracle-checked end-to-end (the
   ``media_decode`` driver query replays the decoded features in
@@ -25,6 +25,7 @@ import io
 import math
 import struct
 import wave
+import zlib
 from array import array
 from collections.abc import Iterator
 
@@ -248,7 +249,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        StructField("fmt", StringType(), False),  # ppm | bmp | wav | aiff
+        StructField("fmt", StringType(), False),  # ppm|bmp|png|wav|aiff
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_pixels", LongType(), True),
@@ -341,6 +342,172 @@ def _decode_bmp(payload: bytes) -> dict:
         sum_r += sum(row[2::3])
     return {
         "fmt": "bmp",
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left) — RFC 2083 §6.6: pick
+    the neighbor closest to ``a + b - c``, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    """One PNG chunk: big-endian length, 4-byte tag, payload, CRC32
+    over tag+payload (the container's integrity quirk — a decoder that
+    skips CRC validation accepts corrupted pixel data silently)."""
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(d: int) -> tuple[bytes, int, int]:
+    """Deterministic 8-bit RGB PNG for media id ``d``, encoding the
+    SAME logical image as :func:`_ppm_bytes` (top-down row-major
+    interleaved-RGB byte j = (d*7 + j*11) % 256), re-packed the way the
+    PNG container demands: per-scanline filter transform (row y uses
+    filter y % 5, so every generated image exercises ALL FIVE filter
+    types — None/Sub/Up/Average/Paeth), zlib/DEFLATE compression of the
+    filtered stream, and the IDAT split across two chunks (decoders
+    must concatenate IDAT payloads before inflating — a classic
+    single-chunk-only decoder bug). Sharing the logical image with the
+    PPM closed form means a bug in ANY of defiltering, inflation, or
+    chunk reassembly flips a channel sum the oracle checks."""
+    w, h = 4 + d % 5, 3 + d % 7
+    rgb = bytes((d * 7 + j * 11) % 256 for j in range(3 * w * h))
+    stride = 3 * w
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:  # None
+            raw += row
+        elif ft == 1:  # Sub (left neighbor, bpp=3)
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - 3] if i >= 3 else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = row
+    comp = zlib.compress(bytes(raw), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    mid = max(1, len(comp) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:mid])
+        + _png_chunk(b"IDAT", comp[mid:])
+        + _png_chunk(b"IEND", b"")
+    ), w, h
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Parse an 8-bit RGB non-interlaced PNG with the stdlib only:
+    validate the signature, walk the chunk list verifying each CRC32,
+    parse IHDR (bit depth 8 / color type 2 truecolor / no interlace —
+    anything else raises loudly), concatenate ALL IDAT payloads,
+    ``zlib.decompress``, then invert the five scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) to reconstruct the
+    interleaved RGB bytes. Returns the same stat dict as
+    :func:`_decode_ppm` (fmt='png')."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not payload.startswith(sig):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = len(sig), None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"only 8-bit RGB non-interlaced PNG supported (depth={depth}, "
+            f"color_type={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"bad PNG pixel stream: want {h * (1 + stride)} bytes "
+            f"after inflate, got {len(raw)}"
+        )
+    sum_r = sum_g = sum_b = 0
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (1 + stride)
+        ft = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                c = prev[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        sum_r += sum(line[0::3])
+        sum_g += sum(line[1::3])
+        sum_b += sum(line[2::3])
+        prev = line
+    return {
+        "fmt": "png",
         "width": w,
         "height": h,
         "n_pixels": w * h,
@@ -490,21 +657,25 @@ def synthetic_media(
 ) -> DataFrame:
     """Deterministic media fixture over any id column: even ids become
     real binary images — PPM by default, 24-bit BMP with
-    ``image_fmt="bmp"`` (same logical pixels, different container) —
-    odd ids real PCM audio clips — WAV by default, big-endian AIFF
+    ``image_fmt="bmp"``, zlib-compressed PNG with ``image_fmt="png"``
+    (same logical pixels, different containers) — odd ids real PCM
+    audio clips — WAV by default, big-endian AIFF
     with ``audio_fmt="aiff"`` (same logical samples, different
     container; see :func:`_ppm_bytes` / :func:`_bmp_bytes` /
-    :func:`_wav_bytes` / :func:`_aiff_bytes` for the byte specs).
+    :func:`_png_bytes` / :func:`_wav_bytes` / :func:`_aiff_bytes` for
+    the byte specs).
     Built in ``mapInPandas`` so payload construction is distributed
     and never shuffles; same ids ⇒ same bytes on any cluster layout."""
-    if image_fmt not in ("ppm", "bmp"):
+    img_specs = {
+        "ppm": (_ppm_bytes, "image/x-portable-pixmap"),
+        "bmp": (_bmp_bytes, "image/bmp"),
+        "png": (_png_bytes, "image/png"),
+    }
+    if image_fmt not in img_specs:
         raise ValueError(f"unsupported image_fmt {image_fmt!r}")
     if audio_fmt not in ("wav", "aiff"):
         raise ValueError(f"unsupported audio_fmt {audio_fmt!r}")
-    img_bytes = _ppm_bytes if image_fmt == "ppm" else _bmp_bytes
-    img_mime = (
-        "image/x-portable-pixmap" if image_fmt == "ppm" else "image/bmp"
-    )
+    img_bytes, img_mime = img_specs[image_fmt]
     aud_bytes = _wav_bytes if audio_fmt == "wav" else _aiff_bytes
     aud_mime = "audio/wav" if audio_fmt == "wav" else "audio/aiff"
 
@@ -610,8 +781,9 @@ def _decode_wav(payload: bytes) -> dict:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL media decode (no codec library): dispatch on the payload's
-    magic bytes — ``P6`` → PPM image stats, ``RIFF`` → WAV audio stats
-    — inside Arrow-batched ``mapInPandas``. Unknown containers raise
+    magic bytes — ``P6`` → PPM, ``BM`` → BMP, ``\\x89PNG`` → PNG image
+    stats; ``RIFF`` → WAV, ``FORM`` → AIFF audio stats — inside
+    Arrow-batched ``mapInPandas``. Unknown containers raise
     loudly (silently wrong features are worse than a failed task).
 
     Scale shape is identical to :func:`extract_media_features`:
@@ -632,6 +804,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     d = _decode_ppm(p)
                 elif p.startswith(b"BM"):
                     d = _decode_bmp(p)
+                elif p.startswith(b"\x89PNG"):
+                    d = _decode_png(p)
                 elif p.startswith(b"RIFF"):
                     d = _decode_wav(p)
                 elif p.startswith(b"FORM"):
@@ -639,7 +813,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 else:
                     raise ValueError(
                         f"media_id={mid}: unrecognized container "
-                        f"(magic={p[:4]!r}); only PPM/P6, BMP, "
+                        f"(magic={p[:4]!r}); only PPM/P6, BMP, PNG, "
                         "RIFF/WAV, and FORM/AIFF decode without "
                         "codec libraries"
                     )
