@@ -69,6 +69,79 @@ LIMIT 10
 """
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized int8 cosine top-k with exact rerank
+    (`operators/similarity.py:sq8_topk`): integer-dot-product scan
+    over symmetric-int8 codes (per-vector scales cancel in cosine, so
+    the approximate score is exact int64 sums + two sqrts — no float
+    accumulation order anywhere), top k·refine candidates broadcast
+    back for an exact fold-cosine rerank. The oracle re-derives the
+    codes with DuckDB's round() (matched on the Spark/Python side via
+    Decimal ROUND_HALF_UP on the exact binary value) and replays both
+    ranking stages."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.sq8_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, refine=4
+    )
+
+
+_SQ8_DOTQ = " + ".join(f"q[{i + 1}] * qv[{i + 1}]" for i in range(_DIM))
+_SQ8_QNC = " + ".join(f"q[{i + 1}] * q[{i + 1}]" for i in range(_DIM))
+_SQ8_QNQ = " + ".join(f"qv[{i + 1}] * qv[{i + 1}]" for i in range(_DIM))
+_SQ8_DOT_V = " + ".join(
+    f"CAST(v[{i + 1}] AS DOUBLE) * CAST(qe[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+_SQ8_SQ_V = " + ".join(
+    f"CAST(v[{i + 1}] AS DOUBLE) * CAST(v[{i + 1}] AS DOUBLE)"
+    for i in range(_DIM)
+)
+
+_SQ8_TOPK_ORACLE = f"""
+WITH qraw AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qq AS (
+  SELECT qe, list_transform(qe, x ->
+           CAST(round(CAST(x AS DOUBLE) / qscale, 0) AS BIGINT)) AS qv
+  FROM (SELECT qe,
+          list_max(list_transform(qe, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS qscale
+        FROM qraw)
+),
+c AS (
+  SELECT vec_id, embedding AS v,
+         list_transform(embedding, x -> CASE WHEN scale > 0
+             THEN CAST(round(CAST(x AS DOUBLE) / scale, 0) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END) AS q
+  FROM (SELECT vec_id, embedding,
+          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+            / 127.0 AS scale
+        FROM embeddings)
+),
+sc AS (
+  SELECT vec_id, v, ({_SQ8_DOTQ}) AS dotq, ({_SQ8_QNC}) AS qnc,
+         ({_SQ8_QNQ}) AS qnq
+  FROM c CROSS JOIN qq
+),
+cand AS (
+  SELECT vec_id, v,
+         CAST(dotq AS DOUBLE)
+           / (sqrt(CAST(qnc AS DOUBLE)) * sqrt(CAST(qnq AS DOUBLE)))
+           AS approx
+  FROM sc WHERE qnc > 0
+  ORDER BY approx DESC NULLS LAST, vec_id
+  LIMIT 40
+)
+SELECT vec_id,
+  ({_SQ8_DOT_V}) / (sqrt({_SQ8_SQ_V}) * sqrt({_SQ_QE})) AS cosine,
+  {_round_sql("approx", 6)} AS approx_cosine
+FROM cand CROSS JOIN qraw
+WHERE sqrt({_SQ8_SQ_V}) > 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
@@ -391,6 +464,7 @@ __all__ = [
     "_DIM",
     "_DOT_QE",
     "_Q_SUB",
+    "_SQ8_TOPK_ORACLE",
     "_SQ_EMB",
     "_SQ_QE",
     "_SYNTHETIC_OHLCV_ORACLE",
@@ -410,5 +484,6 @@ __all__ = [
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",
+    "q_sq8_topk",
     "q_synthetic_ohlcv",
 ]

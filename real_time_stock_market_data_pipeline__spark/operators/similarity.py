@@ -22,6 +22,7 @@ LSH adds a map-side bucket filter before scoring. Nothing all-pairs.
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -651,6 +652,127 @@ def embedding_quantize(
             F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")
         ).alias("qvec_digest"),
         F.round(F.sqrt("err_sq"), 6).alias("recon_err"),
+    )
+
+
+def _sq8_quantize(query: list[float]) -> tuple[list[int], int]:
+    """Symmetric int8 quantization of the query vector, driver-side:
+    scale = absmax/127, code_i = round-half-away-from-zero(x_i/scale).
+    The tie rounding goes through ``Decimal`` on the EXACT binary
+    value of x/scale (Python's ``round`` is banker's; ``Decimal(t)``
+    is exact), which is precisely what DuckDB's ``round(double, 0)``
+    (C++ ``std::round``) computes — so the SQL oracle re-deriving the
+    codes from the stored query vector lands on identical integers.
+    Returns (codes, Σ code² as int)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    absmax = max(abs(float(x)) for x in query)
+    if absmax == 0:
+        raise ValueError("cannot quantize an all-zero query vector")
+    scale = absmax / 127.0
+    codes = [
+        int(
+            Decimal(float(x) / scale).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        for x in query
+    ]
+    return codes, sum(c * c for c in codes)
+
+
+def sq8_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k with exact rerank — the
+    serving-path consumer of :func:`embedding_quantize`'s compression
+    and the third ANN strategy next to LSH (:func:`ann_topk`) and IVF
+    (:func:`ivf_topk`).
+
+    Two stages:
+
+    1. **Quantized scan**: every corpus vector is symmetric-int8
+       quantized map-side (scale = absmax/127 — the identical recipe
+       `embedding_quantize` stores), and scored against the quantized
+       query by INTEGER dot product. The per-vector scales cancel in
+       cosine — cos(s_c·q_c, s_q·q_q) = cos(q_c, q_q) — so the
+       approximate score is Σq_c·q_q / (√Σq_c²·√Σq_q²): exact int64
+       sums, two correctly-rounded sqrts, one division — bit-identical
+       in any engine, no float-accumulation-order hazard at all. The
+       top ``k*refine`` by (approx DESC, id) survive.
+    2. **Exact rerank**: the ≤ k·refine candidate ids broadcast-join
+       back to the float vectors and the exact fold-cosine
+       (:func:`cosine_scores`) picks the final k.
+
+    At 100 TB this is the right shape: the hot scan touches int8
+    codes (4× less I/O than float32, 8× less than float64) and ships
+    only (id, score) pairs into a per-partition top-k
+    (TakeOrderedAndProject — no global sort); full-precision vectors
+    are read again only for the k·refine candidates. Approximation
+    error is auditable: the emitted ``approx_cosine`` sits next to the
+    exact ``cosine``.
+
+    All-zero corpus vectors quantize to all-zero codes and are
+    excluded (their cosine is undefined); an all-zero query raises."""
+    dim = len(query)
+    codes, qnormq = _sq8_quantize(query)
+    qarr = F.array(*[F.lit(int(c)).cast("long") for c in codes])
+
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    qc = F.transform(
+        F.col("v"),
+        lambda x: F.when(
+            F.col("scale") > 0,
+            F.round(x.cast("double") / F.col("scale"), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    quant = embs.select(
+        F.col(id_col), v.alias("v"), (absmax / F.lit(127.0)).alias("scale")
+    ).select(F.col(id_col), "v", qc.alias("q"))
+    dotq = F.aggregate(
+        F.zip_with(F.col("q"), qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qnc = F.aggregate(
+        F.transform(F.col("q"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = quant.select(
+        F.col(id_col), dotq.alias("dotq"), qnc.alias("qnc")
+    ).where(F.col("qnc") > 0)
+    approx = F.col("dotq").cast("double") / (
+        F.sqrt(F.col("qnc").cast("double"))
+        * F.lit(math.sqrt(float(qnormq)))
+    )
+    cands = (
+        scored.select(F.col(id_col), approx.alias("approx"))
+        .orderBy(F.col("approx").desc(), F.col(id_col))
+        .limit(k * refine)
+    )
+    reranked = cosine_scores(
+        embs.join(F.broadcast(cands), id_col), query, vec_col
+    )
+    return (
+        reranked.where(F.col("cosine").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("cosine"),
+            F.round(F.col("approx"), 6).alias("approx_cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
     )
 
 

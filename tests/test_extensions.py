@@ -1089,3 +1089,57 @@ def test_png_and_ppm_containers_agree(spark, sf_dir):
         fmts = {r["fmt"] for r in dec.select("fmt").distinct().collect()}
         assert fmts == {fmt}
     assert out["ppm"] == out["png"]
+
+
+def test_sq8_quantize_known_answers_and_ties():
+    """scale = absmax/127; codes round half-away-from-zero on the
+    exact binary value (the std::round semantics DuckDB replays)."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.similarity import (
+        _sq8_quantize,
+    )
+
+    codes, qn = _sq8_quantize([1.0, -0.5, 0.25])
+    # scale = 1/127; -0.5/scale = -63.5 -> -64 (away), 0.25/scale = 31.75 -> 32
+    assert codes == [127, -64, 32]
+    assert qn == 127 * 127 + 64 * 64 + 32 * 32
+    with pytest.raises(ValueError, match="all-zero"):
+        _sq8_quantize([0.0, 0.0])
+
+
+def test_sq8_topk_matches_exact_rerank_scores(spark, sf_dir):
+    """sq8_topk's exact `cosine` column is the same fold as
+    cosine_topk, so on shared ids the scores must agree bitwise; the
+    quantized candidate stage must put the true best match first; and
+    approx must sit within the int8 error envelope of exact."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = similarity.sq8_topk(embs, q, k=10, refine=4).collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-12
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(embs, q, k=500).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine"]  # identical fold, bitwise
+        assert abs(r["approx_cosine"] - r["cosine"]) < 0.03  # int8 envelope
+    # output ordered by exact cosine desc with id tiebreak
+    keys = [(-r["cosine"], r["vec_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_sq8_topk_recall_vs_exact(spark, sf_dir):
+    """With refine=4 over the 16-dim fixture, the reranked top-10 must
+    recover at least 8 of the exact top-10 (int8 quantization of
+    16-dim vectors is a fine-grained approximation; this is the
+    recall floor the operator is sold with, not a tautology)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    got = {r["vec_id"] for r in similarity.sq8_topk(embs, q, k=10).collect()}
+    exact = {r["vec_id"] for r in similarity.cosine_topk(embs, q, k=10).collect()}
+    assert len(got & exact) >= 8
