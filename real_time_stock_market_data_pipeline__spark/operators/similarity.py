@@ -670,6 +670,13 @@ def _sq8_quantize(query: list[float]) -> tuple[list[int], int]:
     if absmax == 0:
         raise ValueError("cannot quantize an all-zero query vector")
     scale = absmax / 127.0
+    if scale == 0.0:
+        # denormal absmax (< 127 * 5e-324) underflows the scale —
+        # found by Hypothesis; the corpus side is immune (its
+        # `scale > 0` CASE maps such vectors to all-zero codes)
+        raise ValueError(
+            "query vector too small to quantize (scale underflows)"
+        )
     codes = [
         int(
             Decimal(float(x) / scale).quantize(

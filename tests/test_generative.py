@@ -232,3 +232,45 @@ def test_cms_never_undercounts_law(spark, rows):
     for key, (n_exact, n_est) in got.items():
         assert n_exact == truth[key]
         assert n_est >= n_exact
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_sq8_quantize_matches_duckdb_round(vec):
+    """Cross-engine law behind sq8_topk's oracle: the Python
+    Decimal-ROUND_HALF_UP code derivation must equal DuckDB's
+    round(double, 0) (std::round half-away-from-zero on the exact
+    binary value) for every component — no Spark session needed, so
+    Hypothesis can hammer the tie neighborhoods cheaply."""
+    import duckdb
+
+    from real_time_stock_market_data_pipeline__spark.operators.similarity import (
+        _sq8_quantize,
+    )
+
+    if max(abs(x) for x in vec) / 127.0 == 0:  # zero or denormal underflow
+        return
+    codes, qn = _sq8_quantize(vec)
+    assert qn == sum(c * c for c in codes)
+    assert all(abs(c) <= 127 for c in codes)
+    con = duckdb.connect()
+    scale = max(abs(float(x)) for x in vec) / 127.0
+    duck = [
+        int(
+            con.execute(
+                "SELECT CAST(round(CAST(? AS DOUBLE) / ?, 0) AS BIGINT)",
+                [float(x), scale],
+            ).fetchone()[0]
+        )
+        for x in vec
+    ]
+    con.close()
+    assert codes == duck
