@@ -227,3 +227,21 @@ def test_local_supplier_revenue_broadcasts_all_dims(spark, sf_dir):
     nation/region all broadcast."""
     plan = _plan(driver_queries.q_local_supplier_revenue(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_sq8_topk_broadcasts_candidates_no_global_sort(spark, sf_dir):
+    """sq8_topk's scale contract: both ranking stages plan as
+    TakeOrderedAndProject (per-partition top-k, never a full Sort of
+    the corpus) and the k*refine candidate set reaches the rerank join
+    as the broadcast build side — the fact scan must not shuffle."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["sq8_topk"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only Exchange allowed is the broadcast of the candidates
+    import re
+
+    exchanges = re.findall(r"(?m)^.*Exchange.*$", plan)
+    assert all("BroadcastExchange" in e for e in exchanges), exchanges
