@@ -719,10 +719,12 @@ def sq8_topk(
     At 100 TB this is the right shape: the hot scan touches int8
     codes (4× less I/O than float32, 8× less than float64) and ships
     only (id, score) pairs into a per-partition top-k
-    (TakeOrderedAndProject — no global sort); full-precision vectors
-    are read again only for the k·refine candidates. Approximation
-    error is auditable: the emitted ``approx_cosine`` sits next to the
-    exact ``cosine``.
+    (TakeOrderedAndProject — no global sort). The rerank is a second
+    column-pruned scan whose rows die at the broadcast hash join
+    (only k·refine survive; with an at-rest id-partitioned code table
+    à la :func:`ivf_write_index`, this becomes partition-pruned point
+    reads instead). Approximation error is auditable: the emitted
+    ``approx_cosine`` sits next to the exact ``cosine``.
 
     All-zero corpus vectors quantize to all-zero codes and are
     excluded (their cosine is undefined); an all-zero query raises."""
