@@ -653,6 +653,80 @@ FROM r GROUP BY grp
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog per-group distinct estimate
+    (`operators/sketches.py:hll_distinct`): md5-derived register
+    index + leading-zero rank, exact-integer register sum (Σ2^(53−M)
+    scaled), single-division estimator, 255-entry shared literal
+    table for the libm-unsafe linear-counting branch. The oracle
+    replays registers, branch, and table bit-for-bit."""
+    return sketches.hll_distinct(
+        _events(spark, sf_dir), key_col="user_id", group_col="event_type", b=8
+    )
+
+
+def _hll_oracle() -> str:
+    import math
+
+    m, w, k_max = 256, 52, 53
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << k_max)
+    decode = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h16, {j + 1}, 1)) - 1)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    # identical doubles to the Spark side's F.lit table: repr() round-
+    # trips the exact binary value and DuckDB's strtod is correctly
+    # rounded
+    values = ", ".join(
+        f"({v}, {m * math.log(m / v)!r})" for v in range(1, m)
+    )
+    est_round = _round_sql("est", 4)
+    err_round = _round_sql(
+        "abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)", 4
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type AS grp,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h16
+  FROM events
+),
+hs AS (SELECT DISTINCT grp, CAST({decode} AS BIGINT) AS h FROM b),
+rh AS (
+  SELECT grp, h >> {w} AS bucket,
+         CASE WHEN h % {1 << w} = 0 THEN {k_max}
+              ELSE {w + 1} - length(bin(h % {1 << w})) END AS rho
+  FROM hs
+),
+regs AS (
+  SELECT grp, bucket, max(rho) AS m_j, count(*) AS cnt
+  FROM rh GROUP BY grp, bucket
+),
+g AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_exact,
+         count(*) AS n_present,
+         CAST(sum(CAST(1 AS BIGINT) << ({k_max} - m_j)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY grp
+),
+e AS (
+  SELECT grp, n_exact, {m} - n_present AS v,
+         {c_num!r} / CAST(s_present + ({m} - n_present) * {1 << k_max}
+                          AS DOUBLE) AS e_raw
+  FROM g
+),
+f AS (
+  SELECT grp, n_exact,
+         CASE WHEN e_raw <= {2.5 * m!r} AND v > 0 THEN lt.lcv
+              ELSE e_raw END AS est
+  FROM e LEFT JOIN (VALUES {values}) AS lt(vv, lcv) ON v = vv
+)
+SELECT grp, n_exact, {est_round} AS n_est, {err_round} AS rel_err
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-6 corpus-analytics additions: lexical diversity, Zipf fit,
 # language re-balancing, RFM segmentation
@@ -1492,6 +1566,7 @@ __all__ = [
     "_WEEKDAY_RETURNS_ORACLE",
     "_ZIPF_ORACLE",
     "_hash_split_oracle",
+    "_hll_oracle",
     "_kmv_oracle",
     "_kmv_setops_oracle",
     "_lang_id_oracle",
@@ -1508,6 +1583,7 @@ __all__ = [
     "q_embedding_quantize",
     "q_hash_split",
     "q_heikin_ashi",
+    "q_hll_distinct",
     "q_kmv_distinct",
     "q_kmv_set_ops",
     "q_kyle_lambda",

@@ -195,6 +195,118 @@ def kmv_set_ops(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """The HLL register relation behind :func:`hll_distinct`: one row
+    per (group, bucket) with the register value ``m_j`` (max
+    leading-zero rank) and ``cnt`` (exact distinct hashes in the
+    bucket — an audit rider, NOT part of the sketch). Exposed so the
+    merge law is testable and so an at-rest sketch table can be
+    maintained: the union of two datasets' sketches is
+    ``unionAll → groupBy(grp, bucket).max(m_j)`` — elementwise max,
+    no re-scan of either input."""
+    w = 60 - b
+    k_max = w + 1
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashes = df.select(F.col(group_col).alias("grp"), h).distinct()
+    rem = F.col("h") % F.lit(1 << w)
+    rho = F.when(rem == 0, F.lit(k_max)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rem))
+    )
+    return (
+        hashes.select(
+            "grp",
+            # integer shift, NOT `/`: h has 60 bits, so a double
+            # division would round before the truncating cast
+            F.shiftright(F.col("h"), w).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a deterministic
+    HyperLogLog (Flajolet et al. 2007) — the fixed-size *mergeable*
+    complement to :func:`kmv_distinct`: a KMV sketch must keep k hash
+    values per group; HLL keeps 2^b one-byte registers whose merge is
+    an elementwise max, the shape an at-rest sketch table wants
+    (union = ``groupBy(bucket).max(m_j)``, tested as a law).
+
+    Engine-portable by construction, unlike Spark's native
+    ``approx_count_distinct`` HLL++ bytes (module docstring): the
+    60-bit md5 hash splits into a b-bit register index (top bits) and
+    a (60-b)-bit suffix whose leading-zero rank is exact integer
+    arithmetic on ``length(bin(rem))`` in Spark AND DuckDB. The
+    register sum Σ2^(−M_j) is scaled to the INTEGER Σ2^(53−M_j)
+    (52-bit suffix ⇒ M_j ≤ 53, sum < 2^62), so the estimator is one
+    exact int64 sum followed by a single double division by the
+    precomputed constant α·m²·2^53 — no float accumulation order
+    anywhere. The small-range linear-counting branch m·ln(m/V) is a
+    255-entry driver-computed literal table (V ∈ 1..255) because libm
+    ``log`` is not bit-stable across engines — the same shared-table
+    trick as ``behavior.decay_table``; the branch condition compares
+    deterministic doubles to exact literals.
+
+    Scale shape: one distinct-shuffle on (group, hash), a two-level
+    partial aggregate (group,bucket)→(group) of ≤2^b rows per group,
+    and a literal-array lookup. ``n_exact``/``rel_err`` ride along as
+    the checked accuracy audit, as in :func:`kmv_distinct`.
+    """
+    import math
+
+    m = 1 << b
+    w = 60 - b
+    k_max = w + 1  # rho of an all-zero suffix
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << k_max)
+    lc = [m * math.log(m / v) for v in range(1, m)]
+
+    regs = hll_registers(df, key_col, group_col, b)
+    g = regs.groupBy("grp").agg(
+        F.sum("cnt").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {k_max} - m_j)")
+        ).alias("s_present"),
+    )
+    v_zero = F.lit(m) - F.col("n_present")
+    s_total = (
+        F.col("s_present") + v_zero * F.lit(1 << k_max)
+    ).cast("double")
+    e_raw = F.lit(c_num) / s_total
+    lc_arr = F.array(*[F.lit(float(x)) for x in lc])
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.element_at(lc_arr, v_zero.cast("int")),
+    ).otherwise(e_raw)
+    g = g.withColumn("est", est)
+    return g.select(
+        "grp",
+        "n_exact",
+        F.round("est", 4).alias("n_est"),
+        F.round(
+            F.abs(F.col("est") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double"),
+            4,
+        ).alias("rel_err"),
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,

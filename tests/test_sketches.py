@@ -11,6 +11,7 @@ from real_time_stock_market_data_pipeline__spark.driver_queries import (
     q_repetition_stats,
 )
 from real_time_stock_market_data_pipeline__spark.operators import sketches, text
+from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
 
 
 def test_kmv_exact_below_k(spark):
@@ -218,3 +219,97 @@ def test_ams_f2_split_merge_and_accuracy(spark, sf_dir):
     a = sketches.ams_f2(ev.coalesce(1), "user_id").collect()[0]
     b = sketches.ams_f2(ev.repartition(13), "user_id").collect()[0]
     assert a == b
+
+
+def test_hll_matches_pure_python_replay(spark, sf_dir):
+    """Full bit-level replay of hll_distinct in plain Python from the
+    same md5 hash spec — registers, exact-scaled sum, the estimator
+    branch, and the literal linear-counting table must all agree to
+    the last rounded digit (both branches are exercised across the
+    fixture's event_type groups or the test is vacuous). The fixture
+    groups all land in the linear-counting branch at this SF, so a
+    synthetic 5000-key group is unioned in to force the raw-estimator
+    branch too."""
+    import hashlib
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    big = spark.range(5000).select(
+        F.lit("zz_big").alias("event_type"), F.col("id").alias("user_id")
+    )
+    ev = ev.unionByName(big)
+    got = {
+        r["grp"]: (r["n_exact"], r["n_est"], r["rel_err"])
+        for r in sketches.hll_distinct(
+            ev, key_col="user_id", group_col="event_type", b=8
+        ).collect()
+    }
+
+    m, w, k_max = 256, 52, 53
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c_num = alpha * m * m * float(1 << k_max)
+    lc = [m * math.log(m / v) for v in range(1, m)]
+    groups: dict[str, set[int]] = {}
+    for row in ev.select("event_type", "user_id").collect():
+        h = int(
+            hashlib.md5(str(row["user_id"]).encode()).hexdigest()[:15], 16
+        )
+        groups.setdefault(row["event_type"], set()).add(h)
+    branches = set()
+    for grp, hashes in groups.items():
+        regs: dict[int, int] = {}
+        for h in hashes:
+            rem = h % (1 << w)
+            rho = k_max if rem == 0 else w + 1 - rem.bit_length()
+            bkt = h >> w
+            regs[bkt] = max(regs.get(bkt, 0), rho)
+        s = sum(1 << (k_max - mj) for mj in regs.values()) + (
+            m - len(regs)
+        ) * (1 << k_max)
+        e_raw = c_num / float(s)
+        v = m - len(regs)
+        if e_raw <= 2.5 * m and v > 0:
+            est = lc[v - 1]
+            branches.add("linear")
+        else:
+            est = e_raw
+            branches.add("raw")
+        n_exact = len(hashes)
+        assert got[grp][0] == n_exact
+        assert got[grp][1] == round(est, 4)
+        assert got[grp][2] == round(abs(est - n_exact) / n_exact, 4)
+    assert branches == {"linear", "raw"} or len(groups) < 4, branches
+
+
+def test_hll_merge_is_register_max(spark, sf_dir):
+    """The sketch contract: registers of a union equal the elementwise
+    max-merge of the parts' registers — maintainable at rest without
+    re-scanning history."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    whole = sketches.hll_registers(ev, "user_id", "event_type")
+    merged = (
+        sketches.hll_registers(a, "user_id", "event_type")
+        .unionByName(sketches.hll_registers(b, "user_id", "event_type"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    lhs = {(r["grp"], r["bucket"]): r["m_j"] for r in whole.collect()}
+    rhs = {(r["grp"], r["bucket"]): r["m_j"] for r in merged.collect()}
+    assert lhs == rhs
+
+
+def test_hll_error_within_sketch_bound(spark, sf_dir):
+    """m=256 gives ~1.04/sqrt(m) = 6.5% standard error; assert every
+    fixture group sits inside a loose 4-sigma envelope (deterministic:
+    fixed hashes make this a pinned value, not a flaky statistic)."""
+    out = sketches.hll_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", "event_type"
+    ).collect()
+    assert out
+    for r in out:
+        assert r["rel_err"] <= 4 * 1.04 / (256 ** 0.5), (
+            r["grp"],
+            r["rel_err"],
+        )
