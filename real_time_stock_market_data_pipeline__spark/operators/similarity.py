@@ -728,7 +728,6 @@ def sq8_topk(
 
     All-zero corpus vectors quantize to all-zero codes and are
     excluded (their cosine is undefined); an all-zero query raises."""
-    dim = len(query)
     codes, qnormq = _sq8_quantize(query)
     qarr = F.array(*[F.lit(int(c)).cast("long") for c in codes])
 
