@@ -100,6 +100,18 @@ TIER2_QUERIES = [
     "volume_bars",
 ]
 
+#: Third tier, added round 9: that round's new surface (stdlib PNG /
+#: AIFF container decode, int8 scalar-quantized ANN, deterministic
+#: HLL), so the newest operators get a perf baseline the round they
+#: land instead of joining a frozen tier late. Same bookkeeping
+#: conventions as tier 2: own total, own failure count.
+TIER3_QUERIES = [
+    "png_decode",
+    "aiff_decode",
+    "sq8_topk",
+    "hll_distinct",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -166,15 +178,18 @@ def main() -> None:
     # its own `tier2_failed_queries`).
     total, n_failed_t1 = run_tier(BENCH_QUERIES)
     tier2_total, n_failed_t2 = run_tier(TIER2_QUERIES)
+    tier3_total, n_failed_t3 = run_tier(TIER3_QUERIES)
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "tier2_total": tier2_total,
+        "tier3_total": tier3_total,
         "scale_profile": use_profile,
         "failed_queries": n_failed_t1,
         "tier2_failed_queries": n_failed_t2,
+        "tier3_failed_queries": n_failed_t3,
         "sf": sf,
     }
     if errors:

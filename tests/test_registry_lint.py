@@ -98,9 +98,12 @@ def test_py_oracles_subset_of_sql_oracles():
 def test_bench_suites_are_registered_and_disjoint():
     import bench
 
-    assert set(bench.BENCH_QUERIES) <= set(dq.QUERIES)
-    assert set(bench.TIER2_QUERIES) <= set(dq.QUERIES)
-    assert not set(bench.BENCH_QUERIES) & set(bench.TIER2_QUERIES)
+    tiers = [bench.BENCH_QUERIES, bench.TIER2_QUERIES, bench.TIER3_QUERIES]
+    for t in tiers:
+        assert set(t) <= set(dq.QUERIES)
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1 :]:
+            assert not set(a) & set(b)
 
 
 def test_registry_callables_named_after_keys():
