@@ -107,6 +107,7 @@ TIER2_QUERIES = [
 #: conventions as tier 2: own total, own failure count.
 TIER3_QUERIES = [
     "png_decode",
+    "gif_decode",
     "aiff_decode",
     "sq8_topk",
     "hll_distinct",

@@ -207,6 +207,52 @@ FROM imgf
 """
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth real image container (round 9): the SAME logical pixels
+    as `media_decode`'s PPMs, re-expressed the way GIF demands —
+    indexed color through a first-occurrence palette, GIF-variant LZW
+    compression (variable code width on the giflib boundary, CLEAR/
+    EOI, KwKwK), 32-byte sub-block splits, and 4-pass interlacing on
+    every other image — decoded by the pure-stdlib GIF parser
+    (`operators/multimodal.py:_decode_gif` via `decode_media`). The
+    oracle replays the PPM closed form — so a bug in the palette
+    indirection, the LZW protocol, sub-block reassembly, or the
+    de-interlace row order flips a channel sum and breaks the hash."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    media = multimodal.synthetic_media(docs, image_fmt="gif")
+    return multimodal.decode_media(media.where(F.col("kind") == "image"))
+
+
+_GIF_DECODE_ORACLE = """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS j FROM img),
+imgf AS (
+  SELECT doc_id, w, h,
+         sum(CASE WHEN j % 3 = 0 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_r,
+         sum(CASE WHEN j % 3 = 1 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_g,
+         sum(CASE WHEN j % 3 = 2 THEN (doc_id * 7 + j * 11) % 256 END) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, 'image' AS kind, 'gif' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS duration_ms, CAST(NULL AS INT) AS peak,
+       CAST(NULL AS DOUBLE) AS rms
+FROM imgf
+"""
+
+
 def q_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second real audio container (round 9, mirroring round 8's BMP):
     the SAME logical samples as `media_decode`'s WAVs, re-packed as
@@ -502,6 +548,8 @@ __all__ = [
     "_BMP_DECODE_ORACLE",
     "q_png_decode",
     "_PNG_DECODE_ORACLE",
+    "q_gif_decode",
+    "_GIF_DECODE_ORACLE",
     "q_aiff_decode",
     "_AIFF_DECODE_ORACLE",
     "q_media_features",

@@ -6,8 +6,8 @@ The Spark-side plumbing is real and tested: schemas, Arrow-batched
 tiers:
 
 - **Real, pure-stdlib decode** for stdlib-parseable containers —
-  binary PPM (P6) / 24-bit BMP / zlib-DEFLATE PNG images and PCM WAV /
-  big-endian AIFF audio — in :func:`decode_media`:
+  binary PPM (P6) / 24-bit BMP / zlib-DEFLATE PNG / LZW GIF images
+  and PCM WAV / big-endian AIFF audio — in :func:`decode_media`:
   actual byte-level header parsing + pixel/sample statistics, no
   external codec library needed, oracle-checked end-to-end (the
   ``media_decode`` driver query replays the decoded features in
@@ -249,7 +249,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        StructField("fmt", StringType(), False),  # ppm|bmp|png|wav|aiff
+        StructField("fmt", StringType(), False),  # ppm|bmp|png|gif|wav|aiff
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_pixels", LongType(), True),
@@ -517,6 +517,264 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+# GIF interlace passes (GIF89a spec §Appendix E): (first row, step).
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlaced_rows(h: int) -> list[int]:
+    """Source-order row indices of a 4-pass interlaced GIF image of
+    height ``h`` — the order rows appear in the LZW stream."""
+    return [y for start, step in _GIF_PASSES for y in range(start, h, step)]
+
+
+def _lzw_encode(indices: list[int], mcs: int, clear_cap: int = 4095) -> bytes:
+    """GIF-variant LZW compress a palette-index stream: variable code
+    width starting at ``mcs``+1 bits, codes packed LSB-first, CLEAR
+    emitted up-front and again whenever the next free code reaches
+    ``clear_cap`` (the 12-bit spec cap by default; smaller values force
+    mid-stream resets for tests). Width growth follows the GIF
+    convention (the giflib reference pair): after EMITTING a data code
+    — before any insert — width grows when the next free code has
+    reached ``1 << width``. That is one code LATER than table-size
+    reasoning suggests; the decoder's read-counter rule lands on the
+    same boundary, which is what makes third-party GIFs decodable."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def grow() -> None:
+        nonlocal width
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    seq = b""
+    for k in indices:
+        cand = seq + bytes([k])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        grow()
+        if next_code >= clear_cap:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        else:
+            table[cand] = next_code
+            next_code += 1
+        seq = bytes([k])
+    if seq:
+        emit(table[seq])
+        grow()
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF-variant LZW decompress: LSB-first variable-width codes,
+    CLEAR/EOI handling, the KwKwK deferred-code case (code == next
+    free slot). Width growth counts codes READ since the last reset
+    (the giflib convention) — the counter runs one ahead of the table
+    because the first post-CLEAR code appends nothing, which is
+    exactly what keeps it aligned with the encoder's emit-then-grow
+    boundary."""
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"bad GIF LZW min code size {mcs}")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    running = eoi + 1
+    out: list[int] = []
+    prev = b""
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == eoi:
+            return out
+        if code == clear:
+            width = mcs + 1
+            running = eoi + 1
+            del table[eoi + 1 :]
+            prev = b""
+            continue
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt GIF LZW stream: code {code}")
+        out.extend(entry)
+        if prev and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+
+
+def _gif_encode(
+    w: int, h: int, rgb: bytes, interlace: bool = False, block_size: int = 255
+) -> bytes:
+    """Assemble a GIF89a from interleaved-RGB pixel bytes: global color
+    table in first-occurrence raster order, a comment extension (the
+    skip path every decoder needs), one image descriptor, and the LZW
+    index stream split into ``block_size``-byte sub-blocks. With
+    ``interlace`` the rows are written in 4-pass order and the
+    descriptor flag is set."""
+    palette: dict[bytes, int] = {}
+    idx = []
+    for p in range(w * h):
+        c = rgb[3 * p : 3 * p + 3]
+        if c not in palette:
+            palette[c] = len(palette)
+        idx.append(palette[c])
+    if len(palette) > 256:
+        raise ValueError(f"GIF palette overflow: {len(palette)} colors")
+    gct_n = 0  # GCT size field: table holds 2**(gct_n+1) entries
+    while (2 << gct_n) < len(palette):
+        gct_n += 1
+    entries = 2 << gct_n
+    mcs = max(2, gct_n + 1)
+    gct = b"".join(palette) + b"\x00" * (3 * (entries - len(palette)))
+    if interlace:
+        rows = _gif_interlaced_rows(h)
+        idx = [idx[y * w + x] for y in rows for x in range(w)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | gct_n, 0, 0)
+    out += gct
+    out += b"\x21\xfe\x08graft-v1\x00"  # comment extension
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    data = _lzw_encode(idx, mcs)
+    for i in range(0, len(data), block_size):
+        chunk = data[i : i + block_size]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_bytes(d: int) -> tuple[bytes, int, int]:
+    """Deterministic GIF payload for media id ``d`` — the SAME logical
+    image as :func:`_ppm_bytes` (w=4+d%5, h=3+d%7, interleaved-RGB
+    byte j=(d*7+j*11)%256), re-expressed the way the GIF container
+    demands: indexed color through a palette built in first-occurrence
+    raster order, LZW-compressed index stream, 32-byte sub-blocks (so
+    reassembly is always multi-block), and 4-pass interlacing on every
+    other image (``(d//2) % 2 == 1``). A decoder that mishandles the
+    palette indirection, the LZW protocol, sub-block splits, or the
+    interlace row order produces different channel sums than the PPM
+    closed form — exactly what the oracle checks."""
+    w, h = 4 + d % 5, 3 + d % 7
+    rgb = bytes((d * 7 + j * 11) % 256 for j in range(3 * w * h))
+    return (
+        _gif_encode(w, h, rgb, interlace=(d // 2) % 2 == 1, block_size=32),
+        w,
+        h,
+    )
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a: logical screen descriptor + global color
+    table, skip extension blocks, then the first image descriptor —
+    local color table override, 4-pass de-interlacing, sub-block
+    reassembly, and GIF-variant LZW decompression (variable code
+    width, CLEAR/EOI, KwKwK). Pixel sums are taken through the active
+    palette. Returns the same stat dict as :func:`_decode_ppm`
+    (fmt='gif'). Only the first frame of an animation is read."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = payload[pos : pos + n]
+        pos += n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 3 * (2 << (iflags & 0x07))
+            pal = payload[pos : pos + n]
+            pos += n
+        if pal is None:
+            raise ValueError("GIF image has no color table")
+        mcs = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            size = payload[pos]
+            data += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        idx = _lzw_decode(bytes(data), mcs)
+        if len(idx) != w * h:
+            raise ValueError(
+                f"GIF pixel count mismatch: want {w * h}, got {len(idx)}"
+            )
+        if iflags & 0x40:  # de-interlace: stream rows -> raster rows
+            order = _gif_interlaced_rows(h)
+            raster = [None] * (w * h)
+            for src_y, y in enumerate(order):
+                raster[y * w : (y + 1) * w] = idx[src_y * w : (src_y + 1) * w]
+            idx = raster
+        n_pal = len(pal) // 3
+        sum_r = sum_g = sum_b = 0
+        for i in idx:
+            if i >= n_pal:
+                raise ValueError(f"GIF index {i} outside {n_pal}-color table")
+            sum_r += pal[3 * i]
+            sum_g += pal[3 * i + 1]
+            sum_b += pal[3 * i + 2]
+        return {
+            "fmt": "gif",
+            "width": w,
+            "height": h,
+            "n_pixels": w * h,
+            "sum_r": sum_r,
+            "sum_g": sum_g,
+            "sum_b": sum_b,
+        }
+    raise ValueError("truncated GIF: no image descriptor")
+
+
 def _pack_f80(x: float) -> bytes:
     """Pack a positive number as the 80-bit IEEE 754 extended float
     the AIFF COMM chunk demands (1 sign + 15 exponent + 64 mantissa
@@ -657,19 +915,21 @@ def synthetic_media(
 ) -> DataFrame:
     """Deterministic media fixture over any id column: even ids become
     real binary images — PPM by default, 24-bit BMP with
-    ``image_fmt="bmp"``, zlib-compressed PNG with ``image_fmt="png"``
+    ``image_fmt="bmp"``, zlib-compressed PNG with ``image_fmt="png"``,
+    LZW-compressed GIF with ``image_fmt="gif"``
     (same logical pixels, different containers) — odd ids real PCM
     audio clips — WAV by default, big-endian AIFF
     with ``audio_fmt="aiff"`` (same logical samples, different
     container; see :func:`_ppm_bytes` / :func:`_bmp_bytes` /
-    :func:`_png_bytes` / :func:`_wav_bytes` / :func:`_aiff_bytes` for
-    the byte specs).
+    :func:`_png_bytes` / :func:`_gif_bytes` / :func:`_wav_bytes` /
+    :func:`_aiff_bytes` for the byte specs).
     Built in ``mapInPandas`` so payload construction is distributed
     and never shuffles; same ids ⇒ same bytes on any cluster layout."""
     img_specs = {
         "ppm": (_ppm_bytes, "image/x-portable-pixmap"),
         "bmp": (_bmp_bytes, "image/bmp"),
         "png": (_png_bytes, "image/png"),
+        "gif": (_gif_bytes, "image/gif"),
     }
     if image_fmt not in img_specs:
         raise ValueError(f"unsupported image_fmt {image_fmt!r}")
@@ -781,8 +1041,9 @@ def _decode_wav(payload: bytes) -> dict:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL media decode (no codec library): dispatch on the payload's
-    magic bytes — ``P6`` → PPM, ``BM`` → BMP, ``\\x89PNG`` → PNG image
-    stats; ``RIFF`` → WAV, ``FORM`` → AIFF audio stats — inside
+    magic bytes — ``P6`` → PPM, ``BM`` → BMP, ``\\x89PNG`` → PNG,
+    ``GIF8`` → GIF image stats; ``RIFF`` → WAV, ``FORM`` → AIFF audio
+    stats — inside
     Arrow-batched ``mapInPandas``. Unknown containers raise
     loudly (silently wrong features are worse than a failed task).
 
@@ -806,6 +1067,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     d = _decode_bmp(p)
                 elif p.startswith(b"\x89PNG"):
                     d = _decode_png(p)
+                elif p.startswith(b"GIF8"):
+                    d = _decode_gif(p)
                 elif p.startswith(b"RIFF"):
                     d = _decode_wav(p)
                 elif p.startswith(b"FORM"):
@@ -814,7 +1077,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"media_id={mid}: unrecognized container "
                         f"(magic={p[:4]!r}); only PPM/P6, BMP, PNG, "
-                        "RIFF/WAV, and FORM/AIFF decode without "
+                        "GIF, RIFF/WAV, and FORM/AIFF decode without "
                         "codec libraries"
                     )
                 rows["media_id"].append(int(mid))

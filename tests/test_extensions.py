@@ -1091,6 +1091,207 @@ def test_png_and_ppm_containers_agree(spark, sf_dir):
     assert out["ppm"] == out["png"]
 
 
+def test_decode_gif_known_answer_published_minimal():
+    """The canonical published 43-byte 1×1 white-pixel GIF89a — built
+    here byte-for-byte from the wire layout, independent of the repo's
+    own GIF encoder — must decode to a single white pixel. This pins
+    the decoder to real-world GIF wire format, not just to what our
+    encoder emits."""
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    known = (
+        b"GIF89a"
+        + b"\x01\x00\x01\x00"  # logical screen 1x1
+        + b"\x80\x00\x00"  # GCT present (2 entries); bg 0; aspect 0
+        + b"\xff\xff\xff\x00\x00\x00"  # palette: white, black
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"  # image descriptor
+        + b"\x02\x02\x44\x01\x00"  # mcs=2; codes clear,0,eoi; terminator
+        + b"\x3b"
+    )
+    d = _decode_gif(known)
+    assert d["fmt"] == "gif"
+    assert (d["width"], d["height"], d["n_pixels"]) == (1, 1, 1)
+    assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (255, 255, 255)
+
+
+def test_gif_lzw_pair_round_trips_growth_clear_kwkwk():
+    """The LZW encoder/decoder pair round-trips streams that force
+    width growth past several power-of-two boundaries, mid-stream
+    CLEAR resets (small clear_cap), and the KwKwK deferred-code case —
+    and the emitted width-switch boundary matches the giflib
+    convention (first three data codes at mcs+1 bits, the fourth at
+    mcs+2), so third-party GIFs stay decodable."""
+    import random
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rnd = random.Random(7)
+    for mcs in (2, 3, 8):
+        for n in (3, 50, 5000):
+            idx = [rnd.randrange(1 << mcs) for _ in range(n)]
+            for cap in (4095, 40):
+                enc = _lzw_encode(idx, mcs, clear_cap=cap)
+                assert _lzw_decode(enc, mcs) == idx, (mcs, n, cap)
+    assert _lzw_decode(_lzw_encode([0] * 10, 2), 2) == [0] * 10  # KwKwK
+
+    # width-growth boundary, hand-decoded: mcs=2 → clear=4, eoi=5;
+    # six all-miss data codes emit as 3,3,3 then 4-bit codes (growth
+    # fires after the 3rd data code, when next free code reaches 8).
+    enc = _lzw_encode([0, 1, 2, 3, 0, 2], 2)
+    bits = "".join(f"{b:08b}"[::-1] for b in enc)
+    codes, p = [], 0
+    for w in (3, 3, 3, 3, 4, 4, 4, 4):
+        codes.append(int(bits[p : p + w][::-1], 2))
+        p += w
+    assert codes == [4, 0, 1, 2, 3, 0, 2, 5], codes
+
+
+def test_gif_fixture_exercises_subblocks_and_interlace():
+    """The synthetic fixture must stress the decoder: every payload
+    splits its LZW stream across multiple 32-byte sub-blocks, every
+    other image sets the interlace flag, and for an interlaced image
+    the stream's row order genuinely differs from raster order (the
+    sequential and interlaced encodings share decoded sums but not
+    bytes)."""
+    import struct
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_gif,
+        _gif_bytes,
+        _gif_encode,
+    )
+
+    def image_block(payload):
+        # walk to the first image descriptor; return (iflags, n_subblocks)
+        packed = payload[10]
+        pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+        while True:
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:
+                pos += 1
+                while payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            assert block == 0x2C
+            iflags = struct.unpack_from("<HHHHB", payload, pos)[4]
+            pos += 9 + (3 * (2 << (iflags & 7)) if iflags & 0x80 else 0)
+            pos += 1  # mcs
+            n_blocks = 0
+            while payload[pos]:
+                n_blocks += 1
+                pos += 1 + payload[pos]
+            return iflags, n_blocks
+
+    seen_interlaced = seen_sequential = False
+    n_multi = 0
+    for d in range(0, 28, 2):
+        payload, w, h = _gif_bytes(d)
+        iflags, n_blocks = image_block(payload)
+        n_multi += n_blocks >= 2
+        assert bool(iflags & 0x40) == ((d // 2) % 2 == 1)
+        seen_interlaced |= bool(iflags & 0x40)
+        seen_sequential |= not iflags & 0x40
+    # the smallest images compress under one 32-byte sub-block; the
+    # bigger ones must genuinely exercise multi-block reassembly
+    assert n_multi >= 5, f"only {n_multi} multi-sub-block payloads"
+    assert seen_interlaced and seen_sequential
+
+    # interlace permutes the stream, not the image: for a tall image
+    # the two encodings differ in bytes yet decode identically
+    w, h = 5, 9
+    rgb = bytes((j * 29 + 3) % 256 for j in range(3 * w * h))
+    seq = _gif_encode(w, h, rgb, interlace=False)
+    lace = _gif_encode(w, h, rgb, interlace=True)
+    assert seq != lace
+    ds, dl = _decode_gif(seq), _decode_gif(lace)
+    assert ds == dl
+
+
+def test_decode_gif_rejects_unsupported():
+    """Bad signature, missing color table, unknown block tags,
+    truncated LZW streams, corrupt codes, and pixel-count mismatches
+    all raise loudly."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_gif,
+        _gif_bytes,
+        _lzw_decode,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        _decode_gif(b"\x89PNG not a gif")
+
+    # no GCT and no LCT -> no color table to resolve indices
+    no_table = (
+        b"GIF89a" + b"\x01\x00\x01\x00\x00\x00\x00"
+        + b"\x2c\x00\x00\x00\x00\x01\x00\x01\x00\x00"
+        + b"\x02\x02\x44\x01\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="color table"):
+        _decode_gif(no_table)
+
+    # trailer before any image descriptor
+    with pytest.raises(ValueError, match="no image"):
+        _decode_gif(b"GIF89a" + b"\x01\x00\x01\x00\x00\x00\x00" + b"\x3b")
+
+    # unknown block tag
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        _decode_gif(b"GIF89a" + b"\x01\x00\x01\x00\x00\x00\x00" + b"\x7f")
+
+    # LZW stream cut off before EOI
+    with pytest.raises(ValueError, match="without EOI"):
+        _lzw_decode(b"\x44", 3)
+
+    # corrupt code beyond the table
+    with pytest.raises(ValueError, match="corrupt"):
+        _lzw_decode(b"\xfc\x01", 2)  # codes: clear(4) then 7 with prev empty
+
+    # declared dims disagree with the decoded pixel count
+    payload, w, h = _gif_bytes(4)
+    grown = bytearray(payload)
+    # the image descriptor sits right after the fixture's comment
+    # extension (0x2c could also occur as a palette byte, so locate
+    # it structurally); h's low byte is descriptor offset +7
+    marker = b"\x21\xfe\x08graft-v1\x00"
+    pos = grown.index(marker) + len(marker)
+    assert grown[pos] == 0x2C
+    grown[pos + 7] += 1
+    with pytest.raises(ValueError, match="pixel count"):
+        _decode_gif(bytes(grown))
+
+
+def test_gif_and_ppm_containers_agree(spark, sf_dir):
+    """The GIF container carries the same logical pixels as PPM, so
+    decode_media over GIF media must equal decode over PPM media on
+    every stat column except fmt."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    stats = ["width", "height", "n_pixels", "sum_r", "sum_g", "sum_b"]
+    out = {}
+    for fmt in ("ppm", "gif"):
+        media = multimodal.synthetic_media(docs, image_fmt=fmt)
+        dec = multimodal.decode_media(media.where(F.col("kind") == "image"))
+        out[fmt] = {
+            r["media_id"]: tuple(r[c] for c in stats)
+            for r in dec.collect()
+        }
+        fmts = {r["fmt"] for r in dec.select("fmt").distinct().collect()}
+        assert fmts == {fmt}
+    assert out["ppm"] == out["gif"]
+
+
 def test_sq8_quantize_known_answers_and_ties():
     """scale = absmax/127; codes round half-away-from-zero on the
     exact binary value (the std::round semantics DuckDB replays)."""
