@@ -109,6 +109,7 @@ TIER3_QUERIES = [
     "png_decode",
     "gif_decode",
     "aiff_decode",
+    "ulaw_decode",
     "sq8_topk",
     "hll_distinct",
 ]

@@ -207,6 +207,79 @@ FROM imgf
 """
 
 
+def q_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First real lossy CODEC decode (round 9): the SAME logical
+    samples as `media_decode`'s WAVs, companded through G.711 µ-law
+    (Sun/ITU reference arithmetic, bit-exact with audioop where that
+    module exists) into 8-bit codes in a format-7 RIFF container with
+    a `fact` chunk, then expanded back by the pure-stdlib decoder
+    (`operators/multimodal.py:_decode_wav_ulaw` via `decode_media`).
+    The oracle replays compress∘expand per sample in integer
+    arithmetic — segment via the cross-engine `length(bin(x))`
+    bit-length identity, mantissa via shifts — so a companding bug
+    (bias, clip, segment boundary, sign fold) shifts peak/rms and
+    breaks the hash. Unlike the container rounds, the decoded values
+    here are DIFFERENT from the PCM WAV's (the codec is lossy): the
+    oracle's expected stats are over the quantized lattice."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    media = multimodal.synthetic_media(docs, audio_fmt="ulaw")
+    return multimodal.decode_media(media.where(F.col("kind") == "audio"))
+
+
+# compress: s14 = floor(s/4); a = min(|s14|, 8159) + 33; seg =
+# max(bitlen(a)-6, 0); mant = (a >> seg+1) & 15. expand: ±(((mant<<3)
+# + 132) << seg) - 132. Fixture samples are in [-1001, 1001], so a <=
+# 283 and the seg>=8 clip branch is unreachable (kept driver-side for
+# generality, not replayed here).
+_ULAW_DECODE_ORACLE = """
+WITH aud AS (
+  SELECT doc_id, 160 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+smp AS (
+  SELECT doc_id, n, ((doc_id * 13 + unnest(range(0, n)) * 17) % 2003) - 1001 AS s
+  FROM aud
+),
+c14 AS (
+  SELECT doc_id, n, CAST(floor(s / 4.0) AS INTEGER) AS s14 FROM smp
+),
+seg AS (
+  SELECT doc_id, n, s14 < 0 AS neg,
+         least(abs(s14), 8159) + 33 AS a
+  FROM c14
+),
+lin AS (
+  SELECT doc_id, n,
+         CASE WHEN neg THEN -q ELSE q END AS v
+  FROM (
+    SELECT doc_id, n, neg,
+           ((((a >> (g + 1)) & 15) * 8 + 132) << g) - 132 AS q
+    FROM (SELECT doc_id, n, neg, a,
+                 greatest(length(bin(a)) - 6, 0) AS g
+          FROM seg)
+  )
+),
+audf AS (
+  SELECT doc_id, n, max(abs(v)) AS peak, sum(CAST(v AS BIGINT) * v) AS ssq
+  FROM lin GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 'ulaw' AS fmt,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS BIGINT) AS n_pixels,
+       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+       CAST(NULL AS BIGINT) AS sum_b,
+       CAST(n AS BIGINT) AS n_samples, 8000 AS sample_rate,
+       CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(peak AS INT) AS peak, sqrt(CAST(ssq AS DOUBLE) / n) AS rms
+FROM audf
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth real image container (round 9): the SAME logical pixels
     as `media_decode`'s PPMs, re-expressed the way GIF demands —
@@ -550,6 +623,8 @@ __all__ = [
     "_PNG_DECODE_ORACLE",
     "q_gif_decode",
     "_GIF_DECODE_ORACLE",
+    "q_ulaw_decode",
+    "_ULAW_DECODE_ORACLE",
     "q_aiff_decode",
     "_AIFF_DECODE_ORACLE",
     "q_media_features",

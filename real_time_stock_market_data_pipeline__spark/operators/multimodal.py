@@ -249,7 +249,8 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        StructField("fmt", StringType(), False),  # ppm|bmp|png|gif|wav|aiff
+        # ppm|bmp|png|gif | wav|aiff|ulaw
+        StructField("fmt", StringType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_pixels", LongType(), True),
@@ -889,6 +890,65 @@ def _decode_aiff(payload: bytes) -> dict:
     }
 
 
+# G.711 µ-law companding (the Sun/ITU reference arithmetic, as in the
+# public-domain g711.c that CPython's audioop wraps): 16→14-bit shift,
+# clip 8159, bias 33 on the 14-bit side / 132 on the expanded side,
+# 3-bit segment + 4-bit mantissa, ones-complement code byte.
+_ULAW_CLIP14 = 8159
+_ULAW_BIAS14 = 0x84 >> 2  # 33
+_ULAW_BIAS16 = 0x84  # 132
+
+
+def _ulaw_compress(s: int) -> int:
+    """16-bit linear sample → 8-bit µ-law code (bit-exact with the
+    ITU reference; law-tested against ``audioop.lin2ulaw`` over the
+    full 16-bit range where that module still exists)."""
+    s >>= 2  # arithmetic shift to the 14-bit domain
+    mask = 0x7F if s < 0 else 0xFF
+    if s < 0:
+        s = -s
+    if s > _ULAW_CLIP14:
+        s = _ULAW_CLIP14
+    s += _ULAW_BIAS14
+    seg = max(s.bit_length() - 6, 0)
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((s >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def _ulaw_expand(code: int) -> int:
+    """8-bit µ-law code → 16-bit linear sample (bit-exact with
+    ``audioop.ulaw2lin`` width 2 for all 256 codes)."""
+    code = ~code & 0xFF
+    t = ((((code & 0x0F) << 3) + _ULAW_BIAS16) << ((code >> 4) & 0x07))
+    t -= _ULAW_BIAS16
+    return -t if code & 0x80 else t
+
+
+def _wav_ulaw_bytes(d: int) -> tuple[bytes, int]:
+    """Deterministic mono 8 kHz µ-law WAV for media id ``d``: the SAME
+    logical samples as :func:`_wav_bytes` (n=160+d%100, sample i =
+    ((d*13+i*17)%2003)-1001), companded through :func:`_ulaw_compress`
+    into 8-bit codes and wrapped in a RIFF container with audio format
+    7, an 18-byte fmt chunk (cbSize=0), and a ``fact`` chunk before
+    ``data`` — the non-PCM WAV layout the stdlib ``wave`` module
+    refuses, so the decoder's own chunk walk and codec are what's
+    under test."""
+    n = 160 + d % 100
+    codes = bytes(
+        _ulaw_compress(((d * 13 + i * 17) % 2003) - 1001) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", n) + codes
+        + (b"\x00" if n % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, n
+
+
 def _wav_bytes(d: int) -> tuple[bytes, int]:
     """Deterministic mono 16-bit 8 kHz WAV for media id ``d``:
     n=160+d%100 samples, sample i = ((d*13 + i*17) % 2003) - 1001.
@@ -920,9 +980,11 @@ def synthetic_media(
     (same logical pixels, different containers) — odd ids real PCM
     audio clips — WAV by default, big-endian AIFF
     with ``audio_fmt="aiff"`` (same logical samples, different
-    container; see :func:`_ppm_bytes` / :func:`_bmp_bytes` /
-    :func:`_png_bytes` / :func:`_gif_bytes` / :func:`_wav_bytes` /
-    :func:`_aiff_bytes` for the byte specs).
+    container), G.711 µ-law-companded WAV with ``audio_fmt="ulaw"``
+    (same logical samples through a genuine lossy codec; see
+    :func:`_ppm_bytes` / :func:`_bmp_bytes` / :func:`_png_bytes` /
+    :func:`_gif_bytes` / :func:`_wav_bytes` / :func:`_aiff_bytes` /
+    :func:`_wav_ulaw_bytes` for the byte specs).
     Built in ``mapInPandas`` so payload construction is distributed
     and never shuffles; same ids ⇒ same bytes on any cluster layout."""
     img_specs = {
@@ -933,11 +995,15 @@ def synthetic_media(
     }
     if image_fmt not in img_specs:
         raise ValueError(f"unsupported image_fmt {image_fmt!r}")
-    if audio_fmt not in ("wav", "aiff"):
+    aud_specs = {
+        "wav": (_wav_bytes, "audio/wav"),
+        "aiff": (_aiff_bytes, "audio/aiff"),
+        "ulaw": (_wav_ulaw_bytes, "audio/basic"),
+    }
+    if audio_fmt not in aud_specs:
         raise ValueError(f"unsupported audio_fmt {audio_fmt!r}")
     img_bytes, img_mime = img_specs[image_fmt]
-    aud_bytes = _wav_bytes if audio_fmt == "wav" else _aiff_bytes
-    aud_mime = "audio/wav" if audio_fmt == "wav" else "audio/aiff"
+    aud_bytes, aud_mime = aud_specs[audio_fmt]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1009,10 +1075,37 @@ def _decode_ppm(payload: bytes) -> dict:
     }
 
 
+def _riff_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Walk a RIFF/WAVE container's (tag, body) chunks, honoring the
+    word-alignment pad byte after odd-length chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        yield tag, body
+        pos += 8 + size + (size & 1)
+
+
 def _decode_wav(payload: bytes) -> dict:
-    """Parse a PCM WAV through the stdlib ``wave`` module (16-bit
-    little-endian mono/stereo). Returns sample count/rate, duration,
-    integer peak, and RMS (sqrt of exact-integer sum of squares / n)."""
+    """Parse a WAV: PCM (format 1) through the stdlib ``wave`` module
+    (16-bit little-endian mono/stereo); G.711 µ-law (format 7) through
+    an own RIFF chunk walk — skipping the ``fact`` chunk the non-PCM
+    layout inserts — and the :func:`_ulaw_expand` codec, a genuine
+    lossy companding decode, not just container parsing. Returns
+    sample count/rate, duration, integer peak over the decoded linear
+    samples, and RMS (sqrt of exact-integer sum of squares / n)."""
+    fmt_code = None
+    for tag, body in _riff_chunks(payload):
+        if tag == b"fmt ":
+            fmt_code = struct.unpack_from("<H", body, 0)[0]
+            break
+    if fmt_code == 7:
+        return _decode_wav_ulaw(payload)
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV supported")
@@ -1036,6 +1129,44 @@ def _decode_wav(payload: bytes) -> dict:
         # math.sqrt is the correctly-rounded IEEE sqrt (x ** 0.5
         # goes through pow and can be one ulp off DuckDB's sqrt)
         "rms": math.sqrt(ssq / total) if total else None,
+    }
+
+
+def _decode_wav_ulaw(payload: bytes) -> dict:
+    """Decode a G.711 µ-law WAV (audio format 7, 8-bit codes): walk
+    the RIFF chunks (validating fmt, skipping ``fact`` and anything
+    else), expand every code byte to its 16-bit linear sample, and
+    compute the same stats as the PCM path (fmt='ulaw')."""
+    fmt = data = None
+    for tag, body in _riff_chunks(payload):
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("µ-law WAV missing fmt or data chunk")
+    code, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if code != 7 or channels != 1 or bits != 8:
+        raise ValueError(
+            f"only mono 8-bit µ-law WAV supported "
+            f"(format={code}, channels={channels}, bits={bits})"
+        )
+    n = len(data)
+    ssq = 0
+    peak = 0
+    for c in data:
+        s = _ulaw_expand(c)
+        ssq += s * s
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+    return {
+        "fmt": "ulaw",
+        "n_samples": n,
+        "sample_rate": rate,
+        "duration_ms": n * 1000 // rate,
+        "peak": peak,
+        "rms": math.sqrt(ssq / n) if n else None,
     }
 
 

@@ -1292,6 +1292,155 @@ def test_gif_and_ppm_containers_agree(spark, sf_dir):
     assert out["ppm"] == out["gif"]
 
 
+def test_ulaw_codec_known_answers():
+    """Published G.711 µ-law landmarks, independent of any library:
+    linear 0 encodes to code 0xFF and decodes back to exactly 0; the
+    extreme codes 0x00/0x80 decode to ∓32124 (the ±8031 14-bit
+    full-scale value in 16-bit units); companding error on the
+    fixture's ±1001 domain stays within the 35-unit segment step."""
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _ulaw_compress,
+        _ulaw_expand,
+    )
+
+    assert _ulaw_compress(0) == 0xFF
+    assert _ulaw_expand(0xFF) == 0
+    assert _ulaw_expand(0x00) == -32124
+    assert _ulaw_expand(0x80) == 32124
+    assert _ulaw_expand(_ulaw_compress(0)) == 0
+    assert max(
+        abs(_ulaw_expand(_ulaw_compress(s)) - s) for s in range(-1001, 1002)
+    ) <= 35
+    # and on the full 16-bit domain the error never exceeds the
+    # top-segment half-step
+    assert max(
+        abs(_ulaw_expand(_ulaw_compress(s)) - s)
+        for s in range(-32768, 32768, 17)
+    ) <= 644
+
+
+def test_ulaw_codec_matches_audioop_reference():
+    """Where the stdlib still ships audioop (removed in 3.13), both
+    directions of the codec must be bit-exact with it over their FULL
+    domains — audioop wraps the same public-domain g711.c this
+    implementation re-derives."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _ulaw_compress,
+        _ulaw_expand,
+    )
+
+    for s in range(-32768, 32768):
+        assert (
+            _ulaw_compress(s) == audioop.lin2ulaw(struct.pack("<h", s), 2)[0]
+        ), s
+    for c in range(256):
+        assert (
+            _ulaw_expand(c)
+            == struct.unpack("<h", audioop.ulaw2lin(bytes([c]), 2))[0]
+        ), c
+
+
+def test_decode_wav_ulaw_fixture_and_chunk_walk():
+    """The µ-law fixture parses through the non-PCM path: format 7,
+    a fact chunk to skip, odd data lengths word-aligned — and the
+    decoded stats equal a direct Python replay of compress∘expand on
+    the closed-form samples."""
+    import math
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_wav,
+        _ulaw_compress,
+        _ulaw_expand,
+        _wav_ulaw_bytes,
+    )
+
+    for d in (1, 3, 99, 101):  # n = 173, 163, 259 (odd -> pad), 161
+        payload, n = _wav_ulaw_bytes(d)
+        out = _decode_wav(payload)
+        lin = [
+            _ulaw_expand(_ulaw_compress(((d * 13 + i * 17) % 2003) - 1001))
+            for i in range(n)
+        ]
+        assert out["fmt"] == "ulaw"
+        assert out["n_samples"] == n and out["sample_rate"] == 8000
+        assert out["duration_ms"] == n * 1000 // 8000
+        assert out["peak"] == max(abs(x) for x in lin)
+        assert out["rms"] == math.sqrt(sum(x * x for x in lin) / n)
+
+
+def test_decode_wav_ulaw_rejects_unsupported():
+    """Stereo / non-8-bit format-7 layouts and truncated chunks raise
+    loudly; the PCM path through the stdlib wave module is untouched."""
+    import struct
+
+    import pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _decode_wav,
+        _wav_bytes,
+        _wav_ulaw_bytes,
+    )
+
+    # PCM fixture still decodes through the wave-module path
+    payload, n = _wav_bytes(1)
+    assert _decode_wav(payload)["fmt"] == "wav"
+
+    def ulaw_wav(fmt_fields, data=b"\x00\x01"):
+        fmt = struct.pack("<HHIIHHH", *fmt_fields, 0)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="only mono 8-bit"):
+        _decode_wav(ulaw_wav((7, 2, 8000, 16000, 2, 8)))
+    with pytest.raises(ValueError, match="only mono 8-bit"):
+        _decode_wav(ulaw_wav((7, 1, 8000, 16000, 2, 16)))
+
+    # truncated data chunk
+    good, _ = _wav_ulaw_bytes(1)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        _decode_wav(good[:-40])
+
+
+def test_ulaw_and_wav_fixtures_share_logical_source(spark, sf_dir):
+    """The µ-law container companded the same logical samples as the
+    PCM WAV fixture: counts, rates, and durations agree exactly, and
+    the decoded peak sits within the measured ±35 companding error of
+    the PCM peak (the codec is lossy — exact equality would mean the
+    codec did nothing)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    out = {}
+    for fmt in ("wav", "ulaw"):
+        media = multimodal.synthetic_media(docs, audio_fmt=fmt)
+        dec = multimodal.decode_media(media.where(F.col("kind") == "audio"))
+        out[fmt] = {
+            r["media_id"]: r.asDict() for r in dec.collect()
+        }
+    assert out["wav"].keys() == out["ulaw"].keys()
+    n_diff = 0
+    for mid, w in out["wav"].items():
+        u = out["ulaw"][mid]
+        assert u["fmt"] == "ulaw" and w["fmt"] == "wav"
+        for k in ("n_samples", "sample_rate", "duration_ms"):
+            assert u[k] == w[k], (mid, k)
+        assert abs(u["peak"] - w["peak"]) <= 35, mid
+        n_diff += u["peak"] != w["peak"] or u["rms"] != w["rms"]
+    assert n_diff > 0, "lossy codec produced bit-identical stats everywhere"
+
+
 def test_sq8_quantize_known_answers_and_ties():
     """scale = absmax/127; codes round half-away-from-zero on the
     exact binary value (the std::round semantics DuckDB replays)."""
