@@ -149,6 +149,28 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Machine-calibration probe (round 9): a FIXED pure-JVM workload
+    # with no I/O and no Python — the same codegen'd range-agg every
+    # round — so host-speed drift between bench environments is a
+    # measured number, not an inference. Round 9 found builder-side
+    # tier totals drifting ~35% between sessions on an idle machine;
+    # comparing `calib_sec` across BENCH artifacts separates that VM
+    # drift from genuine query regressions (query_time / calib_sec is
+    # the machine-independent comparator). Median of three runs.
+    def _calibrate() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            # bounded terms: a raw id product overflows int64 under
+            # ANSI mode at this row count
+            spark.range(1 << 33).selectExpr(
+                "sum((id % 1000) * (id % 7)) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        return round(sorted(samples)[1], 3)
+
+    calib_sec = _calibrate()
+
     # Per-query isolation: one broken query must not destroy the whole
     # bench signal — it gets an "err" entry and a 0-cost timing instead.
     timings: dict[str, float] = {}
@@ -188,6 +210,7 @@ def main() -> None:
         "queries": timings,
         "tier2_total": tier2_total,
         "tier3_total": tier3_total,
+        "calib_sec": calib_sec,
         "scale_profile": use_profile,
         "failed_queries": n_failed_t1,
         "tier2_failed_queries": n_failed_t2,
