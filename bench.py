@@ -111,6 +111,7 @@ TIER3_QUERIES = [
     "aiff_decode",
     "ulaw_decode",
     "sq8_topk",
+    "pq_topk",
     "hll_distinct",
 ]
 

@@ -142,6 +142,114 @@ LIMIT 10
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization cosine top-k with exact rerank
+    (`operators/similarity.py:pq_topk`): deterministic lowest-id seed
+    codebook quantized to int8 under ONE global scale, per-subspace
+    argmin encode (fold-chain squared-L2, ties to the lowest codeword),
+    integer ADC lookup-table scoring (the global scales cancel in
+    cosine, so every cross-subspace aggregation is an exact int64 sum
+    — order-free by construction), then exact broadcast rerank. The
+    oracle rebuilds the codebook from the table (ROW_NUMBER over
+    vec_id), re-derives the codes with DuckDB round() (matched by
+    Decimal ROUND_HALF_UP driver-side), and replays the argmin, the
+    ADC sums, and both ranking stages."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.pq_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, refine=4
+    )
+
+
+def _pq_topk_oracle() -> str:
+    m, ksub = similarity.PQ_M, similarity.PQ_KSUB
+    dsub = _DIM // m
+    k, refine = 10, 4
+
+    def comp(rel: str, i: int) -> str:
+        # component i (0-based within subspace) of subspace sp.s
+        return f"CAST({rel}[sp.s * {dsub} + {i + 1}] AS DOUBLE)"
+
+    def cw(i: int) -> str:
+        # integer codeword component of seed sd at subspace position i
+        return f"CAST(round({comp('sd.se', i)} / scs.sc, 0) AS BIGINT)"
+
+    # assignment score replays the engine's ADC identity:
+    # (-2 · Σ v_i·rc_i) + Σ rc_i² with rc = sc·round(seed/sc), both
+    # sums left-associative chains in subspace element order
+    recon = f"(scs.sc * round({{se}} / scs.sc, 0))"
+    dot_chain = " + ".join(
+        f"{comp('e.embedding', i)} * "
+        + recon.format(se=comp("sd.se", i))
+        for i in range(dsub)
+    )
+    n2_chain = " + ".join(
+        recon.format(se=comp("sd.se", i))
+        + " * "
+        + recon.format(se=comp("sd.se", i))
+        for i in range(dsub)
+    )
+    dist_chain = f"({dot_chain}) * (-2.0) + ({n2_chain})"
+    lut_dot = " + ".join(
+        f"qq.qv[sp.s * {dsub} + {i + 1}] * {cw(i)}" for i in range(dsub)
+    )
+    lut_n2 = " + ".join(f"{cw(i)} * {cw(i)}" for i in range(dsub))
+    qn2 = " + ".join(f"qv[{i + 1}] * qv[{i + 1}]" for i in range(_DIM))
+    return f"""
+WITH qraw AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+qq AS (
+  SELECT qe, list_transform(qe, x ->
+           CAST(round(CAST(x AS DOUBLE) / qscale, 0) AS BIGINT)) AS qv
+  FROM (SELECT qe,
+          list_max(list_transform(qe, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+            AS qscale
+        FROM qraw)
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS se
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {ksub})
+),
+scs AS (
+  SELECT max(abs(CAST(x AS DOUBLE))) / 127.0 AS sc
+  FROM (SELECT unnest(se) AS x FROM seeds)
+),
+sp AS (SELECT unnest(range({m})) AS s),
+assign AS (
+  SELECT e.vec_id, sp.s, sd.j,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id, sp.s
+                            ORDER BY ({dist_chain}) ASC, sd.j ASC) AS rn
+  FROM embeddings e CROSS JOIN sp CROSS JOIN seeds sd CROSS JOIN scs
+),
+luts AS (
+  SELECT sp.s, sd.j, ({lut_dot}) AS ldot, ({lut_n2}) AS ln2
+  FROM sp CROSS JOIN seeds sd CROSS JOIN scs CROSS JOIN qq
+),
+adc AS (
+  SELECT a.vec_id, sum(l.ldot) AS adot, sum(l.ln2) AS an2
+  FROM assign a JOIN luts l ON a.s = l.s AND a.j = l.j
+  WHERE a.rn = 1
+  GROUP BY a.vec_id
+),
+qn AS (SELECT ({qn2}) AS qn2 FROM qq),
+cand AS (
+  SELECT vec_id,
+         CAST(adot AS DOUBLE)
+           / (sqrt(CAST(an2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+           AS approx
+  FROM adc CROSS JOIN qn
+  WHERE an2 > 0
+  ORDER BY approx DESC NULLS LAST, vec_id
+  LIMIT {k * refine}
+)
+SELECT e.vec_id, {_COSINE_QE} AS cosine,
+       {_round_sql("c.approx", 6)} AS approx_cosine
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qraw
+WHERE ({_COSINE_QE}) IS NOT NULL
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
@@ -485,5 +593,7 @@ __all__ = [
     "q_kmeans_step",
     "q_knn_join",
     "q_sq8_topk",
+    "q_pq_topk",
+    "_pq_topk_oracle",
     "q_synthetic_ohlcv",
 ]

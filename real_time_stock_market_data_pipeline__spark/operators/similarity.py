@@ -79,6 +79,15 @@ def _norm_fold(vec_col: F.Column, dim: int) -> F.Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _py_fold(terms) -> float:
+    """Left-associative Python float fold (IEEE doubles, so bitwise
+    equal to the same chain in any engine)."""
+    acc = None
+    for t in terms:
+        acc = t if acc is None else acc + t
+    return 0.0 if acc is None else acc
+
+
 def _qnorm(q: list[float]) -> float:
     """Query norm with the same left-fold recipe (Python float ops are
     IEEE doubles, so this matches the in-engine chains bitwise)."""
@@ -763,6 +772,217 @@ def sq8_topk(
     approx = F.col("dotq").cast("double") / (
         F.sqrt(F.col("qnc").cast("double"))
         * F.lit(math.sqrt(float(qnormq)))
+    )
+    cands = (
+        scored.select(F.col(id_col), approx.alias("approx"))
+        .orderBy(F.col("approx").desc(), F.col(id_col))
+        .limit(k * refine)
+    )
+    reranked = cosine_scores(
+        embs.join(F.broadcast(cands), id_col), query, vec_col
+    )
+    return (
+        reranked.where(F.col("cosine").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("cosine"),
+            F.round(F.col("approx"), 6).alias("approx_cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # codewords per subspace
+
+
+def pq_seeds(
+    embs: DataFrame,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook seeds: the ``ksub`` lowest-id vectors,
+    collected to the driver (the index *build* step — a few KB, the
+    same shape as :func:`ivf_centroids`; the corpus is never
+    collected). Deterministic seeds instead of per-subspace k-means
+    keep the whole pipeline bit-reproducible by a SQL oracle; at
+    100 TB you'd train real sub-quantizers on a sample and the
+    (unchanged) encode/ADC below would consume them."""
+    rows = (
+        embs.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _pq_int_codebook(
+    seeds: list[list[float]],
+) -> tuple[list[list[int]], float]:
+    """Quantize the seed vectors to int8 codewords under ONE global
+    scale (absmax over every component / 127) with the same
+    Decimal-ROUND_HALF_UP code derivation as :func:`_sq8_quantize` —
+    a single scale (not per-subspace) so it cancels against the
+    query's own scale in the cosine, keeping the ADC score exact
+    integer sums. Returns (integer codewords, scale)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    absmax = max((abs(float(x)) for v in seeds for x in v), default=0.0)
+    if absmax == 0:
+        raise ValueError("cannot build a PQ codebook from all-zero seeds")
+    scale = absmax / 127.0
+    if scale == 0.0:
+        raise ValueError("PQ seeds too small to quantize (scale underflows)")
+    codes = [
+        [
+            int(
+                Decimal(float(x) / scale).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            for x in v
+        ]
+        for v in seeds
+    ]
+    return codes, scale
+
+
+def pq_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    refine: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seeds: list[list[float]] | None = None,
+) -> DataFrame:
+    """Product-quantization cosine top-k with exact rerank — the
+    fourth ANN strategy next to LSH (:func:`ann_topk`), IVF
+    (:func:`ivf_topk`), and scalar quantization (:func:`sq8_topk`),
+    and the canonical 100 TB vector-serving shape (FAISS-style
+    IVF-PQ's PQ half).
+
+    Three stages:
+
+    1. **Codebook** (driver-side, tiny): ``ksub`` deterministic seed
+       vectors → int8 codewords under one global scale
+       (:func:`_pq_int_codebook`).
+    2. **Encode + ADC scan** (map-side, no shuffle): each corpus
+       vector's ``m`` subvectors are assigned to their nearest
+       reconstructed codeword via the ADC identity
+       argmin ||v−c||² ≡ argmin (−2·v·c + ||c||²) (left-fold dot
+       chains + precomputed ||c||², ties to the lowest codeword index
+       — the argmin the oracle replays with ROW_NUMBER), then scored
+       against the int8-quantized query via
+       per-subspace INTEGER lookup tables: approx_cos =
+       Σₛ lut_dot[s][codeₛ] / (√Σₛ lut_n2[s][codeₛ] · √Σqᵢ²). Because
+       both sides carry one global scale, the scales cancel in the
+       cosine and every cross-subspace aggregation is an exact int64
+       sum — ORDER-FREE, the property that lets the oracle use plain
+       SUM while the float-fold encode stays a fixed chain. The top
+       ``k·refine`` by (approx DESC, id) survive a per-partition
+       TakeOrdered — no global sort.
+    3. **Exact rerank**: candidates broadcast-join back to the float
+       vectors; exact fold-cosine picks the final ``k``; the emitted
+       ``approx_cosine`` sits beside the exact ``cosine`` as the
+       auditable quantization error.
+
+    At scale the hot scan reads m log2(ksub)-bit codes per vector
+    (64× less than float64 at m=8, ksub=16) once codes are stored
+    at rest (à la :func:`ivf_write_index`); the rerank is a pruned
+    second scan whose rows die at the broadcast join. Encode cost is
+    m·ksub short folds per vector, paid once at index build.
+
+    Corpus vectors whose matched codewords are all zero (an2 = 0)
+    have no defined approximate cosine and are excluded from the
+    candidate scan; all-zero queries raise (via
+    :func:`_sq8_quantize`)."""
+    sds = seeds if seeds is not None else pq_seeds(embs, ksub, id_col, vec_col)
+    if not sds:  # empty corpus → empty result, stable schema
+        return (
+            cosine_scores(embs, query, vec_col)
+            .select(
+                F.col(id_col),
+                F.col("cosine"),
+                F.lit(None).cast("double").alias("approx_cosine"),
+            )
+            .limit(0)
+        )
+    d = len(sds[0])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    cw_int, scale = _pq_int_codebook(sds)
+    qcodes, qn2 = _sq8_quantize(query)
+    # reconstructed codeword components (Python float products — the
+    # same IEEE multiplies the oracle's scs.sc * round(...) computes)
+    recon = [[scale * c for c in row] for row in cw_int]
+    lut_dot = [
+        [
+            sum(qcodes[s * dsub + i] * cw_int[j][s * dsub + i]
+                for i in range(dsub))
+            for j in range(len(sds))
+        ]
+        for s in range(m)
+    ]
+    lut_n2 = [
+        [
+            sum(cw_int[j][s * dsub + i] ** 2 for i in range(dsub))
+            for j in range(len(sds))
+        ]
+        for s in range(m)
+    ]
+
+    # assignment score: argmin ||v_s - c||² ≡ argmin (-2·(v_s·c) + ||c||²)
+    # — the row's own ||v_s||² is constant across codewords, so it
+    # drops out (the standard ADC identity; halves the per-element
+    # interpreted work vs. folding squared differences). ||c||² is a
+    # driver-side left fold; the oracle replays this exact expression.
+    recon_n2 = [
+        [
+            _py_fold(
+                recon[j][s * dsub + i] * recon[j][s * dsub + i]
+                for i in range(dsub)
+            )
+            for j in range(len(sds))
+        ]
+        for s in range(m)
+    ]
+    v = F.col(vec_col)
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        cands = []
+        for j in range(len(sds)):
+            cw_arr = F.array(
+                *[F.lit(float(recon[j][s * dsub + i])) for i in range(dsub)]
+            )
+            dot = F.aggregate(
+                F.zip_with(sub, cw_arr, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            score = dot * F.lit(-2.0) + F.lit(float(recon_n2[s][j]))
+            cands.append(F.struct(score.alias("d"), F.lit(j).alias("j")))
+        code_cols.append(F.array_min(F.array(*cands))["j"].alias(f"c{s}"))
+    enc = embs.select(F.col(id_col), *code_cols)
+
+    def lut_pick(table: list[list[int]], s: int) -> F.Column:
+        arr = F.array(
+            *[F.lit(int(table[s][j])).cast("long") for j in range(len(sds))]
+        )
+        return F.element_at(arr, F.col(f"c{s}") + 1)
+
+    adot = _fold_sum([lut_pick(lut_dot, s) for s in range(m)])
+    an2 = _fold_sum([lut_pick(lut_n2, s) for s in range(m)])
+    scored = enc.select(
+        F.col(id_col), adot.alias("adot"), an2.alias("an2")
+    ).where(F.col("an2") > 0)
+    approx = F.col("adot").cast("double") / (
+        F.sqrt(F.col("an2").cast("double"))
+        * F.lit(math.sqrt(float(qn2)))
     )
     cands = (
         scored.select(F.col(id_col), approx.alias("approx"))

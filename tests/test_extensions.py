@@ -1481,6 +1481,91 @@ def test_sq8_topk_matches_exact_rerank_scores(spark, sf_dir):
     assert keys == sorted(keys)
 
 
+def test_pq_int_codebook_known_answers_and_ties():
+    """One GLOBAL scale over every seed component (so it cancels in
+    cosine against the query's own scale); codes round half-away on
+    the exact binary value, the DuckDB round() the oracle replays."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline__spark.operators.similarity import (
+        _pq_int_codebook,
+    )
+
+    codes, scale = _pq_int_codebook([[127.0, -127.0], [1.0, 0.0]])
+    assert scale == 1.0 and codes == [[127, -127], [1, 0]]
+    codes, scale = _pq_int_codebook([[1.0, 0.5]])
+    assert scale == 1.0 / 127.0
+    assert codes == [[127, 64]]  # 63.5 rounds half-AWAY, not banker's
+    with pytest.raises(ValueError, match="all-zero"):
+        _pq_int_codebook([[0.0, 0.0]])
+
+
+def test_pq_topk_full_refine_equals_exact(spark, sf_dir):
+    """With k*refine covering the whole corpus every vector reaches
+    the exact rerank, so the result must equal cosine_topk exactly —
+    ids, order, and bitwise scores (the approximation only prunes;
+    the rerank is the same fold as the exact operator)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]]
+    n = embs.count()
+    full = similarity.pq_topk(embs, q, k=10, refine=(n // 10) + 1).collect()
+    exact = similarity.cosine_topk(embs, q, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in exact
+    ]
+
+
+def test_pq_topk_rerank_scores_order_and_bounds(spark, sf_dir):
+    """The clone of the query ranks first with exact cosine 1; every
+    emitted exact score is bitwise equal to cosine_topk's fold for
+    that id; approx_cosine is a genuine cosine of integer vectors so
+    it stays in [-1, 1]; output ordered by (cosine DESC, id)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = similarity.pq_topk(embs, q, k=10, refine=4).collect()
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cosine"] - 1.0) < 1e-12
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(embs, q, k=500).collect()
+    }
+    for r in got:
+        assert exact[r["vec_id"]] == r["cosine"]  # identical fold, bitwise
+        assert -1.0 - 1e-9 <= r["approx_cosine"] <= 1.0 + 1e-9
+    keys = [(-r["cosine"], r["vec_id"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_pq_topk_recall_floor_and_invariance(spark, sf_dir):
+    """A 16-codeword/8-subspace codebook is a coarse quantizer, but
+    refine=4 must still recover at least half of the exact top-10
+    (measured 6-9/10 on the fixture); and the whole pipeline —
+    codebook collect, encode, ADC, rerank — is partitioning-invariant."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    for qid in (3, 7):
+        q = [
+            float(x)
+            for x in embs.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        got = similarity.pq_topk(embs, q, k=10, refine=4).collect()
+        exact = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(embs, q, k=10).collect()
+        }
+        assert len({r["vec_id"] for r in got} & exact) >= 5, qid
+        rep = similarity.pq_topk(
+            embs.repartition(7), q, k=10, refine=4
+        ).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in rep] == [
+            (r["vec_id"], r["cosine"]) for r in got
+        ]
+
+
 def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     """With refine=4 over the 16-dim fixture, the reranked top-10 must
     recover at least 8 of the exact top-10 (int8 quantization of

@@ -229,6 +229,23 @@ def test_local_supplier_revenue_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_pq_topk_broadcasts_candidates_no_global_sort(spark, sf_dir):
+    """pq_topk shares sq8_topk's scale contract: encode+ADC is
+    map-side (no shuffle of the corpus), both ranking stages are
+    per-partition TakeOrderedAndProject, and the only Exchange is the
+    broadcast of the k*refine candidates into the rerank join."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries import QUERIES
+
+    plan = _plan(QUERIES["pq_topk"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    exchanges = re.findall(r"(?m)^.*Exchange.*$", plan)
+    assert all("BroadcastExchange" in e for e in exchanges), exchanges
+
+
 def test_sq8_topk_broadcasts_candidates_no_global_sort(spark, sf_dir):
     """sq8_topk's scale contract: both ranking stages plan as
     TakeOrderedAndProject (per-partition top-k, never a full Sort of
