@@ -847,6 +847,118 @@ def _pq_int_codebook(
     return codes, scale
 
 
+def _pq_encode_arrow(
+    recon: list[list[float]],
+    recon_n2: list[list[float]],
+    m: int,
+    dsub: int,
+):
+    """Arrow-batched PQ encoder: bit-identical codes to the HOF
+    fold-chain path (see :func:`pq_topk` stage 2), ~10× cheaper.
+
+    Exactness argument — why NumPy here does not break the oracle:
+
+    - per-element products ``v_i · recon_i`` are the same IEEE-double
+      multiplies (`float32 → float64` widening is exact);
+    - the dot is ``np.add.accumulate(...)[..., -1]`` — *accumulate* is
+      defined as the sequential scan ``out[i] = out[i-1] + a[i]``, i.e.
+      exactly the left-associative chain ``F.aggregate`` folds (the
+      HOF's extra ``0.0 +`` seed can only flip the sign of an exact
+      zero, which compares equal everywhere and so cannot change an
+      argmin index);
+    - ``score = dot · (−2.0) + ‖c‖²`` is the same two IEEE ops;
+    - ``np.argmin`` takes the *first* minimum — the same lowest-index
+      tie-break as ``array_min`` over ``struct(d, j)`` (NaN scores are
+      mapped to +inf first, mirroring Spark's NaN-sorts-last order).
+
+    The win is not float shortcuts but plan shape: the HOF path builds
+    m·ksub interpreted fold chains (128 ``aggregate`` expressions with
+    literal arrays) whose *construction and analysis alone* cost ~11 s
+    — the kernel is one ArrowEvalPython node."""
+    cw = np.asarray(recon, dtype=np.float64)  # (ksub, d)
+    ksub = cw.shape[0]
+    csub = cw.reshape(ksub, m, dsub)  # (ksub, m, dsub)
+    n2 = np.asarray(recon_n2, dtype=np.float64).T  # (ksub, m)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        out: list = [None] * len(vs)
+        idx = [i for i, v in enumerate(vs) if v is not None]
+        for lo in range(0, len(idx), 2048):
+            chunk = idx[lo : lo + 2048]
+            v = np.stack([np.asarray(vs.iloc[i]) for i in chunk]).astype(
+                np.float64
+            )  # (n, d)
+            prods = v.reshape(len(chunk), 1, m, dsub) * csub[None]
+            dot = np.add.accumulate(prods, axis=3)[..., -1]  # (n, ksub, m)
+            score = dot * -2.0 + n2[None]
+            score = np.where(np.isnan(score), np.inf, score)
+            codes = np.argmin(score, axis=1).astype(np.int32)  # (n, m)
+            for row, i in zip(codes, chunk):
+                out[i] = row
+        return pd.Series(out)
+
+    return encode
+
+
+def pq_encode(
+    embs: DataFrame,
+    recon: list[list[float]],
+    recon_n2: list[list[float]],
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    arrow_encode: bool = True,
+) -> DataFrame:
+    """Assign each corpus vector its ``m`` nearest-codeword indices
+    (columns ``c0..c{m-1}``) against the reconstructed codebook
+    ``recon`` (with precomputed ``recon_n2[s][j] = ‖c‖²`` per
+    subspace), via the ADC identity
+    argmin ‖v−c‖² ≡ argmin (−2·v·c + ‖c‖²), ties to the lowest
+    codeword index.
+
+    Both paths emit bit-identical codes (law-tested):
+    ``arrow_encode=True`` (default) runs one Arrow-batched NumPy
+    kernel; ``False`` builds the m·ksub pure-expression fold chains —
+    ~10× slower in plan construction+analysis alone, kept as the
+    oracle-shaped witness."""
+    ksub = len(recon)
+    d = len(recon[0])
+    dsub = d // m
+    if arrow_encode:
+        enc_udf = _pq_encode_arrow(recon, recon_n2, m, dsub)
+        return embs.select(
+            F.col(id_col), enc_udf(F.col(vec_col)).alias("_codes")
+        ).select(
+            F.col(id_col),
+            *[
+                F.element_at("_codes", s + 1).alias(f"c{s}")
+                for s in range(m)
+            ],
+        )
+    v = F.col(vec_col)
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(v, s * dsub + 1, dsub)
+        cands = []
+        for j in range(ksub):
+            cw_arr = F.array(
+                *[
+                    F.lit(float(recon[j][s * dsub + i]))
+                    for i in range(dsub)
+                ]
+            )
+            dot = F.aggregate(
+                F.zip_with(sub, cw_arr, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            score = dot * F.lit(-2.0) + F.lit(float(recon_n2[s][j]))
+            cands.append(F.struct(score.alias("d"), F.lit(j).alias("j")))
+        code_cols.append(F.array_min(F.array(*cands))["j"].alias(f"c{s}"))
+    return embs.select(F.col(id_col), *code_cols)
+
+
 def pq_topk(
     embs: DataFrame,
     query: list[float],
@@ -857,6 +969,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seeds: list[list[float]] | None = None,
+    arrow_encode: bool = True,
 ) -> DataFrame:
     """Product-quantization cosine top-k with exact rerank — the
     fourth ANN strategy next to LSH (:func:`ann_topk`), IVF
@@ -892,8 +1005,13 @@ def pq_topk(
     At scale the hot scan reads m log2(ksub)-bit codes per vector
     (64× less than float64 at m=8, ksub=16) once codes are stored
     at rest (à la :func:`ivf_write_index`); the rerank is a pruned
-    second scan whose rows die at the broadcast join. Encode cost is
-    m·ksub short folds per vector, paid once at index build.
+    second scan whose rows die at the broadcast join. The encode runs
+    by default as ONE Arrow-batched NumPy kernel
+    (:func:`_pq_encode_arrow`) whose sequential ``np.add.accumulate``
+    reproduces the fold chains bit-for-bit — ``arrow_encode=False``
+    keeps the pure-expression HOF form (m·ksub interpreted fold
+    chains), retained as the law-test witness that both paths emit
+    identical codes (``test_pq_arrow_encode_matches_hof``).
 
     Corpus vectors whose matched codewords are all zero (an2 = 0)
     have no defined approximate cosine and are excluded from the
@@ -950,24 +1068,15 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    v = F.col(vec_col)
-    code_cols = []
-    for s in range(m):
-        sub = F.slice(v, s * dsub + 1, dsub)
-        cands = []
-        for j in range(len(sds)):
-            cw_arr = F.array(
-                *[F.lit(float(recon[j][s * dsub + i])) for i in range(dsub)]
-            )
-            dot = F.aggregate(
-                F.zip_with(sub, cw_arr, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            score = dot * F.lit(-2.0) + F.lit(float(recon_n2[s][j]))
-            cands.append(F.struct(score.alias("d"), F.lit(j).alias("j")))
-        code_cols.append(F.array_min(F.array(*cands))["j"].alias(f"c{s}"))
-    enc = embs.select(F.col(id_col), *code_cols)
+    enc = pq_encode(
+        embs,
+        recon,
+        recon_n2,
+        m=m,
+        vec_col=vec_col,
+        id_col=id_col,
+        arrow_encode=arrow_encode,
+    )
 
     def lut_pick(table: list[list[int]], s: int) -> F.Column:
         arr = F.array(

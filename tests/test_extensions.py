@@ -1566,6 +1566,56 @@ def test_pq_topk_recall_floor_and_invariance(spark, sf_dir):
         ]
 
 
+def test_pq_arrow_encode_matches_hof(spark, sf_dir):
+    """The Arrow NumPy encoder and the pure-expression HOF fold chains
+    must emit IDENTICAL codes for every corpus vector (the whole
+    bit-exactness contract of the fast path), including on adversarial
+    vectors built to produce exact ±0.0 dot products — the one place
+    the two chains can differ in float bits (the HOF's 0.0 seed can
+    flip a zero's sign, which must never flip an argmin index)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    sds = similarity.pq_seeds(embs)
+    cw_int, scale = similarity._pq_int_codebook(sds)
+    recon = [[scale * c for c in row] for row in cw_int]
+    m, d = similarity.PQ_M, len(sds[0])
+    dsub = d // m
+    recon_n2 = [
+        [
+            similarity._py_fold(
+                recon[j][s * dsub + i] * recon[j][s * dsub + i]
+                for i in range(dsub)
+            )
+            for j in range(len(sds))
+        ]
+        for s in range(m)
+    ]
+
+    def codes(df, arrow):
+        rows = similarity.pq_encode(
+            df, recon, recon_n2, m=m, arrow_encode=arrow
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert codes(embs, True) == codes(embs, False)
+
+    # adversarial: zeros, sign-flipped zeros, and a seed clone — the
+    # products v_i*c_i hit exact -0.0/+0.0 where the seed chain and
+    # the accumulate chain may disagree on zero sign
+    adv = spark.createDataFrame(
+        [
+            (1, [0.0] * d),
+            (2, [-0.0] * d),
+            (3, [x for x in sds[0]]),
+            (4, [-x for x in sds[1]]),
+            (5, [0.0, -0.0] * (d // 2)),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    assert codes(adv, True) == codes(adv, False)
+
+
 def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     """With refine=4 over the 16-dim fixture, the reranked top-10 must
     recover at least 8 of the exact top-10 (int8 quantization of
