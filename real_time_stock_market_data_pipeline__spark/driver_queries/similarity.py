@@ -563,6 +563,57 @@ LIMIT 10
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruned corpus: IVF-cell-scoped cosine duplicates,
+    keep the lowest-(centroid_sim, id) member of every duplicate
+    relation (`operators/similarity.py:semantic_dedup`). The oracle
+    replays the cell assignment (ROW_NUMBER over the same sim chain),
+    the per-row centroid cosine, and the dominance anti-join as a
+    NOT EXISTS."""
+    ensure_engine_conf(spark)
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    sq_e = _coldot_sql("e.embedding", "e.embedding")
+    dot_ab = _coldot_sql("a.embedding", "b.embedding")
+    sq_a = _coldot_sql("a.embedding", "a.embedding")
+    sq_b = _coldot_sql("b.embedding", "b.embedding")
+    cos_ab = (
+        f"CASE WHEN sqrt({sq_a}) > 0 AND sqrt({sq_b}) > 0 "
+        f"THEN ({dot_ab}) / (sqrt({sq_a}) * sqrt({sq_b})) END"
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         CASE WHEN sqrt({sq_e}) > 0
+              THEN (({dot_ec}) * c.inv) / sqrt({sq_e}) END AS centroid_sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+asg AS (SELECT vec_id, embedding, cell, centroid_sim FROM assign WHERE rn = 1)
+SELECT a.vec_id, a.cell, a.centroid_sim
+FROM asg a
+WHERE NOT EXISTS (
+  SELECT 1 FROM asg b
+  WHERE b.cell = a.cell
+    AND (b.centroid_sim < a.centroid_sim
+         OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
+    AND ({cos_ab}) >= 0.3
+)
+"""
 
 
 __all__ = [
@@ -595,5 +646,7 @@ __all__ = [
     "q_sq8_topk",
     "q_pq_topk",
     "_pq_topk_oracle",
+    "q_semantic_dedup",
+    "_semantic_dedup_oracle",
     "q_synthetic_ohlcv",
 ]

@@ -304,6 +304,98 @@ def ivf_query_probes(
     return [-ni for _, ni in sorted(sims, reverse=True)[:n_probe]]
 
 
+def semantic_dedup(
+    embs: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = IVF_CENTROIDS_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, call same-cluster pairs with
+    cosine ≥ ``threshold`` semantic duplicates, and keep — per the
+    paper's policy — the duplicate *least* similar to its cluster
+    centroid (most informative); returns the pruned corpus as
+    ``(id, cell, centroid_sim)``.
+
+    This is the cluster-scoped complement of
+    :func:`embedding_neardup_pairs` (which buckets by LSH and emits
+    pairs): here candidates are confined to IVF cells and the output is
+    the *kept corpus*, the shape a training-data pipeline consumes.
+
+    Keep rule, made one-pass and deterministic: a row is dropped iff
+    some same-cell neighbour with cosine ≥ threshold ranks strictly
+    lower on (centroid_sim, id). On duplicate cliques this is exactly
+    the paper's keep-one-lowest-centroid-sim; on non-transitive chains
+    it is dominance pruning — every dropped row has a kept-or-dropped
+    witness that outranks it, and the minimum of every duplicate group
+    always survives. One anti-join instead of an iterative
+    connected-components pass (that exact variant exists as
+    :func:`dedup.neardup_clusters`).
+
+    Scale shape: the quadratic term is Σ cell², never corpus² — at
+    100 TB raise ``n_centroids`` (K ≈ √n keeps cells ~√n) and swap the
+    deterministic lowest-id seeds for sampled k-means centroids; the
+    assignment, pair scan, and anti-join below are unchanged. The
+    self-join reuses one exchange (both sides hash on ``cell``); the
+    dropped-id set rides a shuffled semi-join on the id.
+
+    Cosines and centroid sims are left-fold chains (bit-replayable by
+    the SQL oracle); zero-norm vectors have NULL sims, are never
+    duplicates of anything, and are always kept.
+    """
+    cents = centroids or ivf_centroids(
+        embs, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    dim = len(cents[0])
+    v = F.col(vec_col)
+    scored = [
+        F.struct(
+            (_dot_fold(v, c) * F.lit(_inv_norm(c))).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.array_max(F.array(*scored))
+    nv = _norm_fold(v, dim)
+    assigned = embs.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (-best["ni"]).alias("cell"),
+        F.when(nv > F.lit(0.0), best["s"] / nv).alias("centroid_sim"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    prods = F.zip_with(
+        F.col("a._v"),
+        F.col("b._v"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    na = _norm_fold(F.col("a._v"), dim)
+    nb = _norm_fold(F.col("b._v"), dim)
+    cos = F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot / (na * nb))
+    outranked_by_b = (
+        F.col("b.centroid_sim") < F.col("a.centroid_sim")
+    ) | (
+        (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+        & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}"))
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & outranked_by_b
+            & (cos >= F.lit(float(threshold))),
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "cell", "centroid_sim"
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     query: list[float],

@@ -1566,6 +1566,57 @@ def test_pq_topk_recall_floor_and_invariance(spark, sf_dir):
         ]
 
 
+def test_semantic_dedup_hand_case(spark):
+    """A 3-vector duplicate clique in cell 0: only the member LEAST
+    similar to the centroid survives (the SemDeDup keep policy); a
+    high-cosine pair split across two cells is untouched (cluster
+    scoping); a zero vector has NULL centroid_sim and is always kept."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),  # zero vector → NULL sim, kept
+        (1, [1.0, 0.0, 0.0, 0.0]),  # clique, sim 1.0      → dropped
+        (2, [0.9, 0.1, 0.0, 0.0]),  # clique, sim ≈0.9939  → kept (min)
+        (3, [1.0, 0.01, 0.0, 0.0]),  # clique, sim ≈0.99995 → dropped
+        (4, [0.0, 1.0, 0.0, 0.0]),  # alone in cell 1 → kept
+        (5, [0.6, 0.8, 0.0, 0.0]),  # cell 1; cos(5,6)=0.96 but cells
+        (6, [0.8, 0.6, 0.0, 0.0]),  # differ → both kept
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>"
+    )
+    kept = similarity.semantic_dedup(
+        embs, threshold=0.9, centroids=cents
+    ).collect()
+    by_id = {r["vec_id"]: r for r in kept}
+    assert sorted(by_id) == [0, 2, 4, 5, 6]
+    assert by_id[0]["centroid_sim"] is None and by_id[0]["cell"] == 0
+    assert by_id[2]["cell"] == 0
+    assert by_id[4]["cell"] == 1 and by_id[5]["cell"] == 1
+    assert by_id[6]["cell"] == 0
+    assert abs(by_id[4]["centroid_sim"] - 1.0) < 1e-12
+
+
+def test_semantic_dedup_partitioning_invariance(spark, sf_dir):
+    """Kept set and every (cell, centroid_sim) value are identical
+    across input partitionings — the dominance rule depends only on
+    per-row folds and the join, never on row order."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    base = sorted(
+        map(tuple, similarity.semantic_dedup(embs, threshold=0.3).collect())
+    )
+    assert base  # fixture keeps a non-empty corpus
+    assert len(base) < embs.count()  # and actually prunes something
+    shuffled = sorted(
+        map(
+            tuple,
+            similarity.semantic_dedup(
+                embs.repartition(7, "vec_id"), threshold=0.3
+            ).collect(),
+        )
+    )
+    assert base == shuffled
+
+
 def test_pq_arrow_encode_matches_hof(spark, sf_dir):
     """The Arrow NumPy encoder and the pure-expression HOF fold chains
     must emit IDENTICAL codes for every corpus vector (the whole
