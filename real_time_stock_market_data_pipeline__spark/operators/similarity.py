@@ -359,9 +359,13 @@ def semantic_dedup(
     ]
     best = F.array_max(F.array(*scored))
     nv = _norm_fold(v, dim)
+    # The norm rides along as a column so the pair condition below
+    # costs one dot fold per candidate pair, not three (same hoist as
+    # ivf_knn_join; the value is bit-identical either way).
     assigned = embs.select(
         F.col(id_col),
         v.alias("_v"),
+        nv.alias("_n"),
         (-best["ni"]).alias("cell"),
         F.when(nv > F.lit(0.0), best["s"] / nv).alias("centroid_sim"),
     )
@@ -372,8 +376,8 @@ def semantic_dedup(
         lambda x, y: x.cast("double") * y.cast("double"),
     )
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    na = _norm_fold(F.col("a._v"), dim)
-    nb = _norm_fold(F.col("b._v"), dim)
+    na = F.col("a._n")
+    nb = F.col("b._n")
     cos = F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot / (na * nb))
     outranked_by_b = (
         F.col("b.centroid_sim") < F.col("a.centroid_sim")
