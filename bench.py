@@ -113,6 +113,7 @@ TIER3_QUERIES = [
     "sq8_topk",
     "pq_topk",
     "hll_distinct",
+    "semantic_dedup",
 ]
 
 
