@@ -576,23 +576,29 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_cos_ab() -> str:
+    dot_ab = _coldot_sql("a.embedding", "b.embedding")
+    sq_a = _coldot_sql("a.embedding", "a.embedding")
+    sq_b = _coldot_sql("b.embedding", "b.embedding")
+    return (
+        f"CASE WHEN sqrt({sq_a}) > 0 AND sqrt({sq_b}) > 0 "
+        f"THEN ({dot_ab}) / (sqrt({sq_a}) * sqrt({sq_b})) END"
+    )
+
+
+def _semantic_assign_ctes(src: str) -> str:
+    """The cent/centn/assign/asg CTE block replaying
+    `similarity._semantic_assign` over relation ``{src}`` (centroids
+    always come from ``{src}`` itself for the one-corpus query; the
+    incremental oracle overrides with its own cent block)."""
     n_c = similarity.IVF_CENTROIDS_N
     sq_ce = _coldot_sql("c.ce", "c.ce")
     inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
     dot_ec = _coldot_sql("e.embedding", "c.ce")
     sq_e = _coldot_sql("e.embedding", "e.embedding")
-    dot_ab = _coldot_sql("a.embedding", "b.embedding")
-    sq_a = _coldot_sql("a.embedding", "a.embedding")
-    sq_b = _coldot_sql("b.embedding", "b.embedding")
-    cos_ab = (
-        f"CASE WHEN sqrt({sq_a}) > 0 AND sqrt({sq_b}) > 0 "
-        f"THEN ({dot_ab}) / (sqrt({sq_a}) * sqrt({sq_b})) END"
-    )
-    return f"""
-WITH cent AS (
+    return f"""cent AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
-  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+  FROM {src} ORDER BY vec_id LIMIT {n_c}
 ),
 centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
 assign AS (
@@ -601,13 +607,75 @@ assign AS (
               THEN (({dot_ec}) * c.inv) / sqrt({sq_e}) END AS centroid_sim,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
                             ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
-  FROM embeddings e CROSS JOIN centn c
+  FROM {src} e CROSS JOIN centn c
 ),
-asg AS (SELECT vec_id, embedding, cell, centroid_sim FROM assign WHERE rn = 1)
+asg AS (SELECT vec_id, embedding, cell, centroid_sim FROM assign WHERE rn = 1)"""
+
+
+def _semantic_dedup_oracle() -> str:
+    cos_ab = _semantic_cos_ab()
+    return f"""
+WITH {_semantic_assign_ctes("embeddings")}
 SELECT a.vec_id, a.cell, a.centroid_sim
 FROM asg a
 WHERE NOT EXISTS (
   SELECT 1 FROM asg b
+  WHERE b.cell = a.cell
+    AND (b.centroid_sim < a.centroid_sim
+         OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
+    AND ({cos_ab}) >= 0.3
+)
+"""
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once screen: embeddings with vec_id % 4 == 0 are the NEW
+    batch, the rest the existing corpus
+    (`operators/similarity.py:semantic_dedup_incremental`). The oracle
+    replays corpus-seeded cells, the any-stored-duplicate screen, and
+    the intra-batch dominance rule over the survivors."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_incremental(
+        embs.filter(F.col("vec_id") % 4 == 0),
+        embs.filter(F.col("vec_id") % 4 != 0),
+        threshold=0.3,
+    )
+
+
+def _semantic_dedup_incremental_oracle() -> str:
+    # Reuse the assign CTE block with the corpus as the centroid and
+    # assignment source, then assign the new batch against the SAME
+    # centn (swap the `{src} e` scan of the shared block by writing the
+    # new-batch assignment inline).
+    cos_ab = _semantic_cos_ab()
+    sq_e = _coldot_sql("e.embedding", "e.embedding")
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    ctes = _semantic_assign_ctes("corpus")
+    return f"""
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 4 <> 0),
+newb AS (SELECT * FROM embeddings WHERE vec_id % 4 = 0),
+{ctes},
+assign_n AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         CASE WHEN sqrt({sq_e}) > 0
+              THEN (({dot_ec}) * c.inv) / sqrt({sq_e}) END AS centroid_sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM newb e CROSS JOIN centn c
+),
+asg_n AS (SELECT vec_id, embedding, cell, centroid_sim FROM assign_n WHERE rn = 1),
+surv AS (
+  SELECT a.* FROM asg_n a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM asg b
+    WHERE b.cell = a.cell AND ({cos_ab}) >= 0.3
+  )
+)
+SELECT a.vec_id, a.cell, a.centroid_sim
+FROM surv a
+WHERE NOT EXISTS (
+  SELECT 1 FROM surv b
   WHERE b.cell = a.cell
     AND (b.centroid_sim < a.centroid_sim
          OR (b.centroid_sim = a.centroid_sim AND b.vec_id < a.vec_id))
@@ -648,5 +716,7 @@ __all__ = [
     "_pq_topk_oracle",
     "q_semantic_dedup",
     "_semantic_dedup_oracle",
+    "q_semantic_dedup_incremental",
+    "_semantic_dedup_incremental_oracle",
     "q_synthetic_ohlcv",
 ]

@@ -348,6 +348,21 @@ def semantic_dedup(
     cents = centroids or ivf_centroids(
         embs, n_centroids, id_col=id_col, vec_col=vec_col
     )
+    assigned = _semantic_assign(embs, cents, vec_col, id_col)
+    return _dominance_prune(assigned, threshold, id_col)
+
+
+def _semantic_assign(
+    embs: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Cell + centroid-cosine assignment frame for semantic dedup:
+    ``(id, _v, _n, cell, centroid_sim)``. The norm rides along as a
+    column so downstream pair conditions cost one dot fold per
+    candidate pair, not three (same hoist as ``ivf_knn_join``; the
+    value is bit-identical either way)."""
     dim = len(cents[0])
     v = F.col(vec_col)
     scored = [
@@ -359,26 +374,33 @@ def semantic_dedup(
     ]
     best = F.array_max(F.array(*scored))
     nv = _norm_fold(v, dim)
-    # The norm rides along as a column so the pair condition below
-    # costs one dot fold per candidate pair, not three (same hoist as
-    # ivf_knn_join; the value is bit-identical either way).
-    assigned = embs.select(
+    return embs.select(
         F.col(id_col),
         v.alias("_v"),
         nv.alias("_n"),
         (-best["ni"]).alias("cell"),
         F.when(nv > F.lit(0.0), best["s"] / nv).alias("centroid_sim"),
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+
+
+def _pair_cosine(a_pfx: str = "a", b_pfx: str = "b") -> F.Column:
+    """Cosine between two ``_semantic_assign`` rows, hoisted norms."""
     prods = F.zip_with(
-        F.col("a._v"),
-        F.col("b._v"),
+        F.col(f"{a_pfx}._v"),
+        F.col(f"{b_pfx}._v"),
         lambda x, y: x.cast("double") * y.cast("double"),
     )
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    na = F.col("a._n")
-    nb = F.col("b._n")
-    cos = F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot / (na * nb))
+    na, nb = F.col(f"{a_pfx}._n"), F.col(f"{b_pfx}._n")
+    return F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot / (na * nb))
+
+
+def _dominance_prune(
+    assigned: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Keep rows not outranked by a same-cell duplicate (see
+    :func:`semantic_dedup` for the policy)."""
+    a, b = assigned.alias("a"), assigned.alias("b")
     outranked_by_b = (
         F.col("b.centroid_sim") < F.col("a.centroid_sim")
     ) | (
@@ -390,7 +412,7 @@ def semantic_dedup(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & outranked_by_b
-            & (cos >= F.lit(float(threshold))),
+            & (_pair_cosine() >= F.lit(float(threshold))),
         )
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
@@ -398,6 +420,59 @@ def semantic_dedup(
     return assigned.join(dropped, id_col, "left_anti").select(
         id_col, "cell", "centroid_sim"
     )
+
+
+def semantic_dedup_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = IVF_CENTROIDS_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Per-batch :func:`semantic_dedup` against an existing corpus —
+    the write-once/screen-forever shape (cf.
+    :func:`dedup.incremental_neardup`): which NEW embeddings survive
+    semantic dedup given everything already ingested.
+
+    Two stages, both cell-scoped:
+
+    1. **Screen**: a new row dies if ANY same-cell corpus vector has
+       cosine ≥ threshold — the store always outranks the batch
+       (re-ranking would mean rewriting history). Cost is
+       new × same-cell-corpus, an equi-join on ``cell``; with the
+       corpus assignment at rest partitioned by cell (the
+       :func:`ivf_write_index` layout plus the ``centroid_sim``
+       column), each batch touches only its probed cell partitions
+       and the stored 100 TB is never re-embedded or re-scanned.
+    2. **Intra-batch**: survivors are pruned against each other with
+       the same dominance rule as :func:`semantic_dedup`. Rows the
+       screen killed don't get to kill batch-mates (their duplicates
+       are screened by the same corpus rows anyway).
+
+    Centroids default to the CORPUS's deterministic seeds — both
+    sides must quantize against the same codebook or cell scoping is
+    meaningless. The kept output ``(id, cell, centroid_sim)`` is
+    exactly one append to the corpus assignment table.
+    """
+    cents = centroids or ivf_centroids(
+        corpus, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    an = _semantic_assign(new_batch, cents, vec_col, id_col)
+    ac = _semantic_assign(corpus, cents, vec_col, id_col)
+    n_, c_ = an.alias("a"), ac.alias("b")
+    screened_out = (
+        n_.join(
+            c_,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (_pair_cosine() >= F.lit(float(threshold))),
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    survivors = an.join(screened_out, id_col, "left_anti")
+    return _dominance_prune(survivors, threshold, id_col)
 
 
 def ivf_topk(

@@ -1617,6 +1617,41 @@ def test_semantic_dedup_partitioning_invariance(spark, sf_dir):
     assert base == shuffled
 
 
+def test_semantic_dedup_incremental_hand_case(spark):
+    """Stage 1: any same-cell corpus duplicate kills a new row (store
+    outranks batch, regardless of centroid_sim rank). Stage 2: the
+    survivors dedup against each other with the dominance rule. Corpus
+    rows themselves never appear in the output."""
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),  # centroid 0
+            (11, [0.0, 1.0, 0.0, 0.0]),  # centroid 1
+            (12, [0.9, 0.1, 0.0, 0.0]),  # extra stored vector, cell 0
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, [0.92, 0.08, 0.0, 0.0]),  # ≅ stored 10/12 → screened
+            (2, [0.0, 1.0, 0.0, 0.0]),  # ≡ stored 11 → screened
+            (3, [0.0, 0.10, 0.9, 0.0]),  # cell 1, no stored dup → kept
+            (4, [0.0, 0.12, 0.89, 0.0]),  # ≅ 3, higher sim → dropped
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    kept = similarity.semantic_dedup_incremental(
+        batch, corpus, threshold=0.9, n_centroids=2
+    ).collect()
+    assert [(r["vec_id"], r["cell"]) for r in kept] == [(3, 1)]
+
+    # empty batch → empty result, same schema (ANSI edge)
+    empty = similarity.semantic_dedup_incremental(
+        batch.filter(F.col("vec_id") < 0), corpus, threshold=0.9, n_centroids=2
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["vec_id", "cell", "centroid_sim"]
+
+
 def test_pq_arrow_encode_matches_hof(spark, sf_dir):
     """The Arrow NumPy encoder and the pure-expression HOF fold chains
     must emit IDENTICAL codes for every corpus vector (the whole
