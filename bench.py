@@ -114,6 +114,7 @@ TIER3_QUERIES = [
     "pq_topk",
     "hll_distinct",
     "semantic_dedup",
+    "semantic_dedup_incremental",
 ]
 
 
