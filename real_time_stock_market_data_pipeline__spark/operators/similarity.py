@@ -328,11 +328,13 @@ def semantic_dedup(
     some same-cell neighbour with cosine ≥ threshold ranks strictly
     lower on (centroid_sim, id). On duplicate cliques this is exactly
     the paper's keep-one-lowest-centroid-sim; on non-transitive chains
-    it is dominance pruning — every dropped row has a kept-or-dropped
-    witness that outranks it, and the minimum of every duplicate group
-    always survives. One anti-join instead of an iterative
-    connected-components pass (that exact variant exists as
-    :func:`dedup.neardup_clusters`).
+    it is dominance pruning — the minimum of every duplicate group
+    always survives. Because (centroid_sim, id) totally orders
+    distinct rows, the kept set is an INDEPENDENT set (no same-cell
+    kept pair at cosine ≥ threshold) and the operator is idempotent
+    over its own output under the same centroids — both law-tested.
+    One anti-join instead of an iterative connected-components pass
+    (that exact variant exists as :func:`dedup.neardup_clusters`).
 
     Scale shape: the quadratic term is Σ cell², never corpus² — at
     100 TB raise ``n_centroids`` (K ≈ √n keeps cells ~√n) and swap the

@@ -1617,6 +1617,71 @@ def test_semantic_dedup_partitioning_invariance(spark, sf_dir):
     assert base == shuffled
 
 
+def test_semantic_dedup_laws_independent_set_and_idempotence(spark, sf_dir):
+    """Two structural consequences of the dominance rule, asserted on
+    the real fixture: (1) the kept set is an INDEPENDENT set — two
+    same-cell kept rows can never be duplicates, because (centroid_sim,
+    id) totally orders distinct rows so one would outrank the other;
+    (2) idempotence — re-running over the kept corpus with the SAME
+    centroids drops nothing."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(embs)
+    kept = similarity.semantic_dedup(embs, threshold=0.3, centroids=cents)
+    kept_rows = {r["vec_id"]: r for r in kept.collect()}
+
+    kept_vecs = embs.join(
+        kept.select("vec_id"), "vec_id", "left_semi"
+    )
+    # (1) no qualifying duplicate pair among kept rows, cell-scoped
+    assigned = similarity._semantic_assign(kept_vecs, cents, "embedding", "vec_id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    viol = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (similarity._pair_cosine() >= F.lit(0.3)),
+    )
+    assert viol.count() == 0
+
+    # (2) idempotence under the same centroids
+    again = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            kept_vecs, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    assert set(again) == set(kept_rows)
+    for vid, r in again.items():
+        assert r["cell"] == kept_rows[vid]["cell"]
+        assert r["centroid_sim"] == kept_rows[vid]["centroid_sim"]
+
+
+def test_semantic_dedup_incremental_kept_has_no_corpus_duplicate(spark, sf_dir):
+    """Screen law: every kept NEW row has zero same-cell corpus
+    vectors at cosine ≥ threshold (and the kept batch is itself an
+    independent set, by the same argument as the batch operator)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    newb = embs.filter(F.col("vec_id") % 4 == 0)
+    corpus = embs.filter(F.col("vec_id") % 4 != 0)
+    cents = similarity.ivf_centroids(corpus)
+    kept = similarity.semantic_dedup_incremental(
+        newb, corpus, threshold=0.3, centroids=cents
+    )
+    kept_vecs = newb.join(kept.select("vec_id"), "vec_id", "left_semi")
+    an = similarity._semantic_assign(kept_vecs, cents, "embedding", "vec_id")
+    ac = similarity._semantic_assign(corpus, cents, "embedding", "vec_id")
+    viol = an.alias("a").join(
+        ac.alias("b"),
+        (F.col("a.cell") == F.col("b.cell"))
+        & (similarity._pair_cosine() >= F.lit(0.3)),
+    )
+    assert viol.count() == 0
+
+
 def test_semantic_dedup_incremental_hand_case(spark):
     """Stage 1: any same-cell corpus duplicate kills a new row (store
     outranks batch, regardless of centroid_sim rank). Stage 2: the
