@@ -465,6 +465,33 @@ FROM g
 """
 
 
+def q_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic-dedup ingestion
+    (`streaming/pipeline.py:stream_semantic_screen`): the new-batch
+    slice (vec_id % 4 == 0) arrives as a one-file stream, is screened
+    per micro-batch against the static corpus plus the growing kept
+    index, and the index is MERGE-upserted idempotently. One input
+    file → one availableNow batch, so the drained index must equal
+    the batch operator on the same split — it shares
+    `semantic_dedup_incremental`'s oracle verbatim."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    corpus = embs.filter(F.col("vec_id") % 4 != 0)
+    newb = embs.filter(F.col("vec_id") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="sss_q_")
+    newb.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_semantic_screen(
+        src, corpus, f"{tmp}/index", f"{tmp}/ckpt", threshold=0.3
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/index").select(
+        "vec_id", "cell", "centroid_sim"
+    )
 
 
 __all__ = [
@@ -483,6 +510,7 @@ __all__ = [
     "q_stream_dedup",
     "q_stream_ema",
     "q_stream_interval_join",
+    "q_stream_semantic_screen",
     "q_stream_sessionize",
     "q_stream_window_append",
 ]

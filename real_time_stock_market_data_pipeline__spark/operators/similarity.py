@@ -463,6 +463,16 @@ def semantic_dedup_incremental(
     )
     an = _semantic_assign(new_batch, cents, vec_col, id_col)
     ac = _semantic_assign(corpus, cents, vec_col, id_col)
+    return _semantic_screen_assigned(an, ac, threshold, id_col)
+
+
+def _semantic_screen_assigned(
+    an: DataFrame, ac: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Corpus screen + intra-batch dominance over two pre-assigned
+    frames (:func:`_semantic_assign` shape) — the core both
+    :func:`semantic_dedup_incremental` and the streaming screen share;
+    ``ac`` may equally be the at-rest assignment table read back."""
     n_, c_ = an.alias("a"), ac.alias("b")
     screened_out = (
         n_.join(

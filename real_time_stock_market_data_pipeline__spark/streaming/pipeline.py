@@ -254,6 +254,82 @@ def stream_dedup_within_watermark(
     )
 
 
+def stream_semantic_screen(
+    source: DataFrame,
+    corpus: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.3,
+    n_centroids: int | None = None,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming semantic-dedup ingestion — the crawl-time twin of
+    :func:`operators.similarity.semantic_dedup_incremental`: each
+    micro-batch of embeddings is screened against the static corpus
+    PLUS everything previously kept (read back from the growing index
+    at ``index_path``), dominance-pruned intra-batch, and the kept
+    rows MERGE-upserted into the index (idempotent on ``id_col``, so
+    a replayed batch after a crash cannot duplicate index rows — the
+    same T10 contract as ``stream_realtime_metrics``).
+
+    The index stores the full :func:`_semantic_assign` shape
+    ``(id, _v, _n, cell, centroid_sim)`` so later batches screen
+    against it WITHOUT re-embedding or re-assigning history — the
+    write-once/screen-forever shape, now fed by a stream. Centroids
+    are fixed up front from the static corpus (both sides must
+    quantize against one codebook); at 100 TB the corpus assignment
+    itself lives at rest and this foreachBatch reads it instead of
+    recomputing.
+
+    Sequential-ingest semantics are inherently arrival-ordered: a row
+    kept in batch N can kill a duplicate arriving in batch N+1 but
+    never vice versa. With a single input file (or one availableNow
+    drain per file) the order is deterministic and the result equals
+    the batch operator on the same split — the oracle contract.
+    """
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import input_ready
+
+    spark = source.sparkSession
+    cents = centroids or similarity.ivf_centroids(
+        corpus,
+        n_centroids or similarity.IVF_CENTROIDS_N,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    corpus_assigned = similarity._semantic_assign(
+        corpus, cents, vec_col, id_col
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        an = similarity._semantic_assign(batch, cents, vec_col, id_col)
+        base = corpus_assigned
+        if input_ready(spark, index_path):
+            base = base.unionByName(spark.read.parquet(index_path))
+        kept = similarity._semantic_screen_assigned(
+            an, base, threshold, id_col
+        )
+        kept_full = an.join(kept.select(id_col), id_col, "left_semi")
+        merge_upsert_parquet(spark, kept_full, index_path, keys=[id_col])
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,

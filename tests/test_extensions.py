@@ -1682,6 +1682,57 @@ def test_semantic_dedup_incremental_kept_has_no_corpus_duplicate(spark, sf_dir):
     assert viol.count() == 0
 
 
+def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
+    """Sequential-ingest semantics across micro-batches: a row kept in
+    drain 1 kills its duplicate arriving in drain 2 (the growing index
+    IS part of the screen), the corpus screen still applies, and a
+    third drain with no new files changes nothing (checkpoint +
+    MERGE-upsert idempotence)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    schema = "vec_id: long, embedding: array<float>"
+    tmp = tempfile.mkdtemp(prefix="sss_seq_")
+    in_dir, idx, ckpt = f"{tmp}/in", f"{tmp}/index", f"{tmp}/ckpt"
+
+    def drain():
+        src = pipeline.read_file_stream(
+            spark, in_dir, schema=spark.createDataFrame([], schema).schema
+        )
+        q = pipeline.stream_semantic_screen(
+            src, corpus, idx, ckpt, threshold=0.9, n_centroids=2
+        )
+        q.awaitTermination()
+        return sorted(
+            r["vec_id"] for r in spark.read.parquet(idx).collect()
+        )
+
+    # drain 1: row 1 dies on the corpus screen, row 3 is kept
+    spark.createDataFrame(
+        [(1, [0.92, 0.08, 0.0, 0.0]), (3, [0.0, 0.1, 0.9, 0.0])], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert drain() == [3]
+
+    # drain 2: row 5 duplicates KEPT row 3 (not the corpus) → the
+    # index kills it; row 6 is novel → kept
+    spark.createDataFrame(
+        [(5, [0.0, 0.12, 0.89, 0.0]), (6, [0.0, 0.0, 0.0, 1.0])], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert drain() == [3, 6]
+
+    # drain 3: nothing new → index unchanged (restart idempotence)
+    assert drain() == [3, 6]
+
+
 def test_semantic_dedup_incremental_hand_case(spark):
     """Stage 1: any same-cell corpus duplicate kills a new row (store
     outranks batch, regardless of centroid_sim rank). Stage 2: the
