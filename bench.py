@@ -115,6 +115,7 @@ TIER3_QUERIES = [
     "hll_distinct",
     "semantic_dedup",
     "semantic_dedup_incremental",
+    "stream_semantic_screen",
 ]
 
 
