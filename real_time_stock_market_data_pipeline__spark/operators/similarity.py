@@ -397,12 +397,61 @@ def _pair_cosine(a_pfx: str = "a", b_pfx: str = "b") -> F.Column:
     return F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot / (na * nb))
 
 
+#: Exact-clone collapse is valid only when the threshold sits safely
+#: below 1: a clone pair's COMPUTED self-cosine is s/(sqrt(s)·sqrt(s))
+#: = 1 ± 2 ulp, so for τ within a few ulp of 1.0 "identical vectors
+#: are duplicates" may disagree with the fold arithmetic. Real dedup
+#: thresholds live far below this line.
+_COLLAPSE_MAX_THRESHOLD = 0.999999
+
+
+def _collapse_exact_clones(
+    assigned: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Split an assignment frame into (representatives, zero-norm
+    rows): one min-id row per DISTINCT non-zero vector.
+
+    Exactness argument — why the quadratic may run over reps only:
+    identical vectors get bit-identical (_n, cell, centroid_sim), so
+    (a) a non-min clone is always dropped (its min-id clone-mate has
+    equal sim and a lower id, and their cosine ≥ any τ under the
+    collapse guard); (b) if ANY member of a clone group outranks x
+    with cosine ≥ τ, the group's min-id member does too (same sim,
+    lower id, same cosine) — dominance over reps ≡ dominance over all
+    rows. Zero-norm vectors have NULL cosine with everything and are
+    returned separately, always kept.
+
+    At 100 TB this is the standard exact-dedup-before-near-dup
+    pre-pass: the quadratic term shrinks from Σ cell² over rows to
+    Σ cell² over distinct vectors (group on a sha2 digest of the
+    vector bytes there; here the array groups directly)."""
+    nz = assigned.filter(F.col("_n") > F.lit(0.0))
+    zs = assigned.filter(~(F.col("_n") > F.lit(0.0)))
+    reps = nz.groupBy("_v").agg(
+        F.min(id_col).alias(id_col),
+        F.min("_n").alias("_n"),
+        F.min("cell").alias("cell"),
+        F.min("centroid_sim").alias("centroid_sim"),
+    )
+    return reps, zs
+
+
 def _dominance_prune(
     assigned: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
     """Keep rows not outranked by a same-cell duplicate (see
-    :func:`semantic_dedup` for the policy)."""
-    a, b = assigned.alias("a"), assigned.alias("b")
+    :func:`semantic_dedup` for the policy). Runs the pair scan over
+    exact-clone representatives when the threshold allows
+    (:func:`_collapse_exact_clones`); results are identical either
+    way — the SQL oracles replay the UNcollapsed relation."""
+    if float(threshold) <= _COLLAPSE_MAX_THRESHOLD:
+        reps, zs = _collapse_exact_clones(assigned, id_col)
+        scan = reps
+        kept_tail = zs.select(id_col, "cell", "centroid_sim")
+    else:
+        scan = assigned
+        kept_tail = None
+    a, b = scan.alias("a"), scan.alias("b")
     outranked_by_b = (
         F.col("b.centroid_sim") < F.col("a.centroid_sim")
     ) | (
@@ -419,9 +468,10 @@ def _dominance_prune(
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
-    return assigned.join(dropped, id_col, "left_anti").select(
+    kept = scan.join(dropped, id_col, "left_anti").select(
         id_col, "cell", "centroid_sim"
     )
+    return kept if kept_tail is None else kept.unionByName(kept_tail)
 
 
 def semantic_dedup_incremental(
@@ -473,7 +523,14 @@ def _semantic_screen_assigned(
     frames (:func:`_semantic_assign` shape) — the core both
     :func:`semantic_dedup_incremental` and the streaming screen share;
     ``ac`` may equally be the at-rest assignment table read back."""
-    n_, c_ = an.alias("a"), ac.alias("b")
+    # The screen is existential, so duplicate corpus vectors add no
+    # information — scan one representative per distinct vector
+    # (zero-norm corpus rows have NULL cosine with everything and
+    # can never screen; _collapse_exact_clones already drops them
+    # from the rep side). No threshold guard needed: the kept/killed
+    # outcome per new row is decided by the same cosine values.
+    ac_reps, _ = _collapse_exact_clones(ac, id_col)
+    n_, c_ = an.alias("a"), ac_reps.alias("b")
     screened_out = (
         n_.join(
             c_,

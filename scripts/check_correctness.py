@@ -121,6 +121,13 @@ def main() -> int:
     from real_time_stock_market_data_pipeline__spark.session import get_spark
 
     con = duckdb.connect()
+    # Cap DuckDB's worker-thread fan-out: the checker shares a process
+    # with a 32-thread Spark JVM (plus streaming-query thread churn),
+    # and DuckDB spawning one thread per core on top of that has been
+    # observed to trip transient allocation failures (surfacing as
+    # OutOfMemoryException / jemalloc EAGAIN) right after heavy Spark
+    # activity. 8 threads is plenty for the oracle SQL.
+    con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
@@ -224,7 +231,9 @@ def main() -> int:
                 # record it distinctly instead of as a failure.
                 if "OutOfMemory" in type(e).__name__ or "OutOfMemory" in str(e):
                     print(f"      note {name}: pandas leg skipped "
-                          f"(oracle re-execution OOM; raw hash already equal)")
+                          f"(oracle re-execution OOM; raw hash already equal)"
+                          f"\n      detail: {type(e).__name__}: "
+                          f"{str(e)[:300]}")
                     pandas_leg = "skipped_oom"
                     n_skipped += 1
                 else:

@@ -1682,6 +1682,58 @@ def test_semantic_dedup_incremental_kept_has_no_corpus_duplicate(spark, sf_dir):
     assert viol.count() == 0
 
 
+def test_semantic_dedup_exact_clone_collapse(spark):
+    """The exact-clone collapse pre-pass: of three identical vectors
+    only the min id survives; a distinct vector dominated by the clone
+    GROUP (via its representative) is dropped; identical ZERO vectors
+    are all kept (NULL cosine with everything — the collapse must not
+    fold them); and a cloned corpus vector screens a new batch exactly
+    like a single copy."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    embs = spark.createDataFrame(
+        [
+            (0, [0.8, 0.05, 0.0, 0.0]),  # outranked by the clone group
+            (1, [0.9, 0.1, 0.0, 0.0]),  # clone group min id → kept
+            (2, [0.9, 0.1, 0.0, 0.0]),  # clone → dropped
+            (3, [0.9, 0.1, 0.0, 0.0]),  # clone → dropped
+            (5, [0.0, 1.0, 0.0, 0.0]),  # alone in cell 1 → kept
+            (8, [0.0, 0.0, 0.0, 0.0]),  # zero clones: BOTH kept
+            (9, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            embs, threshold=0.9, centroids=cents
+        ).collect()
+    )
+    assert kept == [1, 5, 8, 9]
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [1.0, 0.0, 0.0, 0.0]),  # exact clone of 10
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, [0.95, 0.05, 0.0, 0.0]),  # ≅ stored 10/12 → screened
+            (2, [0.0, 0.0, 1.0, 0.0]),  # novel → kept
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    kept2 = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_incremental(
+            batch, corpus, threshold=0.9, centroids=cents
+        ).collect()
+    )
+    assert kept2 == [2]
+
+
 def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
     """Sequential-ingest semantics across micro-batches: a row kept in
     drain 1 kills its duplicate arriving in drain 2 (the growing index
