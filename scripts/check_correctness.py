@@ -155,7 +155,14 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Engine vs oracle time are recorded SEPARATELY (round-9
+        # verdict ask #2): at stress SFs some oracles deliberately
+        # replay an uncollapsed quadratic single-node definition, so a
+        # merged `sec` misreads oracle cost as engine cost. spark_sec
+        # also absorbs the pandas leg's toPandas() re-execution;
+        # oracle_sec absorbs the pandas leg's oracle re-execution.
         t0 = time.time()
+        spark_sec = oracle_sec = 0.0
         try:
             sdf = fn(spark, args.sf)
             scols = sdf.columns
@@ -167,14 +174,17 @@ def main() -> int:
                              "problems": [f"spark error: {type(e).__name__}"],
                              "sec": round(time.time() - t0, 2)}
             continue
+        spark_sec = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle, rows-only)")
             n_pass += 1
             results[name] = {"status": "rows_only", "rows": len(srows),
-                             "sec": round(time.time() - t0, 2)}
+                             "sec": round(time.time() - t0, 2),
+                             "spark_sec": round(spark_sec, 2)}
             continue
         oracle_kind = "py" if name in py_oracles else "sql"
         opdf = None
+        t_oracle = time.time()
         try:
             if oracle_kind == "py":
                 opdf = py_oracles[name](con)
@@ -194,6 +204,7 @@ def main() -> int:
                              "problems": [f"duckdb error: {type(e).__name__}"],
                              "sec": round(time.time() - t0, 2)}
             continue
+        oracle_sec = time.time() - t_oracle
         dt = time.time() - t0
         problems = []
         if len(srows) != len(orows):
@@ -217,11 +228,15 @@ def main() -> int:
         if not problems and not args.no_pandas:
             # driver-mirroring pandas canonicalization
             try:
-                sph = pandas_canon_hash(sdf.toPandas())
-                oph = pandas_canon_hash(
-                    opdf if opdf is not None
-                    else con.execute(oracles[name]).df()
-                )
+                t_sp = time.time()
+                spdf = sdf.toPandas()
+                spark_sec += time.time() - t_sp
+                sph = pandas_canon_hash(spdf)
+                t_op = time.time()
+                opdf2 = (opdf if opdf is not None
+                         else con.execute(oracles[name]).df())
+                oracle_sec += time.time() - t_op
+                oph = pandas_canon_hash(opdf2)
             except Exception as e:
                 # the pandas leg RE-EXECUTES the oracle; at stress SFs a
                 # heavy oracle (recursive-CTE pagerank at 1M events) can
@@ -250,10 +265,13 @@ def main() -> int:
             results[name] = {"status": "fail", "problems": problems,
                              "rows": len(srows), "sec": round(dt, 2)}
         else:
-            print(f"PASS  {name}: {len(srows)} rows, {dt:.1f}s")
+            print(f"PASS  {name}: {len(srows)} rows, {dt:.1f}s "
+                  f"(spark {spark_sec:.1f}s / oracle {oracle_sec:.1f}s)")
             n_pass += 1
             results[name] = {"status": "pass", "rows": len(srows),
-                             "sec": round(dt, 2)}
+                             "sec": round(dt, 2),
+                             "spark_sec": round(spark_sec, 2),
+                             "oracle_sec": round(oracle_sec, 2)}
             if pandas_leg is not None:
                 results[name]["pandas_leg"] = pandas_leg
             if oracle_kind != "sql":

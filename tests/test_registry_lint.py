@@ -87,6 +87,31 @@ def test_driver_window_marker_sits_at_position_50():
     assert above == list(dq.QUERIES)[:50]
 
 
+def test_driver_window_prioritizes_never_verified_queries():
+    # The rotation policy (round-9 verdict ask #7, made a check): a
+    # query that has NEVER appeared in any committed driver-window
+    # artifact (CORRECTNESS_r*.json) must not be displaced from the
+    # 50-slot window by a multiply-green veteran. Concretely: the
+    # number of never-driver-verified queries inside the first 50
+    # slots must equal min(50, total never-verified). When a new
+    # round's artifact lands this test forces the next reorder.
+    import json
+
+    driver_verified: set[str] = set()
+    for art in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        driver_verified.update(json.loads(art.read_text()).keys())
+    never = [k for k in dq.QUERIES if k not in driver_verified]
+    window = list(dq.QUERIES)[:50]
+    in_window = [k for k in window if k not in driver_verified]
+    want = min(50, len(never))
+    assert len(in_window) == want, (
+        f"{len(never)} registry queries lack driver evidence but only "
+        f"{len(in_window)} sit in the 50-slot window; veterans "
+        f"displacing them: "
+        f"{sorted(set(window) & driver_verified)[:10]}"
+    )
+
+
 def test_py_oracles_subset_of_sql_oracles():
     # A PY_ORACLES entry is a stress-SF substitute, not a replacement:
     # the driver still runs the SQL form, so both must exist.
