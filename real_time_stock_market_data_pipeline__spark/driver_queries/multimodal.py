@@ -280,6 +280,87 @@ FROM audf
 """
 
 
+def q_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711's other leg (round-10 stretch, pairing the round-9 µ-law
+    query): the SAME logical samples companded through A-law (Sun
+    g711.c arithmetic, bit-exact with audioop both directions over
+    the full domains) into 8-bit codes in a format-6 RIFF container,
+    expanded back by the pure-stdlib decoder
+    (`operators/multimodal.py:_alaw_compress/_alaw_expand` via
+    `decode_media`). The oracle replays compress∘expand per sample in
+    integer SQL: the 13-bit >>3 domain, the ones-complement -s-1
+    negative fold, seg = max(bitlen(a)-5, 0) via the cross-engine
+    `length(bin(x))` identity, the seg<2 mantissa-shift floor, and
+    the segment-wise expansion t=mant·16 (+8 / +264 / (t+264)<<(g-1))
+    — so a bias, fold, or segment-boundary bug shifts peak/rms and
+    breaks the hash. The A-law lattice differs from µ-law's, so a
+    codec mix-up (format 6 through the µ-law expander) also fails."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    media = multimodal.synthetic_media(docs, audio_fmt="alaw")
+    return multimodal.decode_media(media.where(F.col("kind") == "audio"))
+
+
+# compress: s13 = floor(s/8); neg = s13<0; a = neg ? -s13-1 : s13;
+# seg = max(bitlen(a)-5, 0); mant = (a >> max(seg,1)) & 15. expand:
+# t = mant*16; seg 0 → t+8, seg 1 → t+264, else (t+264)<<(seg-1);
+# sign from neg. Fixture samples are in [-1001, 1001], so a <= 125,
+# seg <= 2 and the seg>=8 clip branch is unreachable (kept
+# driver-side for generality, not replayed here).
+_ALAW_DECODE_ORACLE = """
+WITH aud AS (
+  SELECT doc_id, 160 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+),
+smp AS (
+  SELECT doc_id, n, ((doc_id * 13 + unnest(range(0, n)) * 17) % 2003) - 1001 AS s
+  FROM aud
+),
+c13 AS (
+  SELECT doc_id, n, CAST(floor(s / 8.0) AS INTEGER) AS s13 FROM smp
+),
+seg AS (
+  SELECT doc_id, n, s13 < 0 AS neg,
+         CASE WHEN s13 < 0 THEN -s13 - 1 ELSE s13 END AS a
+  FROM c13
+),
+lin AS (
+  SELECT doc_id, n,
+         CASE WHEN neg THEN -q ELSE q END AS v
+  FROM (
+    SELECT doc_id, n, neg,
+           CASE WHEN g = 0 THEN m * 16 + 8
+                WHEN g = 1 THEN m * 16 + 264
+                ELSE (m * 16 + 264) << (g - 1) END AS q
+    FROM (
+      SELECT doc_id, n, neg, g,
+             (a >> CASE WHEN g < 2 THEN 1 ELSE g END) & 15 AS m
+      FROM (SELECT doc_id, n, neg, a,
+                   greatest(length(bin(a)) - 5, 0) AS g
+            FROM seg)
+    )
+  )
+),
+audf AS (
+  SELECT doc_id, n, max(abs(v)) AS peak, sum(CAST(v AS BIGINT) * v) AS ssq
+  FROM lin GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 'alaw' AS fmt,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(NULL AS BIGINT) AS n_pixels,
+       CAST(NULL AS BIGINT) AS sum_r, CAST(NULL AS BIGINT) AS sum_g,
+       CAST(NULL AS BIGINT) AS sum_b,
+       CAST(n AS BIGINT) AS n_samples, 8000 AS sample_rate,
+       CAST(n * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(peak AS INT) AS peak, sqrt(CAST(ssq AS DOUBLE) / n) AS rms
+FROM audf
+"""
+
+
 def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth real image container (round 9): the SAME logical pixels
     as `media_decode`'s PPMs, re-expressed the way GIF demands —
@@ -625,6 +706,8 @@ __all__ = [
     "_GIF_DECODE_ORACLE",
     "q_ulaw_decode",
     "_ULAW_DECODE_ORACLE",
+    "q_alaw_decode",
+    "_ALAW_DECODE_ORACLE",
     "q_aiff_decode",
     "_AIFF_DECODE_ORACLE",
     "q_media_features",

@@ -268,24 +268,142 @@ def minhash_bands(
     )
 
 
-def dedup_minhash_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    perms: int = MINHASH_PERMS,
-    band_rows: int = MINHASH_BAND_ROWS,
-    shingle_k: int = 3,
-) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+def _clone_groups(
+    docs: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-clone grouping for the pair-family collapse pre-pass:
+    rows keyed by ``sha2(normalized_text)`` (every derived signature —
+    MinHash bands, SimHash fingerprint — is a pure function of the
+    normalized text, so clone-group members are interchangeable).
 
-    Join is bucketed by (band_idx, band_hash): the only pairs
-    materialized are actual band collisions — never an all-pairs
-    cartesian (asserted in tests via the physical plan). The self-join
-    uses two *aliases of the same DataFrame* so both shuffle sides
+    Returns ``(members, reps)``: members ``(_gid, id)`` for every row
+    with non-NULL text; reps ``(_gid, id, text)`` — the min-id member
+    per group, carrying one raw text (any member's works; ``min_by``
+    keeps it deterministic). NULL-text rows never produce pairs in the
+    uncollapsed operators (their tokenization is NULL), so they are
+    dropped here outright. The groupBy partial-aggregates map-side:
+    with clones the exchange carries one row per distinct text per
+    input partition; without clones it degrades to one text shuffle —
+    the price of the pre-pass, bought back quadratically on cloned
+    corpora."""
+    tagged = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.sha2(normalized_text(text_col), 256).alias("_gid"),
+    ).filter(F.col("_gid").isNotNull())
+    members = tagged.select("_gid", id_col)
+    reps = tagged.groupBy("_gid").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by(text_col, F.col(id_col)).alias(text_col),
+    )
+    return members, reps
+
+
+#: "auto" engages the clone collapse when distinct texts make up at
+#: most this fraction of rows. The pre-pass costs ~2-3 extra corpus
+#: exchanges (reps groupBy + expansion joins) and pays back
+#: quadratically in clone multiplicity — measured at sf0.1 (0.2%
+#: clones): collapse 7.3 s vs direct 2.0 s for the MinHash pairs; at
+#: the ×10 clone fixture (90% clones) the direct scan's collision
+#: volume is the dominant cost. 0.9 means ">10% clone rows".
+CLONE_COLLAPSE_AUTO_THRESHOLD = 0.9
+
+
+def _should_collapse(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    collapse_clones: bool | str,
+) -> bool:
+    """Resolve the ``collapse_clones`` spec: True/False pass through;
+    ``"auto"`` runs a one-exchange probe — count vs distinct-digest
+    count (map-side partial aggregation; the shuffle carries one
+    32-byte digest per distinct text per partition, never the text) —
+    and engages when clone mass exceeds the threshold. The probe is a
+    driver-side adaptive plan choice, same spirit as AQE: O(scan) to
+    avoid a clone-quadratic candidate volume."""
+    if collapse_clones != "auto":
+        return bool(collapse_clones)
+    row = (
+        docs.select(F.sha2(normalized_text(text_col), 256).alias("_gid"))
+        .filter(F.col("_gid").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_gid").alias("d"),
+        )
+        .first()
+    )
+    n, d = row["n"], row["d"]
+    return n > 0 and d <= CLONE_COLLAPSE_AUTO_THRESHOLD * n
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    carry: list[str] | None = None,
+) -> DataFrame:
+    """Re-expand group-keyed representative pairs (gid_a, gid_b) to
+    doc-id pairs: every member of group A × every member of group B,
+    ordered (id_a < id_b). Each doc belongs to exactly one group, so
+    every output pair is produced exactly once — no DISTINCT needed
+    (the heavy collision-volume shuffle the collapse removes). Cost is
+    proportional to the OUTPUT pair count, which is the floor for any
+    operator that must emit the pairs. ``carry`` lists rep-pair
+    columns (e.g. a precomputed hamming distance — bit-identical
+    across clone members) to pass through."""
+    m1 = members.select(
+        F.col("_gid").alias("_ga"), F.col(id_col).alias("_ia")
+    )
+    m2 = members.select(
+        F.col("_gid").alias("_gb"), F.col(id_col).alias("_ib")
+    )
+    out = (
+        rep_pairs.join(m1, rep_pairs["gid_a"] == m1["_ga"])
+        .join(m2, rep_pairs["gid_b"] == m2["_gb"])
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            *(carry or []),
+        )
+    )
+    return out
+
+
+def _intra_group_pairs(
+    members: DataFrame, id_col: str, eligible_gids: DataFrame
+) -> DataFrame:
+    """All (id_a < id_b) pairs inside clone groups whose shared text is
+    pair-eligible (identical texts collide in every band / at Hamming
+    0, so every intra-group pair is always in the uncollapsed output).
+    Equi-join on the group key; singleton groups self-join to
+    nothing."""
+    el = members.join(eligible_gids, "_gid", "left_semi")
+    m1, m2 = el.alias("m1"), el.alias("m2")
+    return m1.join(
+        m2,
+        (F.col("m1._gid") == F.col("m2._gid"))
+        & (F.col(f"m1.{id_col}") < F.col(f"m2.{id_col}")),
+    ).select(
+        F.col(f"m1.{id_col}").alias("id_a"),
+        F.col(f"m2.{id_col}").alias("id_b"),
+    )
+
+
+def _minhash_pairs_scan(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    perms: int,
+    band_rows: int,
+    shingle_k: int,
+) -> DataFrame:
+    """The raw LSH band-collision pair scan (see
+    :func:`dedup_minhash_pairs` for the contract). The self-join uses
+    two *aliases of the same DataFrame* so both shuffle sides
     canonicalize identically and ReuseExchange computes the signature
     subtree once (renaming the id column per side before the join
-    defeats the reuse and doubles the MinHash cost).
-    """
+    defeats the reuse and doubles the MinHash cost)."""
     bands = minhash_bands(docs, id_col, text_col, perms, band_rows, shingle_k)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
@@ -297,6 +415,54 @@ def dedup_minhash_pairs(
     return pairs.select(
         F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
     ).distinct()
+
+
+def dedup_minhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+    collapse_clones: bool | str = "auto",
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
+
+    Join is bucketed by (band_idx, band_hash): the only pairs
+    materialized are actual band collisions — never an all-pairs
+    cartesian (asserted in tests via the physical plan).
+
+    ``collapse_clones`` (default ``"auto"``, see
+    :func:`_should_collapse`): run the band scan over one min-id
+    representative per DISTINCT normalized text, then re-expand —
+    cross-group pairs by membership joins, intra-group pairs (clones
+    collide in every band) directly. Output is IDENTICAL to the
+    uncollapsed scan (law-tested; the SQL oracle replays the
+    uncollapsed definition): identical texts have identical bands, so
+    x~y collides iff rep(x)~rep(y) collides, and the per-group
+    eligibility cut (≥ 1 shingle) is a function of the shared text.
+    What it buys at scale: band-collision volume and the pair DISTINCT
+    shrink from clone-quadratic to distinct-text-quadratic, the same
+    exact-dedup-before-near-dup staging as the semantic family
+    (`similarity._collapse_exact_clones`) — measured 3.8× on that
+    tier's ×10 clone fixture. The re-expansion joins cost O(output);
+    on a clone-light corpus the pre-pass only adds exchanges, which
+    is what the auto probe avoids.
+    """
+    if not _should_collapse(docs, id_col, text_col, collapse_clones):
+        return _minhash_pairs_scan(
+            docs, id_col, text_col, perms, band_rows, shingle_k
+        )
+    members, reps = _clone_groups(docs, id_col, text_col)
+    rep_pairs = _minhash_pairs_scan(
+        reps, "_gid", text_col, perms, band_rows, shingle_k
+    ).select(F.col("id_a").alias("gid_a"), F.col("id_b").alias("gid_b"))
+    cross = _expand_rep_pairs(rep_pairs, members, id_col)
+    eligible = reps.filter(
+        F.size(F.split(normalized_text(text_col), " ")) >= F.lit(shingle_k)
+    ).select("_gid")
+    intra = _intra_group_pairs(members, id_col, eligible)
+    return cross.unionByName(intra)
 
 
 def ngram_jaccard_pairs(
@@ -557,6 +723,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collapse_clones: bool | str = "auto",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (id_a < id_b, hamming ≤
     ``max_hamming``) over the 64-bit fingerprints — the pair-extraction
@@ -575,6 +742,18 @@ def simhash_neardup_pairs(
     For ``max_hamming > 3`` recall becomes approximate (documented, not
     silent: a ValueError forces the caller to acknowledge via
     ``allow_partial_recall`` — kept simple here by refusing).
+
+    ``collapse_clones`` (default ``"auto"``, see
+    :func:`_should_collapse`): identical normalized texts have
+    identical fingerprints, so the block scan runs over one min-id
+    representative per distinct text, then re-expands — cross-group
+    pairs carry the representative pair's hamming (bit-identical for
+    every clone member), intra-group pairs are hamming 0 by
+    definition. Output IDENTICAL to the uncollapsed scan (law-tested;
+    the SQL oracle replays the uncollapsed definition). This kills the
+    clone-quadratic block-collision volume + DISTINCT that made this
+    the slowest ×10 query (1788 s) — the candidate scan now grows with
+    distinct texts, the expansion with output size.
     """
     if max_hamming > 3:
         raise ValueError(
@@ -582,6 +761,22 @@ def simhash_neardup_pairs(
             f"for max_hamming <= 3 (got {max_hamming}); raise the block "
             "count or use dedup_minhash_pairs for looser similarity"
         )
+    if _should_collapse(docs, id_col, text_col, collapse_clones):
+        members, reps = _clone_groups(docs, id_col, text_col)
+        rep_pairs = simhash_neardup_pairs(
+            reps, max_hamming, "_gid", text_col, collapse_clones=False
+        ).select(
+            F.col("id_a").alias("gid_a"),
+            F.col("id_b").alias("gid_b"),
+            "hamming",
+        )
+        cross = _expand_rep_pairs(
+            rep_pairs, members, id_col, carry=["hamming"]
+        )
+        intra = _intra_group_pairs(
+            members, id_col, reps.select("_gid")
+        ).withColumn("hamming", F.lit(0))
+        return cross.unionByName(intra)
     fp = simhash(docs, id_col=id_col, text_col=text_col)
     blocks = fp.select(
         F.col(id_col),

@@ -925,6 +925,64 @@ def _ulaw_expand(code: int) -> int:
     return -t if code & 0x80 else t
 
 
+def _alaw_compress(s: int) -> int:
+    """16-bit linear sample → 8-bit A-law code (ITU G.711's other
+    leg, the Sun g711.c arithmetic audioop.lin2alaw implements:
+    13-bit domain via >>3, ones-complement fold to a = -s-1 for
+    negatives, segment ends (0x20<<i)-1 so seg = max(bitlen(a)-5, 0),
+    mantissa shift floored at 1, and the alternating 0x55 mask with
+    the sign bit SET for positives — the inverse convention of µ-law).
+    Law-tested bit-exact against audioop.lin2alaw over the full
+    16-bit domain where that module still exists (<3.13)."""
+    s >>= 3  # arithmetic shift to the 13-bit domain
+    if s >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        s = -s - 1
+    seg = max(s.bit_length() - 5, 0)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = (seg << 4) | ((s >> (1 if seg < 2 else seg)) & 0x0F)
+    return aval ^ mask
+
+
+def _alaw_expand(code: int) -> int:
+    """8-bit A-law code → 16-bit linear sample (bit-exact with
+    ``audioop.alaw2lin`` width 2 for all 256 codes)."""
+    code ^= 0x55
+    t = (code & 0x0F) << 4
+    seg = (code & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if code & 0x80 else -t
+
+
+def _wav_alaw_bytes(d: int) -> tuple[bytes, int]:
+    """Deterministic mono 8 kHz A-law WAV for media id ``d``: the SAME
+    logical samples as :func:`_wav_bytes`, companded through
+    :func:`_alaw_compress` into 8-bit codes in a RIFF container with
+    audio format 6 (WAVE_FORMAT_ALAW), the same 18-byte fmt +
+    ``fact`` chunk layout as the µ-law fixture."""
+    n = 160 + d % 100
+    codes = bytes(
+        _alaw_compress(((d * 13 + i * 17) % 2003) - 1001) for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHHH", 6, 1, 8000, 8000, 1, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n)
+        + b"data" + struct.pack("<I", n) + codes
+        + (b"\x00" if n % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body, n
+
+
 def _wav_ulaw_bytes(d: int) -> tuple[bytes, int]:
     """Deterministic mono 8 kHz µ-law WAV for media id ``d``: the SAME
     logical samples as :func:`_wav_bytes` (n=160+d%100, sample i =
@@ -999,6 +1057,7 @@ def synthetic_media(
         "wav": (_wav_bytes, "audio/wav"),
         "aiff": (_aiff_bytes, "audio/aiff"),
         "ulaw": (_wav_ulaw_bytes, "audio/basic"),
+        "alaw": (_wav_alaw_bytes, "audio/basic"),
     }
     if audio_fmt not in aud_specs:
         raise ValueError(f"unsupported audio_fmt {audio_fmt!r}")
@@ -1105,7 +1164,9 @@ def _decode_wav(payload: bytes) -> dict:
             fmt_code = struct.unpack_from("<H", body, 0)[0]
             break
     if fmt_code == 7:
-        return _decode_wav_ulaw(payload)
+        return _decode_wav_g711(payload, 7, _ulaw_expand, "ulaw")
+    if fmt_code == 6:
+        return _decode_wav_g711(payload, 6, _alaw_expand, "alaw")
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV supported")
@@ -1132,11 +1193,14 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
-def _decode_wav_ulaw(payload: bytes) -> dict:
-    """Decode a G.711 µ-law WAV (audio format 7, 8-bit codes): walk
-    the RIFF chunks (validating fmt, skipping ``fact`` and anything
-    else), expand every code byte to its 16-bit linear sample, and
-    compute the same stats as the PCM path (fmt='ulaw')."""
+def _decode_wav_g711(
+    payload: bytes, expect_code: int, expand, name: str
+) -> dict:
+    """Decode a G.711-companded WAV (audio format 7 = µ-law, 6 =
+    A-law; 8-bit codes): walk the RIFF chunks (validating fmt,
+    skipping ``fact`` and anything else), expand every code byte to
+    its 16-bit linear sample through ``expand``, and compute the same
+    stats as the PCM path (fmt=``name``)."""
     fmt = data = None
     for tag, body in _riff_chunks(payload):
         if tag == b"fmt ":
@@ -1144,24 +1208,24 @@ def _decode_wav_ulaw(payload: bytes) -> dict:
         elif tag == b"data":
             data = body
     if fmt is None or data is None:
-        raise ValueError("µ-law WAV missing fmt or data chunk")
+        raise ValueError(f"{name} WAV missing fmt or data chunk")
     code, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
-    if code != 7 or channels != 1 or bits != 8:
+    if code != expect_code or channels != 1 or bits != 8:
         raise ValueError(
-            f"only mono 8-bit µ-law WAV supported "
+            f"only mono 8-bit {name} WAV supported "
             f"(format={code}, channels={channels}, bits={bits})"
         )
     n = len(data)
     ssq = 0
     peak = 0
     for c in data:
-        s = _ulaw_expand(c)
+        s = expand(c)
         ssq += s * s
         a = -s if s < 0 else s
         if a > peak:
             peak = a
     return {
-        "fmt": "ulaw",
+        "fmt": name,
         "n_samples": n,
         "sample_rate": rate,
         "duration_ms": n * 1000 // rate,

@@ -175,6 +175,59 @@ def merge_upsert_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def merge_upsert_parquet_partitioned(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """Partition-scoped idempotent upsert: like
+    :func:`merge_upsert_parquet`, but the table is laid out
+    ``partitionBy(partition_col)`` and a batch only reads + rewrites
+    the partitions it actually touches (round-9 ADVICE on
+    ``stream_semantic_screen``: the flat read-merge-swap rewrote the
+    ENTIRE index per micro-batch, O(index) ingestion at odds with the
+    write-once/screen-forever framing).
+
+    Per batch: collect the touched partition values (bounded — for the
+    semantic index this is ≤ the centroid count), read the current
+    table pruned to those partitions (partition pruning, no full
+    scan), key-merge, and write back with **dynamic partition
+    overwrite** — only the touched partition directories are
+    replaced; the rest of the index is never read or written, so
+    ingestion cost tracks touched-cell volume, not index size.
+
+    Crash-safety contract: Spark's dynamic overwrite commits each
+    partition by directory rename, and a checkpoint replay re-merges
+    the same batch idempotently on ``keys`` — but unlike the
+    single-directory swap above there is no whole-table ``.old`` to
+    self-heal from, so a crash INSIDE the commit of one partition can
+    need manual cleanup of that partition's temporary files. On
+    Delta/Iceberg this whole function is a transactional
+    ``MERGE INTO`` and the caveat disappears — that is the 100 TB
+    deployment shape; this is its local-FS stand-in.
+    """
+    touched = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return
+    if input_ready(spark, path):
+        current = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        merged = merge_upsert(current, batch.select(*current.columns), keys)
+    else:
+        merged = batch
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -38,7 +38,10 @@ from real_time_stock_market_data_pipeline__spark.functions.cleaning import (
 from real_time_stock_market_data_pipeline__spark.operators.metrics import (
     realtime_metrics,
 )
-from real_time_stock_market_data_pipeline__spark.sinks import merge_upsert_parquet
+from real_time_stock_market_data_pipeline__spark.sinks import (
+    merge_upsert_parquet,
+    merge_upsert_parquet_partitioned,
+)
 
 #: Reference constants (`spark_stream_processor.py:162,249`)
 DEFAULT_WATERMARK = "1 minutes"
@@ -316,7 +319,14 @@ def stream_semantic_screen(
             an, base, threshold, id_col
         )
         kept_full = an.join(kept.select(id_col), id_col, "left_semi")
-        merge_upsert_parquet(spark, kept_full, index_path, keys=[id_col])
+        # cell-partitioned upsert: only the cells this batch touches
+        # are read and rewritten — ingestion cost tracks batch cell
+        # volume, not index size (round-9 ADVICE; at 100 TB this is a
+        # Delta/Iceberg MERGE INTO on the same layout)
+        merge_upsert_parquet_partitioned(
+            spark, kept_full, index_path, keys=[id_col],
+            partition_col="cell",
+        )
 
     writer = (
         source.writeStream.foreachBatch(process_batch)

@@ -1374,6 +1374,62 @@ def test_decode_wav_ulaw_fixture_and_chunk_walk():
         assert out["rms"] == math.sqrt(sum(x * x for x in lin) / n)
 
 
+def test_alaw_codec_matches_audioop_reference():
+    """G.711's other leg (round-10 stretch): both A-law directions
+    bit-exact with audioop over their full domains — the alternating
+    0x55 mask, inverted sign convention, -s-1 negative fold, and the
+    seg<2 mantissa-shift floor are exactly where a re-derivation
+    diverges, and a single wrong code breaks this."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _alaw_compress,
+        _alaw_expand,
+    )
+
+    for s in range(-32768, 32768):
+        assert (
+            _alaw_compress(s) == audioop.lin2alaw(struct.pack("<h", s), 2)[0]
+        ), s
+    for c in range(256):
+        assert (
+            _alaw_expand(c)
+            == struct.unpack("<h", audioop.alaw2lin(bytes([c]), 2))[0]
+        ), c
+
+
+def test_decode_wav_alaw_fixture_and_chunk_walk():
+    """The A-law fixture parses through the non-PCM path (format 6,
+    fact chunk, word alignment) and the decoded stats equal a direct
+    Python replay of compress∘expand on the closed-form samples; a
+    format-6 container must never fall into the µ-law expander."""
+    import math
+
+    from real_time_stock_market_data_pipeline__spark.operators.multimodal import (
+        _alaw_compress,
+        _alaw_expand,
+        _decode_wav,
+        _wav_alaw_bytes,
+    )
+
+    for d in (1, 3, 99, 101):
+        payload, n = _wav_alaw_bytes(d)
+        out = _decode_wav(payload)
+        lin = [
+            _alaw_expand(_alaw_compress(((d * 13 + i * 17) % 2003) - 1001))
+            for i in range(n)
+        ]
+        assert out["fmt"] == "alaw"
+        assert out["n_samples"] == n and out["sample_rate"] == 8000
+        assert out["duration_ms"] == n * 1000 // 8000
+        assert out["peak"] == max(abs(x) for x in lin)
+        assert out["rms"] == math.sqrt(sum(x * x for x in lin) / n)
+
+
 def test_decode_wav_ulaw_rejects_unsupported():
     """Stereo / non-8-bit format-7 layouts and truncated chunks raise
     loudly; the PCM path through the stdlib wave module is untouched."""
@@ -1656,6 +1712,65 @@ def test_semantic_dedup_laws_independent_set_and_idempotence(spark, sf_dir):
     for vid, r in again.items():
         assert r["cell"] == kept_rows[vid]["cell"]
         assert r["centroid_sim"] == kept_rows[vid]["centroid_sim"]
+
+
+def test_semantic_dedup_kmeans_centroids_contract_invariance(spark, sf_dir):
+    """Round-9 verdict ask #5: the sampled-k-means seeding path
+    (``centroids="kmeans"``) keeps the semantic-dedup CONTRACT —
+    kept set is an independent set, operator idempotent over its own
+    output under the same centroids — because centroids only shape
+    candidate scoping, never the dominance rule. Also: training is
+    deterministic (two runs produce identical centroids), moves the
+    seeds off the lowest-id prefix, and the hash sample is honored."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(embs)
+    cents2 = similarity.kmeans_centroids(embs)
+    assert cents == cents2  # deterministic training
+    seeds = similarity.ivf_centroids(embs)
+    assert cents != seeds  # Lloyd actually moved the codebook
+
+    kept = similarity.semantic_dedup(embs, threshold=0.3, centroids=cents)
+    kept_rows = {r["vec_id"]: r for r in kept.collect()}
+    kept_vecs = embs.join(kept.select("vec_id"), "vec_id", "left_semi")
+
+    assigned = similarity._semantic_assign(
+        kept_vecs, cents, "embedding", "vec_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    viol = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & (similarity._pair_cosine() >= F.lit(0.3)),
+    )
+    assert viol.count() == 0  # independent set
+
+    again = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            kept_vecs, threshold=0.3, centroids=cents
+        ).collect()
+    }
+    assert again == set(kept_rows)  # idempotent
+
+    # the string spec resolves inside the operator too
+    via_str = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            embs, threshold=0.3, centroids="kmeans"
+        ).collect()
+    }
+    assert via_str == set(kept_rows)
+
+    # sampled training: fraction cuts the sample but stays deterministic
+    cs = similarity.kmeans_centroids(
+        embs, n_iters=1, sample_fraction=0.5
+    )
+    assert cs == similarity.kmeans_centroids(
+        embs, n_iters=1, sample_fraction=0.5
+    )
 
 
 def test_semantic_dedup_incremental_kept_has_no_corpus_duplicate(spark, sf_dir):
@@ -1953,6 +2068,38 @@ def test_pq_arrow_encode_matches_hof(spark, sf_dir):
         "vec_id: long, embedding: array<float>",
     )
     assert codes(adv, True) == codes(adv, False)
+
+
+def test_pq_arrow_encode_nan_inf_tiebreak(spark):
+    """Round-9 ADVICE: when a genuine +inf score coexists with a NaN
+    in the same subspace, the kernel must pick the first genuine +inf
+    codeword (struct array_min sorts NaN strictly after +inf), not the
+    earlier NaN index the naive NaN→inf mapping would take; an all-NaN
+    subspace keeps the first index. Driven through the kernel's
+    wrapped function with a crafted 2-codeword codebook: codeword 0
+    scores NaN (NaN coordinates), codeword 1 scores +inf (inf ‖c‖²)."""
+    import numpy as np
+    import pandas as pd
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    m, dsub = 1, 2
+    recon = [[float("nan")] * dsub, [1.0] * dsub]
+    # n2[s][j]: subspace s, codeword j — codeword 1 carries inf norm²
+    n2 = [[float("nan"), float("inf")]]
+    enc = similarity._pq_encode_arrow(recon, n2, m, dsub)
+    out = enc.func(pd.Series([[1.0, 1.0], None]))
+    assert list(out.iloc[0]) == [1]  # genuine +inf beats mapped NaN
+    assert out.iloc[1] is None
+    # all-NaN subspace: first index on both sides
+    enc2 = similarity._pq_encode_arrow(
+        [[float("nan")] * dsub, [float("nan")] * dsub],
+        [[float("nan"), float("nan")]],
+        m,
+        dsub,
+    )
+    out2 = enc2.func(pd.Series([[1.0, 1.0]]))
+    assert list(out2.iloc[0]) == [0]
 
 
 def test_sq8_topk_recall_vs_exact(spark, sf_dir):

@@ -370,3 +370,71 @@ def test_stream_rate_alert_only_breaches(spark, sf_dir):
         assert r.n_events > 3
         assert r.severity > 1.0
         assert (r.window_end - r.window_start).total_seconds() == 6 * 3600
+
+
+def test_merge_upsert_parquet_partitioned_touches_only_batch_cells(
+    spark, tmp_path
+):
+    """Partition-scoped upsert (round-9 ADVICE): merging a batch that
+    touches one cell must not rewrite the other cells' files; merge
+    semantics on the key hold; replaying the same batch is a no-op
+    (idempotence under checkpoint replay)."""
+    import glob
+    import os
+
+    from real_time_stock_market_data_pipeline__spark import sinks
+
+    path = str(tmp_path / "idx")
+    first = spark.createDataFrame(
+        [(1, 0, 0.9), (2, 0, 0.8), (3, 1, 0.7), (4, 2, 0.6)],
+        "vec_id: long, cell: int, centroid_sim: double",
+    )
+    sinks.merge_upsert_parquet_partitioned(
+        spark, first, path, keys=["vec_id"], partition_col="cell"
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("vec_id", "cell", "centroid_sim").collect()
+    ) == [(1, 0, 0.9), (2, 0, 0.8), (3, 1, 0.7), (4, 2, 0.6)]
+
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/cell=1/*.parquet")
+        + glob.glob(f"{path}/cell=2/*.parquet")
+    }
+    assert untouched_files
+
+    # batch 2: update id=2 (cell 0), insert id=5 (cell 0)
+    second = spark.createDataFrame(
+        [(2, 0, 0.85), (5, 0, 0.5)],
+        "vec_id: long, cell: int, centroid_sim: double",
+    )
+    sinks.merge_upsert_parquet_partitioned(
+        spark, second, path, keys=["vec_id"], partition_col="cell"
+    )
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("vec_id", "cell", "centroid_sim").collect()
+    )
+    assert got == [
+        (1, 0, 0.9), (2, 0, 0.85), (3, 1, 0.7), (4, 2, 0.6), (5, 0, 0.5)
+    ]
+    # cells 1 and 2 were never rewritten
+    for f, mtime in untouched_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mtime
+
+    # replay (crash-restart): same batch again -> identical state
+    sinks.merge_upsert_parquet_partitioned(
+        spark, second, path, keys=["vec_id"], partition_col="cell"
+    )
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .select("vec_id", "cell", "centroid_sim").collect()
+    )
+    assert again == got
+
+    # empty batch: no-op, files untouched
+    sinks.merge_upsert_parquet_partitioned(
+        spark, first.limit(0), path, keys=["vec_id"], partition_col="cell"
+    )
+    assert spark.read.parquet(path).count() == 5

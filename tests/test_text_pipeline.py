@@ -266,6 +266,90 @@ def test_simhash_neardup_pairs_finds_near_identical_docs(spark):
         dedup.simhash_neardup_pairs(docs, max_hamming=5)
 
 
+def test_pair_families_clone_collapse_equals_uncollapsed(spark, sf_dir):
+    """Law (round-9 verdict ask #3): the exact-clone collapse pre-pass
+    in dedup_minhash_pairs / simhash_neardup_pairs produces output
+    IDENTICAL to the uncollapsed band scan — on the real corpus plus
+    adversarial clone fixtures: exact clones, raw-text-differs-but-
+    normalizes-equal clones, sub-shingle-length clone groups (pair in
+    SimHash, excluded from MinHash banding), NULL-text clones (never
+    pair anywhere), and an empty-text doc."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    extra = spark.createDataFrame(
+        [
+            (90001, "alpha beta gamma delta epsilon zeta"),
+            (90002, "alpha beta gamma delta epsilon zeta"),
+            (90003, "  ALPHA   beta GAMMA delta epsilon zeta "),
+            (90004, "tiny doc"),
+            (90005, "tiny doc"),
+            (90006, None),
+            (90007, None),
+            (90008, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(extra)
+
+    mh_c = sorted(map(tuple, dedup.dedup_minhash_pairs(
+        corpus, collapse_clones=True).collect()))
+    mh_u = sorted(map(tuple, dedup.dedup_minhash_pairs(
+        corpus, collapse_clones=False).collect()))
+    assert mh_c == mh_u
+    mh = set(mh_c)
+    assert (90001, 90002) in mh and (90001, 90003) in mh
+    assert (90004, 90005) not in mh  # < shingle_k words: no bands
+    assert not any(90006 in p or 90007 in p for p in mh)
+
+    sh_c = sorted(map(tuple, dedup.simhash_neardup_pairs(
+        corpus, collapse_clones=True).collect()))
+    sh_u = sorted(map(tuple, dedup.simhash_neardup_pairs(
+        corpus, collapse_clones=False).collect()))
+    assert sh_c == sh_u
+    sh = {(a, b): h for a, b, h in sh_c}
+    assert sh[(90001, 90002)] == 0 and sh[(90001, 90003)] == 0
+    assert sh[(90004, 90005)] == 0  # short docs DO pair under SimHash
+    assert not any(90006 in p or 90007 in p for p in sh)
+
+    # no cartesian anywhere in the collapsed plans
+    for df in (dedup.dedup_minhash_pairs(corpus, collapse_clones=True),
+               dedup.simhash_neardup_pairs(corpus, collapse_clones=True)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clone_collapse_auto_probe(spark):
+    """The "auto" spec engages the collapse pre-pass only when clone
+    mass is significant (distinct/total ≤ threshold): a clone-light
+    corpus must keep the direct scan (the pre-pass costs ~3 corpus
+    exchanges), a replicated corpus must collapse; NULL texts don't
+    count; output is identical either way (the equality law above)."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    light = spark.createDataFrame(
+        [(i, f"unique document number {i} with words") for i in range(50)]
+        + [(50, "unique document number 0 with words")],
+        "doc_id: long, text: string",
+    )
+    heavy = spark.createDataFrame(
+        [(i, f"cloned text {i % 5}") for i in range(50)],
+        "doc_id: long, text: string",
+    )
+    assert not dedup._should_collapse(light, "doc_id", "text", "auto")
+    assert dedup._should_collapse(heavy, "doc_id", "text", "auto")
+    assert dedup._should_collapse(light, "doc_id", "text", True)
+    assert not dedup._should_collapse(heavy, "doc_id", "text", False)
+    # empty / all-NULL corpora never engage (and never crash)
+    empty = light.limit(0)
+    assert not dedup._should_collapse(empty, "doc_id", "text", "auto")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id: long, text: string"
+    )
+    assert not dedup._should_collapse(nulls, "doc_id", "text", "auto")
+
+
 def test_sentence_dedup_stats_detects_cross_doc_boilerplate(spark):
     rows = [
         (1, "unique alpha sentence one. shared boilerplate footer text here"),
