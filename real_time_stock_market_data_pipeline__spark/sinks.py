@@ -221,7 +221,12 @@ def merge_upsert_parquet_partitioned(
     else:
         merged = batch
     (
-        merged.write.mode("overwrite")
+        # repartition on the partition key so each touched directory
+        # gets coherent files (without this every shuffle task writes
+        # a sliver into every cell dir — 32x the file count, and the
+        # read-back lists them all); AQE coalesces the tiny-batch case
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)

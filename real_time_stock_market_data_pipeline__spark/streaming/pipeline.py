@@ -312,9 +312,23 @@ def stream_semantic_screen(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         an = similarity._semantic_assign(batch, cents, vec_col, id_col)
-        base = corpus_assigned
+        # The screen is cell-scoped (a new row can only die to a
+        # same-cell neighbour), so restrict BOTH screen inputs to the
+        # cells this batch actually probes: with the index laid out
+        # partitionBy(cell) the isin filter becomes partition pruning
+        # — per-batch read cost is touched-cell volume, not index
+        # size. |touched| ≤ the centroid count, so the collect is
+        # bounded like the codebook itself.
+        touched = [
+            r[0] for r in an.select("cell").distinct().collect()
+        ]
+        base = corpus_assigned.filter(F.col("cell").isin(touched))
         if input_ready(spark, index_path):
-            base = base.unionByName(spark.read.parquet(index_path))
+            base = base.unionByName(
+                spark.read.parquet(index_path).filter(
+                    F.col("cell").isin(touched)
+                )
+            )
         kept = similarity._semantic_screen_assigned(
             an, base, threshold, id_col
         )
