@@ -424,7 +424,7 @@ def dedup_minhash_pairs(
     perms: int = MINHASH_PERMS,
     band_rows: int = MINHASH_BAND_ROWS,
     shingle_k: int = 3,
-    collapse_clones: bool | str = "auto",
+    collapse_clones: bool | str = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
@@ -432,8 +432,7 @@ def dedup_minhash_pairs(
     materialized are actual band collisions — never an all-pairs
     cartesian (asserted in tests via the physical plan).
 
-    ``collapse_clones`` (default ``"auto"``, see
-    :func:`_should_collapse`): run the band scan over one min-id
+    ``collapse_clones``: run the band scan over one min-id
     representative per DISTINCT normalized text, then re-expand —
     cross-group pairs by membership joins, intra-group pairs (clones
     collide in every band) directly. Output is IDENTICAL to the
@@ -441,13 +440,20 @@ def dedup_minhash_pairs(
     uncollapsed definition): identical texts have identical bands, so
     x~y collides iff rep(x)~rep(y) collides, and the per-group
     eligibility cut (≥ 1 shingle) is a function of the shared text.
-    What it buys at scale: band-collision volume and the pair DISTINCT
-    shrink from clone-quadratic to distinct-text-quadratic, the same
-    exact-dedup-before-near-dup staging as the semantic family
-    (`similarity._collapse_exact_clones`) — measured 3.8× on that
-    tier's ×10 clone fixture. The re-expansion joins cost O(output);
-    on a clone-light corpus the pre-pass only adds exchanges, which
-    is what the auto probe avoids.
+
+    Default is OFF — measured, not assumed (round 10): on the ×10
+    90%-clone fixture the direct scan counts in 4.4 s vs 10.1 s
+    collapsed. MinHash band buckets are md5 hashes of 6-permutation
+    slices — essentially unique per distinct near-dup set — so the
+    collision volume clones create (~clones² × n_bands narrow rows
+    through one DISTINCT) stays cheaper than the collapse's text
+    groupBy + two expansion joins. Contrast
+    :func:`simhash_neardup_pairs`, whose 16-bit block buckets collide
+    densely and where the same pre-pass wins 9.4× — pass ``True`` or
+    ``"auto"`` (:func:`_should_collapse`) here only when clone
+    multiplicity is far beyond the fixture's ~10× (the crossover is
+    bucket-density-dependent; the option and the equality law are in
+    place to make that a one-flag experiment).
     """
     if not _should_collapse(docs, id_col, text_col, collapse_clones):
         return _minhash_pairs_scan(
@@ -752,8 +758,13 @@ def simhash_neardup_pairs(
     definition. Output IDENTICAL to the uncollapsed scan (law-tested;
     the SQL oracle replays the uncollapsed definition). This kills the
     clone-quadratic block-collision volume + DISTINCT that made this
-    the slowest ×10 query (1788 s) — the candidate scan now grows with
-    distinct texts, the expansion with output size.
+    the slowest ×10 query — SimHash's 16-bit block buckets (65536 per
+    block) collide densely, so clone mass multiplies an already-large
+    collision volume. Measured on the ×10 90%-clone fixture (round
+    10): 27.5 s collapsed vs 258.5 s direct, same 16,851,700 output
+    pairs — 9.4×. The candidate scan now grows with distinct texts,
+    the expansion with output size; the auto probe keeps clone-light
+    corpora on the direct scan (21.3 s vs 24.4 s at sf0.1).
     """
     if max_hamming > 3:
         raise ValueError(
