@@ -95,10 +95,31 @@ def test_driver_window_prioritizes_never_verified_queries():
     # number of never-driver-verified queries inside the first 50
     # slots must equal min(50, total never-verified). When a new
     # round's artifact lands this test forces the next reorder.
+    #
+    # Only git-TRACKED artifacts count (round-10 advice): the driver
+    # drops CORRECTNESS_r{N}.json into the working tree before it is
+    # committed, and the tripwire should fire at the commit that
+    # records the artifact, not the instant the file appears.
     import json
+    import subprocess
+
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "CORRECTNESS_r*.json"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.split()
+        )
+    except (OSError, subprocess.CalledProcessError):
+        tracked = None  # no git available: fall back to every file
 
     driver_verified: set[str] = set()
     for art in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        if tracked is not None and art.name not in tracked:
+            continue
         driver_verified.update(json.loads(art.read_text()).keys())
     never = [k for k in dq.QUERIES if k not in driver_verified]
     window = list(dq.QUERIES)[:50]
