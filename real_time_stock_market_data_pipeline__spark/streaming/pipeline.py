@@ -257,6 +257,28 @@ def stream_dedup_within_watermark(
     )
 
 
+def materialize_corpus_assignment(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Write the static corpus's :func:`_semantic_assign` frame to
+    ``path`` laid out ``partitionBy("cell")`` — the write-once half of
+    the write-once/screen-forever contract. Once at rest in this
+    layout, a screen's touched-cell ``isin`` lands in the scan's
+    PartitionFilters (plan-asserted in tests/test_plans.py), so
+    per-batch corpus cost is touched-cell volume, not corpus size."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+
+    similarity._semantic_assign(
+        corpus, centroids, vec_col, id_col
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
 def stream_semantic_screen(
     source: DataFrame,
     corpus: DataFrame,
@@ -264,11 +286,12 @@ def stream_semantic_screen(
     checkpoint_path: str,
     threshold: float = 0.3,
     n_centroids: int | None = None,
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[float]] | str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     available_now: bool = True,
     trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+    corpus_assigned_path: str | None = None,
 ) -> StreamingQuery:
     """Streaming semantic-dedup ingestion — the crawl-time twin of
     :func:`operators.similarity.semantic_dedup_incremental`: each
@@ -284,9 +307,22 @@ def stream_semantic_screen(
     against it WITHOUT re-embedding or re-assigning history — the
     write-once/screen-forever shape, now fed by a stream. Centroids
     are fixed up front from the static corpus (both sides must
-    quantize against one codebook); at 100 TB the corpus assignment
-    itself lives at rest and this foreachBatch reads it instead of
-    recomputing.
+    quantize against one codebook); ``centroids`` accepts a literal
+    codebook, ``"kmeans"`` (sampled Lloyd training via
+    :func:`operators.similarity.kmeans_centroids`), or ``None`` for
+    the deterministic lowest-id seeds — the same contract as the
+    batch family, and sound under any choice (centroids only shape
+    which candidate pairs meet).
+
+    ``corpus_assigned_path`` is the at-rest corpus side (round-10
+    verdict): when set, the corpus assignment is written ONCE to that
+    path ``partitionBy("cell")`` (reused if already present — the
+    assignment is deterministic for a given corpus+codebook, so a
+    restart skips the rebuild) and every micro-batch READS it with a
+    touched-cell filter that lands in the scan's PartitionFilters.
+    Without it the corpus side is a lazy plan that re-scores the full
+    corpus each batch — fine for a one-batch drain, O(corpus) per
+    batch on a long-lived stream; at 100 TB always pass the path.
 
     Sequential-ingest semantics are inherently arrival-ordered: a row
     kept in batch N can kill a duplicate arriving in batch N+1 but
@@ -300,29 +336,44 @@ def stream_semantic_screen(
     from real_time_stock_market_data_pipeline__spark.sinks import input_ready
 
     spark = source.sparkSession
-    cents = centroids or similarity.ivf_centroids(
+    cents = similarity._resolve_centroids(
+        centroids,
         corpus,
         n_centroids or similarity.IVF_CENTROIDS_N,
-        id_col=id_col,
-        vec_col=vec_col,
+        id_col,
+        vec_col,
     )
-    corpus_assigned = similarity._semantic_assign(
-        corpus, cents, vec_col, id_col
+    if corpus_assigned_path is not None and not input_ready(
+        spark, corpus_assigned_path
+    ):
+        materialize_corpus_assignment(
+            corpus, cents, corpus_assigned_path, vec_col, id_col
+        )
+    corpus_assigned = (
+        None
+        if corpus_assigned_path is not None
+        else similarity._semantic_assign(corpus, cents, vec_col, id_col)
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         an = similarity._semantic_assign(batch, cents, vec_col, id_col)
         # The screen is cell-scoped (a new row can only die to a
         # same-cell neighbour), so restrict BOTH screen inputs to the
-        # cells this batch actually probes: with the index laid out
-        # partitionBy(cell) the isin filter becomes partition pruning
-        # — per-batch read cost is touched-cell volume, not index
-        # size. |touched| ≤ the centroid count, so the collect is
-        # bounded like the codebook itself.
+        # cells this batch actually probes: with the corpus assignment
+        # and the index laid out partitionBy(cell) the isin filter
+        # becomes partition pruning — per-batch read cost is
+        # touched-cell volume, not corpus/index size. |touched| ≤ the
+        # centroid count, so the collect is bounded like the codebook
+        # itself.
         touched = [
             r[0] for r in an.select("cell").distinct().collect()
         ]
-        base = corpus_assigned.filter(F.col("cell").isin(touched))
+        if corpus_assigned_path is not None:
+            base = spark.read.parquet(corpus_assigned_path).filter(
+                F.col("cell").isin(touched)
+            )
+        else:
+            base = corpus_assigned.filter(F.col("cell").isin(touched))
         if input_ready(spark, index_path):
             base = base.unionByName(
                 spark.read.parquet(index_path).filter(

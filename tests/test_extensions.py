@@ -4,6 +4,7 @@ sanity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark import sinks
@@ -1934,12 +1935,17 @@ def test_semantic_assign_empty_centroids_raises(spark):
         ).collect()
 
 
-def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
+@pytest.mark.parametrize("at_rest", [False, True])
+def test_stream_semantic_screen_sequential_ingest_and_restart(
+    spark, at_rest
+):
     """Sequential-ingest semantics across micro-batches: a row kept in
     drain 1 kills its duplicate arriving in drain 2 (the growing index
     IS part of the screen), the corpus screen still applies, and a
     third drain with no new files changes nothing (checkpoint +
-    MERGE-upsert idempotence)."""
+    MERGE-upsert idempotence). Parametrized over the corpus side:
+    lazy recompute vs at-rest partitionBy(cell) read
+    (``corpus_assigned_path``) — identical results by contract."""
     import tempfile
 
     from real_time_stock_market_data_pipeline__spark.streaming import pipeline
@@ -1955,13 +1961,15 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
     schema = "vec_id: long, embedding: array<float>"
     tmp = tempfile.mkdtemp(prefix="sss_seq_")
     in_dir, idx, ckpt = f"{tmp}/in", f"{tmp}/index", f"{tmp}/ckpt"
+    cap = f"{tmp}/corpus_assigned" if at_rest else None
 
     def drain():
         src = pipeline.read_file_stream(
             spark, in_dir, schema=spark.createDataFrame([], schema).schema
         )
         q = pipeline.stream_semantic_screen(
-            src, corpus, idx, ckpt, threshold=0.9, n_centroids=2
+            src, corpus, idx, ckpt, threshold=0.9, n_centroids=2,
+            corpus_assigned_path=cap,
         )
         q.awaitTermination()
         return sorted(
@@ -1983,6 +1991,61 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(spark):
 
     # drain 3: nothing new → index unchanged (restart idempotence)
     assert drain() == [3, 6]
+
+
+def test_stream_semantic_screen_kmeans_centroids_matches_batch(spark):
+    """``centroids="kmeans"`` on the streaming screen (round-10 verdict
+    ask #8): kmeans_centroids is deterministic, so a one-batch drain
+    with the trained codebook must equal semantic_dedup_incremental
+    run with the SAME explicit centroid vectors — the
+    invariance-of-contract law extended to the streaming twin."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    schema = "vec_id: long, embedding: array<float>"
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        schema,
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, [0.92, 0.08, 0.0, 0.0]),
+            (3, [0.0, 0.1, 0.9, 0.0]),
+            (5, [0.0, 0.12, 0.89, 0.0]),
+            (6, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        schema,
+    )
+    tmp = tempfile.mkdtemp(prefix="sss_km_")
+    batch.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(
+        spark, f"{tmp}/in", schema=spark.createDataFrame([], schema).schema
+    )
+    q = pipeline.stream_semantic_screen(
+        src, corpus, f"{tmp}/index", f"{tmp}/ckpt",
+        threshold=0.9, n_centroids=2, centroids="kmeans",
+        corpus_assigned_path=f"{tmp}/corpus_assigned",
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{tmp}/index").collect()
+    )
+    cents = similarity.kmeans_centroids(corpus, 2)
+    batched = sorted(
+        r["vec_id"]
+        for r in similarity.semantic_dedup_incremental(
+            batch, corpus, threshold=0.9, centroids=cents
+        ).collect()
+    )
+    assert streamed == batched and streamed
 
 
 def test_semantic_dedup_incremental_hand_case(spark):

