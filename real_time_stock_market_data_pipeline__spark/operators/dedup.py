@@ -321,9 +321,18 @@ def _should_collapse(
     32-byte digest per distinct text per partition, never the text) —
     and engages when clone mass exceeds the threshold. The probe is a
     driver-side adaptive plan choice, same spirit as AQE: O(scan) to
-    avoid a clone-quadratic candidate volume."""
+    avoid a clone-quadratic candidate volume.
+
+    NOTE: ``"auto"`` runs an EAGER aggregation at plan-construction
+    time (an extra corpus scan, re-paid every time the caller
+    re-builds the query plan — round-10 ADVICE). Callers that already
+    know their corpus shape should pass True/False outright; a
+    streaming frame cannot be probed at all, so ``"auto"`` falls back
+    to the direct (uncollapsed) scan there."""
     if collapse_clones != "auto":
         return bool(collapse_clones)
+    if docs.isStreaming:
+        return False
     row = (
         docs.select(F.sha2(normalized_text(text_col), 256).alias("_gid"))
         .filter(F.col("_gid").isNotNull())
@@ -765,6 +774,12 @@ def simhash_neardup_pairs(
     pairs — 9.4×. The candidate scan now grows with distinct texts,
     the expansion with output size; the auto probe keeps clone-light
     corpora on the direct scan (21.3 s vs 24.4 s at sf0.1).
+
+    The ``"auto"`` probe is an EAGER one-exchange corpus scan at
+    plan-construction time, re-paid on every re-build of the plan;
+    callers that know their clone mass should pass True/False, and a
+    streaming input always takes the direct scan (a stream cannot be
+    probed).
     """
     if max_hamming > 3:
         raise ValueError(

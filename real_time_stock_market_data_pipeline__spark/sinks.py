@@ -213,10 +213,17 @@ def merge_upsert_parquet_partitioned(
     ]
     if not touched:
         return
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__, which a
+    # plain isin(touched) would silently EXCLUDE from the merge read
+    # while dynamic overwrite still rewrites that directory with only
+    # the batch's rows — losing every previously stored NULL-key row
+    # (round-10 ADVICE). Make the touched filter null-safe instead.
+    non_null = [t for t in touched if t is not None]
+    touched_pred = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(touched):
+        touched_pred = touched_pred | F.col(partition_col).isNull()
     if input_ready(spark, path):
-        current = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(touched)
-        )
+        current = spark.read.parquet(path).filter(touched_pred)
         merged = merge_upsert(current, batch.select(*current.columns), keys)
     else:
         merged = batch

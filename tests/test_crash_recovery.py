@@ -255,3 +255,90 @@ def test_checkpoint_rollback_replays_batch_idempotently(spark, workdir):
     _drain(spark, src, tgt, ckpt)  # restart re-delivers batch 2
 
     assert _table_rows(spark, tgt) == no_crash
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_parquet_partitioned (the cell-partitioned index sink)
+# ---------------------------------------------------------------------------
+
+
+def _pidx_rows(spark, path):
+    return sorted(
+        (r["id"], r["payload"], r["cell"])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_partitioned_merge_batch0_replay_exactly_once(spark, workdir):
+    """Round-10 verdict ask #7: the partitioned sink's FIRST batch hits
+    the no-index-yet branch (input_ready false → merged = batch); a
+    checkpoint replay of batch 0 after a crash re-delivers the same
+    rows and must leave exactly one copy per key per cell."""
+    path = os.path.join(workdir, "pidx")
+    batch0 = spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 0), (3, "z", 1)],
+        "id long, payload string, cell int",
+    )
+    for _ in range(3):  # batch 0, then two crash replays of batch 0
+        sinks.merge_upsert_parquet_partitioned(
+            spark, batch0, path, keys=["id"], partition_col="cell"
+        )
+        assert _pidx_rows(spark, path) == [
+            (1, "x", 0), (2, "y", 0), (3, "z", 1),
+        ]
+
+
+def test_partitioned_merge_later_batch_touches_only_its_cells(
+    spark, workdir
+):
+    """A later batch that updates key 1 and inserts key 4 (both cell 0)
+    must leave cell 1 byte-untouched (its directory is never read or
+    rewritten) and merge cell 0; replaying that batch is idempotent."""
+    path = os.path.join(workdir, "pidx")
+    sinks.merge_upsert_parquet_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "x", 0), (2, "y", 0), (3, "z", 1)],
+            "id long, payload string, cell int",
+        ),
+        path, keys=["id"], partition_col="cell",
+    )
+    cell1_files = sorted(os.listdir(os.path.join(path, "cell=1")))
+    batch1 = spark.createDataFrame(
+        [(1, "X", 0), (4, "w", 0)], "id long, payload string, cell int"
+    )
+    expected = [(1, "X", 0), (2, "y", 0), (3, "z", 1), (4, "w", 0)]
+    for _ in range(2):  # apply + crash replay
+        sinks.merge_upsert_parquet_partitioned(
+            spark, batch1, path, keys=["id"], partition_col="cell"
+        )
+        assert _pidx_rows(spark, path) == expected
+    # the untouched partition's files were not rewritten
+    assert sorted(os.listdir(os.path.join(path, "cell=1"))) == cell1_files
+
+
+def test_partitioned_merge_preserves_null_partition_rows(spark, workdir):
+    """Round-10 ADVICE: NULL partition values land in
+    __HIVE_DEFAULT_PARTITION__, which a plain isin(touched) filter
+    silently excludes from the merge read while dynamic overwrite
+    still rewrites that directory — previously stored NULL-key rows
+    were lost. The null-safe filter must merge them instead."""
+    path = os.path.join(workdir, "pidx")
+    sinks.merge_upsert_parquet_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", 0)],
+            "id long, payload string, cell int",
+        ),
+        path, keys=["id"], partition_col="cell",
+    )
+    sinks.merge_upsert_parquet_partitioned(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", None)], "id long, payload string, cell int"
+        ),
+        path, keys=["id"], partition_col="cell",
+    )
+    assert _pidx_rows(spark, path) == [
+        (1, "a", None), (2, "b", 0), (3, "c", None),
+    ]
