@@ -161,7 +161,12 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_topk_oracle() -> str:
+def _pq_topk_oracle(corpus: str = "embeddings", extra_ctes: str = "") -> str:
+    """PQ oracle, parameterized so the IVF-PQ composition can replay
+    the same encode/ADC/rerank over a probed-cell candidate CTE
+    (``corpus``) injected via ``extra_ctes``. The codebook CTEs always
+    read the FULL ``embeddings`` table — codes must not depend on
+    which cells are probed, matching the engine."""
     m, ksub = similarity.PQ_M, similarity.PQ_KSUB
     dsub = _DIM // m
     k, refine = 10, 4
@@ -213,12 +218,12 @@ scs AS (
   SELECT max(abs(CAST(x AS DOUBLE))) / 127.0 AS sc
   FROM (SELECT unnest(se) AS x FROM seeds)
 ),
-sp AS (SELECT unnest(range({m})) AS s),
+sp AS (SELECT unnest(range({m})) AS s),{extra_ctes}
 assign AS (
   SELECT e.vec_id, sp.s, sd.j,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id, sp.s
                             ORDER BY ({dist_chain}) ASC, sd.j ASC) AS rn
-  FROM embeddings e CROSS JOIN sp CROSS JOIN seeds sd CROSS JOIN scs
+  FROM {corpus} e CROSS JOIN sp CROSS JOIN seeds sd CROSS JOIN scs
 ),
 luts AS (
   SELECT sp.s, sd.j, ({lut_dot}) AS ldot, ({lut_n2}) AS ln2
@@ -369,6 +374,55 @@ WHERE vec_id IN (SELECT a.vec_id FROM assign a
 ORDER BY cosine DESC NULLS LAST, vec_id
 LIMIT 10
 """
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ cosine top-k (`operators/similarity.py:ivfpq_topk`):
+    the coarse quantizer prunes the scan to the query's probed cells,
+    then the PQ integer-ADC scan + exact rerank runs only over those
+    cells — FAISS IndexIVFPQ's shape, composed from the two
+    oracle-checked halves. Both codebooks train on the full corpus,
+    so codes are probe-independent; the oracle replays the cell
+    filter, the argmin encode, the exact-int ADC sums, and both
+    ranking stages."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.ivfpq_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, refine=4
+    )
+
+
+def _ivfpq_topk_oracle() -> str:
+    n_c, n_p = similarity.IVF_CENTROIDS_N, similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    extra = f"""
+cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+cellasgn AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+cellprobes AS (
+  SELECT c.cell,
+         ROW_NUMBER() OVER (ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+  FROM centn c CROSS JOIN {_Q_SUB}
+),
+candv AS (
+  SELECT e.* FROM embeddings e
+  WHERE e.vec_id IN (SELECT a.vec_id FROM cellasgn a
+                     WHERE a.rn = 1
+                       AND a.cell IN (SELECT p.cell FROM cellprobes p
+                                      WHERE p.rn <= {n_p}))
+),"""
+    return _pq_topk_oracle(corpus="candv", extra_ctes=extra)
 
 
 def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -708,6 +762,8 @@ __all__ = [
     "q_cosine_topk_fast",
     "q_embedding_neardup_pairs",
     "q_ivf_topk",
+    "q_ivfpq_topk",
+    "_ivfpq_topk_oracle",
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",

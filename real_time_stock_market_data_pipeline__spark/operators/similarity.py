@@ -1491,6 +1491,73 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embs: DataFrame,
+    query: list[float],
+    k: int = 10,
+    refine: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_centroids: int = IVF_CENTROIDS_N,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    seeds: list[list[float]] | None = None,
+    arrow_encode: bool = True,
+) -> DataFrame:
+    """IVF-PQ cosine top-k — the two ANN halves composed into the
+    canonical 100 TB vector-serving index (FAISS ``IndexIVFPQ``): the
+    coarse quantizer (:func:`ivf_assign`) prunes the scan to the
+    query's ``n_probe`` nearest cells, then the PQ integer-ADC scan +
+    exact rerank (:func:`pq_topk`) runs only over the probed cells.
+
+    Both codebooks are trained on the FULL corpus (deterministic
+    lowest-id seeds, the same few-KB driver collects as the component
+    operators), so the PQ codes of a vector are identical whether or
+    not its cell is probed — at rest you store ``(cell, c0..c{m-1})``
+    per vector, the scan reads m·log2(ksub) bits per row of only
+    n_probe/n_centroids of the data (with a ``partitionBy(cell)``
+    layout the probe filter is partition pruning, as in
+    :func:`ivf_topk_indexed`), and the float vectors are touched only
+    by the k·refine rerank join.
+
+    Exactness laws (tested): with ``n_probe == n_centroids`` every
+    cell is probed and the result equals :func:`pq_topk` exactly;
+    the oracle replays the cell filter, the argmin encode, the
+    integer ADC sums, and both rankings in SQL."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    sds = seeds if seeds is not None else pq_seeds(
+        embs, ksub, id_col, vec_col
+    )
+    if not cents or not sds:  # empty corpus → empty result, stable schema
+        return (
+            cosine_scores(embs, query, vec_col)
+            .select(
+                F.col(id_col),
+                F.col("cosine"),
+                F.lit(None).cast("double").alias("approx_cosine"),
+            )
+            .limit(0)
+        )
+    probes = ivf_query_probes(query, cents, n_probe)
+    cand = embs.filter(ivf_assign(F.col(vec_col), cents).isin(probes))
+    return pq_topk(
+        cand,
+        query,
+        k=k,
+        refine=refine,
+        m=m,
+        ksub=ksub,
+        vec_col=vec_col,
+        id_col=id_col,
+        seeds=sds,
+        arrow_encode=arrow_encode,
+    )
+
+
 def silhouette_by_label(
     embs: DataFrame,
     group_col: str = "label",

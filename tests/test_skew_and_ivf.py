@@ -469,3 +469,43 @@ def test_threshold_calibration_counts_all_bucket_pairs(spark, sf_dir):
     for r in hist:
         assert -20 <= r.bin <= 20
         assert abs(r.bin_lo - r.bin / 20.0) < 1e-9
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark, sf_dir):
+    """IVF-PQ composition law: probing every cell reduces the coarse
+    filter to a no-op, so the result must equal pq_topk EXACTLY (codes
+    are trained on the full corpus in both, so they agree bitwise)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    pq_only = similarity.pq_topk(embs, q, k=10, refine=4).collect()
+    full_probe = similarity.ivfpq_topk(
+        embs, q, k=10, refine=4, n_centroids=16, n_probe=16
+    ).collect()
+    assert [tuple(r) for r in pq_only] == [tuple(r) for r in full_probe]
+
+
+def test_ivfpq_partial_probe_subset_of_cells(spark, sf_dir):
+    """Partial probe: every returned id must live in a probed cell, and
+    the empty corpus keeps a stable three-column schema."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 3).first()["embedding"]
+    ]
+    cents = similarity.ivf_centroids(embs, 16)
+    probes = set(similarity.ivf_query_probes(q, cents, 4))
+    got = similarity.ivfpq_topk(embs, q, k=10, n_probe=4, centroids=cents)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids  # the probed cells contain the query's own neighbourhood
+    cells = (
+        embs.filter(F.col("vec_id").isin(ids))
+        .select(similarity.ivf_assign(F.col("embedding"), cents).alias("c"))
+        .collect()
+    )
+    assert {r["c"] for r in cells} <= probes
+    empty = similarity.ivfpq_topk(embs.limit(0), q, k=10)
+    assert empty.columns == ["vec_id", "cosine", "approx_cosine"]
+    assert empty.count() == 0
