@@ -207,6 +207,55 @@ FROM imgf
 """
 
 
+def q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth real image container (round 11): QOI (qoiformat.org) —
+    run/delta ops over a 64-slot running color index, decoded by the
+    pure-stdlib parser (`operators/multimodal.py:_decode_qoi` via
+    `decode_media`). Unlike the shared-pixel containers this fixture
+    walks its own closed-form pixel sequence DESIGNED to cycle the
+    encoder through RUN, DIFF, LUMA, and RGB ops every four pixels
+    (with mod-256 wraparound as the sums pass 255) — the oracle
+    replays the closed form, so a bug in any op's decode arithmetic
+    or the index/run bookkeeping flips a channel sum and breaks the
+    hash. OP_INDEX/OP_RGBA are pinned by hand fixtures in tests."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal,
+    )
+
+    ensure_engine_conf(spark)
+    docs = _table("documents")(spark, sf_dir)
+    media = multimodal.synthetic_media(docs, image_fmt="qoi")
+    return multimodal.decode_media(media.where(F.col("kind") == "image"))
+
+
+_QOI_DECODE_ORACLE = """
+WITH img AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+),
+px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM img),
+imgf AS (
+  SELECT doc_id, w, h,
+         sum((doc_id * 7 + (i + 2) // 4 + 4 * ((i + 1) // 4)
+              + 50 * (i // 4)) % 256) AS sum_r,
+         sum((doc_id * 11 + (i + 2) // 4 + 8 * ((i + 1) // 4)
+              + 60 * (i // 4)) % 256) AS sum_g,
+         sum((doc_id * 13 + (i + 2) // 4 + 4 * ((i + 1) // 4)
+              + 70 * (i // 4)) % 256) AS sum_b
+  FROM px GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id, 'image' AS kind, 'qoi' AS fmt,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS duration_ms, CAST(NULL AS INT) AS peak,
+       CAST(NULL AS DOUBLE) AS rms
+FROM imgf
+"""
+
+
 def q_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First real lossy CODEC decode (round 9): the SAME logical
     samples as `media_decode`'s WAVs, companded through G.711 µ-law
@@ -702,6 +751,8 @@ __all__ = [
     "_BMP_DECODE_ORACLE",
     "q_png_decode",
     "_PNG_DECODE_ORACLE",
+    "q_qoi_decode",
+    "_QOI_DECODE_ORACLE",
     "q_gif_decode",
     "_GIF_DECODE_ORACLE",
     "q_ulaw_decode",

@@ -249,7 +249,7 @@ DECODED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("kind", StringType(), False),
-        # ppm|bmp|png|gif | wav|aiff|ulaw
+        # ppm|bmp|png|gif|qoi | wav|aiff|ulaw|alaw
         StructField("fmt", StringType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
@@ -776,6 +776,192 @@ def _decode_gif(payload: bytes) -> dict:
     raise ValueError("truncated GIF: no image descriptor")
 
 
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (qoiformat.org, 2022 spec): a
+# single-pass byte-oriented codec with six ops (RUN/INDEX/DIFF/LUMA/
+# RGB/RGBA) over a 64-slot running color index. Fifth real image
+# container; first with delta/run compression ops rather than a
+# general-purpose compressor (PNG/zlib) or dictionary coder (GIF/LZW).
+# ---------------------------------------------------------------------------
+
+_QOI_OP_INDEX = 0x00
+_QOI_OP_DIFF = 0x40
+_QOI_OP_LUMA = 0x80
+_QOI_OP_RUN = 0xC0
+_QOI_OP_RGB = 0xFE
+_QOI_OP_RGBA = 0xFF
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    """The spec's index position: (r·3 + g·5 + b·7 + a·11) % 64."""
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _qoi_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """Reference-priority QOI encoder for 3-channel pixels (RUN →
+    INDEX → DIFF → LUMA → RGB, exactly qoi.c's op choice): previous
+    pixel starts at (0,0,0,255), the 64-slot index starts zeroed,
+    DIFF/LUMA deltas use wraparound (mod-256) arithmetic, runs are
+    capped at 62 (tags 63/64 are the RGB/RGBA bytes). During a run
+    the index is not touched (the run pixel was indexed when first
+    seen) — matching the reference encoder so third-party decoders
+    replay bit-identically."""
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for i in range(w * h):
+        cur = (rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2], 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(_QOI_OP_RUN | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(_QOI_OP_RUN | (run - 1))
+            run = 0
+        hidx = _qoi_hash(*cur)
+        if index[hidx] == cur:
+            out.append(_QOI_OP_INDEX | hidx)
+        else:
+            index[hidx] = cur
+            dr = (cur[0] - prev[0] + 128) % 256 - 128
+            dg = (cur[1] - prev[1] + 128) % 256 - 128
+            db = (cur[2] - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(
+                    _QOI_OP_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                )
+            elif (
+                -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7
+            ):
+                out.append(_QOI_OP_LUMA | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((_QOI_OP_RGB, cur[0], cur[1], cur[2]))
+        prev = cur
+    if run:
+        out.append(_QOI_OP_RUN | (run - 1))
+    out += _QOI_END
+    return bytes(out)
+
+
+def _qoi_bytes(d: int) -> tuple[bytes, int, int]:
+    """Deterministic QOI payload for media id ``d`` (w=4+d%5, h=3+d%7
+    like every image fixture). Unlike the shared PPM pixels — whose
+    +33-per-channel stride can only produce RGB/INDEX ops — this
+    fixture's pixel walk is designed so the ENCODED stream cycles
+    through all four delta ops (any image here is ≥12 px, covering ≥2
+    full cycles): the step from pixel i-1 to i is, by i % 4,
+    (0,0,0) → OP_RUN, (1,1,1) → OP_DIFF, (4,8,4) → OP_LUMA,
+    (50,60,70) → OP_RGB (dg=60 exceeds LUMA's range), with mod-256
+    wraparound exercised as the cumulative sums pass 255. Closed form
+    per channel (counting the steps of each phase among 1..i):
+    r_i = (d·7 + (i+2)//4 + 4·((i+1)//4) + 50·(i//4)) % 256, g/b with
+    bases d·11 / d·13 and step weights (1,8,60) / (1,4,70) — replayed
+    verbatim by the DuckDB oracle, so a bug in ANY op's decode (or in
+    the index/run bookkeeping that a mis-encode would corrupt) flips
+    a channel sum. OP_INDEX and OP_RGBA are pinned by hand fixtures
+    in tests (they need exact revisits / an alpha channel)."""
+    w, h = 4 + d % 5, 3 + d % 7
+    rgb = bytearray()
+    for i in range(w * h):
+        c2, c3, c0 = (i + 2) // 4, (i + 1) // 4, i // 4
+        rgb.append((d * 7 + c2 + 4 * c3 + 50 * c0) % 256)
+        rgb.append((d * 11 + c2 + 8 * c3 + 60 * c0) % 256)
+        rgb.append((d * 13 + c2 + 4 * c3 + 70 * c0) % 256)
+    return _qoi_encode(bytes(rgb), w, h), w, h
+
+
+def _decode_qoi(payload: bytes) -> dict:
+    """Parse a QOI image (any channels/colorspace header; alpha is
+    tracked for index hashing but only RGB contributes to the sums):
+    validate magic + end marker, then replay the op stream — 64-slot
+    index updated after EVERY decoded pixel value (qoi.c decode
+    order), DIFF/LUMA wraparound arithmetic, run-length expansion —
+    with truncation and pixel-count overrun checked loudly."""
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI image (missing qoif magic)")
+    if len(payload) < 14 + len(_QOI_END):
+        raise ValueError("truncated QOI: shorter than header + end marker")
+    w, h, channels, colorspace = struct.unpack(">IIBB", payload[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if colorspace not in (0, 1):
+        raise ValueError(f"QOI colorspace must be 0 or 1, got {colorspace}")
+    if payload[-8:] != _QOI_END:
+        raise ValueError("missing QOI end marker")
+    data = payload[14:-8]
+    index: list[tuple[int, int, int, int]] = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    n = w * h
+    got = 0
+    sum_r = sum_g = sum_b = 0
+    i = 0
+    while got < n:
+        if i >= len(data):
+            raise ValueError(
+                f"truncated QOI stream: {got} of {n} pixels decoded"
+            )
+        byte = data[i]
+        i += 1
+        run = 1
+        if byte == _QOI_OP_RGB:
+            if i + 3 > len(data):
+                raise ValueError("truncated QOI_OP_RGB")
+            r, g, b = data[i], data[i + 1], data[i + 2]
+            i += 3
+        elif byte == _QOI_OP_RGBA:
+            if i + 4 > len(data):
+                raise ValueError("truncated QOI_OP_RGBA")
+            r, g, b, a = data[i], data[i + 1], data[i + 2], data[i + 3]
+            i += 4
+        else:
+            tag = byte & 0xC0
+            if tag == _QOI_OP_INDEX:
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == _QOI_OP_DIFF:
+                r = (r + ((byte >> 4) & 0x3) - 2) % 256
+                g = (g + ((byte >> 2) & 0x3) - 2) % 256
+                b = (b + (byte & 0x3) - 2) % 256
+            elif tag == _QOI_OP_LUMA:
+                if i >= len(data):
+                    raise ValueError("truncated QOI_OP_LUMA")
+                dg = (byte & 0x3F) - 32
+                second = data[i]
+                i += 1
+                r = (r + dg + ((second >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (second & 0xF) - 8) % 256
+            else:  # _QOI_OP_RUN
+                run = (byte & 0x3F) + 1
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        if got + run > n:
+            raise ValueError(
+                f"QOI run overruns the image: {got}+{run} > {n} pixels"
+            )
+        sum_r += r * run
+        sum_g += g * run
+        sum_b += b * run
+        got += run
+    if i != len(data):
+        raise ValueError(
+            f"{len(data) - i} trailing bytes between QOI pixel stream "
+            "and end marker"
+        )
+    return {
+        "fmt": "qoi",
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
 def _pack_f80(x: float) -> bytes:
     """Pack a positive number as the 80-bit IEEE 754 extended float
     the AIFF COMM chunk demands (1 sign + 15 exponent + 64 mantissa
@@ -1035,7 +1221,9 @@ def synthetic_media(
     real binary images — PPM by default, 24-bit BMP with
     ``image_fmt="bmp"``, zlib-compressed PNG with ``image_fmt="png"``,
     LZW-compressed GIF with ``image_fmt="gif"``
-    (same logical pixels, different containers) — odd ids real PCM
+    (same logical pixels, different containers), QOI with
+    ``image_fmt="qoi"`` (its own op-cycling pixel walk, see
+    :func:`_qoi_bytes`) — odd ids real PCM
     audio clips — WAV by default, big-endian AIFF
     with ``audio_fmt="aiff"`` (same logical samples, different
     container), G.711 µ-law-companded WAV with ``audio_fmt="ulaw"``
@@ -1050,6 +1238,7 @@ def synthetic_media(
         "bmp": (_bmp_bytes, "image/bmp"),
         "png": (_png_bytes, "image/png"),
         "gif": (_gif_bytes, "image/gif"),
+        "qoi": (_qoi_bytes, "image/qoi"),
     }
     if image_fmt not in img_specs:
         raise ValueError(f"unsupported image_fmt {image_fmt!r}")
@@ -1264,6 +1453,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     d = _decode_png(p)
                 elif p.startswith(b"GIF8"):
                     d = _decode_gif(p)
+                elif p.startswith(b"qoif"):
+                    d = _decode_qoi(p)
                 elif p.startswith(b"RIFF"):
                     d = _decode_wav(p)
                 elif p.startswith(b"FORM"):
@@ -1272,8 +1463,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"media_id={mid}: unrecognized container "
                         f"(magic={p[:4]!r}); only PPM/P6, BMP, PNG, "
-                        "GIF, RIFF/WAV, and FORM/AIFF decode without "
-                        "codec libraries"
+                        "GIF, QOI, RIFF/WAV, and FORM/AIFF decode "
+                        "without codec libraries"
                     )
                 rows["media_id"].append(int(mid))
                 rows["kind"].append(kind)

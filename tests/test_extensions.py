@@ -2177,3 +2177,148 @@ def test_sq8_topk_recall_vs_exact(spark, sf_dir):
     got = {r["vec_id"] for r in similarity.sq8_topk(embs, q, k=10).collect()}
     exact = {r["vec_id"] for r in similarity.cosine_topk(embs, q, k=10).collect()}
     assert len(got & exact) >= 8
+
+
+# ---------------------------------------------------------------------------
+# QOI codec (qoiformat.org spec) — hand-decoded known answers pin the
+# decoder to the published byte format, not just to our own encoder.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_header(w, h, channels=3, colorspace=0):
+    import struct
+
+    return b"qoif" + struct.pack(">IIBB", w, h, channels, colorspace)
+
+
+def test_qoi_hand_decoded_rgb_run_diff_index():
+    """2x2 image, hand-assembled stream: OP_RGB(128,0,0), OP_RUN(1),
+    OP_DIFF(+1,+1,+1) → (129,1,1), OP_INDEX(53) → back to (128,0,0)
+    (hash(128,0,0,255) = (384+2805) % 64 = 53). Hand-computed sums."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    payload = (
+        _qoi_header(2, 2)
+        + bytes([0xFE, 128, 0, 0, 0xC0, 0x7F, 0x35])
+        + mm._QOI_END
+    )
+    out = mm._decode_qoi(payload)
+    assert (out["width"], out["height"], out["n_pixels"]) == (2, 2, 4)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (513, 1, 1)
+
+
+def test_qoi_hand_decoded_rgba_and_luma_wraparound():
+    """channels=4 stream: OP_RGBA(10,20,30,128) then OP_LUMA with
+    dg=-30 (green wraps 20→246), dr-dg=0, db-dg=5 → (236,246,5).
+    Alpha rides the index hash but never the sums."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    payload = (
+        _qoi_header(1, 2, channels=4, colorspace=1)
+        + bytes([0xFF, 10, 20, 30, 128, 0x82, 0x8D])
+        + mm._QOI_END
+    )
+    out = mm._decode_qoi(payload)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (246, 266, 35)
+
+
+def test_qoi_hand_decoded_diff_wraparound_from_start_pixel():
+    """The implicit previous pixel is (0,0,0,255); OP_DIFF(dr=-2)
+    wraps red to 254 on the very first pixel."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    payload = _qoi_header(1, 1) + bytes([0x4A]) + mm._QOI_END
+    out = mm._decode_qoi(payload)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (254, 0, 0)
+
+
+def test_qoi_encoder_run_cap_and_index_revisit():
+    """(a) 100 identical pixels → LUMA + runs capped at 62 (62+37),
+    decoding to 100 pixels; (b) A,B,A with non-colliding hash slots →
+    the third pixel is an OP_INDEX byte."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    flat = bytes([5, 5, 5]) * 100
+    payload = mm._qoi_encode(flat, 10, 10)
+    out = mm._decode_qoi(payload)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (500, 500, 500)
+    data = payload[14:-8]
+    runs = [b & 0x3F for b in data if (b & 0xC0) == 0xC0 and b < 0xFE]
+    assert sorted(runs) == [36, 61]  # biased -1: runs of 62 and 37
+
+    aba = bytes([128, 0, 0, 10, 0, 0, 128, 0, 0])
+    payload = mm._qoi_encode(aba, 3, 1)
+    data = payload[14:-8]
+    assert data[-1] == 0x35  # OP_INDEX slot 53 for (128,0,0,255)
+    out = mm._decode_qoi(payload)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (266, 0, 0)
+
+
+def test_qoi_roundtrip_matches_closed_form():
+    """Fixture law: _qoi_bytes → _decode_qoi equals the oracle's
+    closed-form channel sums, and the encoded stream contains all
+    four cycling ops for every image (≥12 px ⇒ ≥2 full cycles)."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    for d in (0, 2, 6, 88, 124):
+        payload, w, h = mm._qoi_bytes(d)
+        out = mm._decode_qoi(payload)
+        for ch, base, w3 in (("r", 7, (1, 4, 50)),
+                             ("g", 11, (1, 8, 60)),
+                             ("b", 13, (1, 4, 70))):
+            exp = sum(
+                (d * base + w3[0] * ((i + 2) // 4)
+                 + w3[1] * ((i + 1) // 4) + w3[2] * (i // 4)) % 256
+                for i in range(w * h)
+            )
+            assert out[f"sum_{ch}"] == exp, (d, ch)
+        data, i, tags = payload[14:-8], 0, set()
+        while i < len(data):
+            byte = data[i]
+            i += 1
+            if byte == 0xFE:
+                tags.add("rgb"); i += 3
+            elif byte == 0xFF:
+                tags.add("rgba"); i += 4
+            else:
+                t = byte & 0xC0
+                if t == 0x80:
+                    i += 1
+                tags.add({0x00: "index", 0x40: "diff",
+                          0x80: "luma", 0xC0: "run"}[t])
+        assert {"run", "diff", "luma", "rgb"} <= tags, (d, tags)
+
+
+def test_qoi_error_paths():
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    good = _qoi_header(1, 1) + bytes([0xFE, 1, 2, 3]) + mm._QOI_END
+    assert mm._decode_qoi(good)["sum_g"] == 2
+    with pytest.raises(ValueError, match="qoif magic"):
+        mm._decode_qoi(b"nope" + good[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        mm._decode_qoi(good[:-1] + b"\x02")
+    with pytest.raises(ValueError, match="channels"):
+        mm._decode_qoi(_qoi_header(1, 1, channels=5) + good[14:])
+    with pytest.raises(ValueError, match="truncated QOI stream"):
+        mm._decode_qoi(_qoi_header(1, 2) + bytes([0xFE, 1, 2, 3]) + mm._QOI_END)
+    with pytest.raises(ValueError, match="truncated QOI_OP_LUMA"):
+        mm._decode_qoi(_qoi_header(1, 1) + bytes([0x82]) + mm._QOI_END)
+    with pytest.raises(ValueError, match="overruns"):
+        mm._decode_qoi(_qoi_header(1, 1) + bytes([0xC5]) + mm._QOI_END)
+    with pytest.raises(ValueError, match="trailing bytes"):
+        mm._decode_qoi(
+            _qoi_header(1, 1) + bytes([0xFE, 1, 2, 3, 0x00]) + mm._QOI_END
+        )
