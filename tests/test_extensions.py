@@ -1993,6 +1993,129 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(
     assert drain() == [3, 6]
 
 
+def test_stream_semantic_screen_compaction_bounds_files(spark):
+    """Cell-scoped index compaction wired into the streaming screen
+    (round-11 verdict ask #4): across 12 single-file drains with
+    ``compact_every=3`` and ``compact_min_files=0`` (force a rewrite
+    even though the MERGE sink's dynamic overwrite already leaves ~1
+    file per cell locally — see the compactor's docstring for where
+    real accretion lives), (a) the kept-row contents equal a
+    compaction-free run on identical inputs, (b) the per-cell file
+    count stays at the compacted floor, and (c) a final no-new-input
+    drain changes nothing (restart idempotence over a compacted
+    index)."""
+    import glob
+    import os
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    schema = "vec_id: long, embedding: array<float>"
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+
+    def run(tmp: str, compact_every: int | None) -> list[int]:
+        in_dir, idx, ckpt = f"{tmp}/in", f"{tmp}/index", f"{tmp}/ckpt"
+
+        def drain():
+            src = pipeline.read_file_stream(
+                spark, in_dir,
+                schema=spark.createDataFrame([], schema).schema,
+            )
+            q = pipeline.stream_semantic_screen(
+                src, corpus, idx, ckpt, threshold=0.995, n_centroids=2,
+                corpus_assigned_path=f"{tmp}/corpus_assigned",
+                compact_every=compact_every, compact_min_files=0,
+            )
+            q.awaitTermination()
+
+        for b in range(12):
+            # two rows per batch, all in centroid-0's cell, spread far
+            # enough apart (cos < 0.995) that most rows are kept
+            rows = [
+                (
+                    b * 2 + j,
+                    [1.0, 0.3 * ((b * 2 + j) % 5 - 2), 0.1 * j, 0.0],
+                )
+                for j in range(2)
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            drain()
+        drain()  # no new input: must be a no-op
+        kept = sorted(
+            r["vec_id"] for r in spark.read.parquet(idx).collect()
+        )
+        hot_files = {
+            d: len(glob.glob(os.path.join(idx, d, "*.parquet")))
+            for d in os.listdir(idx)
+            if d.startswith("cell=")
+        }
+        return kept, hot_files
+
+    kept_plain, files_plain = run(
+        tempfile.mkdtemp(prefix="sss_nocomp_"), None
+    )
+    kept_comp, files_comp = run(tempfile.mkdtemp(prefix="sss_comp_"), 3)
+    assert kept_comp == kept_plain and kept_plain  # identical results
+    # compaction leaves the hot cell at its single-file floor, and the
+    # MERGE sink's own dynamic-overwrite bound holds on both runs
+    assert max(files_comp.values()) == 1
+    assert max(files_plain.values()) <= 2
+
+
+def test_compact_partitioned_cells_scopes_and_heals(spark, tmp_path):
+    """Unit contract of sinks.compact_partitioned_cells on the shape
+    that really accretes — an APPEND-mode partitioned sink writing one
+    file set per batch (K2): only directories over min_files are
+    rewritten (cold cells untouched — same file set), rows are
+    unchanged, and a crash mid-swap (cell dir renamed away,
+    .compact_old left) self-heals on the next call."""
+    import glob
+    import os
+
+    from real_time_stock_market_data_pipeline__spark import sinks
+
+    path = str(tmp_path / "tbl")
+    # hot cell: 12 appended file sets (one per "micro-batch"); cold: 1
+    for i in range(12):
+        spark.createDataFrame(
+            [(i, 0)], "k long, cell int"
+        ).coalesce(1).write.mode("append").partitionBy("cell").parquet(path)
+    spark.createDataFrame(
+        [(99, 1)], "k long, cell int"
+    ).coalesce(1).write.mode("append").partitionBy("cell").parquet(path)
+    assert len(glob.glob(os.path.join(path, "cell=0", "*.parquet"))) == 12
+
+    cold_before = sorted(glob.glob(os.path.join(path, "cell=1", "*.parquet")))
+    rep = sinks.compact_partitioned_cells(
+        spark, path, partition_col="cell", min_files=2
+    )
+    assert list(rep) == ["0"] and rep["0"]["rows"] == 12
+    assert rep["0"]["files_after"] < rep["0"]["files_before"]
+    assert rep["0"]["files_after"] == 1  # tiny bytes -> single file
+    assert sorted(
+        glob.glob(os.path.join(path, "cell=1", "*.parquet"))
+    ) == cold_before
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(12)) + [99]
+
+    # simulate a crash between the two swap renames
+    os.rename(
+        os.path.join(path, "cell=0"),
+        os.path.join(path, "cell=0.compact_old"),
+    )
+    sinks.compact_partitioned_cells(
+        spark, path, partition_col="cell", min_files=2
+    )
+    assert os.path.isdir(os.path.join(path, "cell=0"))
+    assert not os.path.isdir(os.path.join(path, "cell=0.compact_old"))
+    got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(12)) + [99]
+
+
 def test_stream_semantic_screen_rebuilds_stale_corpus_assignment(spark):
     """Fingerprint sidecar (round-11 ADVICE): a pre-existing
     ``corpus_assigned_path`` built from a DIFFERENT corpus must be

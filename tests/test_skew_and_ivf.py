@@ -9,6 +9,7 @@ assigned cells.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.operators import (
@@ -266,6 +267,78 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_ivfpq_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
+    """ivfpq_write_index + ivfpq_topk_indexed (round-11 verdict ask
+    #1): the materialized (id, codes) @ partitionBy(cell) layout must
+    (a) return exactly ivfpq_topk's result for the same codebooks —
+    codes are probe-independent because both codebooks train on the
+    full corpus — (b) push the probe predicate into the code scan's
+    PartitionFilters, and (c) never read the float vector column in
+    that scan (ReadSchema is codes-only; floats appear only in the
+    rerank scan)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    cents, sds = similarity.ivfpq_write_index(embs, path)
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow["embedding"]]
+
+    indexed = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, cents, sds, k=10, refine=4
+    )
+    on_the_fly = similarity.ivfpq_topk(
+        embs, query, k=10, refine=4, centroids=cents, seeds=sds
+    )
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in on_the_fly.collect()
+    ]
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")
+    cell_pruned = [seg for seg in pf[1:] if "cell" in seg.split("]")[0]]
+    assert cell_pruned, "probe filter did not land in PartitionFilters"
+    # the pruned code scan reads integer codes only — no float vectors
+    import re
+
+    code_scans = [
+        s for s in re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        if "c0:int" in s
+    ]
+    assert code_scans and all("embedding" not in s for s in code_scans)
+
+
+def test_ivfpq_index_full_probe_equals_pq_topk(spark, sf_dir, tmp_path):
+    """With every cell probed, the indexed path degrades to exactly
+    pq_topk on the full corpus — the composition law carried over to
+    the at-rest form."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "ivfpq_index_full")
+    cents, sds = similarity.ivfpq_write_index(embs, path)
+    qrow = embs.filter(F.col("vec_id") == 1).first()
+    query = [float(x) for x in qrow["embedding"]]
+    indexed = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, cents, sds, k=5, refine=3,
+        n_probe=len(cents),
+    )
+    flat = similarity.pq_topk(embs, query, k=5, refine=3, seeds=sds)
+    assert [tuple(r) for r in indexed.collect()] == [
+        tuple(r) for r in flat.collect()
+    ]
+
+
+def test_ivfpq_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings").filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivfpq_write_index(embs, str(tmp_path / "nope"))
 
 
 def test_embedding_quantize_bounds_and_roundtrip(spark, sf_dir):

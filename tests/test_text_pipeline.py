@@ -320,6 +320,40 @@ def test_pair_families_clone_collapse_equals_uncollapsed(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pair_families_powerlaw_clone_skew(spark):
+    """Power-law clone skew (round-11 verdict ask #7): web corpora are
+    not uniformly cloned — one boilerplate text can carry ~50% of all
+    rows. With a 600-row corpus whose dominant text owns 300 rows: the
+    auto probe engages, collapsed == uncollapsed on both pair
+    families, the dominant group emits exactly its C(300,2) intra-
+    group pairs (the output floor — irreducible for pair semantics),
+    and the collapsed plans stay cartesian-free. The banded candidate
+    volume the collapse removes is the measured A/B in BASELINE.md."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    dominant = "the dominant boilerplate footer text that is everywhere"
+    rows = [(i, dominant) for i in range(300)] + [
+        (300 + i, f"unique document {i} carrying distinct words {i * 7}")
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id: long, text: string")
+    # 301 distinct / 600 rows ≈ 0.50 ≤ 0.9 threshold → probe engages
+    assert dedup._should_collapse(corpus, "doc_id", "text", "auto")
+
+    n_dom_pairs = 300 * 299 // 2
+    for fam in (dedup.dedup_minhash_pairs, dedup.simhash_neardup_pairs):
+        c = fam(corpus, collapse_clones=True)
+        u = fam(corpus, collapse_clones=False)
+        got_c = sorted((r["id_a"], r["id_b"]) for r in c.collect())
+        got_u = sorted((r["id_a"], r["id_b"]) for r in u.collect())
+        assert got_c == got_u
+        dom = [p for p in got_c if p[0] < 300 and p[1] < 300]
+        assert len(dom) == n_dom_pairs
+        plan = c._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_clone_collapse_auto_probe(spark):
     """The "auto" spec engages the collapse pre-pass only when clone
     mass is significant (distinct/total ≤ threshold): a clone-light
@@ -362,6 +396,41 @@ def test_sentence_dedup_stats_detects_cross_doc_boilerplate(spark):
     assert out[1]["shared_fraction"] == 0.5
     assert out[2]["n_shared"] == 1
     assert out[3]["n_shared"] == 0 and out[3]["shared_fraction"] == 0.0
+
+
+def test_substring_dedup_removes_repeats_keeps_first(spark):
+    """Lee-et-al-style exact substring dedup at 4-word blocks: a full
+    clone of doc 1 loses every block; a doc sharing one block keeps
+    the rest; a repeated block WITHIN one doc is also collapsed to its
+    first occurrence; reconstruction md5 equals the hand-computed
+    surviving text."""
+    import hashlib
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e f g h"),            # blocks: "a b c d", "e f g h"
+        (2, "a b c d e f g h"),            # clone -> nothing survives
+        (3, "a b c d x y z w"),            # first block shared -> half
+        (4, "p q r s p q r s"),            # intra-doc repeat -> first kept
+        (5, "only five words here now"),   # unique, partial last block
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(docs, n_words=4).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["dedup_text_md5"] == md5("a b c d e f g h")
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (2, 0)
+    assert out[2]["dedup_text_md5"] == md5("")
+    assert (out[3]["n_blocks"], out[3]["n_kept"]) == (2, 1)
+    assert out[3]["dedup_text_md5"] == md5("x y z w")
+    assert (out[4]["n_blocks"], out[4]["n_kept"]) == (2, 1)
+    assert out[4]["dedup_text_md5"] == md5("p q r s")
+    assert (out[5]["n_blocks"], out[5]["n_kept"]) == (2, 2)
+    assert out[5]["dedup_text_md5"] == md5("only five words here now")
 
 
 def test_lexical_diversity_bounds(spark, sf_dir):
