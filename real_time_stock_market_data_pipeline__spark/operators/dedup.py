@@ -456,13 +456,18 @@ def dedup_minhash_pairs(
     slices — essentially unique per distinct near-dup set — so the
     collision volume clones create (~clones² × n_bands narrow rows
     through one DISTINCT) stays cheaper than the collapse's text
-    groupBy + two expansion joins. Contrast
+    groupBy + two expansion joins AT MODERATE MULTIPLICITY. The
+    round-12 second-decade sweep pinned the crossover: at ×100 clone
+    multiplicity the quadratic catches up and the collapse WINS
+    (direct 26.0 s vs collapsed 18.1 s on the 500k-doc fixture,
+    identical 35.63M pairs) — the flip lives between ~10 and ~100
+    clones per text (BASELINE.md). Contrast
     :func:`simhash_neardup_pairs`, whose 16-bit block buckets collide
-    densely and where the same pre-pass wins 9.4× — pass ``True`` or
-    ``"auto"`` (:func:`_should_collapse`) here only when clone
-    multiplicity is far beyond the fixture's ~10× (the crossover is
-    bucket-density-dependent; the option and the equality law are in
-    place to make that a one-flag experiment).
+    densely and where the same pre-pass wins 9.4× at ×10 already.
+    The clone-mass "auto" probe cannot see multiplicity (mass is 90%
+    in both fixtures), so at crawl scale pass ``True`` when mean
+    multiplicity n/distinct is deep into the tens; the option and the
+    equality law make that a one-flag experiment.
     """
     if not _should_collapse(docs, id_col, text_col, collapse_clones):
         return _minhash_pairs_scan(

@@ -53,12 +53,22 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=".localdata/sf1.0")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset to generate (default: all); used "
+        "for the x100 quadratic-family fixture where only documents/"
+        "embeddings are needed",
+    )
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
 
     dst = Path(args.dst)
     dst.mkdir(parents=True, exist_ok=True)
 
     for name in COPY_ONCE:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(f"{args.src}/{name}.parquet")
         pq.write_table(t, dst / f"{name}.parquet")
         print(f"{name:12s} {t.num_rows:9d} rows (copied)")
@@ -67,6 +77,8 @@ def main() -> None:
     # in lockstep
     strides: dict[str, int] = {}
     for name, (keys, stride_name) in SCALED.items():
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(f"{args.src}/{name}.parquet")
         m = max(
             pc.max(t.column(k)).as_py() for k in keys
@@ -74,6 +86,8 @@ def main() -> None:
         strides[stride_name] = max(strides.get(stride_name, 0), int(m) + 1)
 
     for name, (keys, stride_name) in SCALED.items():
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(f"{args.src}/{name}.parquet")
         stride = strides[stride_name]
         copies = []
