@@ -346,6 +346,56 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-shaped exact substring dedup
+    (`operators/dedup.py:substring_dedup_incremental`): the block
+    index is built at rest from the id-prefix half of the corpus
+    (`write_block_index`), then the other half screens against it —
+    stored blocks outrank arriving ones, intra-batch repeats keep
+    their first occurrence. Because ids(corpus) < ids(batch), the
+    oracle is simply the FULL substring_dedup replay restricted to
+    batch documents (the split constant is derived in SQL the same
+    way the Spark side derives it)."""
+    import tempfile
+
+    docs = _table("documents")(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    corpus = docs.filter(F.col("doc_id") < n // 2)
+    batch = docs.filter(F.col("doc_id") >= n // 2)
+    path = tempfile.mkdtemp(prefix="blockidx_") + "/index"
+    dedup.write_block_index(corpus, path)
+    return dedup.substring_dedup_incremental(batch, path)
+
+
+def _substring_dedup_incremental_oracle(n_words: int = 8) -> str:
+    w = n_words
+    return f"""
+WITH wrd AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+blocks AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(words[(i*{w}+1):(i*{w}+{w})], ' ') AS block
+  FROM wrd, UNNEST(range(CAST(ceil(len(words)/{w}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY block
+                               ORDER BY doc_id, pos) AS rn
+  FROM blocks
+),
+split AS (SELECT (max(doc_id) + 1) // 2 AS s FROM documents)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN block END,
+                               ' ' ORDER BY pos), '')) AS dedup_text_md5
+FROM ranked, split
+WHERE doc_id >= split.s
+GROUP BY doc_id
+"""
+
+
 __all__ = [
     "_DEDUP_CORPUS_ORACLE",
     "_DEDUP_EXACT_ORACLE",
@@ -371,4 +421,6 @@ __all__ = [
     "q_simhash_neardup_pairs",
     "q_substring_dedup",
     "_substring_dedup_oracle",
+    "q_substring_dedup_incremental",
+    "_substring_dedup_incremental_oracle",
 ]

@@ -464,6 +464,31 @@ def q_ivfpq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ ingestion (round-12): build the index on the
+    id-prefix half of the corpus, MERGE-ingest the other half under
+    the frozen sidecar codebooks (`similarity.ivfpq_merge_index` —
+    cell-partition-scoped upsert, ingestion cost tracks batch cell
+    volume), then probe the merged index. Because the prefix half
+    contains the lowest-id vectors, its codebooks ARE the full-corpus
+    codebooks, so the merged index answers exactly like `ivfpq_topk`
+    on the full corpus — this query shares that oracle, giving the
+    write path driver-level evidence."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    n = embs.count()
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    half_b = embs.filter(F.col("vec_id") >= n // 2)
+    path = tempfile.mkdtemp(prefix="ivfpq_inc_") + "/index"
+    similarity.ivfpq_write_index(half_a, path)
+    similarity.ivfpq_merge_index(spark, half_b, path)
+    return similarity.ivfpq_topk_indexed(
+        spark, path, embs, _query_vector(spark, sf_dir), k=10, refine=4
+    )
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
     query vectors via the IVF cell equi-join (never a cartesian). The
@@ -787,6 +812,7 @@ __all__ = [
     "q_ivfpq_topk",
     "_ivfpq_topk_oracle",
     "q_ivfpq_topk_indexed",
+    "q_ivfpq_merge_topk",
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",

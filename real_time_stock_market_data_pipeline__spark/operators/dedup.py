@@ -1179,9 +1179,24 @@ def substring_dedup(
     oracle verifies every byte without shipping long strings through
     the compare).
     """
+    blocks = _doc_blocks(docs, id_col, text_col, n_words)
+    first = Window.partitionBy("block").orderBy(id_col, "pos")
+    ranked = blocks.withColumn(
+        "keep", (F.row_number().over(first) == 1)
+    )
+    return _rebuild_docs(ranked, id_col)
+
+
+def _doc_blocks(
+    docs: DataFrame, id_col: str, text_col: str, n_words: int
+) -> DataFrame:
+    """Segment each non-NULL document into non-overlapping
+    ``n_words``-word blocks: one row per ``(id, pos, block)`` instance
+    — the shared front of :func:`substring_dedup` and its
+    index-at-rest twins. Pure explode, stays in partition."""
     words = F.split(F.col(text_col), " ")
     n_blocks = F.ceil(F.size(words) / F.lit(float(n_words))).cast("int")
-    blocks = docs.filter(F.col(text_col).isNotNull()).select(
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -1192,22 +1207,24 @@ def substring_dedup(
             )
         ).alias("pos", "block"),
     )
-    first = Window.partitionBy("block").orderBy(id_col, "pos")
-    ranked = blocks.withColumn("rn", F.row_number().over(first))
+
+
+def _rebuild_docs(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Rebuild per-document stats from a ``(id, pos, block, keep)``
+    frame: block/kept counts and the md5 of surviving blocks joined in
+    position order — the shared tail of the substring-dedup family."""
     kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("pos"), F.col("block"))
+        F.col("keep"), F.struct(F.col("pos"), F.col("block"))
     )
     return (
-        ranked.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
-            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(kept_struct)
-                        ),
+                        F.array_sort(F.collect_list(kept_struct)),
                         lambda s: s["block"],
                     ),
                     " ",
@@ -1216,3 +1233,71 @@ def substring_dedup(
         )
         .select(id_col, "n_blocks", "n_kept", "dedup_text_md5")
     )
+
+
+def write_block_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 8,
+) -> None:
+    """Materialize the corpus's DISTINCT block digests at rest — the
+    ExactSubstr screen set (cf. :func:`write_dedup_index` for the
+    MinHash twin). A later crawl screens against it WITHOUT
+    re-segmenting the stored corpus: per-batch cost is segment(new) +
+    one equi-join against digest rows (16-byte md5 each, ~vocabulary-
+    sized after DISTINCT — orders of magnitude smaller than the text).
+    One corpus scan + one distinct shuffle; append new batches' kept
+    digests to keep it current."""
+    _doc_blocks(corpus, id_col, text_col, n_words).select(
+        F.md5("block").alias("block_md5")
+    ).distinct().write.mode("overwrite").parquet(path)
+
+
+def substring_dedup_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 8,
+) -> DataFrame:
+    """:func:`substring_dedup` for the crawl shape: screen a NEW batch
+    against an at-rest block-digest index (:func:`write_block_index`)
+    — a batch block instance survives iff its block is absent from
+    the stored corpus AND it is the first occurrence within the batch
+    (lowest ``(id, pos)``); documents are rebuilt from survivors as in
+    the batch operator.
+
+    Equivalence law (tested + oracle): with the index built on corpus
+    C and ids(C) < ids(B), the result over batch B equals
+    ``substring_dedup(C ∪ B)`` restricted to B's documents — stored
+    blocks always outrank arriving ones, the same arrival-ordered
+    semantics as ``incremental_neardup_indexed`` and the streaming
+    screen. A block present in C kills ALL its B instances, so the
+    intra-batch first-occurrence rank over index-surviving blocks
+    equals the global rank.
+
+    Scale: segment(new batch) + one hash equi-join against the digest
+    index + one block-keyed window over BATCH blocks only — the stored
+    corpus is never re-read beyond its digest set."""
+    spark = new_docs.sparkSession
+    idx = spark.read.parquet(index_path)
+    blocks = _doc_blocks(new_docs, id_col, text_col, n_words).withColumn(
+        "block_md5", F.md5("block")
+    )
+    # survivors: not in the corpus...
+    not_stored = blocks.join(idx, "block_md5", "left_anti")
+    # ...and first within the batch (rank only among not-stored rows:
+    # a stored block kills every batch instance, so ranks agree)
+    w = Window.partitionBy("block_md5").orderBy(id_col, "pos")
+    kept = (
+        not_stored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "pos")
+        .withColumn("keep", F.lit(True))
+    )
+    flagged = blocks.join(kept, [id_col, "pos"], "left").fillna(
+        False, subset=["keep"]
+    )
+    return _rebuild_docs(flagged, id_col)

@@ -917,22 +917,36 @@ def ivf_write_index(
     This is the at-rest form of the index the in-memory ``ivf_topk``
     docstring promises: once cells are directories, a probe filter is
     partition *pruning* — the scan never opens 1 - n_probe/n_centroids
-    of the data. One full scan + one shuffle-free write; re-run to
-    rebuild after drift."""
+    of the data. One full scan + one shuffle-free write (unlike the
+    IVF-PQ codes, the payload here is the full float vectors — a
+    repartition would shuffle the whole corpus for file aesthetics;
+    run :func:`sinks.compact_partitioned_cells` instead if the task
+    fan-out leaves too many files per cell); re-run to rebuild after
+    drift. A ``_ivf_meta.json`` sidecar stores the centroids so a
+    reader needs only the path (:func:`ivf_topk_indexed` with
+    ``centroids=None``)."""
+    import json
+    import os
+
     cents = centroids if centroids is not None else ivf_centroids(
         embs, n_centroids, id_col, vec_col
     )
     embs.withColumn("cell", ivf_assign(F.col(vec_col), cents)).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
+    with open(os.path.join(path, _IVF_META_SIDECAR), "w") as f:
+        json.dump({"centroids": cents}, f)
     return cents
+
+
+_IVF_META_SIDECAR = "_ivf_meta.json"
 
 
 def ivf_topk_indexed(
     spark,
     path: str,
     query: list[float],
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None = None,
     k: int = 10,
     n_probe: int = IVF_PROBES_N,
     vec_col: str = "embedding",
@@ -941,7 +955,15 @@ def ivf_topk_indexed(
     """Query a materialized IVF index (``ivf_write_index`` layout):
     the probe-cell predicate lands in the scan's PartitionFilters
     (plan-asserted in tests), so only n_probe cell directories are
-    read. Result ≡ ``ivf_topk`` with the same centroids."""
+    read. Result ≡ ``ivf_topk`` with the same centroids.
+    ``centroids=None`` loads the ``_ivf_meta.json`` sidecar the writer
+    stores with the index."""
+    if centroids is None:
+        import json
+        import os
+
+        with open(os.path.join(path, _IVF_META_SIDECAR)) as f:
+            centroids = json.load(f)["centroids"]
     probes = ivf_query_probes(query, centroids, n_probe)
     cand = spark.read.parquet(path).filter(F.col("cell").isin(probes))
     scored = cosine_scores(cand, query, vec_col)
@@ -1642,6 +1664,9 @@ def ivfpq_write_index(
     scan reads m·log2(ksub) bits per row instead of the float
     vectors, and the encode cost is paid once at write time instead
     of per query."""
+    import json
+    import os
+
     cents = centroids if centroids is not None else ivf_centroids(
         embs, n_centroids, id_col, vec_col
     )
@@ -1663,11 +1688,94 @@ def ivfpq_write_index(
             *[F.element_at("_codes", s + 1).alias(f"c{s}") for s in range(m)],
             F.col("cell"),
         )
+        # one coherent file per cell directory: the shuffled rows are
+        # the 9-int code rows (~1000x smaller than the vectors), so
+        # this exchange is cheap next to the encode scan — without it
+        # every scan task writes a sliver into every cell (tasks x
+        # cells files; at 1000 executors that is the small-files
+        # problem at birth)
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
+    # codebook sidecar: the full reader state (KBs) travels WITH the
+    # index — "_"-prefixed so scans ignore it (same convention as the
+    # corpus-assignment fingerprint)
+    with open(os.path.join(path, _IVFPQ_META_SIDECAR), "w") as f:
+        json.dump(
+            {"centroids": cents, "seeds": sds, "m": m, "ksub": ksub}, f
+        )
     return cents, sds
+
+
+_IVFPQ_META_SIDECAR = "_ivfpq_meta.json"
+
+
+def ivfpq_merge_index(
+    spark,
+    new_embs: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally ingest new vectors into an at-rest IVF-PQ index
+    (:func:`ivfpq_write_index` layout) — the write path that makes the
+    index a living crawl artifact rather than a batch product, the
+    same write-once/screen-forever discipline as
+    ``dedup.incremental_neardup_indexed`` and the streaming semantic
+    screen.
+
+    The FROZEN codebooks come from the index's own meta sidecar (real
+    systems freeze the quantizer when the index goes live — new data
+    is encoded under the training-time codebooks; retrain+rebuild via
+    :func:`ivfpq_write_index` when drift warrants). The new batch is
+    encoded map-side and MERGE-upserted on ``id_col`` into only the
+    cell partitions it touches
+    (:func:`sinks.merge_upsert_parquet_partitioned`): ingestion cost
+    tracks batch cell volume, not index size, re-ingesting an id
+    replaces its codes idempotently, and every probe-side property
+    (partition pruning, codes-only scan) is unchanged because the
+    layout is unchanged.
+
+    Exactness law (tested): merging batch B into an index built on
+    corpus A, with A's codebooks, yields an index whose
+    :func:`ivfpq_topk_indexed` result equals :func:`ivfpq_topk` over
+    A ∪ B called with A's codebooks — codes are row-wise deterministic
+    under a fixed codebook, so WHERE a row was encoded cannot show in
+    WHAT was stored."""
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        merge_upsert_parquet_partitioned,
+    )
+
+    meta = ivfpq_read_meta(path)
+    cents, sds, m = meta["centroids"], meta["seeds"], meta["m"]
+    _, recon, recon_n2, _ = _pq_train(sds, m)
+    enc_udf = _pq_encode_arrow(recon, recon_n2, m, len(sds[0]) // m)
+    batch = new_embs.select(
+        F.col(id_col),
+        enc_udf(F.col(vec_col)).alias("_codes"),
+        ivf_assign(F.col(vec_col), cents).alias("cell"),
+    ).select(
+        F.col(id_col),
+        *[F.element_at("_codes", s + 1).alias(f"c{s}") for s in range(m)],
+        F.col("cell"),
+    )
+    merge_upsert_parquet_partitioned(
+        spark, batch, path, keys=[id_col], partition_col="cell"
+    )
+
+
+def ivfpq_read_meta(path: str) -> dict:
+    """Load the codebook sidecar :func:`ivfpq_write_index` stores next
+    to the codes — ``{"centroids", "seeds", "m", "ksub"}`` — so a
+    reader needs only the index path (the FAISS-index-file ergonomics
+    on top of the partition layout)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _IVFPQ_META_SIDECAR)) as f:
+        return json.load(f)
 
 
 def ivfpq_topk_indexed(
@@ -1675,8 +1783,8 @@ def ivfpq_topk_indexed(
     path: str,
     embs: DataFrame,
     query: list[float],
-    centroids: list[list[float]],
-    seeds: list[list[float]],
+    centroids: list[list[float]] | None = None,
+    seeds: list[list[float]] | None = None,
     k: int = 10,
     refine: int = 4,
     m: int = PQ_M,
@@ -1702,7 +1810,16 @@ def ivfpq_topk_indexed(
     (law-tested; codes are probe-independent because both codebooks
     trained on the full corpus), so it shares that oracle. Unlike the
     on-the-fly form, NO encode work happens at query time — the bench
-    note in BASELINE.md records the crossover."""
+    note in BASELINE.md records the crossover.
+
+    ``centroids``/``seeds`` default to the codebook sidecar stored by
+    :func:`ivfpq_write_index` (``ivfpq_read_meta``) — a reader needs
+    only the path; ``m`` is likewise taken from the sidecar then."""
+    if centroids is None or seeds is None:
+        meta = ivfpq_read_meta(path)
+        centroids = centroids if centroids is not None else meta["centroids"]
+        seeds = seeds if seeds is not None else meta["seeds"]
+        m = meta["m"]
     cw_int, _, _, dsub = _pq_train(seeds, m)
     probes = ivf_query_probes(query, centroids, n_probe)
     enc = spark.read.parquet(path).filter(F.col("cell").isin(probes))

@@ -263,6 +263,11 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in indexed.collect()] == [
         tuple(r) for r in in_memory.collect()
     ]
+    # sidecar ergonomics: path-only read loads the stored centroids
+    from_meta = similarity.ivf_topk_indexed(spark, path, query, k=10)
+    assert [tuple(r) for r in from_meta.collect()] == [
+        tuple(r) for r in indexed.collect()
+    ]
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
@@ -295,6 +300,26 @@ def test_ivfpq_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in indexed.collect()] == [
         tuple(r) for r in on_the_fly.collect()
     ]
+    # sidecar ergonomics: a reader with only the path gets the same
+    # result (codebooks from _ivfpq_meta.json), and the repartitioned
+    # write leaves one coherent file per cell directory
+    import glob
+    import os
+
+    from_meta = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, k=10, refine=4
+    )
+    assert [tuple(r) for r in from_meta.collect()] == [
+        tuple(r) for r in indexed.collect()
+    ]
+    meta = similarity.ivfpq_read_meta(path)
+    assert meta["centroids"] == cents and meta["seeds"] == sds
+    per_cell = [
+        len(glob.glob(os.path.join(path, d, "*.parquet")))
+        for d in os.listdir(path)
+        if d.startswith("cell=")
+    ]
+    assert per_cell and max(per_cell) == 1
 
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [")
@@ -331,6 +356,42 @@ def test_ivfpq_index_full_probe_equals_pq_topk(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in indexed.collect()] == [
         tuple(r) for r in flat.collect()
     ]
+
+
+def test_ivfpq_merge_index_incremental_equals_full_build(spark, sf_dir, tmp_path):
+    """Incremental ingestion law: build the index on corpus A, merge
+    batch B under A's frozen codebooks (from the meta sidecar), and
+    the merged index answers exactly like ivfpq_topk over A ∪ B with
+    A's codebooks — where a row was encoded cannot show in what was
+    stored. Re-merging B is idempotent (MERGE on vec_id)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    half_a = embs.filter(F.col("vec_id") % 2 == 0)
+    half_b = embs.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_inc")
+    cents, sds = similarity.ivfpq_write_index(half_a, path)
+    similarity.ivfpq_merge_index(spark, half_b, path)
+
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow["embedding"]]
+    merged = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, k=10, refine=4
+    )
+    reference = similarity.ivfpq_topk(
+        embs, query, k=10, refine=4, centroids=cents, seeds=sds
+    )
+    want = [tuple(r) for r in reference.collect()]
+    assert [tuple(r) for r in merged.collect()] == want
+
+    # idempotence: re-ingesting the same batch changes nothing
+    similarity.ivfpq_merge_index(spark, half_b, path)
+    again = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, k=10, refine=4
+    )
+    assert [tuple(r) for r in again.collect()] == want
+    n_rows = spark.read.parquet(path).count()
+    assert n_rows == embs.count()
 
 
 def test_ivfpq_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):

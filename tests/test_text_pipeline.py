@@ -433,6 +433,54 @@ def test_substring_dedup_removes_repeats_keeps_first(spark):
     assert out[5]["dedup_text_md5"] == md5("only five words here now")
 
 
+def test_substring_dedup_incremental_equals_batch_restriction(spark, sf_dir):
+    """Crawl-shape law: screening batch B against a block index built
+    on corpus C (ids(C) < ids(B)) equals substring_dedup(C ∪ B)
+    restricted to B's docs — stored blocks outrank arriving ones.
+    Also: a batch doc that is a full clone of a corpus doc keeps
+    nothing; an all-novel doc keeps everything."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    corpus = docs.filter(F.col("doc_id") < n // 2)
+    # batch = the other half plus two hand probes
+    probe_clone = corpus.orderBy("doc_id").first()["text"]
+    extra = spark.createDataFrame(
+        [
+            (n + 1, probe_clone),                     # full corpus clone
+            (n + 2, "entirely novel words q1 q2 q3 q4 q5 q6 q7 q8"),
+        ],
+        "doc_id: long, text: string",
+    )
+    batch = docs.filter(F.col("doc_id") >= n // 2).unionByName(extra)
+
+    path = tempfile.mkdtemp(prefix="blockidx_t_") + "/index"
+    dedup.write_block_index(corpus, path)
+    inc = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dedup.substring_dedup_incremental(batch, path).collect()
+    }
+    full = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dedup.substring_dedup(
+            corpus.unionByName(batch)
+        ).collect()
+        if r["doc_id"] >= n // 2
+    }
+    assert inc == full
+    assert inc[n + 1][1] == 0            # clone keeps no blocks
+    novel = inc[n + 2]
+    assert novel[0] == novel[1] > 0      # novel doc keeps everything
+
+
 def test_lexical_diversity_bounds(spark, sf_dir):
     import math
 
