@@ -433,6 +433,49 @@ def test_substring_dedup_removes_repeats_keeps_first(spark):
     assert out[5]["dedup_text_md5"] == md5("only five words here now")
 
 
+def test_substring_dedup_adversarial_differential(spark, tmp_path):
+    """Cross-engine differential on adversarial texts the corpus never
+    exercises: repeated spaces (split emits empty words in BOTH
+    engines), leading/trailing spaces, an empty string, unicode words,
+    single-word docs, and texts whose length is exactly / one-off a
+    block multiple. Spark operator vs the DuckDB oracle SQL over the
+    same parquet."""
+    import duckdb
+
+    from real_time_stock_market_data_pipeline__spark import driver_queries as dq
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    rows = [
+        (0, "a  b c   d"),                 # runs of spaces -> empty words
+        (1, " leading and trailing "),
+        (2, ""),
+        (3, "één ünïcode wörd stream één ünïcode wörd stream"),
+        (4, "solo"),
+        (5, "w1 w2 w3 w4 w5 w6 w7 w8"),    # exactly one 8-block
+        (6, "w1 w2 w3 w4 w5 w6 w7 w8 w9"), # one full + 1-word tail
+        (7, "a  b c   d"),                 # clone of 0
+        (8, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pq_path = str(tmp_path / "adv_docs.parquet")
+    docs.toPandas().to_parquet(pq_path)
+
+    got = sorted(
+        tuple(r) for r in dedup.substring_dedup(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq_path}'")
+    want = sorted(tuple(r) for r in con.execute(
+        dq.ORACLES["substring_dedup"]
+    ).fetchall())
+    con.close()
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert 8 not in by_id                  # NULL text dropped
+    assert by_id[7][2] == 0                # clone keeps nothing
+    assert by_id[5][1:3] == (1, 1)         # exact block multiple
+
+
 def test_substring_dedup_incremental_equals_batch_restriction(spark, sf_dir):
     """Crawl-shape law: screening batch B against a block index built
     on corpus C (ids(C) < ids(B)) equals substring_dedup(C ∪ B)
