@@ -321,7 +321,14 @@ def test_ivfpq_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     ]
     assert per_cell and max(per_cell) == 1
 
-    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    # the candidate stage is collected eagerly inside the operator (its
+    # ids become the rerank scan's pushed filter), so plan-assert the
+    # factored-out frame the operator itself executes
+    cand_frame = similarity._ivfpq_candidates(
+        spark, path, query, cents, sds, 10, 4, similarity.PQ_M,
+        similarity.IVF_PROBES_N, "vec_id",
+    )
+    plan = cand_frame._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [")
     cell_pruned = [seg for seg in pf[1:] if "cell" in seg.split("]")[0]]
     assert cell_pruned, "probe filter did not land in PartitionFilters"
@@ -333,6 +340,10 @@ def test_ivfpq_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
         if "c0:int" in s
     ]
     assert code_scans and all("embedding" not in s for s in code_scans)
+    # and the rerank's float scan carries the candidate-id pushdown
+    # instead of scanning the whole corpus for <= k*refine rows
+    rerank_plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*In\(vec_id", rerank_plan)
 
 
 def test_ivfpq_index_full_probe_equals_pq_topk(spark, sf_dir, tmp_path):
