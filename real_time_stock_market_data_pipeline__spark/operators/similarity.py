@@ -1404,8 +1404,13 @@ def pq_topk(
 
     At scale the hot scan reads m log2(ksub)-bit codes per vector
     (64× less than float64 at m=8, ksub=16) once codes are stored
-    at rest (à la :func:`ivf_write_index`); the rerank is a pruned
-    second scan whose rows die at the broadcast join. The encode runs
+    at rest (à la :func:`ivf_write_index`); the rerank here is a
+    second column-pruned scan whose rows die at the broadcast join —
+    acceptable for this from-scratch form (the encode already scans
+    the corpus), while the at-rest serving path
+    (:func:`ivfpq_topk_indexed`) pushes the candidate ids into the
+    float scan so probe cost stops tracking corpus size (measured
+    decade in BASELINE.md). The encode runs
     by default as ONE Arrow-batched NumPy kernel
     (:func:`_pq_encode_arrow`) whose sequential ``np.add.accumulate``
     reproduces the fold chains bit-for-bit — ``arrow_encode=False``
