@@ -489,6 +489,66 @@ def q_ivfpq_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of EVERY approximate index family against brute-force
+    cosine in one panel — LSH, IVF-flat, SQ8, PQ, IVF-PQ (round-12
+    completion of the single-index `ann_recall` harness): the
+    accuracy/efficiency trade table a 100 TB deployment reads before
+    picking its serving index. Each side reuses the registered
+    operator; intersections join 10-row frames; the oracle replays
+    all five index definitions as isolated nested-WITH subqueries."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    variants = [
+        ("ivf", similarity.ivf_topk(embs, q, k=10)),
+        ("ivfpq", similarity.ivfpq_topk(embs, q, k=10, refine=4)),
+        ("lsh", similarity.ann_topk(embs, q, k=10)),
+        ("pq", similarity.pq_topk(embs, q, k=10, refine=4)),
+        ("sq8", similarity.sq8_topk(embs, q, k=10, refine=4)),
+    ]
+    out = None
+    for name, df in variants:
+        inter = bf.join(df.select("vec_id"), "vec_id")
+        row = inter.agg(F.count(F.lit(1)).alias("n_match")).select(
+            F.lit(name).alias("index_name"),
+            F.lit(10).alias("k"),
+            "n_match",
+            F.round(F.col("n_match").cast("double") / 10.0, 4).alias(
+                "recall_at_k"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ann_recall_panel_oracle() -> str:
+    def sub(sql: str) -> str:
+        # each index oracle runs in its own nested-WITH scope so CTE
+        # names (cent, qq, ...) cannot collide across definitions
+        return f"SELECT vec_id FROM ({sql}) t"
+
+    rows = "\n  UNION ALL\n".join(
+        f"""  SELECT '{name}' AS index_name, 10 AS k,
+         count(*) AS n_match,
+         round(CAST(count(*) AS DOUBLE) / 10.0, 4) AS recall_at_k
+  FROM bf JOIN {name}_ids USING (vec_id)"""
+        for name in ("ivf", "ivfpq", "lsh", "pq", "sq8")
+    )
+    return f"""
+WITH bf AS ({_COSINE_TOPK_ORACLE}),
+ivf_ids AS ({sub(_ivf_topk_oracle())}),
+ivfpq_ids AS ({sub(_ivfpq_topk_oracle())}),
+lsh_ids AS ({sub(_ann_topk_oracle())}),
+pq_ids AS ({sub(_pq_topk_oracle())}),
+sq8_ids AS ({sub(_SQ8_TOPK_ORACLE)})
+SELECT * FROM (
+{rows}
+)
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
     query vectors via the IVF cell equi-join (never a cartesian). The
@@ -813,6 +873,8 @@ __all__ = [
     "_ivfpq_topk_oracle",
     "q_ivfpq_topk_indexed",
     "q_ivfpq_merge_topk",
+    "q_ann_recall_panel",
+    "_ann_recall_panel_oracle",
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",
