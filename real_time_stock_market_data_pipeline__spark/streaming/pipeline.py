@@ -496,6 +496,56 @@ def stream_semantic_screen(
     return writer.start()
 
 
+def stream_ivfpq_ingest(
+    source: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming IVF-PQ index maintenance — the crawl-time twin of
+    :func:`operators.similarity.ivfpq_merge_index`, completing the
+    index family's lifecycle: build once (``ivfpq_write_index``),
+    probe forever (``ivfpq_topk_indexed``), ingest as embeddings
+    arrive (this). Each micro-batch is encoded map-side under the
+    FROZEN codebooks from the index's own meta sidecar and
+    MERGE-upserted into only the cell partitions it touches — per-batch
+    cost tracks batch cell volume, not index size, and a checkpoint
+    replay re-merges idempotently on ``id_col`` (the same T10 contract
+    as every MERGE sink here).
+
+    The index must already exist (its sidecar carries the codebooks);
+    sequential-ingest determinism and the frozen-quantizer policy are
+    inherited from the batch operator — probing the index after N
+    drains equals ``ivfpq_topk`` over the union with the original
+    codebooks (law-tested)."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+
+    # fail fast at wiring time if there is no index/sidecar to extend
+    similarity.ivfpq_read_meta(index_path)
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        similarity.ivfpq_merge_index(
+            batch.sparkSession, batch, index_path,
+            vec_col=vec_col, id_col=id_col,
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,

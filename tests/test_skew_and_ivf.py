@@ -405,6 +405,56 @@ def test_ivfpq_merge_index_incremental_equals_full_build(spark, sf_dir, tmp_path
     assert n_rows == embs.count()
 
 
+def test_stream_ivfpq_ingest_equals_full_build(spark, sf_dir, tmp_path):
+    """Streaming index-maintenance law: build on the id-prefix half,
+    stream the other half in TWO single-file drains, and the index
+    answers exactly like ivfpq_topk over the full corpus with the
+    prefix codebooks; a third drain with no new input changes nothing
+    (checkpoint + MERGE idempotence)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = embs.agg(F.max("vec_id")).first()[0] + 1
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    path = str(tmp_path / "ivfpq_stream")
+    cents, sds = similarity.ivfpq_write_index(half_a, path)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    b1 = embs.filter(
+        (F.col("vec_id") >= n // 2) & (F.col("vec_id") % 2 == 0)
+    )
+    b2 = embs.filter(
+        (F.col("vec_id") >= n // 2) & (F.col("vec_id") % 2 == 1)
+    )
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=embs.schema)
+        q = pipeline.stream_ivfpq_ingest(src, path, ckpt)
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    drain()  # no new input: idempotent no-op
+
+    qrow = embs.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow["embedding"]]
+    got = similarity.ivfpq_topk_indexed(
+        spark, path, embs, query, k=10, refine=4
+    )
+    want = similarity.ivfpq_topk(
+        embs, query, k=10, refine=4, centroids=cents, seeds=sds
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    assert spark.read.parquet(path).count() == embs.count()
+
+
 def test_ivfpq_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):
     from real_time_stock_market_data_pipeline__spark.operators import similarity
 
