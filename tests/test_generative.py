@@ -96,6 +96,59 @@ def test_dedup_exact_partitions_corpus(spark, texts):
     )
 
 
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=st.sampled_from("ab "), max_size=30),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n_words=st.sampled_from([1, 2, 4]),
+)
+@settings(**_SETTINGS)
+def test_substring_dedup_model(spark, texts, n_words):
+    """Generative model law for the ExactSubstr block dedup: a
+    sequential Python reference (iterate docs in id order, segment
+    with the SAME empty-word-preserving split semantics, keep each
+    block's first occurrence) must match the distributed operator
+    exactly — counts and reconstruction digest — over texts with space
+    runs, empties, and NULLs."""
+    import hashlib
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text_md5"])
+        for r in dedup.substring_dedup(docs, n_words=n_words).collect()
+    }
+    seen: set = set()
+    expect = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        words = t.split(" ")  # keeps empty words, like Spark's split
+        n_blocks = math.ceil(len(words) / n_words)
+        blocks = [
+            " ".join(words[j * n_words:(j + 1) * n_words])
+            for j in range(n_blocks)
+        ]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        expect[i] = (
+            n_blocks,
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == expect
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     from real_time_stock_market_data_pipeline__spark.streaming import pipeline
 
