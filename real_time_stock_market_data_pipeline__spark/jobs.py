@@ -266,8 +266,10 @@ def corpus_pipeline(
     run — the §2.10 operators wired in their production order:
 
     gate → quality score+filter → exact dedup → near-dup corpus dedup
-    (MinHash-LSH clusters, keep-canonical) → deterministic sample →
-    train/val/test split → token packing → partitioned parquet.
+    (MinHash-LSH clusters, keep-canonical) → ExactSubstr passage dedup
+    (repeated blocks removed, docs rewritten, empty survivors dropped)
+    → deterministic sample → train/val/test split → token packing →
+    partitioned parquet.
 
     Each stage reports its surviving-row count, so the run doubles as
     the corpus funnel report. Same Step semantics (retry, fail-fast)
@@ -312,6 +314,26 @@ def corpus_pipeline(
         state["docs"] = df.localCheckpoint()
         return state["docs"].count()
 
+    def _substring_dedup():
+        # ExactSubstr pass (Lee et al.): repeated 8-word passages are
+        # removed keeping the globally first occurrence, documents are
+        # REWRITTEN from surviving blocks, and docs left with no novel
+        # blocks (pure recombinations of other docs' text) drop out of
+        # the funnel entirely
+        docs = state["docs"]
+        rebuilt = dedup_ops.substring_dedup(docs, emit_text=True)
+        df = (
+            docs.drop("text")
+            .join(
+                rebuilt.where(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("dedup_text").alias("text")
+                ),
+                "doc_id",
+            )
+        )
+        state["docs"] = df.localCheckpoint()
+        return state["docs"].count()
+
     def _sample_split():
         df = state["docs"]
         if sample_fraction < 1.0:
@@ -350,6 +372,7 @@ def corpus_pipeline(
         Step("quality_filter", _quality),
         Step("exact_dedup", _exact_dedup),
         Step("neardup_dedup", _neardup),
+        Step("substring_dedup", _substring_dedup),
         Step("sample_split", _sample_split),
         Step("token_pack", _pack),
         Step("write", _write),

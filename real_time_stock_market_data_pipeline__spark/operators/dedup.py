@@ -1150,6 +1150,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_words: int = 8,
+    emit_text: bool = False,
 ) -> DataFrame:
     """Exact substring-level dedup à la Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better",
@@ -1177,14 +1178,16 @@ def substring_dedup(
     ``dedup_text_md5`` — the md5 of the surviving blocks joined by a
     single space (the reconstruction itself, digest-pinned so the
     oracle verifies every byte without shipping long strings through
-    the compare).
+    the compare). ``emit_text=True`` swaps the digest for the raw
+    rewritten ``dedup_text`` — the form a pipeline consumes
+    (``jobs.corpus_pipeline``'s ExactSubstr stage).
     """
     blocks = _doc_blocks(docs, id_col, text_col, n_words)
     first = Window.partitionBy("block").orderBy(id_col, "pos")
     ranked = blocks.withColumn(
         "keep", (F.row_number().over(first) == 1)
     )
-    return _rebuild_docs(ranked, id_col)
+    return _rebuild_docs(ranked, id_col, emit_text=emit_text)
 
 
 def _doc_blocks(
@@ -1209,29 +1212,36 @@ def _doc_blocks(
     )
 
 
-def _rebuild_docs(flagged: DataFrame, id_col: str) -> DataFrame:
+def _rebuild_docs(
+    flagged: DataFrame, id_col: str, emit_text: bool = False
+) -> DataFrame:
     """Rebuild per-document stats from a ``(id, pos, block, keep)``
-    frame: block/kept counts and the md5 of surviving blocks joined in
-    position order — the shared tail of the substring-dedup family."""
+    frame: block/kept counts and the surviving blocks joined in
+    position order — digest-pinned by default (``dedup_text_md5``,
+    the oracle-friendly form) or as the raw rewritten ``dedup_text``
+    when ``emit_text`` (the pipeline-consumer form; see
+    ``jobs.corpus_pipeline``) — the shared tail of the
+    substring-dedup family."""
     kept_struct = F.when(
         F.col("keep"), F.struct(F.col("pos"), F.col("block"))
     )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)),
+            lambda s: s["block"],
+        ),
+        " ",
+    )
+    out_name = "dedup_text" if emit_text else "dedup_text_md5"
+    out_col = (rebuilt if emit_text else F.md5(rebuilt)).alias(out_name)
     return (
         flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
             F.sum(F.col("keep").cast("int")).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda s: s["block"],
-                    ),
-                    " ",
-                )
-            ).alias("dedup_text_md5"),
+            out_col,
         )
-        .select(id_col, "n_blocks", "n_kept", "dedup_text_md5")
+        .select(id_col, "n_blocks", "n_kept", out_name)
     )
 
 

@@ -204,6 +204,9 @@ def test_corpus_pipeline_funnel(spark, sf_dir, tmp_path):
     # the funnel can only shrink
     assert vals["load"] >= vals["quality_filter"] >= vals["exact_dedup"]
     assert vals["exact_dedup"] >= vals["neardup_dedup"] >= 1
+    # ExactSubstr stage rewrites text and can only drop docs (those
+    # whose every block already occurred earlier in the corpus)
+    assert vals["neardup_dedup"] >= vals["substring_dedup"] >= 1
     assert vals["write"] == vals["sample_split"]
     # written corpus is split-partitioned and re-readable
     corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
