@@ -1251,6 +1251,7 @@ def write_block_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_words: int = 8,
+    partitioned: bool = False,
 ) -> None:
     """Materialize the corpus's DISTINCT block digests at rest — the
     ExactSubstr screen set (cf. :func:`write_dedup_index` for the
@@ -1258,11 +1259,28 @@ def write_block_index(
     re-segmenting the stored corpus: per-batch cost is segment(new) +
     one equi-join against digest rows (16-byte md5 each, ~vocabulary-
     sized after DISTINCT — orders of magnitude smaller than the text).
-    One corpus scan + one distinct shuffle; append new batches' kept
-    digests to keep it current."""
-    _doc_blocks(corpus, id_col, text_col, n_words).select(
+    One corpus scan + one distinct shuffle.
+
+    ``partitioned=True`` lays the digests out
+    ``partitionBy(pfx)`` (first two hex chars, 256 cells) — the
+    GROWING form the streaming ingest
+    (:func:`streaming.pipeline.stream_substring_ingest`) maintains
+    with cell-scoped MERGEs; the flat form is the cheapest read for a
+    one-shot screen. Readers are layout-agnostic (they join on
+    ``block_md5``)."""
+    digests = _doc_blocks(corpus, id_col, text_col, n_words).select(
         F.md5("block").alias("block_md5")
-    ).distinct().write.mode("overwrite").parquet(path)
+    ).distinct()
+    if partitioned:
+        (
+            digests.withColumn("pfx", F.substring("block_md5", 1, 2))
+            .repartition(F.col("pfx"))
+            .write.mode("overwrite")
+            .partitionBy("pfx")
+            .parquet(path)
+        )
+    else:
+        digests.write.mode("overwrite").parquet(path)
 
 
 def substring_dedup_incremental(
@@ -1271,6 +1289,7 @@ def substring_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_words: int = 8,
+    emit_text: bool = False,
 ) -> DataFrame:
     """:func:`substring_dedup` for the crawl shape: screen a NEW batch
     against an at-rest block-digest index (:func:`write_block_index`)
@@ -1293,11 +1312,29 @@ def substring_dedup_incremental(
     corpus is never re-read beyond its digest set."""
     spark = new_docs.sparkSession
     idx = spark.read.parquet(index_path)
+    flagged = _substring_screen(new_docs, idx, id_col, text_col, n_words)
+    return _rebuild_docs(flagged, id_col, emit_text=emit_text)
+
+
+def _substring_screen(
+    new_docs: DataFrame,
+    idx: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_words: int,
+) -> DataFrame:
+    """Screen stage shared by :func:`substring_dedup_incremental` and
+    the streaming ingest: returns the batch's
+    ``(id, pos, block, block_md5, keep)`` frame — keep iff the block
+    digest is absent from ``idx`` AND this is its first (id, pos)
+    instance within the batch."""
     blocks = _doc_blocks(new_docs, id_col, text_col, n_words).withColumn(
         "block_md5", F.md5("block")
     )
     # survivors: not in the corpus...
-    not_stored = blocks.join(idx, "block_md5", "left_anti")
+    not_stored = blocks.join(
+        idx.select("block_md5"), "block_md5", "left_anti"
+    )
     # ...and first within the batch (rank only among not-stored rows:
     # a stored block kills every batch instance, so ranks agree)
     w = Window.partitionBy("block_md5").orderBy(id_col, "pos")
@@ -1307,7 +1344,6 @@ def substring_dedup_incremental(
         .select(id_col, "pos")
         .withColumn("keep", F.lit(True))
     )
-    flagged = blocks.join(kept, [id_col, "pos"], "left").fillna(
+    return blocks.join(kept, [id_col, "pos"], "left").fillna(
         False, subset=["keep"]
     )
-    return _rebuild_docs(flagged, id_col)

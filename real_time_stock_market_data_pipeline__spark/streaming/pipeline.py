@@ -546,6 +546,79 @@ def stream_ivfpq_ingest(
     return writer.start()
 
 
+def stream_substring_ingest(
+    source: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 8,
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming ExactSubstr ingestion — the crawl-time service built
+    from :func:`operators.dedup.substring_dedup_incremental` plus the
+    index maintenance that operator deliberately leaves to its caller:
+    each micro-batch of documents is (1) screened against the at-rest
+    block-digest index (a block instance survives iff its value is
+    unseen and it is the batch's first occurrence), (2) REWRITTEN from
+    its surviving blocks and MERGE-upserted into ``out_path`` keyed on
+    ``id_col``, and (3) the batch's kept block digests are MERGE-added
+    into the index itself, cell-scoped on the 2-hex-char digest prefix
+    (the ``write_block_index(partitioned=True)`` layout — REQUIRED
+    here), so the next batch screens against everything before it.
+
+    Invariant (tested): after draining batches B1..Bn over an index
+    built from corpus C, the index holds exactly the distinct block
+    digests of C ∪ B1..Bn, and the rewritten documents equal the batch
+    operator over the whole union restricted to the batches — stored
+    blocks outrank arriving ones, arrival order is the id order of the
+    single-file-per-drain contract. Checkpoint replay re-merges both
+    sinks idempotently (digests key on themselves, docs on ``id_col``).
+
+    Scale per batch: segment(new) + one digest equi-join + one
+    block-keyed window over batch blocks + two cell/key-scoped MERGEs
+    — the stored corpus text is never re-read."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        dedup as dedup_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        merge_upsert_parquet,
+        merge_upsert_parquet_partitioned,
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idx = spark.read.parquet(index_path)
+        flagged = dedup_ops._substring_screen(
+            batch, idx, id_col, text_col, n_words
+        ).localCheckpoint(eager=True)  # two consumers below
+        rebuilt = dedup_ops._rebuild_docs(flagged, id_col, emit_text=True)
+        merge_upsert_parquet(spark, rebuilt, out_path, keys=[id_col])
+        new_digests = (
+            flagged.filter(F.col("keep"))
+            .select("block_md5")
+            .distinct()
+            .withColumn("pfx", F.substring("block_md5", 1, 2))
+        )
+        merge_upsert_parquet_partitioned(
+            spark, new_digests, index_path, keys=["block_md5"],
+            partition_col="pfx",
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,

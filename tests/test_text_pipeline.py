@@ -524,6 +524,71 @@ def test_substring_dedup_incremental_equals_batch_restriction(spark, sf_dir):
     assert novel[0] == novel[1] > 0      # novel doc keeps everything
 
 
+def test_stream_substring_ingest_matches_batch_and_grows_index(
+    spark, sf_dir, tmp_path
+):
+    """Streaming ExactSubstr service law: index built on corpus C
+    (id-prefix half), two single-file drains of batches B1, B2 (id
+    order), plus a no-input drain. Then (a) the rewritten docs equal
+    substring_dedup(C ∪ B1 ∪ B2, emit_text=True) restricted to the
+    batches, and (b) the index holds exactly the distinct block
+    digests of the whole union."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    corpus = docs.filter(F.col("doc_id") < n // 2)
+    b1 = docs.filter(
+        (F.col("doc_id") >= n // 2) & (F.col("doc_id") < 3 * n // 4)
+    )
+    b2 = docs.filter(F.col("doc_id") >= 3 * n // 4)
+
+    idx = str(tmp_path / "blockidx")
+    out = str(tmp_path / "rewritten")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    dedup.write_block_index(corpus, idx, partitioned=True)
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=docs.schema)
+        q = pipeline.stream_substring_ingest(src, idx, out, ckpt)
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    drain()  # no new input: both sinks unchanged
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in dedup.substring_dedup(docs, emit_text=True).collect()
+        if r["doc_id"] >= n // 2
+    }
+    assert got == want
+
+    stored = {
+        r["block_md5"] for r in spark.read.parquet(idx).collect()
+    }
+    expect = {
+        r["d"]
+        for r in dedup._doc_blocks(docs, "doc_id", "text", 8)
+        .select(F.md5("block").alias("d"))
+        .distinct()
+        .collect()
+    }
+    assert stored == expect
+
+
 def test_lexical_diversity_bounds(spark, sf_dir):
     import math
 
