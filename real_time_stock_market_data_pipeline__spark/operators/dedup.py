@@ -1262,25 +1262,47 @@ def write_block_index(
     One corpus scan + one distinct shuffle.
 
     ``partitioned=True`` lays the digests out
-    ``partitionBy(pfx)`` (first two hex chars, 256 cells) — the
-    GROWING form the streaming ingest
-    (:func:`streaming.pipeline.stream_substring_ingest`) maintains
-    with cell-scoped MERGEs; the flat form is the cheapest read for a
-    one-shot screen. Readers are layout-agnostic (they join on
-    ``block_md5``)."""
-    digests = _doc_blocks(corpus, id_col, text_col, n_words).select(
-        F.md5("block").alias("block_md5")
-    ).distinct()
+    ``partitionBy(pfx)`` (letter-prefixed first two hex chars, 256
+    cells; the letter keeps hive partition-type inference on STRING —
+    an all-digit directory set would otherwise infer INT and make a
+    later hex value like 'f9' fail the ANSI isin cast, found by the
+    two-sink crash test) and adds PROVENANCE columns
+    ``(first_id, first_pos)`` — the (id, pos) of the digest's first
+    occurrence. Provenance is what makes the streaming ingest's
+    checkpoint replay idempotent: a replayed batch sees its OWN kept
+    digests in the index, and without provenance would kill its own
+    blocks and rewrite its documents to empty (found by the crash
+    test); with it, a stored digest whose provenance matches the row
+    is treated as unseen. This is the GROWING form
+    :func:`streaming.pipeline.stream_substring_ingest` maintains with
+    cell-scoped MERGEs; the flat form is the cheapest read for a
+    one-shot screen. Readers handle both (they join on ``block_md5``
+    and use provenance only when present)."""
+    blocks = _doc_blocks(corpus, id_col, text_col, n_words)
     if partitioned:
+        w = Window.partitionBy("block_md5").orderBy(id_col, "pos")
+        digests = (
+            blocks.withColumn("block_md5", F.md5("block"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "block_md5",
+                F.col(id_col).alias("first_id"),
+                F.col("pos").alias("first_pos"),
+                F.concat(
+                    F.lit("p"), F.substring(F.md5("block"), 1, 2)
+                ).alias("pfx"),
+            )
+        )
         (
-            digests.withColumn("pfx", F.substring("block_md5", 1, 2))
-            .repartition(F.col("pfx"))
+            digests.repartition(F.col("pfx"))
             .write.mode("overwrite")
             .partitionBy("pfx")
             .parquet(path)
         )
     else:
-        digests.write.mode("overwrite").parquet(path)
+        blocks.select(F.md5("block").alias("block_md5")).distinct(
+        ).write.mode("overwrite").parquet(path)
 
 
 def substring_dedup_incremental(
@@ -1327,14 +1349,39 @@ def _substring_screen(
     the streaming ingest: returns the batch's
     ``(id, pos, block, block_md5, keep)`` frame — keep iff the block
     digest is absent from ``idx`` AND this is its first (id, pos)
-    instance within the batch."""
+    instance within the batch.
+
+    When ``idx`` carries provenance columns ``(first_id, first_pos)``
+    (the ``write_block_index(partitioned=True)`` layout), a stored
+    digest whose provenance equals the row's own (id, pos) counts as
+    UNSEEN — the property that makes a checkpoint replay of a batch
+    that already wrote its digests idempotent instead of
+    self-destructive (the replayed batch would otherwise kill its own
+    kept blocks; found by the two-sink crash test)."""
     blocks = _doc_blocks(new_docs, id_col, text_col, n_words).withColumn(
         "block_md5", F.md5("block")
     )
-    # survivors: not in the corpus...
-    not_stored = blocks.join(
-        idx.select("block_md5"), "block_md5", "left_anti"
-    )
+    if "first_id" in idx.columns:
+        # "stored" means stored BY SOMEONE ELSE: a provenance self-match
+        # re-qualifies the row for the intra-batch rank below (where it
+        # deterministically re-wins rn=1 — the batch content is
+        # identical on replay)
+        stored_elsewhere = idx.select(
+            "block_md5",
+            F.col("first_id").alias("_fid"),
+            F.col("first_pos").alias("_fpos"),
+        )
+        joined = blocks.join(stored_elsewhere, "block_md5", "left")
+        not_stored = joined.filter(
+            F.col("_fid").isNull()
+            | ((F.col("_fid") == F.col(id_col))
+               & (F.col("_fpos") == F.col("pos")))
+        ).drop("_fid", "_fpos")
+    else:
+        # digest-only index: plain absence screen
+        not_stored = blocks.join(
+            idx.select("block_md5"), "block_md5", "left_anti"
+        )
     # ...and first within the batch (rank only among not-stored rows:
     # a stored block kills every batch instance, so ranks agree)
     w = Window.partitionBy("block_md5").orderBy(id_col, "pos")

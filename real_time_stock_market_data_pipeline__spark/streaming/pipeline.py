@@ -596,11 +596,19 @@ def stream_substring_ingest(
         ).localCheckpoint(eager=True)  # two consumers below
         rebuilt = dedup_ops._rebuild_docs(flagged, id_col, emit_text=True)
         merge_upsert_parquet(spark, rebuilt, out_path, keys=[id_col])
-        new_digests = (
-            flagged.filter(F.col("keep"))
-            .select("block_md5")
-            .distinct()
-            .withColumn("pfx", F.substring("block_md5", 1, 2))
+        # kept rows are unique per digest (rn=1), so this carries each
+        # new digest ONCE with its provenance — the (id, pos) that a
+        # replay must recognize as "stored by me" (see
+        # dedup._substring_screen)
+        new_digests = flagged.filter(F.col("keep")).select(
+            "block_md5",
+            F.col(id_col).alias("first_id"),
+            F.col("pos").alias("first_pos"),
+            # letter-prefixed: see write_block_index — keeps hive
+            # partition-type inference on STRING for hex prefixes
+            F.concat(F.lit("p"), F.substring("block_md5", 1, 2)).alias(
+                "pfx"
+            ),
         )
         merge_upsert_parquet_partitioned(
             spark, new_digests, index_path, keys=["block_md5"],

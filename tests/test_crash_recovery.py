@@ -342,3 +342,79 @@ def test_partitioned_merge_preserves_null_partition_rows(spark, workdir):
     assert _pidx_rows(spark, path) == [
         (1, "a", None), (2, "b", 0), (3, "c", None),
     ]
+
+
+# ---------------------------------------------------------------------------
+# stream_substring_ingest (two sinks per batch: docs MERGE, then digest MERGE)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_substring_ingest_crash_between_sinks(spark, workdir):
+    """The round-12 ExactSubstr service writes TWO sinks per batch —
+    rewritten docs (MERGE on id), then kept digests (cell-scoped MERGE
+    into the index). A crash BETWEEN them leaves docs written but the
+    index stale, with the checkpoint saying the batch never ran; the
+    restart re-delivers the batch (batch-sequential, so no later batch
+    can slip in first) and both MERGEs must converge to the no-crash
+    state. Also covered: crash AFTER both sinks but before the
+    checkpoint commit (full replay)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    corpus = spark.createDataFrame(
+        [(0, "c1 c2 c3 c4 c5 c6 c7 c8")], "doc_id: long, text: string"
+    )
+    idx = os.path.join(workdir, "blockidx")
+    out = os.path.join(workdir, "rewritten")
+    in_dir, ckpt = os.path.join(workdir, "in"), os.path.join(workdir, "ckpt")
+    dedup.write_block_index(corpus, idx, partitioned=True)
+    schema = corpus.schema
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=schema)
+        q = pipeline.stream_substring_ingest(src, idx, out, ckpt)
+        q.awaitTermination()
+
+    def state():
+        docs = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_blocks", "n_kept", "dedup_text")
+            .collect()
+        )
+        digs = sorted(
+            r["block_md5"] for r in spark.read.parquet(idx).collect()
+        )
+        return docs, digs
+
+    # batch 1: one novel doc + a corpus clone
+    spark.createDataFrame(
+        [(10, "n1 n2 n3 n4 n5 n6 n7 n8"), (11, "c1 c2 c3 c4 c5 c6 c7 c8")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    ckpt_b1 = os.path.join(workdir, "ckpt_b1")
+    idx_b1 = os.path.join(workdir, "idx_b1")
+    shutil.copytree(ckpt, ckpt_b1)
+    shutil.copytree(idx, idx_b1)
+
+    # batch 2: repeats batch-1's novel block + adds its own
+    spark.createDataFrame(
+        [(20, "n1 n2 n3 n4 n5 n6 n7 n8 m1 m2 m3 m4 m5 m6 m7 m8")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    no_crash = state()
+
+    # crash BETWEEN the sinks during batch 2: docs sink has batch 2,
+    # the digest index does not, the checkpoint says batch 2 never ran
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    shutil.rmtree(idx); shutil.copytree(idx_b1, idx)
+    drain()  # restart re-delivers batch 2
+    assert state() == no_crash
+
+    # crash AFTER both sinks, before the checkpoint commit: full replay
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    drain()
+    assert state() == no_crash
