@@ -418,3 +418,61 @@ def test_stream_substring_ingest_crash_between_sinks(spark, workdir):
     shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
     drain()
     assert state() == no_crash
+
+
+def test_stream_ivfpq_ingest_checkpoint_rollback_replay(spark, workdir):
+    """stream_ivfpq_ingest's crash window: codes MERGEd, checkpoint
+    uncommitted. Codes are deterministic under the frozen sidecar
+    codebooks, so the replayed MERGE on vec_id must leave exactly one
+    code row per vector and the probe result unchanged."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    base = spark.createDataFrame(
+        [
+            (i, [float((0.3 * ((i + j) % 11) - 1.0)) for j in range(64)])
+            for i in range(40)
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    path = os.path.join(workdir, "ivfpq")
+    cents, sds = similarity.ivfpq_write_index(
+        base.filter(F.col("vec_id") < 20), path
+    )
+    in_dir, ckpt = os.path.join(workdir, "in"), os.path.join(workdir, "c")
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=base.schema)
+        q = pipeline.stream_ivfpq_ingest(src, path, ckpt)
+        q.awaitTermination()
+
+    base.filter(F.col("vec_id") >= 20).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    ckpt_pre = os.path.join(workdir, "c_pre")
+    os.makedirs(ckpt)  # ensure a dir exists to back up the empty state
+    shutil.copytree(ckpt, ckpt_pre, dirs_exist_ok=True)
+    drain()  # batch applied + checkpoint committed
+
+    q = [float(x) for x in base.filter(F.col("vec_id") == 0).first()[1]]
+    no_crash = [
+        tuple(r)
+        for r in similarity.ivfpq_topk_indexed(
+            spark, path, base, q, k=10, refine=4
+        ).collect()
+    ]
+    # crash between the sink MERGE and the checkpoint commit
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_pre, ckpt)
+    drain()  # replay re-merges the same codes
+    assert [
+        tuple(r)
+        for r in similarity.ivfpq_topk_indexed(
+            spark, path, base, q, k=10, refine=4
+        ).collect()
+    ] == no_crash
+    assert spark.read.parquet(path).count() == 40
