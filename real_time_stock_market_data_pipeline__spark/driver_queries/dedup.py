@@ -396,6 +396,116 @@ GROUP BY doc_id
 """
 
 
+def _bands_for_sql(src: str, name: str) -> str:
+    """Band CTE chain for an arbitrary (doc_id, text) relation —
+    module-level twin of the fragment builder inside
+    `_incremental_neardup_oracle` (kept verbatim there for oracle
+    stability)."""
+    h32 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(s), {j + 1}, 1)) - 1)"
+        f" * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    sig_entries = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b})"
+        f" % {dedup.MINHASH_P}))"
+        for a, b in zip(dedup.MINHASH_A, dedup.MINHASH_B)
+    )
+    n_bands = dedup.MINHASH_PERMS // dedup.MINHASH_BAND_ROWS
+    return f"""
+{name}_sh AS (
+  SELECT doc_id, {_SHINGLES} AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM {src}) t
+),
+{name}_ne AS (SELECT doc_id, sh FROM {name}_sh WHERE len(sh) > 0),
+{name}_hs AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {h32}) AS hs FROM {name}_ne
+),
+{name}_sig AS (SELECT doc_id, [{sig_entries}] AS sig FROM {name}_hs),
+{name}_bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || '|'
+             || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
+  FROM {name}_sig CROSS JOIN
+       (SELECT unnest(range({n_bands})) AS band_idx) b
+)"""
+
+
+def _screen_batch(docs: DataFrame) -> DataFrame:
+    """The deterministic new-crawl batch every screen query shares:
+    two clone waves of every 4th document (ids +1e6 and +2e6 — the
+    second wave collides with BOTH the corpus and the first wave) plus
+    an all-unique wave (ids +3e6, every-word-id-stamped text — no
+    collisions possible), so all three verdict columns are exercised."""
+    base = docs.where(F.col("doc_id") % 4 == 0)
+    c1 = base.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), F.col("text")
+    )
+    c2 = base.select(
+        (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), F.col("text")
+    )
+    i = F.col("doc_id").cast("string")
+    uniq_text = F.concat(
+        F.lit("uq"), i, F.lit("a uq"), i, F.lit("b uq"), i,
+        F.lit("c uq"), i, F.lit("d"),
+    )
+    u = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        uniq_text.alias("text"),
+    )
+    return c1.unionByName(c2).unionByName(u)
+
+
+_SCREEN_BATCH_SQL = """
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         'uq' || doc_id || 'a uq' || doc_id || 'b uq' || doc_id || 'c uq'
+           || doc_id || 'd' AS text
+  FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+def q_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-ordered near-dup verdict of a new crawl batch against
+    the corpus (`operators/dedup.py:neardup_screen`): per new doc, the
+    count of distinct corpus colliders, distinct LOWER-ID in-batch
+    colliders, and the dup verdict — the keep/drop decision a crawl
+    ingest makes, with transitive clone chains collapsing to the
+    first arrival."""
+    docs = _table("documents")(spark, sf_dir)
+    return dedup.neardup_screen(_screen_batch(docs), docs)
+
+
+def _neardup_screen_oracle() -> str:
+    return f"""
+WITH newb AS ({_SCREEN_BATCH_SQL}),
+{_bands_for_sql('newb', 'n')},
+{_bands_for_sql('documents', 'c')},
+ch AS (
+  SELECT n_bands.doc_id, count(DISTINCT c_bands.doc_id) AS n_corpus_dups
+  FROM n_bands JOIN c_bands USING (band_idx, band_hash) GROUP BY 1
+),
+ph AS (
+  SELECT a.doc_id, count(DISTINCT p.doc_id) AS n_prior_dups
+  FROM n_bands a JOIN n_bands p
+    ON a.band_idx = p.band_idx AND a.band_hash = p.band_hash
+   AND p.doc_id < a.doc_id
+  GROUP BY 1
+)
+SELECT nb.doc_id,
+       CAST(coalesce(ch.n_corpus_dups, 0) AS BIGINT) AS n_corpus_dups,
+       CAST(coalesce(ph.n_prior_dups, 0) AS BIGINT) AS n_prior_dups,
+       (coalesce(ch.n_corpus_dups, 0) + coalesce(ph.n_prior_dups, 0)) > 0
+         AS dup
+FROM newb nb
+LEFT JOIN ch ON nb.doc_id = ch.doc_id
+LEFT JOIN ph ON nb.doc_id = ph.doc_id
+"""
+
+
 __all__ = [
     "_DEDUP_CORPUS_ORACLE",
     "_DEDUP_EXACT_ORACLE",
@@ -416,6 +526,11 @@ __all__ = [
     "q_incremental_neardup",
     "q_incremental_neardup_indexed",
     "q_neardup_clusters",
+    "q_neardup_screen",
+    "_neardup_screen_oracle",
+    "_bands_for_sql",
+    "_screen_batch",
+    "_SCREEN_BATCH_SQL",
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_simhash_neardup_pairs",

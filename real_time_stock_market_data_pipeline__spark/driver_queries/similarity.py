@@ -845,6 +845,68 @@ WHERE NOT EXISTS (
 """
 
 
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantized cosine top-k with exact rerank
+    (`operators/similarity.py:bq_topk`): 1-bit-per-dimension sign
+    signatures (threshold = decimal-exact per-dimension corpus mean)
+    packed into two 32-bit integer lanes, XOR+popcount Hamming scan,
+    top k*refine candidates broadcast back for the exact fold-cosine
+    rerank. Pure integer candidate stage — the oracle re-derives the
+    thresholds with the same decimal-exact average, repacks the
+    signatures (including the query's, from the vec_id=0 row), and
+    replays both ranking stages bit-for-bit."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    return similarity.bq_topk(
+        load_table(spark, sf_dir, "embeddings"), q, k=10, refine=4
+    )
+
+
+def _bq_topk_oracle(k: int = 10, refine: int = 4) -> str:
+    lb = similarity.BQ_LANE_BITS
+    mu_cols = ",\n         ".join(
+        f"CAST(sum(CAST(CAST(embedding[{j + 1}] AS DOUBLE)"
+        f" AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m{j}"
+        for j in range(_DIM)
+    )
+
+    def lane(li: int) -> str:
+        return " + ".join(
+            f"CASE WHEN CAST(e.embedding[{li * lb + j + 1}] AS DOUBLE)"
+            f" > mu.m{li * lb + j}"
+            f" THEN CAST({1 << j} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+            for j in range(lb)
+        )
+
+    dot_eq = _coldot_sql("e.embedding", "q.qe")
+    sq_e = _coldot_sql("e.embedding", "e.embedding")
+    return f"""
+WITH mu AS (SELECT {mu_cols} FROM embeddings),
+sig AS (
+  SELECT e.vec_id, ({lane(0)}) AS sig0, ({lane(1)}) AS sig1
+  FROM embeddings e CROSS JOIN mu
+),
+qsig AS (SELECT sig0 AS q0, sig1 AS q1 FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id,
+         CAST(CAST(bit_count(xor(s.sig0, t.q0)) AS BIGINT)
+              + CAST(bit_count(xor(s.sig1, t.q1)) AS BIGINT) AS INT)
+           AS hamming
+  FROM sig s CROSS JOIN qsig t
+  ORDER BY hamming ASC, s.vec_id
+  LIMIT {k * refine}
+)
+SELECT e.vec_id,
+       ({dot_eq}) / (sqrt({sq_e}) * sqrt({_SQ_QE})) AS cosine,
+       c.hamming
+FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN {_Q_SUB}
+WHERE sqrt({sq_e}) > 0
+ORDER BY cosine DESC, e.vec_id
+LIMIT {k}
+"""
+
+
 __all__ = [
     "_COSINE_QE",
     "_COSINE_TOPK_FAST_ORACLE",
@@ -879,6 +941,8 @@ __all__ = [
     "q_kmeans_step",
     "q_knn_join",
     "q_sq8_topk",
+    "q_bq_topk",
+    "_bq_topk_oracle",
     "q_pq_topk",
     "_pq_topk_oracle",
     "q_semantic_dedup",

@@ -7,6 +7,9 @@ are verbatim (code moved, not rewritten) so oracle parity is untouched.
 from __future__ import annotations
 
 from real_time_stock_market_data_pipeline__spark.driver_queries._shared import *  # noqa: F401,F403
+
+#: DuckDB-side tokenizer over documents.text (normalized split)
+_TOKS_TXT = f"string_split({_NORM.format(col='text')}, ' ')"
 from real_time_stock_market_data_pipeline__spark.driver_queries.dedup import (  # noqa: F401
     _TOKS,
     _minhash_cte,
@@ -1528,6 +1531,137 @@ FROM a
 
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights against the lang='en' target slice
+    (`operators/text.py:dsir_logweights`): hashed word-bigram bucket
+    distributions (add-one smoothed) for the target slice and the raw
+    corpus built in one aggregation pass, per-bucket log-ratios
+    broadcast back to per-doc bucket counts, decimal-exact per-doc
+    sum. The resampling step composes with `weighted_sample`."""
+    return text.dsir_logweights(_table("documents")(spark, sf_dir))
+
+
+def _dsir_weights_oracle(n_buckets: int = 256) -> str:
+    lr = _round_sql(
+        f"ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + {n_buckets} AS DOUBLE))"
+        f" - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + {n_buckets} AS DOUBLE))",
+        6,
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_filter({_TOKS_TXT}, t -> t <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_t,
+         unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+             range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+           ELSE [] END) AS gram
+  FROM toked
+),
+bucketed AS (
+  SELECT doc_id, is_t,
+         CAST(CAST('0x' || substr(md5('dsir:' || gram), 1, 8) AS BIGINT)
+              % {n_buckets} AS INT) AS bucket
+  FROM grams
+),
+dist AS (
+  SELECT bucket, count(*) AS cr,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM bucketed GROUP BY bucket
+),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dist),
+ratio AS (SELECT bucket, {lr} AS lr FROM dist CROSS JOIN tot),
+per_doc AS (
+  SELECT b.doc_id, sum(b.n) AS n_grams,
+         {_round_sql(
+             "CAST(sum(CAST(CAST(b.n AS DOUBLE) * r.lr"
+             " AS DECIMAL(18,6))) AS DOUBLE)", 6)} AS w
+  FROM (SELECT doc_id, bucket, count(*) AS n
+        FROM bucketed GROUP BY doc_id, bucket) b
+  JOIN ratio r ON b.bucket = r.bucket
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(p.w, 0.0) AS dsir_logweight
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+#: fixed BM25 driver query — terms present across the synthetic vocab
+_BM25_TERMS = ("hash", "join", "spark")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval from the raw corpus
+    (`operators/text.py:bm25_topk`): query-term-filtered postings,
+    window df, Lucene non-negative idf, decimal-exact per-doc sum."""
+    return text.bm25_topk(
+        _table("documents")(spark, sf_dir), list(_BM25_TERMS), k=10
+    )
+
+
+def q_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the inverted index at rest
+    (`operators/text.py:bm25_topk_indexed`): posting lists written
+    `partitionBy(term_bucket)`, probe = partition pruning
+    (PartitionFilters plan-asserted in tests). Stored postings are
+    query-independent, so the result — and the oracle — are exactly
+    `bm25_topk`'s; the write-then-read happens inside the query, like
+    `ivf_topk_indexed`."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="bm25_idx_") + "/index"
+    text.bm25_write_index(docs, path)
+    return text.bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
+
+
+def _bm25_topk_oracle(
+    k: int = 10, k1: float = text.BM25_K1, b: float = text.BM25_B
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    contrib = _round_sql(
+        f"ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)"
+        f" / (CAST(d.df AS DOUBLE) + 0.5))"
+        f" * (CAST(d.tf AS DOUBLE) * {k1 + 1.0})"
+        f" / (CAST(d.tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+        f" * (CAST(l.dl AS DOUBLE) / s.avgdl)))",
+        6,
+    )
+    return f"""
+WITH dls AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_TOKS_TXT}, t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avgdl
+  FROM dls
+),
+tk AS (SELECT doc_id, unnest({_TOKS_TXT}) AS term FROM documents),
+p AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN ({terms}) GROUP BY term, doc_id
+),
+d AS (SELECT p.*, count(*) OVER (PARTITION BY term) AS df FROM p),
+c AS (
+  SELECT d.doc_id, {contrib} AS contrib
+  FROM d JOIN dls l ON d.doc_id = l.doc_id CROSS JOIN stats s
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+       {_round_sql("CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE)", 6)}
+         AS bm25
+FROM c GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
 __all__ = [
     "_CHUNK_ORACLE",
     "_CONTAINMENT_ORACLE",
@@ -1578,6 +1712,13 @@ __all__ = [
     "q_corwin_schultz",
     "q_decontaminate",
     "q_doc_fingerprint",
+    "q_bm25_topk",
+    "q_bm25_topk_indexed",
+    "_bm25_topk_oracle",
+    "_BM25_TERMS",
+    "q_dsir_weights",
+    "_dsir_weights_oracle",
+    "_TOKS_TXT",
     "q_domain_cap",
     "q_embedding_centroids",
     "q_embedding_quantize",

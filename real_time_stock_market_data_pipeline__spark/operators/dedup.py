@@ -1394,3 +1394,116 @@ def _substring_screen(
     return blocks.join(kept, [id_col, "pos"], "left").fillna(
         False, subset=["keep"]
     )
+
+
+def neardup_screen_bands(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    prior_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Arrival-ordered near-dup VERDICT over a new batch against
+    pre-banded history: one row per new document with
+    ``(n_corpus_dups, n_prior_dups, dup)``.
+
+    Semantics (the crawl-ingest contract shared with
+    :func:`streaming.pipeline.stream_neardup_ingest`):
+
+    - a document is a duplicate iff it shares ≥1 LSH band with the
+      corpus (``corpus_bands`` — any owner), OR with an earlier
+      arrival — a band row in ``prior_bands`` or in this batch whose
+      owner id is strictly LOWER than the document's own id;
+    - the strict ``<`` makes the rule self-provenance-safe: a replayed
+      batch whose own bands already landed in the prior-band index
+      cannot kill itself (owner ≥ me is ignored), the same
+      replay-self-destruction guard the ExactSubstr service uses;
+    - because EVERY arrival's bands enter history (kept or not),
+      draining batches B1..Bn equals one screen of their concatenation
+      — transitive clone chains (B dies to A, C collides only with B)
+      still collapse to the single first arrival, matching
+      cluster-min-keep on chain-shaped collision graphs.
+
+    Shape at 100 TB: band the batch once (explode in place), two
+    band-key equi-joins (collision volume only, never all-pairs),
+    two count-distinct aggregates over batch-sized frames, one
+    broadcast-back to the batch ids. Documents with zero shingles
+    (< shingle_k words) have no bands and pass through as non-dups —
+    they are :func:`dedup_exact` territory.
+    """
+    nb = minhash_bands(
+        new_docs, id_col, text_col, perms, band_rows, shingle_k
+    )
+    seen = (
+        nb if prior_bands is None
+        else prior_bands.select(
+            F.col(id_col), F.col("band_idx"), F.col("band_hash")
+        ).unionByName(nb)
+    )
+    corpus_hits = (
+        nb.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .groupBy(F.col(f"n.{id_col}").alias(id_col))
+        .agg(F.count_distinct(F.col(f"c.{id_col}")).alias("n_corpus_dups"))
+    )
+    prior_hits = (
+        nb.alias("n")
+        .join(
+            seen.alias("p"),
+            (F.col("n.band_idx") == F.col("p.band_idx"))
+            & (F.col("n.band_hash") == F.col("p.band_hash"))
+            & (F.col(f"p.{id_col}") < F.col(f"n.{id_col}")),
+        )
+        .groupBy(F.col(f"n.{id_col}").alias(id_col))
+        .agg(F.count_distinct(F.col(f"p.{id_col}")).alias("n_prior_dups"))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(corpus_hits, id_col, "left")
+        .join(prior_hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_corpus_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_corpus_dups"),
+            F.coalesce(F.col("n_prior_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_prior_dups"),
+            (
+                F.coalesce(F.col("n_corpus_dups"), F.lit(0))
+                + F.coalesce(F.col("n_prior_dups"), F.lit(0))
+                > 0
+            ).alias("dup"),
+        )
+    )
+
+
+def neardup_screen(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perms: int = MINHASH_PERMS,
+    band_rows: int = MINHASH_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """:func:`neardup_screen_bands` with the corpus banded live — the
+    one-shot form; a standing deployment bands the corpus once with
+    :func:`write_dedup_index` and passes the stored table."""
+    return neardup_screen_bands(
+        new_docs,
+        minhash_bands(corpus, id_col, text_col, perms, band_rows, shingle_k),
+        None,
+        id_col,
+        text_col,
+        perms,
+        band_rows,
+        shingle_k,
+    )

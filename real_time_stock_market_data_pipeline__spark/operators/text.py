@@ -1205,3 +1205,370 @@ def length_band_filter(
             "hi_band",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+#: hashed-bigram feature space size for DSIR importance weights
+DSIR_BUCKETS = 256
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: F.Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR importance log-weights: score every document by how much
+    its hashed-bigram profile looks like a TARGET slice of the corpus
+    versus the corpus as a whole — the public data-selection recipe
+    (hashed n-gram bag-of-words + bigram product model, Xie et al.
+    2023) that picks pre-training data matching a high-quality target
+    domain. Compose with `sampling.weighted_sample` for the resampling
+    step.
+
+    ``log w(doc) = Σ_grams [ln p̂_target(bucket) − ln p̂_raw(bucket)]``
+
+    with add-one-smoothed bucket probabilities over ``n_buckets``
+    hashed word-bigram buckets (md5 feature hashing — the
+    `hashed_bow` discipline, engine-portable). ``target`` is any
+    boolean Column over the input (default: ``lang = 'en'``).
+
+    Shape at 100 TB: tokenize/bigram/bucket explode in place (no
+    shuffle), ONE (bucket) aggregation builds both distributions in a
+    single pass (map-side partial, ≤ n_buckets rows out), the
+    per-bucket log-ratio table broadcast-joins back to the per-doc
+    bucket counts, and the per-doc reduce is a decimal-exact sum.
+    Nothing corpus-sized crosses the wire except the one explode
+    aggregation. Cross-engine exactness: each per-bucket log-ratio is
+    rounded to 6 dp (repr-tie-safe), per-doc terms are integer ×
+    6-dp-double products summed as DECIMAL(18,6) — order-independent.
+
+    Documents with fewer than two tokens carry zero features and a
+    0.0 log-weight (they match both distributions trivially).
+    """
+    if target is None:
+        target = F.col("lang") == "en"
+    toks = F.filter(_toks(text_col), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        target.cast("boolean").alias("__is_t"),
+    )
+    m = F.size("__t") - F.lit(1)
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            # single-arg closure (two-arg lambdas receive the element
+            # index as the 2nd argument)
+            lambda i: F.concat(
+                F.element_at(F.col("__t"), i),
+                F.lit(" "),
+                F.element_at(F.col("__t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    exploded = base.select(
+        F.col(id_col), F.col("__is_t"), F.explode(grams).alias("gram")
+    ).select(
+        F.col(id_col),
+        F.col("__is_t"),
+        (h % n_buckets).cast("int").alias("bucket"),
+    )
+    dist = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    # whole-frame totals as window sums over the ≤ n_buckets-row dist
+    # frame (a 1-row crossJoin would plan a BroadcastNestedLoopJoin,
+    # which the no-cartesian sweep bans)
+    w_all = Window.partitionBy()
+    ratio = F.round(
+        F.log(
+            (F.col("ct") + 1).cast("double")
+            / (F.col("tt") + n_buckets).cast("double")
+        )
+        - F.log(
+            (F.col("cr") + 1).cast("double")
+            / (F.col("tr") + n_buckets).cast("double")
+        ),
+        6,
+    )
+    bucket_ratio = dist.select(
+        "bucket",
+        "cr",
+        "ct",
+        F.sum("cr").over(w_all).alias("tr"),
+        F.sum("ct").over(w_all).alias("tt"),
+    ).select("bucket", ratio.alias("lr"))
+    per_doc = (
+        exploded.groupBy(F.col(id_col), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bucket_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.round(
+                F.sum(
+                    (F.col("n").cast("double") * F.col("lr")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+    return docs.select(F.col(id_col), F.col("lang")).join(
+        per_doc, id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("lang"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias(
+            "dsir_logweight"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25, Robertson et al.; Lucene's non-negative
+# idf variant) — batch scoring + an inverted index at rest
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: term-hash partitions for the at-rest inverted index
+BM25_TERM_BUCKETS = 16
+_BM25_META_SIDECAR = "_bm25_meta.json"
+
+
+def bm25_doclens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dl): per-document token count — the BM25 length normalizer."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.filter(_toks(text_col), lambda t: t != ""))
+        .cast("long")
+        .alias("dl"),
+    )
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, id, tf): the inverted-index posting list in long form.
+    Tokenize → explode in place → one (term, doc) count with map-side
+    combine."""
+    toks = docs.select(
+        F.col(id_col), F.explode(_toks(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+
+
+def bm25_term_bucket(term_col: F.Column, n_buckets: int = BM25_TERM_BUCKETS):
+    """md5 term → bucket, the partition key of the at-rest index
+    (engine-portable: same `'0x'||substr(md5(...),1,8)` discipline as
+    every other hash in the repo)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bm25:"), term_col)), 1, 8), 16, 10
+    ).cast("long")
+    return (h % n_buckets).cast("int")
+
+
+def _bm25_score(
+    postings: DataFrame,
+    doclens: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared scoring tail: postings already filtered to the query
+    terms; ``n_docs``/``avgdl`` are bounded driver scalars (corpus
+    metadata a real pipeline has for free — the `tfidf_top_terms`
+    discipline; a 1-row stats crossJoin would plan a
+    BroadcastNestedLoopJoin, which the no-cartesian sweep bans)."""
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    joined = postings.withColumn("df", dfreq).join(doclens, id_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.lit(float(n_docs))
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    dlr = F.col("dl").cast("double") / F.lit(float(avgdl))
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * dlr
+    )
+    contrib = F.round(
+        idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom, 6
+    )
+    return (
+        joined.select(F.col(id_col), contrib.alias("contrib"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval, computed from the raw corpus in one
+    pass — the scoring backbone of search-based decontamination,
+    retrieval-augmented filtering, and query-driven corpus audits.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with Lucene's always-positive ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Shape: the term filter lands BEFORE the (term, doc) aggregation —
+    only postings of the |terms| query terms survive the explode, so
+    the shuffled frame is query-sized, not corpus-sized. ``df`` is a
+    window count over that tiny frame; corpus stats (N, avgdl) are one
+    decimal-exact 1-row aggregate, broadcast. Per-term contributions
+    round to 6 dp and sum as DECIMAL — order-independent, so a SQL
+    engine replays the exact doubles. For repeated querying, build the
+    index once with :func:`bm25_write_index` instead."""
+    dls = bm25_doclens(docs, id_col, text_col)
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    ).first()
+    postings = bm25_postings(docs, id_col, text_col).filter(
+        F.col("term").isin([str(t) for t in terms])
+    )
+    return _bm25_score(
+        postings,
+        dls,
+        int(stats["n_docs"]),
+        float(stats["avgdl"]),
+        k,
+        k1,
+        b,
+        id_col,
+    )
+
+
+def bm25_write_index(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = BM25_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the BM25 inverted index at rest: posting lists
+    parquet-partitioned by ``term_bucket`` (md5 term hash), a doclens
+    table, and a 1-row stats table (N, exact avgdl), plus a JSON
+    sidecar recording ``n_buckets``.
+
+    At 100 TB the posting write is the one corpus-sized job (tokenize
+    → explode → (term, doc) count); every later query reads only the
+    probed term buckets — ``terms/n_buckets`` of the index — via
+    partition pruning, never re-tokenizing the corpus. Doc lengths and
+    stats are tiny sidecars. Same overwrite discipline as
+    ``ivf_write_index``; rebuild (or MERGE per-bucket) on corpus
+    growth."""
+    import json
+    import os
+
+    postings = bm25_postings(docs, id_col, text_col).withColumn(
+        "term_bucket", bm25_term_bucket(F.col("term"), n_buckets)
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        os.path.join(path, "postings")
+    )
+    dls = bm25_doclens(docs, id_col, text_col)
+    dls.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    with open(os.path.join(path, _BM25_META_SIDECAR), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Query a materialized BM25 index (``bm25_write_index`` layout):
+    the query terms hash to their buckets driver-side and the bucket
+    predicate lands in the scan's PartitionFilters (plan-asserted in
+    tests), so only |query buckets| of the posting directories are
+    read. The inner ``term IN (...)`` filter then pushes into parquet
+    row-group pruning. Result ≡ :func:`bm25_topk` on the same corpus
+    (the stored postings are query-independent)."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, _BM25_META_SIDECAR)) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    id_col = meta.get("id_col", "doc_id")
+    buckets = sorted(
+        {
+            int(hashlib.md5(f"bm25:{t}".encode()).hexdigest()[:8], 16)
+            % n_buckets
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin([str(t) for t in terms]))
+        .select("term", id_col, "tf")
+    )
+    dls = spark.read.parquet(os.path.join(path, "doclens"))
+    stats = spark.read.parquet(os.path.join(path, "stats")).first()
+    return _bm25_score(
+        postings,
+        dls,
+        int(stats["n_docs"]),
+        float(stats["avgdl"]),
+        k,
+        k1,
+        b,
+        id_col,
+    )

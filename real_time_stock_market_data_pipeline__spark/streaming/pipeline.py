@@ -627,6 +627,92 @@ def stream_substring_ingest(
     return writer.start()
 
 
+def stream_neardup_ingest(
+    source: DataFrame,
+    corpus_bands_path: str,
+    stream_bands_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming MinHash near-dup ingestion — the crawl-time service
+    over :func:`operators.dedup.neardup_screen_bands`, completing the
+    LSH dedup family's lifecycle next to the semantic and ExactSubstr
+    services: each micro-batch of documents is (1) screened against
+    the read-only corpus band index (``write_dedup_index`` layout)
+    plus the growing stream band index, (2) its VERDICT rows
+    ``(id, n_corpus_dups, n_prior_dups, dup)`` MERGE-upserted into
+    ``out_path`` keyed on ``id_col``, and (3) ALL the batch's band
+    rows MERGE-added to the stream index, partitioned on the 2-hex
+    band-hash prefix (cell-scoped merges, the ExactSubstr discipline).
+
+    Every arrival's bands enter history — kept or not — so draining
+    B1..Bn equals one :func:`operators.dedup.neardup_screen` of their
+    concatenation (law-tested), and the strict owner-id ``<`` rule in
+    the screen makes checkpoint replay self-provenance-safe: a
+    replayed batch finds its own bands already stored but cannot be
+    killed by them, and both MERGE sinks re-upsert idempotently (the
+    T10 contract).
+
+    Requires the single-file-per-drain / monotone-id arrival contract
+    shared by the other ingest services: ids must not decrease across
+    batches, or "earlier arrival" and "lower id" diverge.
+
+    Scale per batch: band(new) + two band-key equi-joins against
+    partition-scoped parquet + two MERGEs — the corpus is never
+    re-banded, and per-batch cost tracks batch collision volume, not
+    index size."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        dedup as dedup_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        input_ready,
+        merge_upsert_parquet,
+        merge_upsert_parquet_partitioned,
+    )
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        cb = spark.read.parquet(corpus_bands_path)
+        prior = (
+            spark.read.parquet(stream_bands_path).select(
+                id_col, "band_idx", "band_hash"
+            )
+            if input_ready(spark, stream_bands_path)
+            else None
+        )
+        verdict = dedup_ops.neardup_screen_bands(
+            batch, cb, prior, id_col, text_col
+        )
+        merge_upsert_parquet(spark, verdict, out_path, keys=[id_col])
+        new_bands = dedup_ops.minhash_bands(
+            batch, id_col, text_col
+        ).withColumn(
+            # letter-prefixed: see write_block_index — keeps hive
+            # partition-type inference on STRING for hex prefixes
+            "pfx",
+            F.concat(F.lit("p"), F.substring("band_hash", 1, 2)),
+        )
+        merge_upsert_parquet_partitioned(
+            spark, new_bands, stream_bands_path,
+            keys=[id_col, "band_idx"], partition_col="pfx",
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,

@@ -2538,3 +2538,129 @@ def test_qoi_error_paths():
         mm._decode_qoi(
             _qoi_header(1, 1) + bytes([0xFE, 1, 2, 3, 0x00]) + mm._QOI_END
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 13: binary sign-quantized ANN, BM25 retrieval, DSIR weights
+# ---------------------------------------------------------------------------
+
+
+def test_bq_topk_query_is_its_own_nearest(spark, sf_dir):
+    """The query vector (vec_id=0) has Hamming 0 against itself and
+    cosine 1.0, so it must rank first."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = similarity.bq_topk(embs, q, k=10, refine=4).collect()
+    assert rows[0]["vec_id"] == 0
+    assert rows[0]["hamming"] == 0
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-12
+    # hamming is a real column on every candidate, bounded by the dim
+    assert all(0 <= r["hamming"] <= 64 for r in rows)
+
+
+def test_bq_topk_reuses_stored_means(spark, sf_dir):
+    """Passing precomputed thresholds (the at-rest deployment shape)
+    gives the identical result and skips the aggregation pass."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    mu = similarity.bq_dim_means(embs)
+    a = similarity.bq_topk(embs, q, k=10, means=mu).collect()
+    b = similarity.bq_topk(embs, q, k=10).collect()
+    assert a == b
+    with pytest.raises(ValueError):
+        similarity.bq_topk(embs, q, k=10, means=mu[:10])
+
+
+def test_bq_topk_recall_vs_exact(spark, sf_dir):
+    """1-bit signatures are the coarsest quantizer in the family —
+    demand non-trivial overlap with brute force at a generous refine,
+    anchored by the self-match."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(embs, q, k=10).collect()}
+    got = {r["vec_id"] for r in similarity.bq_topk(embs, q, k=10, refine=8).collect()}
+    assert 0 in got
+    assert len(exact & got) >= 2
+
+
+def test_bm25_indexed_equals_direct(spark, sf_dir):
+    """At-rest inverted index answers exactly like the one-pass scorer
+    (stored postings are query-independent), and the probe scan is
+    partition pruning on term_bucket."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+    from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "spark"]
+    path = tempfile.mkdtemp(prefix="bm25_t_") + "/idx"
+    t.bm25_write_index(docs, path)
+    direct = t.bm25_topk(docs, terms, k=10).collect()
+    indexed_df = t.bm25_topk_indexed(spark, path, terms, k=10)
+    assert indexed_df.collect() == direct
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "term_bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_bm25_scores_reward_tf_and_length(spark):
+    """Hand corpus: the doc repeating the query term ranks above the
+    single-mention doc; a term absent from the corpus contributes
+    nothing; docs without any query term don't appear."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple pie"),
+            (2, "apple tart with pears"),
+            (3, "no fruit at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = t.bm25_topk(docs, ["apple", "zebra"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 1 and set(ids) == {1, 2}
+    assert all(r["n_hit_terms"] == 1 for r in rows)
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+
+
+def test_dsir_uniform_target_weights_zero(spark):
+    """If the target slice IS the corpus, both distributions coincide
+    and every log-weight is exactly 0; sub-2-token docs carry zero
+    features."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "beta gamma delta", "en"),
+            (3, "x", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["doc_id"]: r for r in t.dsir_logweights(docs).collect()}
+    assert rows[1]["dsir_logweight"] == 0.0
+    assert rows[2]["dsir_logweight"] == 0.0
+    assert rows[3]["n_grams"] == 0 and rows[3]["dsir_logweight"] == 0.0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs sharing the target slice's bigrams score higher than docs
+    made of non-target bigrams."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    rows = [(i, "clean prose sample text", "en") for i in range(4)]
+    rows += [(10 + i, "zz yy xx ww vv", "zh") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r["dsir_logweight"] for r in t.dsir_logweights(docs).collect()}
+    assert got[0] > got[10]
