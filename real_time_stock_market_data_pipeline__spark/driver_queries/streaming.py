@@ -499,6 +499,39 @@ def q_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dup ingestion
+    (`streaming/pipeline.py:stream_neardup_ingest`): the same derived
+    crawl batch as `neardup_screen` arrives as a one-file stream, is
+    screened per micro-batch against the at-rest corpus band index
+    plus the growing stream band index, and the verdict log is
+    MERGE-upserted idempotently. One input file → one availableNow
+    batch, so the drained verdict log must equal the batch operator
+    on the same split — it shares `neardup_screen`'s oracle
+    verbatim."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.driver_queries.dedup import (
+        _screen_batch,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="snd_q_")
+    dedup.write_dedup_index(docs, f"{tmp}/corpus_bands")
+    _screen_batch(docs).coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_neardup_ingest(
+        src, f"{tmp}/corpus_bands", f"{tmp}/stream_bands",
+        f"{tmp}/out", f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select(
+        "doc_id", "n_corpus_dups", "n_prior_dups", "dup"
+    )
+
+
 __all__ = [
     "_CENTROID_SIM_ORACLE",
     "_GINI_ORACLE",
@@ -515,6 +548,7 @@ __all__ = [
     "q_stream_dedup",
     "q_stream_ema",
     "q_stream_interval_join",
+    "q_stream_neardup_screen",
     "q_stream_semantic_screen",
     "q_stream_sessionize",
     "q_stream_window_append",

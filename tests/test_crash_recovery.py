@@ -476,3 +476,85 @@ def test_stream_ivfpq_ingest_checkpoint_rollback_replay(spark, workdir):
         ).collect()
     ] == no_crash
     assert spark.read.parquet(path).count() == 40
+
+
+# ---------------------------------------------------------------------------
+# stream_neardup_ingest (two sinks per batch: verdict MERGE, then band MERGE)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_neardup_ingest_crash_between_sinks(spark, workdir):
+    """The MinHash ingest service writes TWO sinks per batch — the
+    verdict log (MERGE on doc_id), then the batch's band rows
+    (prefix-scoped MERGE into the stream index). Crash BETWEEN them:
+    verdicts written, bands stale, checkpoint says the batch never ran
+    — the replay must converge to the no-crash state. Crash AFTER both
+    sinks (full replay): the batch finds its own bands stored, and the
+    strict owner-id < rule must keep it from killing itself."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    corpus = spark.createDataFrame(
+        [(0, "c1 c2 c3 c4 c5")], "doc_id: long, text: string"
+    )
+    cbp = os.path.join(workdir, "corpus_bands")
+    sbp = os.path.join(workdir, "stream_bands")
+    out = os.path.join(workdir, "verdicts")
+    in_dir, ckpt = os.path.join(workdir, "in"), os.path.join(workdir, "ckpt")
+    dedup.write_dedup_index(corpus, cbp)
+    schema = corpus.schema
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=schema)
+        q = pipeline.stream_neardup_ingest(src, cbp, sbp, out, ckpt)
+        q.awaitTermination()
+
+    def state():
+        verdicts = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_corpus_dups", "n_prior_dups", "dup")
+            .collect()
+        )
+        bands = sorted(
+            tuple(r)
+            for r in spark.read.parquet(sbp)
+            .select("doc_id", "band_idx", "band_hash")
+            .collect()
+        )
+        return verdicts, bands
+
+    # batch 1: a corpus clone + a novel doc
+    spark.createDataFrame(
+        [(10, "c1 c2 c3 c4 c5"), (11, "n1 n2 n3 n4 n5")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    v1 = {r[0]: r[1:] for r in state()[0]}
+    assert v1[10] == (1, 0, True)    # dies to the corpus
+    assert v1[11] == (0, 0, False)   # novel survives
+    ckpt_b1 = os.path.join(workdir, "ckpt_b1")
+    sbp_b1 = os.path.join(workdir, "sbp_b1")
+    shutil.copytree(ckpt, ckpt_b1)
+    shutil.copytree(sbp, sbp_b1)
+
+    # batch 2: a clone of batch-1's novel doc (cross-batch prior kill)
+    spark.createDataFrame(
+        [(20, "n1 n2 n3 n4 n5")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    no_crash = state()
+    v2 = {r[0]: r[1:] for r in no_crash[0]}
+    assert v2[20] == (0, 1, True)    # dies to the earlier arrival
+
+    # crash BETWEEN the sinks during batch 2
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    shutil.rmtree(sbp); shutil.copytree(sbp_b1, sbp)
+    drain()
+    assert state() == no_crash
+
+    # crash AFTER both sinks, before the checkpoint commit: full replay
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    drain()
+    assert state() == no_crash

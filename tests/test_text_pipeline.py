@@ -905,3 +905,69 @@ def test_length_band_filter_drops_tails_per_group(spark, sf_dir):
     orig = {r.lang: r[1] for r in docs.groupBy("lang").count().collect()}
     for r in per:
         assert r[1] / orig[r.lang] >= 0.8
+
+
+def test_stream_neardup_ingest_matches_batch_and_grows_index(
+    spark, sf_dir, tmp_path
+):
+    """Streaming MinHash near-dup service law: corpus band index built
+    on the id-prefix half, two single-file drains of batches B1, B2
+    (id order), plus a no-input drain. Then (a) the verdict log equals
+    neardup_screen(B1 ∪ B2, corpus) — the all-arrivals-enter-history
+    rule makes multi-batch ≡ one concatenated batch — and (b) the
+    stream band index holds exactly minhash_bands(B1 ∪ B2)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    corpus = docs.filter(F.col("doc_id") < n // 2)
+    b1 = docs.filter(
+        (F.col("doc_id") >= n // 2) & (F.col("doc_id") < 3 * n // 4)
+    )
+    b2 = docs.filter(F.col("doc_id") >= 3 * n // 4)
+
+    cbp = str(tmp_path / "corpus_bands")
+    sbp = str(tmp_path / "stream_bands")
+    out = str(tmp_path / "verdicts")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    dedup.write_dedup_index(corpus, cbp)
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=docs.schema)
+        q = pipeline.stream_neardup_ingest(src, cbp, sbp, out, ckpt)
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    drain()  # no new input: both sinks unchanged
+
+    got = {
+        r["doc_id"]: (r["n_corpus_dups"], r["n_prior_dups"], r["dup"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_corpus_dups"], r["n_prior_dups"], r["dup"])
+        for r in dedup.neardup_screen(b1.unionByName(b2), corpus).collect()
+    }
+    assert got == want
+    assert len(got) == b1.count() + b2.count()
+
+    stored = {
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(sbp)
+        .select("doc_id", "band_idx", "band_hash")
+        .collect()
+    }
+    expect = {
+        tuple(r)
+        for r in dedup.minhash_bands(b1.unionByName(b2)).collect()
+    }
+    assert stored == expect
