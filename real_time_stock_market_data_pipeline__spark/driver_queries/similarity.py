@@ -907,6 +907,23 @@ LIMIT {k}
 """
 
 
+def q_bq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary signatures materialized at rest
+    (`operators/similarity.py:bq_write_index` / `bq_topk_indexed`):
+    the Hamming scan reads a three-integer-column table (8 signature
+    bytes/vector), floats touched only by the rerank. Signatures are
+    query-independent, so the result — and the oracle — are exactly
+    `bq_topk`'s; the write-then-read happens inside the query, like
+    `ivf_topk_indexed`."""
+    import tempfile
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="bq_idx_") + "/index"
+    similarity.bq_write_index(embs, path)
+    return similarity.bq_topk_indexed(spark, embs, path, _query_vector(spark, sf_dir), k=10, refine=4)
+
+
 __all__ = [
     "_COSINE_QE",
     "_COSINE_TOPK_FAST_ORACLE",
@@ -942,6 +959,7 @@ __all__ = [
     "q_knn_join",
     "q_sq8_topk",
     "q_bq_topk",
+    "q_bq_topk_indexed",
     "_bq_topk_oracle",
     "q_pq_topk",
     "_pq_topk_oracle",

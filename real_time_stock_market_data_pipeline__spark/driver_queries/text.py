@@ -1662,6 +1662,36 @@ LIMIT {k}
 """
 
 
+def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BM25 index maintenance
+    (`streaming/pipeline.py:stream_bm25_ingest`): the index is built
+    from the id-prefix half of the corpus, the other half arrives as a
+    one-file stream and MERGEs its postings / doc lengths / stats
+    partial per micro-batch, then the merged index is probed. Because
+    postings, doclens, and the stat partials are arrival-order
+    independent and exact, the probe answers exactly like `bm25_topk`
+    over the full corpus — this query shares that oracle, giving the
+    ingest path driver-level evidence (the `ivfpq_merge_topk`
+    pattern)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    half_a = docs.filter(F.col("doc_id") < n // 2)
+    half_b = docs.filter(F.col("doc_id") >= n // 2)
+    tmp = tempfile.mkdtemp(prefix="bm25_stream_q_")
+    path = f"{tmp}/index"
+    text.bm25_write_index(half_a, path)
+    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_bm25_ingest(src, path, f"{tmp}/ckpt")
+    q.awaitTermination()
+    return text.bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
+
+
 __all__ = [
     "_CHUNK_ORACLE",
     "_CONTAINMENT_ORACLE",
@@ -1714,6 +1744,7 @@ __all__ = [
     "q_doc_fingerprint",
     "q_bm25_topk",
     "q_bm25_topk_indexed",
+    "q_stream_bm25_topk",
     "_bm25_topk_oracle",
     "_BM25_TERMS",
     "q_dsir_weights",

@@ -2570,3 +2570,90 @@ def bq_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+_BQ_META_SIDECAR = "_bq_meta.json"
+
+
+def bq_write_index(
+    embs: DataFrame,
+    path: str,
+    means: list[float] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[float]:
+    """Materialize the binary sign-signature table at rest: one
+    (id, sig0, sig1) row per vector — 8 signature bytes instead of the
+    float payload — plus a ``_bq_meta.json`` sidecar holding the
+    threshold means (all the state a reader needs, KBs). The Hamming
+    scan then reads a three-integer-column table at metadata speed;
+    the float vectors are touched only by the rerank. Same overwrite /
+    sidecar discipline as :func:`ivf_write_index`."""
+    import json
+    import os
+
+    mu = means if means is not None else bq_dim_means(embs, vec_col)
+    lanes = _bq_lane_cols(vec_col, mu, len(mu))
+    embs.select(
+        F.col(id_col),
+        *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
+    ).write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, _BQ_META_SIDECAR), "w") as f:
+        json.dump({"means": mu}, f)
+    return mu
+
+
+def bq_topk_indexed(
+    spark,
+    embs: DataFrame,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a materialized signature table (``bq_write_index``
+    layout): the query packs driver-side against the sidecar means,
+    the XOR+popcount scan touches only the stored integer lanes, and
+    the exact rerank broadcast-joins the ≤ k·refine survivors back to
+    the float vectors. Signatures are query-independent, so the
+    result ≡ :func:`bq_topk` with the same means."""
+    import json
+    import os
+
+    with open(os.path.join(path, _BQ_META_SIDECAR)) as f:
+        mu = [float(x) for x in json.load(f)["means"]]
+    dim = len(mu)
+    qlanes = []
+    for lane in range(dim // BQ_LANE_BITS):
+        acc = 0
+        for j in range(BQ_LANE_BITS):
+            if float(query[lane * BQ_LANE_BITS + j]) > mu[
+                lane * BQ_LANE_BITS + j
+            ]:
+                acc += 1 << j
+        qlanes.append(acc)
+    sig = spark.read.parquet(path)
+    ham = _fold_sum(
+        [
+            F.bit_count(
+                F.col(f"sig{i}").bitwiseXOR(F.lit(q).cast("long"))
+            ).cast("long")
+            for i, q in enumerate(qlanes)
+        ]
+    ).cast("int")
+    cands = (
+        sig.select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.col(id_col))
+        .limit(k * refine)
+    )
+    reranked = cosine_scores(
+        embs.join(F.broadcast(cands), id_col), query, vec_col
+    )
+    return (
+        reranked.where(F.col("cosine").isNotNull())
+        .select(F.col(id_col), F.col("cosine"), F.col("hamming"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

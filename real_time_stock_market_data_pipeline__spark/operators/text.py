@@ -1513,12 +1513,14 @@ def bm25_write_index(
     )
     dls = bm25_doclens(docs, id_col, text_col)
     dls.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    # corpus stats as MERGEABLE per-batch partials (batch_id -1 = the
+    # base build): N and avgdl derive from exact integer sums, so a
+    # streaming ingest adds one idempotent (batch_id, n, Σdl) row per
+    # batch instead of re-scanning doclens — the sketch-register shape
     dls.agg(
+        F.lit(-1).cast("long").alias("batch_id"),
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        F.sum("dl").alias("sum_dl"),
     ).write.mode("overwrite").parquet(os.path.join(path, "stats"))
     with open(os.path.join(path, _BM25_META_SIDECAR), "w") as f:
         json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
@@ -1561,14 +1563,15 @@ def bm25_topk_indexed(
         .select("term", id_col, "tf")
     )
     dls = spark.read.parquet(os.path.join(path, "doclens"))
-    stats = spark.read.parquet(os.path.join(path, "stats")).first()
-    return _bm25_score(
-        postings,
-        dls,
-        int(stats["n_docs"]),
-        float(stats["avgdl"]),
-        k,
-        k1,
-        b,
-        id_col,
+    # fold the per-batch stat partials (exact integer sums; one-row
+    # driver fetch). avgdl = double(Σdl)/N is bit-identical to the
+    # decimal-exact average the one-pass scorer computes: the decimal
+    # sum of integers IS the integer sum.
+    tot = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .first()
     )
+    n_docs = int(tot["n"])
+    avgdl = float(int(tot["s"])) / float(n_docs)
+    return _bm25_score(postings, dls, n_docs, avgdl, k, k1, b, id_col)

@@ -713,6 +713,90 @@ def stream_neardup_ingest(
     return writer.start()
 
 
+def stream_bm25_ingest(
+    source: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming BM25 inverted-index maintenance — the crawl-time leg
+    of the retrieval lifecycle (build: ``text.bm25_write_index``,
+    probe: ``text.bm25_topk_indexed``, ingest: this): each micro-batch
+    of documents MERGEs (1) its posting rows into the term-bucket
+    partitions they hash to (cell-scoped, keyed on (term, id)),
+    (2) its doc lengths (keyed on id), and (3) ONE stats partial row
+    ``(batch_id, n_docs, Σdl)`` keyed on batch_id — so corpus N/avgdl
+    stay exact without ever re-scanning doclens, and a checkpoint
+    replay overwrites its own partial instead of double-counting (the
+    register-merge discipline of the sketch family, applied to index
+    metadata).
+
+    After draining batches B1..Bn over an index built from corpus C,
+    ``bm25_topk_indexed`` answers exactly like ``bm25_topk`` over
+    C ∪ B1..Bn (law-tested): postings/doclens/stats are all
+    arrival-order-independent, so unlike the dedup services this sink
+    needs no id-ordering contract — only that document ids are new
+    (a revised doc with reused id would leave stale postings for
+    dropped terms; revision is a table-format DELETE, out of scope
+    for the parquet stand-in)."""
+    import os
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        text as text_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        merge_upsert_parquet,
+        merge_upsert_parquet_partitioned,
+    )
+
+    # fail fast at wiring time if there is no index/sidecar to extend
+    import json
+
+    with open(os.path.join(index_path, text_ops._BM25_META_SIDECAR)) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        postings = text_ops.bm25_postings(
+            batch, id_col, text_col
+        ).withColumn(
+            "term_bucket",
+            text_ops.bm25_term_bucket(F.col("term"), n_buckets),
+        )
+        merge_upsert_parquet_partitioned(
+            spark, postings, os.path.join(index_path, "postings"),
+            keys=["term", id_col], partition_col="term_bucket",
+        )
+        dls = text_ops.bm25_doclens(batch, id_col, text_col)
+        merge_upsert_parquet(
+            spark, dls, os.path.join(index_path, "doclens"), keys=[id_col]
+        )
+        partial = dls.agg(
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("sum_dl"),
+        )
+        merge_upsert_parquet(
+            spark, partial, os.path.join(index_path, "stats"),
+            keys=["batch_id"],
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,

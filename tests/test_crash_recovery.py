@@ -558,3 +558,86 @@ def test_stream_neardup_ingest_crash_between_sinks(spark, workdir):
     shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
     drain()
     assert state() == no_crash
+
+
+# ---------------------------------------------------------------------------
+# stream_bm25_ingest (three sinks per batch: postings, doclens, stats partial)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_bm25_ingest_replay_and_stats_idempotence(spark, workdir):
+    """The BM25 ingest service writes THREE sinks per batch. The stats
+    sink is the subtle one: a per-batch partial keyed on batch_id, so
+    a checkpoint replay OVERWRITES its own row instead of
+    double-counting N/Σdl. Covered: (a) two drains then probe equals
+    the one-pass scorer over the union; (b) crash between the
+    doclens and stats sinks → replay converges; (c) full replay after
+    all three sinks → stats unchanged (no duplicate partial)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    corpus = spark.createDataFrame(
+        [(0, "apple pie with extra apple"), (1, "pear tart no fruit")],
+        "doc_id: long, text: string",
+    )
+    idx = os.path.join(workdir, "bm25idx")
+    in_dir, ckpt = os.path.join(workdir, "in"), os.path.join(workdir, "ckpt")
+    t.bm25_write_index(corpus, idx)
+    schema = corpus.schema
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=schema)
+        q = pipeline.stream_bm25_ingest(src, idx, ckpt)
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [(10, "apple apple apple crumble"), (11, "plain bread loaf")], schema
+    )
+    b2 = spark.createDataFrame([(20, "apple and pear salad")], schema)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    ckpt_b1 = os.path.join(workdir, "ckpt_b1")
+    stats_b1 = os.path.join(workdir, "stats_b1")
+    shutil.copytree(ckpt, ckpt_b1)
+    shutil.copytree(os.path.join(idx, "stats"), stats_b1)
+
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+
+    union = corpus.unionByName(b1).unionByName(b2)
+    terms = ["apple", "pear"]
+    want = [tuple(r) for r in t.bm25_topk(union, terms, k=10).collect()]
+
+    def probe():
+        return [
+            tuple(r) for r in t.bm25_topk_indexed(spark, idx, terms, k=10).collect()
+        ]
+
+    no_crash_probe = probe()
+    assert no_crash_probe == want
+    stats_rows = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(idx, "stats")).collect()
+    )
+    assert len(stats_rows) == 3  # base build + two batches
+
+    # crash BETWEEN doclens and stats during batch 2: restore only the
+    # checkpoint and the stats table to their post-b1 state (postings/
+    # doclens keep batch 2) — replay must converge
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    shutil.rmtree(os.path.join(idx, "stats"))
+    shutil.copytree(stats_b1, os.path.join(idx, "stats"))
+    drain()
+    assert probe() == want
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(idx, "stats")).collect()
+    ) == stats_rows
+
+    # full replay of batch 2 after all three sinks committed
+    shutil.rmtree(ckpt); shutil.copytree(ckpt_b1, ckpt)
+    drain()
+    assert probe() == want
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(idx, "stats")).collect()
+    ) == stats_rows
