@@ -118,6 +118,20 @@ TIER3_QUERIES = [
     "stream_semantic_screen",
 ]
 
+#: Round-13 additions (retrieval/selection layer + their at-rest and
+#: streaming twins). Own tier so tiers 1-3 stay comparable to their
+#: frozen anchors; round 13's BENCH artifact is THIS tier's anchor.
+TIER4_QUERIES = [
+    "bm25_topk",
+    "bm25_topk_indexed",
+    "stream_bm25_topk",
+    "dsir_weights",
+    "bq_topk",
+    "bq_topk_indexed",
+    "neardup_screen",
+    "stream_neardup_screen",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -207,6 +221,7 @@ def main() -> None:
     total, n_failed_t1 = run_tier(BENCH_QUERIES)
     tier2_total, n_failed_t2 = run_tier(TIER2_QUERIES)
     tier3_total, n_failed_t3 = run_tier(TIER3_QUERIES)
+    tier4_total, n_failed_t4 = run_tier(TIER4_QUERIES)
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -214,11 +229,13 @@ def main() -> None:
         "queries": timings,
         "tier2_total": tier2_total,
         "tier3_total": tier3_total,
+        "tier4_total": tier4_total,
         "calib_sec": calib_sec,
         "scale_profile": use_profile,
         "failed_queries": n_failed_t1,
         "tier2_failed_queries": n_failed_t2,
         "tier3_failed_queries": n_failed_t3,
+        "tier4_failed_queries": n_failed_t4,
         "sf": sf,
     }
     if errors:

@@ -491,7 +491,7 @@ def q_ivfpq_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of EVERY approximate index family against brute-force
-    cosine in one panel — LSH, IVF-flat, SQ8, PQ, IVF-PQ (round-12
+    cosine in one panel — BQ (round-13), LSH, IVF-flat, SQ8, PQ, IVF-PQ (round-12
     completion of the single-index `ann_recall` harness): the
     accuracy/efficiency trade table a 100 TB deployment reads before
     picking its serving index. Each side reuses the registered
@@ -502,6 +502,7 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
     variants = [
+        ("bq", similarity.bq_topk(embs, q, k=10, refine=4)),
         ("ivf", similarity.ivf_topk(embs, q, k=10)),
         ("ivfpq", similarity.ivfpq_topk(embs, q, k=10, refine=4)),
         ("lsh", similarity.ann_topk(embs, q, k=10)),
@@ -534,10 +535,11 @@ def _ann_recall_panel_oracle() -> str:
          count(*) AS n_match,
          round(CAST(count(*) AS DOUBLE) / 10.0, 4) AS recall_at_k
   FROM bf JOIN {name}_ids USING (vec_id)"""
-        for name in ("ivf", "ivfpq", "lsh", "pq", "sq8")
+        for name in ("bq", "ivf", "ivfpq", "lsh", "pq", "sq8")
     )
     return f"""
 WITH bf AS ({_COSINE_TOPK_ORACLE}),
+bq_ids AS ({sub(_bq_topk_oracle())}),
 ivf_ids AS ({sub(_ivf_topk_oracle())}),
 ivfpq_ids AS ({sub(_ivfpq_topk_oracle())}),
 lsh_ids AS ({sub(_ann_topk_oracle())}),

@@ -1443,8 +1443,11 @@ def neardup_screen_bands(
             F.col(id_col), F.col("band_idx"), F.col("band_hash")
         ).unionByName(nb)
     )
+    # the batch side is micro-batch-bounded while the band history is
+    # corpus-sized: broadcast the batch bands so the history streams
+    # map-side past them and is never shuffled per batch
     corpus_hits = (
-        nb.alias("n")
+        F.broadcast(nb.alias("n"))
         .join(
             corpus_bands.alias("c"),
             (F.col("n.band_idx") == F.col("c.band_idx"))
@@ -1454,7 +1457,7 @@ def neardup_screen_bands(
         .agg(F.count_distinct(F.col(f"c.{id_col}")).alias("n_corpus_dups"))
     )
     prior_hits = (
-        nb.alias("n")
+        F.broadcast(nb.alias("n"))
         .join(
             seen.alias("p"),
             (F.col("n.band_idx") == F.col("p.band_idx"))
@@ -1466,8 +1469,8 @@ def neardup_screen_bands(
     )
     return (
         new_docs.select(F.col(id_col))
-        .join(corpus_hits, id_col, "left")
-        .join(prior_hits, id_col, "left")
+        .join(F.broadcast(corpus_hits), id_col, "left")
+        .join(F.broadcast(prior_hits), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_corpus_dups"), F.lit(0))

@@ -2643,13 +2643,28 @@ def bq_topk_indexed(
             for i, q in enumerate(qlanes)
         ]
     ).cast("int")
-    cands = (
+    # bounded driver fetch (k·refine rows, the codebook-collect class):
+    # pushing the candidate ids into the float scan as an isin makes
+    # the rerank row-group pruning instead of a full-corpus read — the
+    # round-12 ivfpq_topk_indexed lesson (probe cost must not track
+    # corpus size)
+    cand_rows = (
         sig.select(F.col(id_col), ham.alias("hamming"))
         .orderBy(F.asc("hamming"), F.col(id_col))
         .limit(k * refine)
+        .collect()
+    )
+    cand_ids = [r[id_col] for r in cand_rows]
+    cands = spark.createDataFrame(
+        [(r[id_col], r["hamming"]) for r in cand_rows],
+        f"{id_col}: long, hamming: int",
     )
     reranked = cosine_scores(
-        embs.join(F.broadcast(cands), id_col), query, vec_col
+        embs.filter(F.col(id_col).isin(cand_ids)).join(
+            F.broadcast(cands), id_col
+        ),
+        query,
+        vec_col,
     )
     return (
         reranked.where(F.col("cosine").isNotNull())

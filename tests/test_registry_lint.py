@@ -144,7 +144,12 @@ def test_py_oracles_subset_of_sql_oracles():
 def test_bench_suites_are_registered_and_disjoint():
     import bench
 
-    tiers = [bench.BENCH_QUERIES, bench.TIER2_QUERIES, bench.TIER3_QUERIES]
+    tiers = [
+        bench.BENCH_QUERIES,
+        bench.TIER2_QUERIES,
+        bench.TIER3_QUERIES,
+        bench.TIER4_QUERIES,
+    ]
     for t in tiers:
         assert set(t) <= set(dq.QUERIES)
     for i, a in enumerate(tiers):
