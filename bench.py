@@ -130,6 +130,8 @@ TIER4_QUERIES = [
     "bq_topk_indexed",
     "neardup_screen",
     "stream_neardup_screen",
+    "bpe_train",
+    "bpe_token_count",
 ]
 
 

@@ -1692,6 +1692,119 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
 
 
+def _bpe_enc_sql(w: str) -> str:
+    """SQL twin of `text._bpe_encode_word` (double-space invariant)."""
+    return (
+        "'  ' || array_to_string(list_append(list_transform("
+        f"range(1, length({w}) + 1), i -> 'x' || lower(to_hex(ascii("
+        f"{w}[CAST(i AS INT)])))), 'xw'), '  ') || '  '"
+    )
+
+
+def _bpe_cte(k: int = 8) -> str:
+    """The unrolled BPE training chain: k stages of pair-count →
+    deterministic argmax → boundary-anchored greedy merge replay."""
+    parts = [
+        f"""wf AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({_TOKS_TXT}) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w
+),
+r0 AS (SELECT {_bpe_enc_sql('w')} AS r, freq FROM wf)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT u.l AS l, u.rt AS rt, CAST(sum(freq) AS BIGINT) AS c
+  FROM (
+    SELECT unnest(list_transform(range(1, len(s)), j ->
+             {{'l': s[CAST(j AS INT)], 'rt': s[CAST(j + 1 AS INT)]}})) AS u,
+           freq
+    FROM (SELECT string_split(trim(r), '  ') AS s, freq FROM r{i - 1}) t
+  ) q GROUP BY 1, 2
+),
+b{i} AS (SELECT l, rt, c FROM p{i} ORDER BY c DESC, l, rt LIMIT 1),
+r{i} AS (
+  SELECT regexp_replace(t.r, ' ' || b.l || '  ' || b.rt || ' ',
+                        ' ' || b.l || b.rt || ' ', 'g') AS r, t.freq
+  FROM r{i - 1} t CROSS JOIN b{i} b
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (`operators/text.py:bpe_train`): the 8
+    highest-count greedy merges over the corpus word table, each
+    applied before the next count. The oracle unrolls all 8 stages and
+    replays every pair count, every (count DESC, l, rt) argmax, and
+    every greedy merge via the double-space boundary-anchored
+    regexp_replace trick — bit-for-bit tokenizer induction in SQL."""
+    return text.bpe_train(_table("documents")(spark, sf_dir), n_merges=8)
+
+
+def _bpe_train_oracle(k: int = 8) -> str:
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS INT) AS merge_rank, l AS left_sym,"
+        f" rt AS right_sym, l || rt AS merged_sym, c AS pair_count"
+        f" FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH {_bpe_cte(k)}
+SELECT * FROM (
+{rows}
+)
+"""
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained BPE vocabulary
+    (`operators/text.py:bpe_token_count`): train the 8 merges, then
+    chain them over every document's encoded representation. The
+    oracle re-derives the merges with the same unrolled training CTE
+    and applies the identical replace chain to the docs."""
+    docs = _table("documents")(spark, sf_dir)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in text.bpe_train(docs, n_merges=8).collect()
+    ]
+    return text.bpe_token_count(docs, merges)
+
+
+def _bpe_token_count_oracle(k: int = 8) -> str:
+    chain = "a0"
+    stages = [
+        f"""a0 AS (
+  SELECT doc_id,
+         '  ' || array_to_string(list_transform(
+             list_filter({_TOKS_TXT}, t -> t <> ''),
+             w -> trim({_bpe_enc_sql('w')})), '    ') || '  ' AS r,
+         len(list_filter({_TOKS_TXT}, t -> t <> '')) AS nw
+  FROM documents
+)"""
+    ]
+    for i in range(1, k + 1):
+        stages.append(
+            f"""a{i} AS (
+  SELECT t.doc_id,
+         regexp_replace(t.r, ' ' || b.l || '  ' || b.rt || ' ',
+                        ' ' || b.l || b.rt || ' ', 'g') AS r, t.nw
+  FROM a{i - 1} t CROSS JOIN b{i} b
+)"""
+        )
+        chain = f"a{i}"
+    return f"""
+WITH {_bpe_cte(k)},
+{",".join(stages)}
+SELECT doc_id,
+       CASE WHEN nw > 0
+            THEN CAST(len(string_split_regex(trim(r), ' +')) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_bpe_tokens
+FROM {chain}
+"""
+
+
 __all__ = [
     "_CHUNK_ORACLE",
     "_CONTAINMENT_ORACLE",
@@ -1743,6 +1856,12 @@ __all__ = [
     "q_decontaminate",
     "q_doc_fingerprint",
     "q_bm25_topk",
+    "q_bpe_train",
+    "q_bpe_token_count",
+    "_bpe_train_oracle",
+    "_bpe_token_count_oracle",
+    "_bpe_cte",
+    "_bpe_enc_sql",
     "q_bm25_topk_indexed",
     "q_stream_bm25_topk",
     "_bm25_topk_oracle",

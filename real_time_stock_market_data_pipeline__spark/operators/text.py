@@ -1575,3 +1575,155 @@ def bm25_topk_indexed(
     n_docs = int(tot["n"])
     avgdl = float(int(tot["s"])) / float(n_docs)
     return _bm25_score(postings, dls, n_docs, avgdl, k, k1, b, id_col)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (Sennrich et al. 2016) — tokenizer induction
+# over the corpus word table
+# ---------------------------------------------------------------------------
+
+#: end-of-word marker symbol. Every symbol starts with 'x' and is made
+#: of [0-9a-fx]+'w' only, so merge patterns are regex-literal-safe.
+BPE_EOW = "xw"
+
+
+def _bpe_encode_word(word_col: F.Column) -> F.Column:
+    """Initial BPE representation of one word: each character becomes
+    the symbol ``x<lower-hex codepoint>``, the ``xw`` end-of-word
+    marker is appended, and symbols are joined with DOUBLE spaces,
+    with double-space padding at both ends.
+
+    The double-space invariant is the engine-portable trick that makes
+    one global ``regexp_replace`` of the literal pattern
+    ``' L  R ' → ' LR '`` EXACTLY greedy left-to-right BPE merging:
+    adjacent matches share the double boundary (each consumes one of
+    its two spaces), so a run like ``a a a a`` merges (1,2)(3,4) in a
+    single pass — no lookarounds, valid in both Java regex and RE2.
+    The replacement re-establishes the invariant by construction."""
+    enc = F.transform(
+        F.split(word_col, ""),
+        lambda c: F.concat(F.lit("x"), F.lower(F.hex(F.ascii(c)))),
+    )
+    return F.concat(
+        F.lit("  "),
+        F.array_join(F.concat(enc, F.array(F.lit(BPE_EOW))), "  "),
+        F.lit("  "),
+    )
+
+
+def _bpe_pair_counts(reprs: DataFrame) -> DataFrame:
+    """(l, rt, c): adjacent-symbol pair counts over a (r, freq) word
+    representation table, occurrence-weighted by word frequency."""
+    syms = F.split(F.trim(F.col("r")), "  ")
+    m = F.size(syms) - 1
+    # guard m >= 1: a fully-merged single-symbol word would make
+    # sequence(1, 0) DESCEND and element_at(.., 0) throw under ANSI
+    pairs = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("l"),
+                F.element_at(syms, i + 1).alias("rt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,rt:string>>"))
+    return (
+        reprs.select(F.col("freq"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.rt").alias("rt"))
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary training over the corpus — real
+    tokenizer induction (Sennrich et al. 2016), not a stand-in: the
+    ``n_merges`` highest-count adjacent-symbol merges, learned
+    greedily, each applied to the word table before the next count.
+    Output: one row per merge,
+    ``(merge_rank, left_sym, right_sym, merged_sym, pair_count)``.
+
+    Exactly the shape production BPE trainers use at scale: ONE
+    corpus-sized pass (tokenize → word-frequency table), then every
+    iteration runs on the vocabulary table (map-side symbol explode +
+    one tiny aggregation + a 1-row argmax collect — bounded driver
+    fetches, k of them). Ties break deterministically by
+    (count DESC, left ASC, right ASC); all counts are exact integer
+    sums, so a SQL engine replays every merge decision bit-for-bit
+    (see `_bpe_encode_word` for the greedy-merge-as-regexp trick).
+    ``localCheckpoint`` per iteration truncates the iterative lineage
+    (the `neardup_clusters` discipline)."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(_toks(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        _bpe_encode_word(F.col("w")).alias("r"), F.col("freq")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(cur)
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("rt"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, rt, c = best[0]["l"], best[0]["rt"], int(best[0]["c"])
+        merges.append((rank, l, rt, l + rt, c))
+        cur = cur.select(
+            F.regexp_replace("r", f" {l}  {rt} ", f" {l}{rt} ").alias("r"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left_sym: string, right_sym: string,"
+        " merged_sym: string, pair_count: long",
+    )
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token count under a TRAINED BPE vocabulary: encode
+    every word, chain the learned merges in rank order (each one
+    global greedy replace), count surviving symbols. The merge chain
+    is column-expression only — codegen, no shuffle beyond the final
+    per-doc count.
+
+    Word-boundary safety: merges are learned on the word table, where
+    the ``xw`` marker is always word-final, so no learned pattern can
+    span two words — applying the chain to the whole-document
+    representation equals word-wise application."""
+    toks = F.filter(_toks(text_col), lambda t: t != "")
+    r = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.transform(toks, lambda w: F.trim(_bpe_encode_word(w))), "    "
+        ),
+        F.lit(" "),
+    )
+    # restore the double-space pad around the doc representation:
+    # words are separated by 4 spaces (2 from each side's pad trim),
+    # which still satisfies "symbols separated by >= 2 spaces" for
+    # boundary matching; learned patterns use exactly the two inner
+    # spaces of any gap
+    r = F.concat(F.lit(" "), r, F.lit(" "))
+    for l, rt in merges:
+        r = F.regexp_replace(r, f" {l}  {rt} ", f" {l}{rt} ")
+    n = F.when(
+        F.size(toks) > 0, F.size(F.split(F.trim(r), " +")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return docs.select(F.col(id_col), n.alias("n_bpe_tokens"))

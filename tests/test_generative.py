@@ -327,3 +327,77 @@ def test_sq8_quantize_matches_duckdb_round(vec):
     ]
     con.close()
     assert codes == duck
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=64,
+        max_size=64,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False
+        ),
+        min_size=64,
+        max_size=64,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_bq_sign_pack_matches_duckdb(vec, mu):
+    """Cross-engine law behind bq_topk's oracle: the Python lane
+    packing (bit j of lane L set iff x[32L+j] > mean[32L+j], summed as
+    1<<j) must equal DuckDB's unrolled CASE-sum replay for every
+    component, including exact-equality ties (strict > in both) —
+    no Spark session needed. Hamming symmetry and the zero-distance
+    self law ride along."""
+    import duckdb
+
+    from real_time_stock_market_data_pipeline__spark.operators.similarity import (
+        BQ_LANE_BITS,
+    )
+
+    def pack(v):
+        lanes = []
+        for lane in range(len(v) // BQ_LANE_BITS):
+            acc = 0
+            for j in range(BQ_LANE_BITS):
+                if float(v[lane * BQ_LANE_BITS + j]) > mu[
+                    lane * BQ_LANE_BITS + j
+                ]:
+                    acc += 1 << j
+            lanes.append(acc)
+        return lanes
+
+    py = pack(vec)
+    con = duckdb.connect()
+    duck = []
+    for lane in range(2):
+        expr = " + ".join(
+            f"CASE WHEN CAST(v[{lane * 32 + j + 1}] AS DOUBLE)"
+            f" > m[{lane * 32 + j + 1}]"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j in range(32)
+        )
+        duck.append(
+            int(
+                con.execute(
+                    f"SELECT {expr} FROM (SELECT ? AS v, ? AS m)",
+                    [[float(x) for x in vec], [float(x) for x in mu]],
+                ).fetchone()[0]
+            )
+        )
+    # hamming(self) == 0 and lanes agree bit for bit
+    ham = int(
+        con.execute(
+            "SELECT bit_count(xor(CAST(? AS BIGINT), CAST(? AS BIGINT)))"
+            " + bit_count(xor(CAST(? AS BIGINT), CAST(? AS BIGINT)))",
+            [py[0], duck[0], py[1], duck[1]],
+        ).fetchone()[0]
+    )
+    con.close()
+    assert py == duck
+    assert ham == 0
+    assert all(0 <= x < (1 << 32) for x in py)

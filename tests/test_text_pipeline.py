@@ -971,3 +971,93 @@ def test_stream_neardup_ingest_matches_batch_and_grows_index(
         for r in dedup.minhash_bands(b1.unionByName(b2)).collect()
     }
     assert stored == expect
+
+
+def _ref_bpe(word_freqs, k):
+    """Reference greedy BPE (pure Python): returns the merge list the
+    engine must reproduce — (rank, l, r, merged, count)."""
+    import collections
+
+    cur = collections.Counter()
+    for w, f in word_freqs.items():
+        cur[tuple("x%02x" % ord(c) for c in w) + ("xw",)] += f
+    merges = []
+    for rank in range(1, k + 1):
+        pc = collections.Counter()
+        for syms, f in cur.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, l, r, l + r, c))
+        nxt = collections.Counter()
+        for syms, f in cur.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        cur = nxt
+    return merges
+
+
+def test_bpe_train_matches_reference_greedy(spark):
+    """The regexp-based merge application must equal greedy
+    left-to-right BPE — including the run case ('aaaa': (a,a) merges
+    positions (1,2)(3,4), not (2,3)) and deterministic tie-breaks."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aa a"), (2, "abab abab baa"), (3, "aaab ba")],
+        ["doc_id", "text"],
+    )
+    wf = {"aaaa": 1, "aa": 1, "a": 1, "abab": 2, "baa": 1, "aaab": 1, "ba": 1}
+    want = _ref_bpe(wf, 6)
+    got = [tuple(r) for r in t.bpe_train(docs, n_merges=6).collect()]
+    assert got == want
+
+
+def test_bpe_train_and_count_on_corpus(spark, sf_dir):
+    """Corpus-level law: engine merges equal the reference trainer on
+    the real word-frequency table, and per-doc counts under the
+    learned vocabulary are positive and no larger than the character
+    count (merging only ever shrinks)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+    from real_time_stock_market_data_pipeline__spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {
+        r["w"]: r["freq"]
+        for r in docs.select(
+            F.explode(t._toks("text")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    }
+    got = [tuple(r) for r in t.bpe_train(docs, n_merges=8).collect()]
+    assert got == _ref_bpe(wf, 8)
+    merges = [(l, r) for _, l, r, _, _ in got]
+    counts = t.bpe_token_count(docs, merges)
+    base = docs.select(
+        "doc_id",
+        (
+            F.aggregate(
+                F.filter(t._toks("text"), lambda x: x != ""),
+                F.lit(0),
+                lambda a, w: a + F.length(w) + 1,  # chars + xw marker
+            )
+        ).alias("n0"),
+    )
+    joined = counts.join(base, "doc_id").collect()
+    assert all(0 < r["n_bpe_tokens"] <= r["n0"] for r in joined if r["n0"] > 0)
