@@ -926,6 +926,39 @@ def q_bq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bq_topk_indexed(spark, embs, path, _query_vector(spark, sf_dir), k=10, refine=4)
 
 
+def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BQ signature-index maintenance
+    (`streaming/pipeline.py:stream_bq_ingest`): thresholds are trained
+    on the FULL corpus (the frozen-quantizer policy — means are a
+    modeling choice the builder passes explicitly, like the semantic
+    screen's codebook), the index is built from the id-prefix half,
+    the other half streams in and MERGEs its signature rows per batch,
+    then the merged index is probed. Signatures are threshold- and
+    arrival-order-independent, so the probe answers exactly like
+    `bq_topk` on the full corpus — shares that oracle (the
+    `ivfpq_merge_topk` pattern)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    mu = similarity.bq_dim_means(embs)
+    n = embs.count()
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    half_b = embs.filter(F.col("vec_id") >= n // 2)
+    tmp = tempfile.mkdtemp(prefix="bq_stream_q_")
+    path = f"{tmp}/index"
+    similarity.bq_write_index(half_a, path, means=mu)
+    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_bq_ingest(src, path, f"{tmp}/ckpt")
+    q.awaitTermination()
+    return similarity.bq_topk_indexed(
+        spark, embs, path, _query_vector(spark, sf_dir), k=10, refine=4
+    )
+
+
 __all__ = [
     "_COSINE_QE",
     "_COSINE_TOPK_FAST_ORACLE",
@@ -962,6 +995,7 @@ __all__ = [
     "q_sq8_topk",
     "q_bq_topk",
     "q_bq_topk_indexed",
+    "q_stream_bq_topk",
     "_bq_topk_oracle",
     "q_pq_topk",
     "_pq_topk_oracle",

@@ -2572,7 +2572,11 @@ def bq_topk(
     )
 
 
-_BQ_META_SIDECAR = "_bq_meta.json"
+def _bq_meta_path(path: str) -> str:
+    """Sidecar lives NEXT TO the index directory (not inside): the
+    streaming maintenance MERGE swaps the whole flat directory, and a
+    sibling file survives every swap."""
+    return path.rstrip("/") + "._bq_meta.json"
 
 
 def bq_write_index(
@@ -2598,7 +2602,7 @@ def bq_write_index(
         F.col(id_col),
         *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
     ).write.mode("overwrite").parquet(path)
-    with open(os.path.join(path, _BQ_META_SIDECAR), "w") as f:
+    with open(_bq_meta_path(path), "w") as f:
         json.dump({"means": mu}, f)
     return mu
 
@@ -2622,7 +2626,7 @@ def bq_topk_indexed(
     import json
     import os
 
-    with open(os.path.join(path, _BQ_META_SIDECAR)) as f:
+    with open(_bq_meta_path(path)) as f:
         mu = [float(x) for x in json.load(f)["means"]]
     dim = len(mu)
     qlanes = []

@@ -797,6 +797,59 @@ def stream_bm25_ingest(
     return writer.start()
 
 
+def stream_bq_ingest(
+    source: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """Streaming binary-signature index maintenance — the ingest leg
+    of the BQ lifecycle (build: ``similarity.bq_write_index``, probe:
+    ``similarity.bq_topk_indexed``), same frozen-quantizer policy as
+    the IVF-PQ and BM25 services: each micro-batch packs its vectors
+    under the sidecar's FROZEN threshold means (map-side, two integer
+    lanes) and MERGE-upserts the 8-byte signature rows keyed on
+    ``id_col`` — replay idempotent, per-batch cost O(batch) + the flat
+    table rewrite (on a table format this is a keyed MERGE INTO; the
+    sidecar lives NEXT TO the directory so the swap never loses it).
+    The index and sidecar must already exist (fail-fast at wiring)."""
+    import json
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        merge_upsert_parquet,
+    )
+
+    with open(similarity._bq_meta_path(index_path)) as f:
+        mu = [float(x) for x in json.load(f)["means"]]
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        lanes = similarity._bq_lane_cols(vec_col, mu, len(mu))
+        sig = batch.select(
+            F.col(id_col),
+            *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
+        )
+        merge_upsert_parquet(
+            batch.sparkSession, sig, index_path, keys=[id_col]
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
 def stream_sessionize(
     source: DataFrame,
     key_col: str,
