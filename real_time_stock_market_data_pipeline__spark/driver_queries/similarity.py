@@ -959,6 +959,70 @@ def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (`operators/similarity.py:hard_negatives`):
+    top-3 nearest WRONG-label corpus vectors for each of the 4
+    lowest-id anchors via the IVF cell equi-join, label filter BEFORE
+    the per-anchor top-k. The oracle replays assignment, probes, the
+    label-mismatch/self-exclusion filter, and the windowed top-k."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    anchors = embs.filter(F.col("vec_id") < 4)
+    return similarity.hard_negatives(embs, anchors, k=3)
+
+
+def _hard_negatives_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    dot_eq = _coldot_sql("e.embedding", "p.qe")
+    ne = _coldot_sql("e.embedding", "e.embedding")
+    nq = _coldot_sql("p.qe", "p.qe")
+    cos = (
+        f"CASE WHEN sqrt({ne}) > 0 AND sqrt({nq}) > 0 "
+        f"THEN ({dot_eq}) / (sqrt({ne}) * sqrt({nq})) END"
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+corpus AS (SELECT vec_id, embedding, label, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+      FROM embeddings WHERE vec_id < 4),
+qp AS (
+  SELECT query_id, ql, qe, cell FROM (
+    SELECT q.query_id, q.ql, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN centn c
+  ) WHERE rn <= {n_p}
+),
+cand AS (
+  SELECT p.query_id, p.ql AS anchor_label, e.vec_id AS nn_id,
+         e.label AS negative_label, {cos} AS cosine
+  FROM qp p JOIN corpus e ON p.cell = e.cell
+  WHERE e.label <> p.ql AND e.vec_id <> p.query_id
+)
+SELECT query_id, anchor_label, nn_id, negative_label, cosine FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC NULLS LAST, nn_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
 __all__ = [
     "_COSINE_QE",
     "_COSINE_TOPK_FAST_ORACLE",
@@ -992,6 +1056,8 @@ __all__ = [
     "q_ivf_topk_indexed",
     "q_kmeans_step",
     "q_knn_join",
+    "q_hard_negatives",
+    "_hard_negatives_oracle",
     "q_sq8_topk",
     "q_bq_topk",
     "q_bq_topk_indexed",

