@@ -401,3 +401,67 @@ def test_bq_sign_pack_matches_duckdb(vec, mu):
     assert py == duck
     assert ham == 0
     assert all(0 <= x < (1 << 32) for x in py)
+
+
+@given(
+    corpus_texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    batch_texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_neardup_screen_model(spark, corpus_texts, batch_texts):
+    """Generative model law for the arrival-ordered near-dup screen:
+    given the operator's OWN band tables (MinHash banding has its own
+    oracle and laws), a sequential Python reference — count distinct
+    corpus colliders, count distinct LOWER-id in-batch colliders, dup
+    iff either is positive — must match the distributed verdict
+    exactly, including zero-shingle short docs passing through as
+    non-dups."""
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id: long, text: string",
+    )
+    cb = [
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in dedup.minhash_bands(corpus).collect()
+    ]
+    nb = [
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in dedup.minhash_bands(batch).collect()
+    ]
+    bands_of = {}
+    for d, bi, bh in nb:
+        bands_of.setdefault(d, set()).add((bi, bh))
+    expect = {}
+    for i in range(len(batch_texts)):
+        d = 1000 + i
+        mine = bands_of.get(d, set())
+        n_corpus = len({cd for cd, bi, bh in cb if (bi, bh) in mine})
+        n_prior = len(
+            {
+                pd
+                for pd, bi, bh in nb
+                if pd < d and (bi, bh) in mine
+            }
+        )
+        expect[d] = (n_corpus, n_prior, (n_corpus + n_prior) > 0)
+    got = {
+        r["doc_id"]: (r["n_corpus_dups"], r["n_prior_dups"], r["dup"])
+        for r in dedup.neardup_screen(batch, corpus).collect()
+    }
+    assert got == expect
