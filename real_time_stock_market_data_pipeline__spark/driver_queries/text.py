@@ -1805,6 +1805,82 @@ FROM {chain}
 """
 
 
+def q_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with an in-engine-trained
+    perceptron (`operators/text.py:perceptron_quality`): 3 batch
+    updates over four exact text features against the lang='en'
+    target, every doc scored under the final weights. No libm anywhere
+    (comparisons + exact sums), so the oracle re-derives the weights,
+    margins, and labels of every step bit-for-bit."""
+    return text.perceptron_quality(
+        _table("documents")(spark, sf_dir), n_steps=3
+    )
+
+
+def _quality_perceptron_oracle(k: int = 3, eta: float = 0.1) -> str:
+    stop_list = ", ".join(f"'{s}'" for s in text._EN_STOPWORDS)
+
+    def marg(w: str, f: str = "f") -> str:
+        return " + ".join(f"{w}.w{j} * {f}.x{j}" for j in range(4))
+
+    parts = [
+        f"""f AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         1.0 AS x0,
+         CAST(nw AS DOUBLE) / 100.0 AS x1,
+         CASE WHEN nw > 0 THEN CAST(nstop AS DOUBLE) / nw
+              ELSE 0.0 END AS x2,
+         CASE WHEN nchars > 0 THEN CAST(ndig AS DOUBLE) / nchars
+              ELSE 0.0 END AS x3
+  FROM (
+    SELECT doc_id, lang,
+           len(list_filter({_TOKS_TXT}, t -> t <> '')) AS nw,
+           len(list_filter({_TOKS_TXT}, t -> t IN ({stop_list})))
+             AS nstop,
+           length(text) AS nchars,
+           length(text)
+             - length(regexp_replace(text, '[0-9]', '', 'g')) AS ndig
+    FROM documents
+  ) b
+),
+cnt AS (SELECT count(*) AS n FROM f),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for i in range(1, k + 1):
+        grad_cols = ", ".join(
+            "CAST(sum(CAST("
+            + _round_sql(
+                f"(f.y - CASE WHEN ({marg('w')}) > 0 THEN 1 ELSE 0 END)"
+                f" * f.x{j}",
+                6,
+            )
+            + f" AS DECIMAL(18,6))) AS DOUBLE) AS g{j}"
+            for j in range(4)
+        )
+        upd_cols = ", ".join(
+            _round_sql(f"w.w{j} + {eta} * g.g{j} / c.n", 6) + f" AS w{j}"
+            for j in range(4)
+        )
+        parts.append(
+            f"""g{i} AS (
+  SELECT {grad_cols}
+  FROM f CROSS JOIN w{i - 1} w
+),
+w{i} AS (
+  SELECT {upd_cols}
+  FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN cnt c
+)"""
+        )
+    return f"""
+WITH {",".join(parts)}
+SELECT f.doc_id, f.y AS label_en,
+       {_round_sql(marg('w'), 6)} AS score,
+       ({marg('w')}) > 0 AS predicted
+FROM f CROSS JOIN w{k} w
+"""
+
+
 __all__ = [
     "_CHUNK_ORACLE",
     "_CONTAINMENT_ORACLE",
@@ -1857,6 +1933,8 @@ __all__ = [
     "q_doc_fingerprint",
     "q_bm25_topk",
     "q_bpe_train",
+    "q_quality_perceptron",
+    "_quality_perceptron_oracle",
     "q_bpe_token_count",
     "_bpe_train_oracle",
     "_bpe_token_count_oracle",

@@ -1735,3 +1735,123 @@ def bpe_token_count(
             "n_bpe_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: an in-engine perceptron classifier
+# (the fastText/LR-quality-filter stage of public LLM pipelines,
+# re-expressed with engine-portable exact arithmetic)
+# ---------------------------------------------------------------------------
+
+PERCEPTRON_ETA = 0.1
+
+
+def _round6_half_up(x: float) -> float:
+    """Driver-side twin of the oracle's `_round_sql(expr, 6)`: HALF_UP
+    on the shortest decimal repr — the sq8 Decimal discipline, so the
+    weights the driver embeds as plan literals equal the SQL-derived
+    ones bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _quality_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(id, y, x0..x3): bias, scaled word count, stopword ratio, digit
+    ratio — integer counts and single IEEE divisions only, so every
+    feature is bit-identical in any engine. y = 1 iff lang = 'en'."""
+    toks = F.filter(_toks(text_col), lambda t: t != "")
+    nw = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: t.isin(*_EN_STOPWORDS)))
+    nchars = F.length(F.col(text_col))
+    ndig = nchars - F.length(
+        F.regexp_replace(F.col(text_col), "[0-9]", "")
+    )
+    return docs.select(
+        F.col(id_col),
+        (F.col(lang_col) == "en").cast("int").alias("y"),
+        F.lit(1.0).alias("x0"),
+        (nw.cast("double") / F.lit(100.0)).alias("x1"),
+        F.when(nw > 0, nstop.cast("double") / nw)
+        .otherwise(F.lit(0.0))
+        .alias("x2"),
+        F.when(nchars > 0, ndig.cast("double") / nchars)
+        .otherwise(F.lit(0.0))
+        .alias("x3"),
+    )
+
+
+def perceptron_quality(
+    docs: DataFrame,
+    n_steps: int = 3,
+    eta: float = PERCEPTRON_ETA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Model-based quality scoring with a classifier TRAINED IN THE
+    ENGINE: ``n_steps`` batch perceptron updates over four exact text
+    features against the lang='en' target, then every document scored
+    under the final weights — the quality-filter stage public LLM
+    pipelines run with a fastText/LR model, re-expressed so every
+    training decision is engine-portable (comparisons and exact sums
+    only, NO sigmoid/exp — libm is not cross-engine bit-stable).
+
+    Per step: margins under the current weights are plan LITERALS
+    (w·x left-assoc), predictions are ``margin > 0``, the batch
+    gradient ``Σ (y − ŷ)·x_j`` is a 6-dp-rounded DECIMAL sum (order
+    independent), and the weight update rounds HALF_UP on the shortest
+    repr (:func:`_round6_half_up` ≡ the oracle's `_round_sql`) — so a
+    SQL engine re-derives identical weights, margins, and labels.
+
+    Shape at 100 TB: each step is ONE map-side aggregation to 4
+    scalars (bounded driver fetch, like `kmeans_step`); the feature
+    projection is recomputed per step (cache it upstream for many
+    steps). Output: (id, label_en, score, predicted)."""
+    feats = _quality_features(docs, id_col, text_col, lang_col)
+    n = feats.count()
+    w = [0.0, 0.0, 0.0, 0.0]
+
+    def margin(weights: list[float]) -> F.Column:
+        m = F.lit(float(weights[0])) * F.col("x0")
+        for j in range(1, 4):
+            m = m + F.lit(float(weights[j])) * F.col(f"x{j}")
+        return m
+
+    for _ in range(n_steps):
+        pred = (margin(w) > 0).cast("int")
+        grads = feats.agg(
+            *[
+                F.sum(
+                    F.round(
+                        (F.col("y") - pred).cast("double") * F.col(f"x{j}"),
+                        6,
+                    ).cast("decimal(18,6)")
+                )
+                .cast("double")
+                .alias(f"g{j}")
+                for j in range(4)
+            ]
+        ).first()
+        w = [
+            _round6_half_up(
+                w[j] + float(eta) * float(grads[f"g{j}"] or 0.0) / n
+            )
+            for j in range(4)
+        ]
+    m = margin(w)
+    return feats.select(
+        F.col(id_col),
+        F.col("y").alias("label_en"),
+        F.round(m, 6).alias("score"),
+        (m > 0).alias("predicted"),
+    )

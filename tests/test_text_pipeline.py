@@ -1061,3 +1061,27 @@ def test_bpe_train_and_count_on_corpus(spark, sf_dir):
     )
     joined = counts.join(base, "doc_id").collect()
     assert all(0 < r["n_bpe_tokens"] <= r["n0"] for r in joined if r["n0"] > 0)
+
+
+def test_quality_perceptron_learns_separable_labels(spark):
+    """On a cleanly separable toy corpus (English docs heavy with
+    stopwords vs digit-salad docs) three perceptron steps must produce
+    weights that score every English doc above every junk doc, with
+    deterministic output across re-runs."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    rows = [
+        (i, "the cat is in the hat and the dog is of the house", "en")
+        for i in range(6)
+    ] + [(10 + i, "99 1234 5678 000 42 7 77 888", "zh") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r["doc_id"]: r for r in t.perceptron_quality(docs).collect()}
+    en_scores = [out[i]["score"] for i in range(6)]
+    zh_scores = [out[10 + i]["score"] for i in range(6)]
+    assert min(en_scores) > max(zh_scores)
+    assert all(out[i]["predicted"] for i in range(6))
+    assert not any(out[10 + i]["predicted"] for i in range(6))
+    again = {r["doc_id"]: r for r in t.perceptron_quality(docs).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
