@@ -1023,6 +1023,73 @@ SELECT query_id, anchor_label, nn_id, negative_label, cosine FROM (
 """
 
 
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining
+    (`operators/similarity.py:contrastive_pairs`): top-3 hard
+    positives (same label) AND top-3 hard negatives (different label)
+    per anchor from one IVF candidate pass. The oracle replays
+    assignment, probes, the self/NULL exclusion, the pair_type CASE,
+    and both per-(anchor, type) windows."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    anchors = embs.filter(F.col("vec_id") < 4)
+    return similarity.contrastive_pairs(embs, anchors, k=3)
+
+
+def _contrastive_pairs_oracle() -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    dot_qc = _coldot_sql("q.qe", "c.ce")
+    dot_eq = _coldot_sql("e.embedding", "p.qe")
+    ne = _coldot_sql("e.embedding", "e.embedding")
+    nq = _coldot_sql("p.qe", "p.qe")
+    cos = (
+        f"CASE WHEN sqrt({ne}) > 0 AND sqrt({nq}) > 0 "
+        f"THEN ({dot_eq}) / (sqrt({ne}) * sqrt({nq})) END"
+    )
+    return f"""
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {n_c}
+),
+centn AS (SELECT c.cell, c.ce, {inv} AS inv FROM cent c),
+assign AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot_ec}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN centn c
+),
+corpus AS (SELECT vec_id, embedding, label, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe
+      FROM embeddings WHERE vec_id < 4),
+qp AS (
+  SELECT query_id, ql, qe, cell FROM (
+    SELECT q.query_id, q.ql, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY ({dot_qc}) * c.inv DESC, c.cell ASC) AS rn
+    FROM q CROSS JOIN centn c
+  ) WHERE rn <= {n_p}
+),
+cand AS (
+  SELECT p.query_id, p.ql AS anchor_label,
+         CASE WHEN e.label = p.ql THEN 'positive'
+              ELSE 'negative' END AS pair_type,
+         e.vec_id AS nn_id, e.label AS pair_label, {cos} AS cosine
+  FROM qp p JOIN corpus e ON p.cell = e.cell
+  WHERE e.label IS NOT NULL AND e.vec_id <> p.query_id
+)
+SELECT query_id, anchor_label, pair_type, nn_id, pair_label, cosine FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY query_id, pair_type
+                            ORDER BY cosine DESC NULLS LAST, nn_id) AS rn
+  FROM cand
+) WHERE rn <= 3
+"""
+
+
 __all__ = [
     "_COSINE_QE",
     "_COSINE_TOPK_FAST_ORACLE",
@@ -1057,6 +1124,8 @@ __all__ = [
     "q_kmeans_step",
     "q_knn_join",
     "q_hard_negatives",
+    "q_contrastive_pairs",
+    "_contrastive_pairs_oracle",
     "_hard_negatives_oracle",
     "q_sq8_topk",
     "q_bq_topk",

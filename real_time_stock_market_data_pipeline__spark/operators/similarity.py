@@ -2767,3 +2767,96 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def contrastive_pairs(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS_N,
+    n_probe: int = IVF_PROBES_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Full contrastive-pair mining: for every anchor, the ``k``
+    nearest SAME-label corpus vectors (hard positives, self excluded)
+    AND the ``k`` nearest DIFFERENT-label ones (hard negatives) from
+    ONE candidate pass — the (anchor, positive, negative) triplet feed
+    for embedding-model fine-tuning.
+
+    One IVF cell equi-join produces the candidates (the
+    :func:`hard_negatives` plan); ``pair_type`` comes from the label
+    comparison and the per-(anchor, pair_type) top-k windows run over
+    the same scored frame, so positives cost no second scan. NULL-label
+    candidates drop (a NULL certifies neither side). Output:
+    (query_id, anchor_label, pair_type, nn_id, pair_label, cosine)."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embs, n_centroids, id_col, vec_col
+    )
+    dim = len(cents[0])
+    corpus = embs.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(label_col).alias("pair_label"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(F.col(vec_col), cents).alias("__cell"),
+        _norm_fold(F.col(vec_col), dim).alias("__cn"),
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                    "s"
+                ),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("__qv"),
+        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        ).alias("__p"),
+    ).select(
+        "query_id",
+        "anchor_label",
+        "__qv",
+        "__qn",
+        (-F.col("__p.ni")).alias("__cell"),
+    )
+    cand = corpus.join(F.broadcast(probes), "__cell").filter(
+        F.col("pair_label").isNotNull()
+        & (F.col("nn_id") != F.col("query_id"))
+    )
+    prods = F.zip_with(
+        F.col("__cv"),
+        F.col("__qv"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    nc, nq = F.col("__cn"), F.col("__qn")
+    scored_cand = cand.select(
+        "query_id",
+        "anchor_label",
+        F.when(
+            F.col("pair_label") == F.col("anchor_label"), F.lit("positive")
+        )
+        .otherwise(F.lit("negative"))
+        .alias("pair_type"),
+        "nn_id",
+        "pair_label",
+        F.when((nc > 0) & (nq > 0), dot / (nc * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id", "pair_type").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("nn_id")
+    )
+    return (
+        scored_cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
