@@ -1405,6 +1405,7 @@ def neardup_screen_bands(
     perms: int = MINHASH_PERMS,
     band_rows: int = MINHASH_BAND_ROWS,
     shingle_k: int = 3,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Arrival-ordered near-dup VERDICT over a new batch against
     pre-banded history: one row per new document with
@@ -1445,9 +1446,16 @@ def neardup_screen_bands(
     )
     # the batch side is micro-batch-bounded while the band history is
     # corpus-sized: broadcast the batch bands so the history streams
-    # map-side past them and is never shuffled per batch
+    # map-side past them and is never shuffled per batch. The hint
+    # holds ONLY under the streaming micro-batch contract —
+    # ``broadcast_batch=False`` (the one-shot :func:`neardup_screen`
+    # path, where the "batch" can be a corpus-sized frame) drops every
+    # forced broadcast and lets AQE pick the join strategy instead of
+    # risking a driver OOM on an unbounded build side (round-13
+    # ADVICE)
+    _hint = F.broadcast if broadcast_batch else (lambda df: df)
     corpus_hits = (
-        F.broadcast(nb.alias("n"))
+        _hint(nb.alias("n"))
         .join(
             corpus_bands.alias("c"),
             (F.col("n.band_idx") == F.col("c.band_idx"))
@@ -1457,7 +1465,7 @@ def neardup_screen_bands(
         .agg(F.count_distinct(F.col(f"c.{id_col}")).alias("n_corpus_dups"))
     )
     prior_hits = (
-        F.broadcast(nb.alias("n"))
+        _hint(nb.alias("n"))
         .join(
             seen.alias("p"),
             (F.col("n.band_idx") == F.col("p.band_idx"))
@@ -1469,8 +1477,8 @@ def neardup_screen_bands(
     )
     return (
         new_docs.select(F.col(id_col))
-        .join(F.broadcast(corpus_hits), id_col, "left")
-        .join(F.broadcast(prior_hits), id_col, "left")
+        .join(_hint(corpus_hits), id_col, "left")
+        .join(_hint(prior_hits), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_corpus_dups"), F.lit(0))
@@ -1499,7 +1507,10 @@ def neardup_screen(
 ) -> DataFrame:
     """:func:`neardup_screen_bands` with the corpus banded live — the
     one-shot form; a standing deployment bands the corpus once with
-    :func:`write_dedup_index` and passes the stored table."""
+    :func:`write_dedup_index` and passes the stored table. Here the
+    "batch" is an arbitrary frame (it can be corpus-sized), so the
+    micro-batch broadcast hint is dropped and AQE picks the join
+    strategy."""
     return neardup_screen_bands(
         new_docs,
         minhash_bands(corpus, id_col, text_col, perms, band_rows, shingle_k),
@@ -1509,4 +1520,5 @@ def neardup_screen(
         perms,
         band_rows,
         shingle_k,
+        broadcast_batch=False,
     )

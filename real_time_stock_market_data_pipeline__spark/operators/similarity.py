@@ -2574,8 +2574,9 @@ def bq_topk(
 
 def _bq_meta_path(path: str) -> str:
     """Sidecar lives NEXT TO the index directory (not inside): the
-    streaming maintenance MERGE swaps the whole flat directory, and a
-    sibling file survives every swap."""
+    streaming maintenance MERGE rewrites bucket directories under the
+    root (and historically swapped the whole flat directory), and a
+    sibling file survives every rewrite."""
     return path.rstrip("/") + "._bq_meta.json"
 
 
@@ -2585,25 +2586,48 @@ def bq_write_index(
     means: list[float] | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_buckets: int | None = None,
 ) -> list[float]:
     """Materialize the binary sign-signature table at rest: one
     (id, sig0, sig1) row per vector — 8 signature bytes instead of the
     float payload — plus a ``_bq_meta.json`` sidecar holding the
-    threshold means (all the state a reader needs, KBs). The Hamming
-    scan then reads a three-integer-column table at metadata speed;
-    the float vectors are touched only by the rerank. Same overwrite /
-    sidecar discipline as :func:`ivf_write_index`."""
-    import json
-    import os
+    threshold means and the layout (all the state a reader needs,
+    KBs). The Hamming scan then reads a three-integer-column table at
+    metadata speed; the float vectors are touched only by the rerank.
+    Same overwrite / sidecar discipline as :func:`ivf_write_index`.
 
+    The table is partitioned on an id-hash bucket (round-13 verdict:
+    the streaming maintenance leg used the FLAT read-merge-swap sink
+    and rewrote the whole signature table per micro-batch — O(index)
+    ingest; with this layout :func:`streaming.pipeline.stream_bq_ingest`
+    MERGEs only the buckets a batch's ids hash to, so per-batch cost
+    tracks batch volume). The scan side is unaffected: the probe reads
+    every bucket either way — signatures have no pruning axis."""
+    import json
+
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        ID_HASH_BUCKETS,
+        id_hash_bucket,
+    )
+
+    nb = int(n_buckets) if n_buckets is not None else ID_HASH_BUCKETS
     mu = means if means is not None else bq_dim_means(embs, vec_col)
     lanes = _bq_lane_cols(vec_col, mu, len(mu))
-    embs.select(
-        F.col(id_col),
-        *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
-    ).write.mode("overwrite").parquet(path)
+    (
+        embs.select(
+            F.col(id_col),
+            *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
+            id_hash_bucket(F.col(id_col), nb, salt="bq:").alias(
+                "sig_bucket"
+            ),
+        )
+        .repartition(F.col("sig_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("sig_bucket")
+        .parquet(path)
+    )
     with open(_bq_meta_path(path), "w") as f:
-        json.dump({"means": mu}, f)
+        json.dump({"means": mu, "n_buckets": nb, "id_col": id_col}, f)
     return mu
 
 
@@ -2627,7 +2651,12 @@ def bq_topk_indexed(
     import os
 
     with open(_bq_meta_path(path)) as f:
-        mu = [float(x) for x in json.load(f)["means"]]
+        meta = json.load(f)
+    mu = [float(x) for x in meta["means"]]
+    # the sidecar records the id column the index was BUILT with; trust
+    # it over the parameter so a non-default build cannot silently
+    # mismatch (the stream_bm25_ingest wiring lesson)
+    id_col = meta.get("id_col", id_col)
     dim = len(mu)
     qlanes = []
     for lane in range(dim // BQ_LANE_BITS):

@@ -175,6 +175,35 @@ def merge_upsert_parquet(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: default bucket count for id-hash-bucketed side tables (doclens,
+#: signatures, verdict logs). 32 keeps per-bucket files coherent at the
+#: test SFs while bounding the touched-partition fan-out of a batch; a
+#: 100 TB deployment raises it with the table (it is recorded in each
+#: index's sidecar, never assumed).
+ID_HASH_BUCKETS = 32
+
+
+def id_hash_bucket(
+    col: F.Column, n_buckets: int = ID_HASH_BUCKETS, salt: str = "idb:"
+) -> F.Column:
+    """Deterministic id → bucket partition key for row-keyed side
+    tables maintained by the streaming MERGE services (round-13
+    verdict: the flat read-merge-swap sink rewrote O(table) per
+    micro-batch for doclens / signature / verdict tables; hash-bucket
+    partitioning makes each batch touch ≤ ``n_buckets`` directories so
+    ingest cost tracks batch volume, not index size).
+
+    Engine-portable md5 discipline (`'0x'||substr(md5(...),1,8)`, the
+    `bm25_term_bucket` recipe) rather than Spark's `hash()` so any SQL
+    engine re-derives the same layout from the same ids."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h % n_buckets).cast("int")
+
+
 def merge_upsert_parquet_partitioned(
     spark: SparkSession,
     batch: DataFrame,
