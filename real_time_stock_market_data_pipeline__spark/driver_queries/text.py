@@ -28,6 +28,8 @@ from real_time_stock_market_data_pipeline__spark.driver_queries.ohlcv import (  
 )
 from real_time_stock_market_data_pipeline__spark.driver_queries.similarity import (  # noqa: F401
     _DIM,
+    _bq_topk_oracle,
+    _query_vector,
 )
 
 
@@ -373,6 +375,57 @@ SELECT d.doc_id,
        coalesce(h.n_hits, 0) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def q_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation audit
+    (`operators/curation.py:curation_verdicts`): quality gate + exact
+    dedup + MinHash near-dup (keep-lowest greedy) + benchmark
+    decontamination, one verdict row per document with every kill
+    reason and the final ``kept`` conjunction. Benchmark = every 20th
+    doc (the `decontaminate` fixture). The oracle composes the four
+    stage oracles as isolated nested-WITH CTEs and replays the flag
+    logic."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        curation,
+    )
+
+    docs = _table("documents")(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return curation.curation_verdicts(
+        docs, bench, min_score=0.8, min_words=30
+    )
+
+
+def _curation_verdicts_oracle(
+    min_score: float = 0.8, min_words: int = 30
+) -> str:
+    passes = f"(s.quality_score >= {min_score} AND s.n_words >= {min_words})"
+    return f"""
+WITH s AS ({_TEXT_STATS_ORACLE}),
+x AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (
+           PARTITION BY sha256({_NORM.format(col="text")})) AS exact_dup
+  FROM documents
+),
+nd AS (
+  WITH {_minhash_cte()}
+  SELECT DISTINCT id_b AS doc_id, TRUE AS near_dup FROM cand
+),
+ct AS ({_DECONTAMINATE_ORACLE})
+SELECT s.doc_id, s.n_words, s.quality_score,
+       {passes} AS passes_quality,
+       x.exact_dup,
+       COALESCE(nd.near_dup, FALSE) AS near_dup,
+       ct.contaminated,
+       ({passes} AND NOT x.exact_dup AND COALESCE(nd.near_dup, FALSE) = FALSE
+        AND NOT ct.contaminated) AS kept
+FROM s
+JOIN x ON s.doc_id = x.doc_id
+JOIN ct ON s.doc_id = ct.doc_id
+LEFT JOIN nd ON s.doc_id = nd.doc_id
 """
 
 
@@ -1692,6 +1745,96 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
 
 
+def q_stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring-state maintenance
+    (`streaming/pipeline.py:stream_dsir_ingest`): the scoring state is
+    built from the id-prefix half of the corpus (`dsir_write_index`),
+    the other half arrives as a one-file stream and MERGEs its per-doc
+    bucket counts / meta rows / stats partial per micro-batch, then
+    `dsir_weights_indexed` scores every stored document. Bigram counts
+    are integers, so the merged distributions are EXACTLY the
+    full-corpus distributions under any arrival order — the probe
+    answers exactly like `dsir_logweights` over the full corpus and
+    shares `dsir_weights`' oracle (the `stream_bm25_topk` pattern)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    half_a = docs.filter(F.col("doc_id") < n // 2)
+    half_b = docs.filter(F.col("doc_id") >= n // 2)
+    tmp = tempfile.mkdtemp(prefix="dsir_stream_q_")
+    path = f"{tmp}/index"
+    text.dsir_write_index(half_a, path)
+    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_dsir_ingest(src, path, f"{tmp}/ckpt")
+    q.awaitTermination()
+    return text.dsir_weights_indexed(spark, path)
+
+
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    (`operators/text.py:rrf_hybrid_topk`): the BM25 inverted index and
+    the BQ signature index are built at rest inside the query (the
+    `ivf_topk_indexed` pattern), probed for their top-30 each, and
+    fused with 1/(60+rank). The oracle replays BOTH leg rankings
+    exactly (their standalone oracles as CTEs) plus the rank windows
+    and the fixed two-term coalesce fusion sum."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="rrf_q_")
+    text.bm25_write_index(docs, f"{tmp}/bm25")
+    similarity.bq_write_index(embs, f"{tmp}/bq")
+    return text.rrf_hybrid_topk(
+        spark,
+        embs,
+        f"{tmp}/bm25",
+        f"{tmp}/bq",
+        list(_BM25_TERMS),
+        _query_vector(spark, sf_dir),
+        k=10,
+        leg_k=30,
+    )
+
+
+def _rrf_hybrid_oracle(k: int = 10, leg_k: int = 30, rrf_k: int = 60) -> str:
+    return f"""
+WITH sparse AS ({_bm25_topk_oracle(k=leg_k)}),
+dense AS ({_bq_topk_oracle(k=leg_k)}),
+sr AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS bm25_rank
+  FROM sparse
+),
+dr AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+           AS ann_rank
+  FROM dense
+)
+SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+       COALESCE(1.0 / ({rrf_k} + sr.bm25_rank), 0.0)
+         + COALESCE(1.0 / ({rrf_k} + dr.ann_rank), 0.0) AS rrf_score,
+       sr.bm25_rank, dr.ann_rank
+FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""
+
+
 def _bpe_enc_sql(w: str) -> str:
     """SQL twin of `text._bpe_encode_word` (double-space invariant)."""
     return (
@@ -1942,6 +2085,8 @@ __all__ = [
     "_bpe_enc_sql",
     "q_bm25_topk_indexed",
     "q_stream_bm25_topk",
+    "q_rrf_hybrid_topk",
+    "_rrf_hybrid_oracle",
     "_bm25_topk_oracle",
     "_BM25_TERMS",
     "q_dsir_weights",
@@ -1963,6 +2108,9 @@ __all__ = [
     "q_pii_redact",
     "q_qq_quantiles",
     "q_quality_filter",
+    "q_curation_verdicts",
+    "q_stream_dsir_weights",
+    "_curation_verdicts_oracle",
     "q_repetition_stats",
     "q_rfm_scores",
     "q_rolling_median",

@@ -1,0 +1,104 @@
+"""End-to-end corpus-curation verdicts: the composed quality → exact
+dedup → near-dup → decontamination audit a training-data pipeline runs
+before assembling a corpus (reference analog: the cleaning stages of
+`src/spark/spark_stream_processor.py` generalized to the LLM-curation
+stack — quality gating, duplicate removal, benchmark-leakage filtering
+as ONE auditable pass).
+
+Design: each stage's flag is computed INDEPENDENTLY over the full
+corpus and joined on the document id — the report form. A sequential
+pipeline (near-dup only among quality survivors, etc.) changes which
+docs each stage sees; the report form instead gives every document ALL
+its kill reasons, which is what a 100 TB curation run needs for
+auditing ("how much did each stage cost us?") and what keeps every
+stage one independent, restartable pass. ``kept`` is the conjunction,
+identical to running the stages in sequence with keep-lowest-id
+greedy near-dup resolution over the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline__spark.operators import dedup, text
+
+__all__ = ["curation_verdicts"]
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_score: float = 0.8,
+    min_words: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document curation verdict: one row per input document with
+    its quality stats and the four stage flags —
+
+    - ``passes_quality``: :func:`text.text_stats` composite score ≥
+      ``min_score`` and word count ≥ ``min_words``;
+    - ``exact_dup``: not the min-id representative of its normalized
+      sha2-256 text group (:func:`dedup.dedup_exact` semantics);
+    - ``near_dup``: the higher id of at least one MinHash-LSH banded
+      candidate pair (:func:`dedup.dedup_minhash_pairs` — keep-lowest
+      greedy resolution, the standard corpus-dedup policy);
+    - ``contaminated``: shares a word 5-gram with the ``benchmark``
+      corpus (:func:`text.decontaminate`);
+
+    and ``kept`` = passes_quality ∧ none of the kill flags.
+
+    Shape at 100 TB: quality is the single-scan narrow projection;
+    exact is one hash-key shuffle (64-hex digest + id); near-dup is
+    the banded LSH join (never all-pairs); decontamination shuffles
+    gram digests with the benchmark side aggregated first; the final
+    assembly is id-keyed hash joins. Every stage partially aggregates
+    map-side, nothing is corpus-quadratic, and the flags can be
+    materialized stage-by-stage with restarts between them.
+    """
+    st = text.text_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "n_words", "quality_score"
+    )
+    w = Window.partitionBy("__h")
+    exact = docs.select(
+        F.col(id_col),
+        F.sha2(dedup.normalized_text(text_col), 256).alias("__h"),
+    ).select(
+        F.col(id_col),
+        (F.col(id_col) != F.min(id_col).over(w)).alias("exact_dup"),
+    )
+    near_ids = (
+        dedup.dedup_minhash_pairs(docs, id_col=id_col, text_col=text_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    contam = text.decontaminate(
+        docs, benchmark, id_col=id_col, text_col=text_col
+    ).select(id_col, "contaminated")
+    out = (
+        st.join(exact, id_col)
+        .join(contam, id_col)
+        .join(
+            near_ids.withColumn("near_dup", F.lit(True)), id_col, "left"
+        )
+        .withColumn("near_dup", F.coalesce(F.col("near_dup"), F.lit(False)))
+    )
+    passes = (F.col("quality_score") >= min_score) & (
+        F.col("n_words") >= min_words
+    )
+    return out.select(
+        F.col(id_col),
+        "n_words",
+        "quality_score",
+        passes.alias("passes_quality"),
+        "exact_dup",
+        "near_dup",
+        "contaminated",
+        (
+            passes
+            & ~F.col("exact_dup")
+            & ~F.col("near_dup")
+            & ~F.col("contaminated")
+        ).alias("kept"),
+    )

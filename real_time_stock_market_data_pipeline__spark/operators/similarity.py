@@ -2889,3 +2889,162 @@ def contrastive_pairs(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def _contrastive_meta_path(path: str) -> str:
+    """Sidecar next to the index directory (survives partition
+    rewrites), the `_bq_meta_path` discipline."""
+    return path.rstrip("/") + "._contrastive_meta.json"
+
+
+def contrastive_write_index(
+    embs: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = IVF_CENTROIDS_N,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> list[list[float]]:
+    """Materialize the labeled candidate index for contrastive mining
+    at rest: (id, label, vector) rows ``partitionBy(cell)`` under
+    FROZEN IVF centroids recorded in the sidecar — the candidate side
+    of :func:`contrastive_pairs`, stored once so every later anchor
+    batch probes it with partition pruning instead of re-assigning the
+    corpus, and so the streaming leg
+    (:func:`streaming.pipeline.stream_contrastive_ingest`) can MERGE
+    arrivals cell-scoped. Same frozen-quantizer policy as the IVF-PQ /
+    BQ / semantic services: assignments are a pure function of
+    (vector, centroids), so batch and streamed rows land in identical
+    cells and mining results are arrival-order independent."""
+    import json
+
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embs, n_centroids, id_col, vec_col)
+    )
+    (
+        embs.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col(vec_col),
+            ivf_assign(F.col(vec_col), cents).alias("cell"),
+        )
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    with open(_contrastive_meta_path(path), "w") as f:
+        json.dump(
+            {
+                "centroids": cents,
+                "id_col": id_col,
+                "label_col": label_col,
+                "vec_col": vec_col,
+            },
+            f,
+        )
+    return cents
+
+
+def contrastive_pairs_indexed(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = IVF_PROBES_N,
+) -> DataFrame:
+    """:func:`contrastive_pairs` against the at-rest candidate index
+    (``contrastive_write_index`` layout): anchors probe their
+    ``n_probe`` nearest cells under the sidecar's frozen centroids,
+    the probed-cell set (bounded: |anchors|·n_probe values) collects
+    driver-side and lands in the scan's PartitionFilters, and the
+    stored cell column replaces the per-row re-assignment — only
+    probed cell directories are read, the `ivf_topk_indexed`
+    discipline. Column schema (id/label/vec names) resolves from the
+    sidecar the index was BUILT with. Result ≡ ``contrastive_pairs``
+    over the stored rows with the same centroids (assignments are
+    stored, probes and cosines recompute identically)."""
+    import json
+
+    with open(_contrastive_meta_path(path)) as f:
+        meta = json.load(f)
+    cents = [[float(x) for x in c] for c in meta["centroids"]]
+    id_col, label_col = meta["id_col"], meta["label_col"]
+    vec_col = meta["vec_col"]
+    dim = len(cents[0])
+    scored = F.array(
+        *[
+            F.struct(
+                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                    "s"
+                ),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("__qv"),
+        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        ).alias("__p"),
+    ).select(
+        "query_id",
+        "anchor_label",
+        "__qv",
+        "__qn",
+        (-F.col("__p.ni")).alias("__cell"),
+    )
+    # bounded driver fetch (|anchors|·n_probe ints, the probe-list
+    # collect class) so the cell predicate is partition PRUNING
+    cells = sorted(
+        {r["__cell"] for r in probes.select("__cell").distinct().collect()}
+    )
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col).alias("nn_id"),
+            F.col(label_col).alias("pair_label"),
+            F.col(vec_col).alias("__cv"),
+            F.col("cell").alias("__cell"),
+            _norm_fold(F.col(vec_col), dim).alias("__cn"),
+        )
+    )
+    cand = corpus.join(F.broadcast(probes), "__cell").filter(
+        F.col("pair_label").isNotNull()
+        & (F.col("nn_id") != F.col("query_id"))
+    )
+    prods = F.zip_with(
+        F.col("__cv"),
+        F.col("__qv"),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    nc, nq = F.col("__cn"), F.col("__qn")
+    scored_cand = cand.select(
+        "query_id",
+        "anchor_label",
+        F.when(
+            F.col("pair_label") == F.col("anchor_label"), F.lit("positive")
+        )
+        .otherwise(F.lit("negative"))
+        .alias("pair_type"),
+        "nn_id",
+        "pair_label",
+        F.when((nc > 0) & (nq > 0), dot / (nc * nq)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id", "pair_type").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("nn_id")
+    )
+    return (
+        scored_cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1253,6 +1253,31 @@ def dsir_logweights(
     """
     if target is None:
         target = F.col("lang") == "en"
+    exploded = _dsir_exploded(docs, target, id_col, text_col, n_buckets)
+    dist = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+    )
+    doc_buckets = exploded.groupBy(F.col(id_col), "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return _dsir_assemble(
+        doc_buckets, dist, docs.select(F.col(id_col), F.col("lang")),
+        id_col, n_buckets,
+    )
+
+
+def _dsir_exploded(
+    docs: DataFrame,
+    target: F.Column,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """(id, __is_t, bucket) — one row per word bigram, bucketed by the
+    md5 feature hash. Shared by the batch scorer, the at-rest index
+    build, and the streaming ingest partials (identical expressions ⇒
+    identical counts whichever path a document arrives by)."""
     toks = F.filter(_toks(text_col), lambda t: t != "")
     base = docs.select(
         F.col(id_col),
@@ -1278,17 +1303,27 @@ def dsir_logweights(
         16,
         10,
     ).cast("long")
-    exploded = base.select(
+    return base.select(
         F.col(id_col), F.col("__is_t"), F.explode(grams).alias("gram")
     ).select(
         F.col(id_col),
         F.col("__is_t"),
         (h % n_buckets).cast("int").alias("bucket"),
     )
-    dist = exploded.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
-    )
+
+
+def _dsir_assemble(
+    doc_buckets: DataFrame,
+    dist: DataFrame,
+    docs_meta: DataFrame,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Log-ratio table + per-doc decimal-exact reduce + the zero-gram
+    left join — the scoring tail shared by :func:`dsir_logweights`
+    (in-flight frames) and :func:`dsir_weights_indexed` (at-rest
+    frames). ``dist`` is (bucket, cr, ct); ``doc_buckets`` is
+    (id, bucket, n); ``docs_meta`` is (id, lang)."""
     # whole-frame totals as window sums over the ≤ n_buckets-row dist
     # frame (a 1-row crossJoin would plan a BroadcastNestedLoopJoin,
     # which the no-cartesian sweep bans)
@@ -1312,9 +1347,7 @@ def dsir_logweights(
         F.sum("ct").over(w_all).alias("tt"),
     ).select("bucket", ratio.alias("lr"))
     per_doc = (
-        exploded.groupBy(F.col(id_col), "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(bucket_ratio), "bucket")
+        doc_buckets.join(F.broadcast(bucket_ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_grams"),
@@ -1328,9 +1361,7 @@ def dsir_logweights(
             ).alias("dsir_logweight"),
         )
     )
-    return docs.select(F.col(id_col), F.col("lang")).join(
-        per_doc, id_col, "left"
-    ).select(
+    return docs_meta.join(per_doc, id_col, "left").select(
         F.col(id_col),
         F.col("lang"),
         F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
@@ -1338,6 +1369,130 @@ def dsir_logweights(
             "dsir_logweight"
         ),
     )
+
+
+_DSIR_META_SIDECAR = "_dsir_meta.json"
+#: id-hash partitions for the per-doc bucket-count / meta tables
+DSIR_DOC_BUCKETS = 32
+#: batch-id partitions for the mergeable stats partials
+DSIR_STAT_BUCKETS = 8
+
+
+def dsir_write_index(
+    docs: DataFrame,
+    path: str,
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = DSIR_BUCKETS,
+) -> None:
+    """Materialize the DSIR scoring state at rest so importance
+    weights can be maintained as a SERVICE while a crawl streams in
+    (ingest: :func:`streaming.pipeline.stream_dsir_ingest`, probe:
+    :func:`dsir_weights_indexed`): per-doc hashed-bigram counts
+    (``buckets/``, id-hash partitioned), per-doc meta (``docs/``,
+    same layout — carries the lang and the zero-gram documents), and
+    ONE (batch_id, bucket, cr, ct) stats-partial table (``stats/``,
+    ≤ n_buckets rows per batch) whose bucket-wise SUM is exactly the
+    full-corpus distribution — counts are integers, so the additive
+    merge is exact and arrival-order independent, and keying partials
+    on batch_id makes checkpoint replay overwrite itself instead of
+    double-counting (the `stream_bm25_ingest` register-merge
+    discipline). The build is batch_id = -1."""
+    import json
+    import os
+
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        id_hash_bucket,
+    )
+
+    target = F.col(lang_col) == target_lang
+    exploded = _dsir_exploded(docs, target, id_col, text_col, n_buckets)
+    db = id_hash_bucket(F.col(id_col), DSIR_DOC_BUCKETS, salt="dsir:")
+    (
+        exploded.groupBy(F.col(id_col), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("db", db)
+        .repartition(F.col("db"))
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(os.path.join(path, "buckets"))
+    )
+    (
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
+        .withColumn("db", db)
+        .repartition(F.col("db"))
+        .write.mode("overwrite")
+        .partitionBy("db")
+        .parquet(os.path.join(path, "docs"))
+    )
+    (
+        exploded.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+        )
+        .select(
+            F.lit(-1).cast("long").alias("batch_id"),
+            "bucket",
+            "cr",
+            "ct",
+            F.lit(int((-1) % DSIR_STAT_BUCKETS)).cast("int").alias(
+                "stat_bucket"
+            ),
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("stat_bucket")
+        .parquet(os.path.join(path, "stats"))
+    )
+    with open(os.path.join(path, _DSIR_META_SIDECAR), "w") as f:
+        json.dump(
+            {
+                "n_buckets": int(n_buckets),
+                "id_col": id_col,
+                "text_col": text_col,
+                "lang_col": lang_col,
+                "target_lang": target_lang,
+                "doc_buckets": DSIR_DOC_BUCKETS,
+                "stat_buckets": DSIR_STAT_BUCKETS,
+            },
+            f,
+        )
+
+
+def dsir_weights_indexed(spark, path: str) -> DataFrame:
+    """DSIR importance log-weights for every document the index holds,
+    from the at-rest state alone (no re-tokenization): stats partials
+    SUM to the exact full-corpus distribution (integer counts), the
+    ≤ n_buckets-row log-ratio table broadcasts back onto the stored
+    per-doc bucket counts, and the per-doc reduce is the same
+    decimal-exact sum as :func:`dsir_logweights` — so after draining
+    batches B1..Bn over an index built from corpus C, this answers
+    exactly like the batch scorer over C ∪ B1..Bn (law-tested; the
+    registered `stream_dsir_weights` query shares `dsir_weights`'
+    oracle). Probe cost: O(stored doc-bucket rows) with map-side
+    partial aggregation — never re-reads text."""
+    import json
+    import os
+
+    with open(os.path.join(path, _DSIR_META_SIDECAR)) as f:
+        meta = json.load(f)
+    n_buckets = int(meta["n_buckets"])
+    id_col = meta["id_col"]
+    dist = (
+        spark.read.parquet(os.path.join(path, "stats"))
+        .groupBy("bucket")
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+    )
+    doc_buckets = spark.read.parquet(os.path.join(path, "buckets")).select(
+        id_col, "bucket", "n"
+    )
+    docs_meta = spark.read.parquet(os.path.join(path, "docs")).select(
+        id_col, "lang"
+    )
+    return _dsir_assemble(doc_buckets, dist, docs_meta, id_col, n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -1615,6 +1770,78 @@ def bm25_topk_indexed(
     return _bm25_score(postings, dls, n_docs, avgdl, k, k1, b, id_col)
 
 
+def rrf_hybrid_topk(
+    spark,
+    embs: DataFrame,
+    bm25_path: str,
+    ann_path: str,
+    terms: list[str],
+    query: list[float],
+    k: int = 10,
+    leg_k: int = 30,
+    rrf_k: int = 60,
+    refine: int = 4,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion — the
+    standard two-tower data-curation retrieval stack (Cormack et al.
+    2009 RRF): probe the at-rest BM25 inverted index
+    (:func:`bm25_topk_indexed`) and the at-rest binary-signature ANN
+    index (:func:`similarity.bq_topk_indexed`) for their top ``leg_k``
+    each, then fuse ``score(d) = Σ_leg 1/(rrf_k + rank_leg(d))`` and
+    keep the top ``k``.
+
+    The caller's id contract: the BM25 index's document ids and the
+    ANN index's vector ids refer to the same items (the dense leg's id
+    column is renamed onto the sparse leg's). Ranks are each leg's own
+    deterministic ordering (score DESC, id ASC); absent-from-leg
+    contributes 0 via a fixed two-term coalesce sum, so the fused
+    doubles replay bit-for-bit in any IEEE engine.
+
+    Shape at 100 TB: two index probes (partition-pruned term buckets;
+    8-byte signature scan) + rank windows over two ≤ ``leg_k``-row
+    frames (bounded — the single-partition window is over at most
+    2·leg_k rows, never data-sized) + one tiny full-outer rank join.
+    No new shuffle classes beyond the legs themselves."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        similarity,
+    )
+
+    sparse = bm25_topk_indexed(spark, bm25_path, terms, k=leg_k)
+    id_col = sparse.columns[0]
+    dense = similarity.bq_topk_indexed(
+        spark, embs, ann_path, query, k=leg_k, refine=refine
+    )
+    did = dense.columns[0]
+    sr = sparse.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col)))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    dr = dense.select(
+        F.col(did).alias(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col(did)))
+        .cast("long")
+        .alias("ann_rank"),
+    )
+    leg = lambda rank: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k).cast("long") + F.col(rank)), F.lit(0.0)
+    )
+    return (
+        sr.join(dr, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            (leg("bm25_rank") + leg("ann_rank")).alias("rrf_score"),
+            F.col("bm25_rank"),
+            F.col("ann_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE vocabulary training (Sennrich et al. 2016) — tokenizer induction
 # over the corpus word table
@@ -1722,6 +1949,87 @@ def bpe_train(
             F.regexp_replace("r", f" {l}  {rt} ", f" {l}{rt} ").alias("r"),
             "freq",
         ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank: int, left_sym: string, right_sym: string,"
+        " merged_sym: string, pair_count: long",
+    )
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    n_merges: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Driver-side BPE trainer for REAL vocabulary sizes — law-equal
+    to :func:`bpe_train` (asserted in tests at n_merges ≥ 256), built
+    for the regime where the engine-replay form's one-Spark-job-per-
+    merge scheduling dominates (round-13 verdict: a production 32k-
+    merge vocabulary means 32k sequential jobs).
+
+    Shape: the ONE corpus-sized pass (tokenize → word-frequency
+    table) stays distributed — that is the only part that scales with
+    data. The (word, freq) table itself is Zipf-bounded (vocabulary,
+    not corpus) and fits on the driver, so the merge loop runs here:
+    incremental pair counts with a pair → word inverted index, each
+    iteration touching only the words that contain the merged pair.
+    Every decision replays :func:`bpe_train` exactly — overlapping
+    adjacent-pair counts weighted by word frequency, argmax by
+    (count DESC, left ASC, right ASC), single-pass greedy left-to-
+    right non-overlapping merge within each word (the double-space
+    regex semantics, applied to the symbol list). The engine-replay
+    form remains the SQL-oracle witness."""
+    from collections import Counter, defaultdict
+
+    spark = docs.sparkSession
+    rows = (
+        docs.select(F.explode(_toks(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .collect()
+    )
+    # encode exactly like _bpe_encode_word: per-char x<lower-hex
+    # codepoint> symbols + the xw end-of-word marker
+    words: list[list] = [
+        [["x" + format(ord(c), "x") for c in r["w"]] + [BPE_EOW], int(r["freq"])]
+        for r in rows
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for idx, (syms, freq) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += freq
+            pair_words[p].add(idx)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        live = [(p, c) for p, c in pair_counts.items() if c > 0]
+        if not live:
+            break
+        (l, rt), c = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, rt, l + rt, int(c)))
+        for idx in sorted(pair_words.get((l, rt), ())):
+            syms, freq = words[idx]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= freq
+                pair_words[p].discard(idx)
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == rt
+                ):
+                    out.append(l + rt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[idx][0] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] += freq
+                pair_words[p].add(idx)
     return spark.createDataFrame(
         merges,
         "merge_rank: int, left_sym: string, right_sym: string,"

@@ -2689,3 +2689,82 @@ def test_hard_negatives_laws(spark, sf_dir):
     # each anchor's list is sorted descending by construction
     for v in per_anchor.values():
         assert v == sorted(v, reverse=True)
+
+
+def test_rrf_hybrid_fusion_laws(spark, sf_dir, tmp_path):
+    """RRF fusion laws over both at-rest indexes: every fused score is
+    exactly the two-term coalesce sum of its leg ranks, a doc present
+    in exactly one leg carries precisely that leg's term, the output
+    is the top-k of the fused ordering (score DESC, id ASC), and the
+    whole thing is deterministic across runs."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    embs = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    t.bm25_write_index(docs, str(tmp_path / "bm25"))
+    similarity.bq_write_index(embs, str(tmp_path / "bq"))
+
+    def run():
+        return t.rrf_hybrid_topk(
+            spark,
+            embs,
+            str(tmp_path / "bm25"),
+            str(tmp_path / "bq"),
+            ["hash", "join", "spark"],
+            q,
+            k=10,
+            leg_k=30,
+        ).collect()
+
+    rows = run()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        want = 0.0
+        if r["bm25_rank"] is not None:
+            want += 1.0 / (60 + r["bm25_rank"])
+        if r["ann_rank"] is not None:
+            want += 1.0 / (60 + r["ann_rank"])
+        assert r["rrf_score"] == want  # exact IEEE replay, not approx
+        assert r["bm25_rank"] is not None or r["ann_rank"] is not None
+    keys = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert rows == run()
+    # each leg's rank-1 item must appear in the fused top-k at these
+    # sizes: 1/61 alone beats any single-leg score at rank >= 2, so
+    # only both-leg docs or the other leg's head can outrank it — and
+    # there are at most leg_k such docs with higher fused score only
+    # if they carry two terms; with k=10 the rank-1 doc survives
+    # unless 10 docs fuse above 1/61, which the assert below verifies
+    # structurally rather than assuming.
+    one_leg_head = [
+        r["doc_id"] for r in rows if 1 in (r["bm25_rank"], r["ann_rank"])
+    ]
+    assert one_leg_head, "neither leg's top-1 survived fusion top-10"
+
+
+def test_ann_recall_sweep_monotone_in_cost(spark, sf_dir):
+    """Recall@10 is non-decreasing in the cost knob for the families
+    where the candidate set provably grows with it: IVF-flat (more
+    cells scanned, exact rerank) and BQ (deeper Hamming candidate
+    list, exact rerank). 12 rows total, n_match bounded by k."""
+    from real_time_stock_market_data_pipeline__spark.driver_queries.similarity import (
+        q_ann_recall_sweep,
+    )
+
+    rows = q_ann_recall_sweep(spark, str(sf_dir)).collect()
+    assert len(rows) == 12
+    by = {}
+    for r in rows:
+        assert 0 <= r["n_match"] <= 10
+        assert r["recall_at_k"] == round(r["n_match"] / 10.0, 4)
+        by.setdefault(r["index_name"], []).append(
+            (r["param_value"], r["n_match"])
+        )
+    for fam in ("ivf", "bq"):
+        seq = [m for _, m in sorted(by[fam])]
+        assert seq == sorted(seq), (fam, seq)
+    # at n_probe=8 of 16 cells IVF-flat scans half the corpus
+    # exactly; its recall must be at least the 1-probe recall and
+    # strictly positive (the query's own cell is always probed first)
+    assert sorted(by["ivf"])[0][1] >= 1

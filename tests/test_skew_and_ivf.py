@@ -455,6 +455,58 @@ def test_stream_ivfpq_ingest_equals_full_build(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == embs.count()
 
 
+def test_stream_contrastive_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming contrastive-index law (round-13 verdict stretch #8):
+    build the labeled candidate index on the id-prefix half under
+    frozen full-corpus centroids, stream the other half in TWO
+    single-file drains, and the indexed probe answers exactly like the
+    batch `contrastive_pairs` over the full corpus with the same
+    centroids; a third drain with no new input changes nothing
+    (checkpoint + MERGE idempotence)."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n = embs.agg(F.max("vec_id")).first()[0] + 1
+    cents = similarity.ivf_centroids(embs)
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    path = str(tmp_path / "contr_stream")
+    similarity.contrastive_write_index(half_a, path, centroids=cents)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    b1 = embs.filter(
+        (F.col("vec_id") >= n // 2) & (F.col("vec_id") % 2 == 0)
+    )
+    b2 = embs.filter(
+        (F.col("vec_id") >= n // 2) & (F.col("vec_id") % 2 == 1)
+    )
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=embs.schema)
+        q = pipeline.stream_contrastive_ingest(src, path, ckpt)
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    drain()  # no new input: idempotent no-op
+
+    anchors = embs.filter(F.col("vec_id") < 4)
+    got = similarity.contrastive_pairs_indexed(spark, anchors, path, k=3)
+    want = similarity.contrastive_pairs(
+        embs, anchors, k=3, centroids=cents
+    )
+    assert sorted(
+        (tuple(r) for r in got.collect()), key=lambda t: (t[0], t[2], t[3])
+    ) == sorted(
+        (tuple(r) for r in want.collect()), key=lambda t: (t[0], t[2], t[3])
+    )
+    assert spark.read.parquet(path).count() == embs.count()
+
+
 def test_ivfpq_write_index_empty_corpus_raises(spark, sf_dir, tmp_path):
     from real_time_stock_market_data_pipeline__spark.operators import similarity
 

@@ -1022,6 +1022,39 @@ def test_bpe_train_matches_reference_greedy(spark):
     assert got == want
 
 
+def test_bpe_train_local_equals_engine_at_256_merges(spark, sf_dir):
+    """Round-13 verdict ask #4: the driver-side trainer (built for
+    real vocabulary sizes, where the engine-replay form schedules one
+    job per merge) must reproduce the engine form's merge list
+    EXACTLY at n_merges ≥ 256 — every pair count, every
+    (count DESC, l, rt) argmax, every greedy merge application.
+    The testdata documents' synthetic vocabulary exhausts at ~105
+    merges (every distinct word collapses to one symbol), so the law
+    runs over a deterministic rich vocabulary instead: base-26 alpha
+    encodings of 0..1499 with varied repeat counts give a pair space
+    deep enough for 256+ merges."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    def b26(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("a") + r) + s
+        return s
+
+    wf = {b26(i): (i % 37) + 1 for i in range(1500)}
+    docs = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(wf.items())],
+        ["doc_id", "text"],
+    ).localCheckpoint(eager=True)
+    local = [tuple(r) for r in t.bpe_train_local(docs, n_merges=256).collect()]
+    assert len(local) == 256  # the vocabulary must not exhaust early
+    assert local == _ref_bpe(wf, 256)
+    engine = [tuple(r) for r in t.bpe_train(docs, n_merges=256).collect()]
+    assert local == engine
+
+
 def test_bpe_train_and_count_on_corpus(spark, sf_dir):
     """Corpus-level law: engine merges equal the reference trainer on
     the real word-frequency table, and per-doc counts under the
@@ -1085,3 +1118,90 @@ def test_quality_perceptron_learns_separable_labels(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_curation_verdicts_laws(spark):
+    """Composed-pipeline laws on a hand corpus: kept ⇒ every gate
+    passed; exact clones keep exactly the min id; the near-dup flag
+    marks only the higher id of a candidate pair; benchmark members
+    are contaminated; and flags compose (a doc can carry several kill
+    reasons at once)."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        curation,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while the calm "
+        "river flows through the green valley under a clear morning "
+        "sky and birds sing softly in the distance as children walk "
+        "slowly to school along the quiet road"
+    )
+    rows = [
+        (1, good),                      # clean keeper
+        (2, good.upper()),              # exact clone of 1 (normalized)
+        (3, good + " extra tail words"),  # near-dup of 1 (shingles)
+        (4, "short junk !!!"),          # fails quality
+        (20, "completely different benchmark document " * 8),  # benchmark
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    got = {
+        r["doc_id"]: r
+        for r in curation.curation_verdicts(
+            docs, bench, min_score=0.3, min_words=5
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 20}
+    for r in got.values():
+        assert r["kept"] == (
+            r["passes_quality"]
+            and not r["exact_dup"]
+            and not r["near_dup"]
+            and not r["contaminated"]
+        )
+    assert not got[1]["exact_dup"] and got[2]["exact_dup"]
+    assert not got[1]["near_dup"] and got[3]["near_dup"]
+    assert not got[4]["passes_quality"]
+    assert got[20]["contaminated"]  # benchmark self-overlap floor
+    assert got[1]["kept"]
+    assert not any(got[i]["kept"] for i in (2, 3, 4, 20))
+
+
+def test_stream_dsir_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming DSIR law: build the scoring state on the id-prefix
+    half, stream the other half in TWO single-file drains, and the
+    indexed probe answers exactly like the batch `dsir_logweights`
+    over the full corpus (integer count partials merge exactly under
+    any arrival order); a third drain with no new input changes
+    nothing (checkpoint + batch-id-keyed partial idempotence)."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    half_a = docs.filter(F.col("doc_id") < n // 2)
+    path = str(tmp_path / "dsir")
+    t.dsir_write_index(half_a, path)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    b1 = docs.filter((F.col("doc_id") >= n // 2) & (F.col("doc_id") % 2 == 0))
+    b2 = docs.filter((F.col("doc_id") >= n // 2) & (F.col("doc_id") % 2 == 1))
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=docs.schema)
+        q = pipeline.stream_dsir_ingest(src, path, ckpt)
+        q.awaitTermination()
+
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    drain()
+    drain()  # no new input: idempotent no-op
+
+    got = sorted(
+        tuple(r) for r in t.dsir_weights_indexed(spark, path).collect()
+    )
+    want = sorted(tuple(r) for r in t.dsir_logweights(docs).collect())
+    assert got == want
