@@ -1745,6 +1745,36 @@ def q_stream_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk_indexed(spark, path, list(_BM25_TERMS), k=10)
 
 
+def q_stream_curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation audit as a streaming service
+    (`streaming/pipeline.py:stream_curation_ingest`): state is
+    initialized with only the benchmark gram digests (every 20th doc,
+    the `decontaminate` fixture), the WHOLE corpus then streams in
+    id order and every arrival is scored/flagged against the
+    corpus-so-far. Because the batch form's min-id dedup semantics ARE
+    the arrival-order semantics under monotone ids, the verdict log
+    equals `curation_verdicts` over the full corpus — this query
+    shares that oracle (the `stream_bm25_topk` evidence pattern)."""
+    import tempfile
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        curation,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    ensure_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    tmp = tempfile.mkdtemp(prefix="curation_stream_q_")
+    path = f"{tmp}/state"
+    curation.curation_write_state(bench, path, min_score=0.8, min_words=30)
+    docs.coalesce(1).write.parquet(f"{tmp}/in")
+    src = pipeline.read_file_stream(spark, f"{tmp}/in")
+    q = pipeline.stream_curation_ingest(src, path, f"{tmp}/ckpt")
+    q.awaitTermination()
+    return curation.curation_verdicts_indexed(spark, path)
+
+
 def q_stream_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DSIR scoring-state maintenance
     (`streaming/pipeline.py:stream_dsir_ingest`): the scoring state is
@@ -2110,6 +2140,7 @@ __all__ = [
     "q_quality_filter",
     "q_curation_verdicts",
     "q_stream_dsir_weights",
+    "q_stream_curation_verdicts",
     "_curation_verdicts_oracle",
     "q_repetition_stats",
     "q_rfm_scores",

@@ -23,7 +23,80 @@ from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.operators import dedup, text
 
-__all__ = ["curation_verdicts"]
+__all__ = [
+    "curation_verdicts",
+    "curation_write_state",
+    "curation_verdicts_indexed",
+]
+
+_CURATION_META_SIDECAR = "_curation_meta.json"
+
+
+def curation_write_state(
+    benchmark: DataFrame,
+    path: str,
+    min_score: float = 0.8,
+    min_words: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+) -> None:
+    """Initialize the at-rest state the streaming curation service
+    (:func:`streaming.pipeline.stream_curation_ingest`) maintains: the
+    STATIC benchmark gram-digest table (the decontamination reference
+    — distinct word-``ngram_n``-gram hashes, written once) plus the
+    sidecar recording thresholds and column names. The three growing
+    tables — exact-hash index, LSH band index, verdict log — are
+    created by the service on first arrival; only the benchmark must
+    exist up front (you cannot decontaminate against an eval set you
+    have not fixed yet)."""
+    import json
+    import os
+
+    (
+        text.word_ngram_hashes(benchmark, id_col, text_col, ngram_n)
+        .select("gram_hash")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bench_grams"))
+    )
+    with open(os.path.join(path, _CURATION_META_SIDECAR), "w") as f:
+        json.dump(
+            {
+                "min_score": float(min_score),
+                "min_words": int(min_words),
+                "id_col": id_col,
+                "text_col": text_col,
+                "ngram_n": int(ngram_n),
+            },
+            f,
+        )
+
+
+def curation_verdicts_indexed(spark, path: str) -> DataFrame:
+    """Every verdict row the streaming curation service has written —
+    the at-rest probe of the composed audit. After draining id-ordered
+    batches B1..Bn from an empty state, this equals
+    :func:`curation_verdicts` over their concatenation (law-tested;
+    the registered `stream_curation_verdicts` query shares its
+    oracle): the batch form's min-id semantics for exact/near dedup
+    ARE the arrival-order semantics when ids arrive monotonically."""
+    import json
+    import os
+
+    with open(os.path.join(path, _CURATION_META_SIDECAR)) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    return spark.read.parquet(os.path.join(path, "verdicts")).select(
+        id_col,
+        "n_words",
+        "quality_score",
+        "passes_quality",
+        "exact_dup",
+        "near_dup",
+        "contaminated",
+        "kept",
+    )
 
 
 def curation_verdicts(

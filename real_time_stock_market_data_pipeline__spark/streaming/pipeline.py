@@ -28,7 +28,7 @@ idempotent sink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -677,10 +677,30 @@ def stream_neardup_ingest(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cb = spark.read.parquet(corpus_bands_path)
-        prior = (
-            spark.read.parquet(stream_bands_path).select(
-                id_col, "band_idx", "band_hash"
+        # only stored bands sharing a 2-hex band-hash prefix with this
+        # batch can collide (band equality implies prefix equality);
+        # the batch's prefix set is a bounded driver fetch (≤ 256
+        # values) and lands in the scan's PartitionFilters, so the
+        # prior-band read is O(touched prefix dirs), not O(index) —
+        # round-14: the last O(index)-bytes-per-batch term in this
+        # service
+        new_bands = dedup_ops.minhash_bands(
+            batch, id_col, text_col
+        ).localCheckpoint(eager=True)
+        pfxs = sorted(
+            r["pfx"]
+            for r in new_bands.select(
+                F.concat(
+                    F.lit("p"), F.substring("band_hash", 1, 2)
+                ).alias("pfx")
             )
+            .distinct()
+            .collect()
+        )
+        prior = (
+            spark.read.parquet(stream_bands_path)
+            .filter(F.col("pfx").isin(pfxs))
+            .select(id_col, "band_idx", "band_hash")
             if input_ready(spark, stream_bands_path)
             else None
         )
@@ -697,16 +717,14 @@ def stream_neardup_ingest(
         merge_upsert_parquet_partitioned(
             spark, verdict, out_path, keys=[id_col], partition_col="vb"
         )
-        new_bands = dedup_ops.minhash_bands(
-            batch, id_col, text_col
-        ).withColumn(
+        merge_upsert_parquet_partitioned(
+            spark,
             # letter-prefixed: see write_block_index — keeps hive
             # partition-type inference on STRING for hex prefixes
-            "pfx",
-            F.concat(F.lit("p"), F.substring("band_hash", 1, 2)),
-        )
-        merge_upsert_parquet_partitioned(
-            spark, new_bands, stream_bands_path,
+            new_bands.withColumn(
+                "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
+            ),
+            stream_bands_path,
             keys=[id_col, "band_idx"], partition_col="pfx",
         )
 
@@ -973,6 +991,221 @@ def stream_contrastive_ingest(
             index_path,
             keys=[id_col],
             partition_col="cell",
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def stream_curation_ingest(
+    source: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    trigger_seconds: int = DEFAULT_TRIGGER_SECONDS,
+) -> StreamingQuery:
+    """The COMPOSED curation audit as a crawl-time service — the
+    streaming twin of :func:`operators.curation.curation_verdicts`
+    (build: ``curation.curation_write_state``, probe:
+    ``curation.curation_verdicts_indexed``): each micro-batch of
+    documents is scored and flagged against the corpus-so-far, its
+    verdict rows land in an id-hash-partitioned log, and the dedup
+    state grows by exactly this batch:
+
+    - quality: stateless single-scan ``text_stats`` thresholds;
+    - exact_dup: the batch's normalized sha2-256 digests look up the
+      hash-prefix-bucketed ``hashes/`` index (bounded driver collect
+      of ≤ n_buckets touched-bucket ids → PartitionFilters) and the
+      within-batch window min; a document is a dup iff a STRICTLY
+      lower id holds its digest — the replay-self-provenance guard
+      (a replayed first-arrival finds its own digest stored under its
+      own id and is not killed by it); the index keeps min(first_id)
+      per digest, which an idempotent replay re-upserts unchanged;
+    - near_dup: :func:`operators.dedup.neardup_screen_bands` against
+      the growing band index (empty corpus side — the whole corpus
+      streams), every arrival's bands entering history kept or not;
+    - contaminated: the batch's word n-grams semi-join the STATIC
+      benchmark digest table written at state init.
+
+    Because the batch form's min-id semantics for both dedup stages
+    ARE the arrival-order semantics, draining id-ordered batches
+    B1..Bn from an empty state then probing equals ONE
+    ``curation_verdicts`` over their concatenation (law-tested; the
+    registered query shares its oracle). Requires the monotone-id
+    arrival contract shared by the other ingest services.
+
+    Scale per batch: one narrow scan for quality, digest/band/gram
+    equi-joins against partition-scoped parquet (collision volume,
+    never all-pairs, never O(index) rewrites — all three growing
+    tables MERGE through the bucketed sink), one verdict MERGE."""
+    import json
+    import os
+
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        curation as cur_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        dedup as dedup_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        text as text_ops,
+    )
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        id_hash_bucket,
+        input_ready,
+        merge_upsert_parquet_partitioned,
+    )
+
+    with open(os.path.join(state_path, cur_ops._CURATION_META_SIDECAR)) as f:
+        meta = json.load(f)
+    min_score, min_words = meta["min_score"], meta["min_words"]
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    ngram_n = int(meta["ngram_n"])
+    hashes_path = os.path.join(state_path, "hashes")
+    bands_path = os.path.join(state_path, "bands")
+    verdicts_path = os.path.join(state_path, "verdicts")
+    bench_path = os.path.join(state_path, "bench_grams")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        st = text_ops.text_stats(batch, id_col=id_col, text_col=text_col)
+        bh = batch.select(
+            F.col(id_col),
+            F.sha2(dedup_ops.normalized_text(text_col), 256).alias(
+                "text_hash"
+            ),
+        ).withColumn("hb", id_hash_bucket(F.col("text_hash"), salt="cxh:"))
+        # bounded driver fetch (≤ n_buckets ints) → PartitionFilters
+        bks = sorted(
+            r["hb"] for r in bh.select("hb").distinct().collect()
+        )
+        prior_h = (
+            spark.read.parquet(hashes_path)
+            .filter(F.col("hb").isin(bks))
+            .select("text_hash", F.col("first_id").alias("__pf"))
+            if input_ready(spark, hashes_path)
+            else None
+        )
+        wmin = Window.partitionBy("text_hash")
+        flagged = bh.withColumn("__bm", F.min(id_col).over(wmin))
+        if prior_h is not None:
+            flagged = flagged.join(F.broadcast(prior_h), "text_hash", "left")
+        else:
+            flagged = flagged.withColumn(
+                "__pf", F.lit(None).cast("long")
+            )
+        exact = flagged.select(
+            F.col(id_col),
+            (
+                F.least(F.coalesce(F.col("__pf"), F.col("__bm")), F.col("__bm"))
+                < F.col(id_col)
+            ).alias("exact_dup"),
+        )
+        hash_rows = (
+            flagged.groupBy("text_hash", "hb")
+            .agg(
+                F.least(
+                    F.coalesce(F.min("__pf"), F.min("__bm")), F.min("__bm")
+                ).alias("first_id")
+            )
+        )
+        # prior-band read pruned to the batch's 2-hex band-hash
+        # prefixes (bounded ≤ 256-value collect → PartitionFilters;
+        # band equality implies prefix equality) — O(touched prefix
+        # dirs) per batch, not O(index), same as stream_neardup_ingest
+        new_bands = dedup_ops.minhash_bands(
+            batch, id_col, text_col
+        ).localCheckpoint(eager=True)
+        pfxs = sorted(
+            r["pfx"]
+            for r in new_bands.select(
+                F.concat(
+                    F.lit("p"), F.substring("band_hash", 1, 2)
+                ).alias("pfx")
+            )
+            .distinct()
+            .collect()
+        )
+        prior_b = (
+            spark.read.parquet(bands_path)
+            .filter(F.col("pfx").isin(pfxs))
+            .select(id_col, "band_idx", "band_hash")
+            if input_ready(spark, bands_path)
+            else None
+        )
+        empty_corpus = dedup_ops.minhash_bands(
+            batch.limit(0), id_col, text_col
+        )
+        near = dedup_ops.neardup_screen_bands(
+            batch, empty_corpus, prior_b, id_col, text_col
+        ).select(id_col, F.col("dup").alias("near_dup"))
+        bench = spark.read.parquet(bench_path)
+        doc_grams = text_ops.word_ngram_hashes(
+            batch, id_col, text_col, ngram_n
+        )
+        contam = (
+            batch.select(id_col)
+            .join(
+                doc_grams.join(
+                    F.broadcast(bench), "gram_hash", "left_semi"
+                )
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("__nh")),
+                id_col,
+                "left",
+            )
+            .select(
+                F.col(id_col),
+                (F.coalesce("__nh", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+        passes = (F.col("quality_score") >= min_score) & (
+            F.col("n_words") >= min_words
+        )
+        verdict = (
+            st.select(id_col, "n_words", "quality_score")
+            .join(exact, id_col)
+            .join(F.broadcast(near), id_col)
+            .join(contam, id_col)
+            .select(
+                F.col(id_col),
+                "n_words",
+                "quality_score",
+                passes.alias("passes_quality"),
+                "exact_dup",
+                "near_dup",
+                "contaminated",
+                (
+                    passes
+                    & ~F.col("exact_dup")
+                    & ~F.col("near_dup")
+                    & ~F.col("contaminated")
+                ).alias("kept"),
+            )
+            .withColumn("vb", id_hash_bucket(F.col(id_col), salt="cvv:"))
+        )
+        merge_upsert_parquet_partitioned(
+            spark, verdict, verdicts_path, keys=[id_col], partition_col="vb"
+        )
+        merge_upsert_parquet_partitioned(
+            spark, hash_rows, hashes_path,
+            keys=["text_hash"], partition_col="hb",
+        )
+        merge_upsert_parquet_partitioned(
+            spark,
+            new_bands.withColumn(
+                "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
+            ),
+            bands_path,
+            keys=[id_col, "band_idx"], partition_col="pfx",
         )
 
     writer = (

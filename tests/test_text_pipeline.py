@@ -1205,3 +1205,51 @@ def test_stream_dsir_ingest_equals_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(tuple(r) for r in t.dsir_logweights(docs).collect())
     assert got == want
+
+
+def test_stream_curation_ingest_equals_batch(spark, sf_dir, tmp_path):
+    """Composed streaming-curation law: initialize state with only the
+    benchmark digests, stream the corpus in TWO id-ordered drains, and
+    the verdict log equals the batch `curation_verdicts` over the full
+    corpus (arrival-order min-id semantics == batch min-id semantics
+    under monotone ids — including cross-batch exact/near dups); a
+    third drain with no new input changes nothing."""
+    from real_time_stock_market_data_pipeline__spark.operators import (
+        curation,
+    )
+    from real_time_stock_market_data_pipeline__spark.streaming import pipeline
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    path = str(tmp_path / "state")
+    curation.curation_write_state(bench, path, min_score=0.8, min_words=30)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+    def drain():
+        src = pipeline.read_file_stream(spark, in_dir, schema=docs.schema)
+        q = pipeline.stream_curation_ingest(src, path, ckpt)
+        q.awaitTermination()
+
+    docs.filter(F.col("doc_id") < n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    docs.filter(F.col("doc_id") >= n // 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    drain()  # no new input: idempotent no-op
+
+    got = sorted(
+        tuple(r)
+        for r in curation.curation_verdicts_indexed(spark, path).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in curation.curation_verdicts(
+            docs, bench, min_score=0.8, min_words=30
+        ).collect()
+    )
+    assert got == want
