@@ -1372,10 +1372,6 @@ def _dsir_assemble(
 
 
 _DSIR_META_SIDECAR = "_dsir_meta.json"
-#: id-hash partitions for the per-doc bucket-count / meta tables
-DSIR_DOC_BUCKETS = 32
-#: batch-id partitions for the mergeable stats partials
-DSIR_STAT_BUCKETS = 8
 
 
 def dsir_write_index(
@@ -1396,35 +1392,32 @@ def dsir_write_index(
     ONE (batch_id, bucket, cr, ct) stats-partial table (``stats/``,
     ≤ n_buckets rows per batch) whose bucket-wise SUM is exactly the
     full-corpus distribution — counts are integers, so the additive
-    merge is exact and arrival-order independent, and keying partials
-    on batch_id makes checkpoint replay overwrite itself instead of
-    double-counting (the `stream_bm25_ingest` register-merge
-    discipline). The build is batch_id = -1."""
+    merge is exact and arrival-order independent.
+
+    Layout: every table is partitioned on ``bp`` (the writing batch,
+    build = -1). The crawl contract guarantees new ids per batch, so
+    the service APPENDS a fresh ``bp`` partition per drain via dynamic
+    partition overwrite — O(batch) per drain, no index-sized reads or
+    rewrites, and checkpoint replay overwrites its own partition
+    (idempotent by layout, the register-merge discipline)."""
     import json
     import os
 
-    from real_time_stock_market_data_pipeline__spark.sinks import (
-        id_hash_bucket,
-    )
-
     target = F.col(lang_col) == target_lang
     exploded = _dsir_exploded(docs, target, id_col, text_col, n_buckets)
-    db = id_hash_bucket(F.col(id_col), DSIR_DOC_BUCKETS, salt="dsir:")
+    bp = F.lit(-1).cast("long").alias("bp")
     (
         exploded.groupBy(F.col(id_col), "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("db", db)
-        .repartition(F.col("db"))
+        .select(F.col(id_col), "bucket", "n", bp)
         .write.mode("overwrite")
-        .partitionBy("db")
+        .partitionBy("bp")
         .parquet(os.path.join(path, "buckets"))
     )
     (
-        docs.select(F.col(id_col), F.col(lang_col).alias("lang"))
-        .withColumn("db", db)
-        .repartition(F.col("db"))
+        docs.select(F.col(id_col), F.col(lang_col).alias("lang"), bp)
         .write.mode("overwrite")
-        .partitionBy("db")
+        .partitionBy("bp")
         .parquet(os.path.join(path, "docs"))
     )
     (
@@ -1438,13 +1431,11 @@ def dsir_write_index(
             "bucket",
             "cr",
             "ct",
-            F.lit(int((-1) % DSIR_STAT_BUCKETS)).cast("int").alias(
-                "stat_bucket"
-            ),
+            bp,
         )
         .repartition(1)
         .write.mode("overwrite")
-        .partitionBy("stat_bucket")
+        .partitionBy("bp")
         .parquet(os.path.join(path, "stats"))
     )
     with open(os.path.join(path, _DSIR_META_SIDECAR), "w") as f:
@@ -1455,8 +1446,6 @@ def dsir_write_index(
                 "text_col": text_col,
                 "lang_col": lang_col,
                 "target_lang": target_lang,
-                "doc_buckets": DSIR_DOC_BUCKETS,
-                "stat_buckets": DSIR_STAT_BUCKETS,
             },
             f,
         )

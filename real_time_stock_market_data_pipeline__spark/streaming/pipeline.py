@@ -1044,8 +1044,18 @@ def stream_curation_ingest(
 
     Scale per batch: one narrow scan for quality, digest/band/gram
     equi-joins against partition-scoped parquet (collision volume,
-    never all-pairs, never O(index) rewrites — all three growing
-    tables MERGE through the bucketed sink), one verdict MERGE."""
+    never all-pairs), and — because the crawl contract guarantees new
+    ids per batch — all three growing tables APPEND a fresh batch
+    partition via dynamic partition overwrite (``bp`` nested under
+    each table's prune key), so writes are O(batch) with no
+    index-sized read or rewrite ever, and a checkpoint replay
+    overwrites its own partitions (idempotent by layout — the measured
+    `stream_dsir_ingest` lesson: bucketed MERGEs rewrite every touched
+    bucket, and a uniformly-hashed batch touches all of them). The
+    digest index stores each batch's own per-hash min id; the reader
+    resolves the global min, which under monotone ids is the true
+    first arrival. Long-run partition counts are the compaction
+    family's job."""
     import json
     import os
 
@@ -1061,7 +1071,6 @@ def stream_curation_ingest(
     from real_time_stock_market_data_pipeline__spark.sinks import (
         id_hash_bucket,
         input_ready,
-        merge_upsert_parquet_partitioned,
     )
 
     with open(os.path.join(state_path, cur_ops._CURATION_META_SIDECAR)) as f:
@@ -1090,7 +1099,8 @@ def stream_curation_ingest(
         prior_h = (
             spark.read.parquet(hashes_path)
             .filter(F.col("hb").isin(bks))
-            .select("text_hash", F.col("first_id").alias("__pf"))
+            .groupBy("text_hash")
+            .agg(F.min("first_id").alias("__pf"))
             if input_ready(spark, hashes_path)
             else None
         )
@@ -1109,13 +1119,11 @@ def stream_curation_ingest(
                 < F.col(id_col)
             ).alias("exact_dup"),
         )
-        hash_rows = (
-            flagged.groupBy("text_hash", "hb")
-            .agg(
-                F.least(
-                    F.coalesce(F.min("__pf"), F.min("__bm")), F.min("__bm")
-                ).alias("first_id")
-            )
+        # the batch's OWN per-hash min only: the reader resolves the
+        # global min across batch partitions (monotone ids make it the
+        # true first arrival), so no prior state enters the write path
+        hash_rows = flagged.groupBy("text_hash", "hb").agg(
+            F.min("__bm").alias("first_id")
         )
         # prior-band read pruned to the batch's 2-hex band-hash
         # prefixes (bounded ≤ 256-value collect → PartitionFilters;
@@ -1190,22 +1198,30 @@ def stream_curation_ingest(
                     & ~F.col("contaminated")
                 ).alias("kept"),
             )
-            .withColumn("vb", id_hash_bucket(F.col(id_col), salt="cvv:"))
+            .withColumn("bp", F.lit(int(batch_id)).cast("long"))
         )
-        merge_upsert_parquet_partitioned(
-            spark, verdict, verdicts_path, keys=[id_col], partition_col="vb"
+
+        def write_dyn(df: DataFrame, path: str, parts: list[str]) -> None:
+            (
+                df.coalesce(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(path)
+            )
+
+        write_dyn(verdict, verdicts_path, ["bp"])
+        write_dyn(
+            hash_rows.withColumn("bp", F.lit(int(batch_id)).cast("long")),
+            hashes_path,
+            ["hb", "bp"],
         )
-        merge_upsert_parquet_partitioned(
-            spark, hash_rows, hashes_path,
-            keys=["text_hash"], partition_col="hb",
-        )
-        merge_upsert_parquet_partitioned(
-            spark,
+        write_dyn(
             new_bands.withColumn(
                 "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
-            ),
+            ).withColumn("bp", F.lit(int(batch_id)).cast("long")),
             bands_path,
-            keys=[id_col, "band_idx"], partition_col="pfx",
+            ["pfx", "bp"],
         )
 
     writer = (
@@ -1230,30 +1246,37 @@ def stream_dsir_ingest(
     """Streaming DSIR scoring-state maintenance — the data-selection
     service (build: ``text.dsir_write_index``, probe:
     ``text.dsir_weights_indexed``): each micro-batch of documents
-    MERGEs (1) its per-doc hashed-bigram bucket counts into the
-    id-hash partitions they hash to (keyed on (id, bucket)), (2) its
-    (id, lang) meta rows (same layout — carries zero-gram docs), and
-    (3) ONE ≤ n_buckets-row stats partial ``(batch_id, bucket, cr,
-    ct)`` keyed on (batch_id, bucket) — corpus and target bigram
-    distributions stay EXACT under any arrival order (integer counts
-    are additive) and a checkpoint replay overwrites its own partial
-    instead of double-counting (the `stream_bm25_ingest` register-
-    merge discipline). After draining B1..Bn over an index built from
-    corpus C, ``dsir_weights_indexed`` answers exactly like
-    ``dsir_logweights`` over C ∪ B1..Bn (law-tested; N-drain ≡ batch).
-    Per-batch cost tracks batch volume: bucket counts touch ≤ 32
-    id-hash partitions, the stats partial is one ≤ 256-row MERGE.
-    Schema resolves from the sidecar the index was BUILT with;
-    fail-fast at wiring if index or sidecar is missing."""
+    writes (1) its per-doc hashed-bigram bucket counts, (2) its
+    (id, lang) meta rows (carry the zero-gram docs), and (3) ONE
+    ≤ n_buckets-row stats partial ``(batch_id, bucket, cr, ct)`` —
+    corpus and target bigram distributions stay EXACT under any
+    arrival order (integer counts are additive).
+
+    Sink shape: the crawl contract guarantees NEW document ids per
+    batch, so the per-doc tables need no upsert at all — each batch
+    lands in its own ``bp=<batch_id>`` partition via DYNAMIC partition
+    overwrite, which is (a) O(batch) per drain with no index-sized
+    read or rewrite ever (measured: the id-hash-bucketed MERGE this
+    replaced rewrote every touched bucket — 4.7→9.8 s per 1000-doc
+    drain across a 250k→4M-doc decade because a uniformly-hashed
+    batch touches ALL buckets; this sink holds ~2.6 s FLAT) and
+    (b) replay-idempotent: a checkpoint replay overwrites ITS OWN
+    partition instead of double-writing (the same self-overwrite
+    guarantee the batch-id-keyed stats partial gives — the
+    `stream_bm25_ingest` register-merge discipline, realized as
+    layout). Long-run partition counts are the compaction family's
+    job, as with the other at-rest services.
+
+    After draining B1..Bn over an index built from corpus C,
+    ``dsir_weights_indexed`` answers exactly like ``dsir_logweights``
+    over C ∪ B1..Bn (law-tested; N-drain ≡ batch). Schema resolves
+    from the sidecar the index was BUILT with; fail-fast at wiring if
+    index or sidecar is missing."""
     import json
     import os
 
     from real_time_stock_market_data_pipeline__spark.operators import (
         text as text_ops,
-    )
-    from real_time_stock_market_data_pipeline__spark.sinks import (
-        id_hash_bucket,
-        merge_upsert_parquet_partitioned,
     )
 
     with open(os.path.join(index_path, text_ops._DSIR_META_SIDECAR)) as f:
@@ -1261,34 +1284,35 @@ def stream_dsir_ingest(
     n_buckets = int(meta["n_buckets"])
     id_col, text_col = meta["id_col"], meta["text_col"]
     lang_col, target_lang = meta["lang_col"], meta["target_lang"]
-    doc_buckets_n = int(meta["doc_buckets"])
-    stat_buckets_n = int(meta["stat_buckets"])
+
+    def write_bp(df: DataFrame, path: str) -> None:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bp")
+            .parquet(path)
+        )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         target = F.col(lang_col) == target_lang
         exploded = text_ops._dsir_exploded(
             batch, target, id_col, text_col, n_buckets
         )
-        db = id_hash_bucket(F.col(id_col), doc_buckets_n, salt="dsir:")
-        merge_upsert_parquet_partitioned(
-            spark,
+        bp = F.lit(int(batch_id)).cast("long").alias("bp")
+        write_bp(
             exploded.groupBy(F.col(id_col), "bucket")
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("db", db),
+            .select(F.col(id_col), "bucket", "n", bp),
             os.path.join(index_path, "buckets"),
-            keys=[id_col, "bucket"],
-            partition_col="db",
         )
-        merge_upsert_parquet_partitioned(
-            spark,
-            batch.select(F.col(id_col), F.col(lang_col).alias("lang"))
-            .withColumn("db", db),
+        write_bp(
+            batch.select(
+                F.col(id_col), F.col(lang_col).alias("lang"), bp
+            ),
             os.path.join(index_path, "docs"),
-            keys=[id_col],
-            partition_col="db",
         )
-        partial = (
+        write_bp(
             exploded.groupBy("bucket")
             .agg(
                 F.count(F.lit(1)).alias("cr"),
@@ -1299,17 +1323,9 @@ def stream_dsir_ingest(
                 "bucket",
                 "cr",
                 "ct",
-                F.lit(int(batch_id % stat_buckets_n)).cast("int").alias(
-                    "stat_bucket"
-                ),
-            )
-        )
-        merge_upsert_parquet_partitioned(
-            spark,
-            partial,
+                bp,
+            ),
             os.path.join(index_path, "stats"),
-            keys=["batch_id", "bucket"],
-            partition_col="stat_bucket",
         )
 
     writer = (
