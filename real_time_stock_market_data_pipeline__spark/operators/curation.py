@@ -40,6 +40,7 @@ def curation_write_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 5,
+    hb_buckets: int | None = None,
 ) -> None:
     """Initialize the at-rest state the streaming curation service
     (:func:`streaming.pipeline.stream_curation_ingest`) maintains: the
@@ -52,6 +53,10 @@ def curation_write_state(
     have not fixed yet)."""
     import json
     import os
+
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        ID_HASH_BUCKETS,
+    )
 
     (
         text.word_ngram_hashes(benchmark, id_col, text_col, ngram_n)
@@ -68,6 +73,16 @@ def curation_write_state(
                 "id_col": id_col,
                 "text_col": text_col,
                 "ngram_n": int(ngram_n),
+                # the hash index's layout constant, fixed at init: the
+                # ingest service resolves it from here (never from the
+                # live ID_HASH_BUCKETS constant), so raising the
+                # default later cannot desync prior-hash partition
+                # pruning from the directories already on disk
+                # (round-14 ADVICE; same sidecar discipline as
+                # bm25's dl_buckets / bq's n_buckets)
+                "hb_buckets": int(
+                    ID_HASH_BUCKETS if hb_buckets is None else hb_buckets
+                ),
             },
             f,
         )
@@ -106,6 +121,7 @@ def curation_verdicts(
     min_words: int = 30,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_n: int = 5,
 ) -> DataFrame:
     """Per-document curation verdict: one row per input document with
     its quality stats and the four stage flags —
@@ -117,8 +133,8 @@ def curation_verdicts(
     - ``near_dup``: the higher id of at least one MinHash-LSH banded
       candidate pair (:func:`dedup.dedup_minhash_pairs` — keep-lowest
       greedy resolution, the standard corpus-dedup policy);
-    - ``contaminated``: shares a word 5-gram with the ``benchmark``
-      corpus (:func:`text.decontaminate`);
+    - ``contaminated``: shares a word ``ngram_n``-gram with the
+      ``benchmark`` corpus (:func:`text.decontaminate`);
 
     and ``kept`` = passes_quality ∧ none of the kill flags.
 
@@ -146,8 +162,12 @@ def curation_verdicts(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
+    # ngram_n threads through so a state built with a non-default gram
+    # size keeps the documented streaming ≡ batch equivalence
+    # (round-14 ADVICE: the streaming twin honored the sidecar's
+    # ngram_n while this form hard-coded decontaminate's default)
     contam = text.decontaminate(
-        docs, benchmark, id_col=id_col, text_col=text_col
+        docs, benchmark, id_col=id_col, text_col=text_col, n=ngram_n
     ).select(id_col, "contaminated")
     out = (
         st.join(exact, id_col)

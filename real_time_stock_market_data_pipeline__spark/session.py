@@ -119,7 +119,9 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    prestart_callback_server(spark)
+    return spark
 
 
 def ensure_min_parallelism(df, target: int | None = None):
@@ -138,11 +140,49 @@ def ensure_min_parallelism(df, target: int | None = None):
     return df
 
 
+def prestart_callback_server(spark: SparkSession, attempts: int = 3) -> bool:
+    """Start the py4j callback server eagerly, while thread pressure is
+    lowest.
+
+    PySpark starts this server lazily at the FIRST ``foreachBatch``
+    wiring — which in a long oracle sweep lands mid-run, right after
+    thread-heavy index-panel queries, where a resource-constrained
+    driver host can fail the thread spawn (observed: round-14 driver
+    run, ``RuntimeError: can't start new thread`` inside
+    ``ensure_callback_server_started``). Starting the one listener
+    thread at session setup removes that exposure; the later lazy call
+    is then a no-op. Best-effort with a bounded gc+sleep retry — most
+    sessions never run a foreachBatch sink, so failure here must not
+    break batch-only workloads (the wiring-time call remains the
+    authoritative one and will raise if the server truly cannot start).
+    """
+    try:
+        from pyspark.java_gateway import ensure_callback_server_started
+    except Exception:
+        return False
+    for i in range(attempts):
+        try:
+            gw = spark.sparkContext._gateway
+            if gw is None:
+                return False
+            ensure_callback_server_started(gw)
+            return True
+        except Exception:
+            if i + 1 < attempts:
+                import gc
+                import time
+
+                gc.collect()
+                time.sleep(1.0 + i)
+    return False
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine conf to an externally-created
     session (e.g. the correctness driver's). Timezone matters most:
     window starts and date truncation must be UTC to match the oracle.
     """
+    prestart_callback_server(spark)
     for k, v in ENGINE_CONF.items():
         try:
             spark.conf.set(k, v)
