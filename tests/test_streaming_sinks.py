@@ -438,3 +438,216 @@ def test_merge_upsert_parquet_partitioned_touches_only_batch_cells(
         spark, first.limit(0), path, keys=["vec_id"], partition_col="cell"
     )
     assert spark.read.parquet(path).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Round-15 layout migration: NEW side tables use bp=<batch_id> appends;
+# PRE-EXISTING tables must keep the layout they were created with
+# (partition depth cannot change mid-table, and a legacy flat log must
+# not crash on a missing partition column — round-14 ADVICE).
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_json(path, obj):
+    import json
+
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def test_stream_neardup_legacy_layouts_merge(spark, tmp_path):
+    """A pre-bp verdict log (flat, and round-14 vb-bucketed) plus a
+    pfx-only band index keep MERGing under the migrated service: the
+    layout is detected from the stored schema at wiring time and the
+    final verdicts equal the batch screen either way."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    schema = "doc_id: long, text: string"
+    corpus = spark.createDataFrame([(0, "c1 c2 c3 c4 c5")], schema)
+    b1 = spark.createDataFrame(
+        [(10, "c1 c2 c3 c4 c5"), (11, "n1 n2 n3 n4 n5")], schema
+    )
+    b2 = spark.createDataFrame([(20, "n1 n2 n3 n4 n5")], schema)
+    cbp = str(tmp_path / "corpus_bands")
+    dedup.write_dedup_index(corpus, cbp)
+    want = {
+        r["doc_id"]: (r["n_corpus_dups"], r["n_prior_dups"], r["dup"])
+        for r in dedup.neardup_screen(b1.unionByName(b2), corpus).collect()
+    }
+
+    for layout in ("flat", "vb"):
+        base = tmp_path / f"legacy_{layout}"
+        out, sbp = str(base / "verdicts"), str(base / "stream_bands")
+        in_dir, ckpt = str(base / "in"), str(base / "ckpt")
+        # fabricate the pre-migration state after batch 1: verdict log
+        # without a bp column (optionally vb-bucketed), band index
+        # partitioned on pfx only
+        v1 = dedup.neardup_screen(b1, corpus)
+        if layout == "vb":
+            (
+                v1.withColumn(
+                    "vb", sinks.id_hash_bucket(F.col("doc_id"), salt="ndv:")
+                )
+                .repartition(F.col("vb"))
+                .write.partitionBy("vb")
+                .parquet(out)
+            )
+        else:
+            v1.write.parquet(out)
+        (
+            dedup.minhash_bands(b1)
+            .withColumn(
+                "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
+            )
+            .repartition(F.col("pfx"))
+            .write.partitionBy("pfx")
+            .parquet(sbp)
+        )
+        b2.coalesce(1).write.parquet(in_dir)
+        src = pipeline.read_file_stream(spark, in_dir, schema=b2.schema)
+        q = pipeline.stream_neardup_ingest(src, cbp, sbp, out, ckpt)
+        q.awaitTermination()
+        got = {
+            r["doc_id"]: (r["n_corpus_dups"], r["n_prior_dups"], r["dup"])
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, layout
+        # the legacy band table grew IN PLACE (no bp column appeared)
+        bcols = spark.read.parquet(sbp).columns
+        assert "bp" not in bcols
+        assert {
+            (r["doc_id"], r["band_idx"], r["band_hash"])
+            for r in spark.read.parquet(sbp)
+            .select("doc_id", "band_idx", "band_hash")
+            .collect()
+        } == {
+            tuple(r) for r in dedup.minhash_bands(b1.unionByName(b2)).collect()
+        }
+
+
+def test_stream_bm25_legacy_layouts_merge(spark, tmp_path):
+    """Round-14 bucketed (dl_buckets/stat_buckets) and pre-13 flat
+    doclens/stats sidecars keep their MERGE paths under the migrated
+    ingest; the probe equals the one-pass scorer over the union."""
+    from real_time_stock_market_data_pipeline__spark.operators import text as t
+
+    schema = "doc_id: long, text: string"
+    corpus = spark.createDataFrame(
+        [(0, "apple pie with extra apple"), (1, "pear tart no fruit")], schema
+    )
+    batch = spark.createDataFrame([(10, "apple and pear salad")], schema)
+    terms = ["apple", "pear"]
+    want = [
+        tuple(r)
+        for r in t.bm25_topk(corpus.unionByName(batch), terms, k=10).collect()
+    ]
+
+    for layout in ("bucketed", "flat"):
+        idx = str(tmp_path / f"bm25_{layout}")
+        in_dir = str(tmp_path / f"in_{layout}")
+        ckpt = str(tmp_path / f"ckpt_{layout}")
+        t.bm25_write_index(corpus, idx)
+        # rewrite doclens/stats + sidecar into the legacy layout
+        dls = t.bm25_doclens(corpus, "doc_id", "text")
+        stats = dls.agg(
+            F.lit(-1).cast("long").alias("batch_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(idx, "doclens"))
+        _sh.rmtree(os.path.join(idx, "stats"))
+        meta = {"n_buckets": t.BM25_TERM_BUCKETS, "id_col": "doc_id"}
+        if layout == "bucketed":
+            (
+                dls.withColumn(
+                    "dl_bucket",
+                    sinks.id_hash_bucket(F.col("doc_id"), 8, salt="bm25dl:"),
+                )
+                .write.partitionBy("dl_bucket")
+                .parquet(os.path.join(idx, "doclens"))
+            )
+            (
+                stats.withColumn(
+                    "stat_bucket",
+                    F.pmod(F.col("batch_id"), F.lit(8)).cast("int"),
+                )
+                .write.partitionBy("stat_bucket")
+                .parquet(os.path.join(idx, "stats"))
+            )
+            meta.update({"dl_buckets": 8, "stat_buckets": 8})
+        else:
+            dls.write.parquet(os.path.join(idx, "doclens"))
+            stats.write.parquet(os.path.join(idx, "stats"))
+        _rewrite_json(os.path.join(idx, t._BM25_META_SIDECAR), meta)
+
+        batch.coalesce(1).write.parquet(in_dir)
+        src = pipeline.read_file_stream(spark, in_dir, schema=batch.schema)
+        q = pipeline.stream_bm25_ingest(src, idx, ckpt)
+        q.awaitTermination()
+        got = [
+            tuple(r)
+            for r in t.bm25_topk_indexed(spark, idx, terms, k=10).collect()
+        ]
+        assert got == want, layout
+        assert "bp" not in spark.read.parquet(
+            os.path.join(idx, "doclens")
+        ).columns
+
+
+def test_stream_bq_legacy_layouts_merge(spark, sf_dir, tmp_path):
+    """Round-14 sig_bucket-MERGE and pre-13 flat signature tables keep
+    working under the migrated bq ingest (sidecar without `layout`);
+    the probe equals bq_topk over the union with the frozen means."""
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    q_vec = [
+        float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    mu = similarity.bq_dim_means(embs)
+    n = embs.count()
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    half_b = embs.filter(F.col("vec_id") >= n // 2)
+    want = [
+        tuple(r) for r in similarity.bq_topk(embs, q_vec, k=10, means=mu).collect()
+    ]
+
+    for layout in ("bucketed", "flat"):
+        path = str(tmp_path / f"bq_{layout}" / "index")
+        in_dir = str(tmp_path / f"in_{layout}")
+        ckpt = str(tmp_path / f"ckpt_{layout}")
+        lanes = similarity._bq_lane_cols("embedding", mu, len(mu))
+        sig = half_a.select(
+            F.col("vec_id"),
+            *[ln.alias(f"sig{i}") for i, ln in enumerate(lanes)],
+        )
+        meta = {"means": mu, "id_col": "vec_id"}
+        if layout == "bucketed":
+            (
+                sig.withColumn(
+                    "sig_bucket",
+                    sinks.id_hash_bucket(F.col("vec_id"), 8, salt="bq:"),
+                )
+                .repartition(F.col("sig_bucket"))
+                .write.partitionBy("sig_bucket")
+                .parquet(path)
+            )
+            meta["n_buckets"] = 8
+        else:
+            sig.write.parquet(path)
+        _rewrite_json(similarity._bq_meta_path(path), meta)
+
+        half_b.coalesce(1).write.parquet(in_dir)
+        src = pipeline.read_file_stream(spark, in_dir)
+        q = pipeline.stream_bq_ingest(src, path, ckpt)
+        q.awaitTermination()
+        got = [
+            tuple(r)
+            for r in similarity.bq_topk_indexed(
+                spark, embs, path, q_vec, k=10
+            ).collect()
+        ]
+        assert got == want, layout
+        assert "bp" not in spark.read.parquet(path).columns
