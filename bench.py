@@ -134,6 +134,22 @@ TIER4_QUERIES = [
     "bpe_token_count",
 ]
 
+#: Round-14 additions (hybrid retrieval, the ANN recall panel, the
+#: iterative k-means trainer, the composed curation audit, and the
+#: three foreachBatch streaming services). Own tier so tiers 1-4 stay
+#: comparable to their frozen anchors; round 15's BENCH artifact is
+#: THIS tier's anchor (round-14 verdict ask #4 — without it a
+#: regression on these queries was invisible to BENCH_r{N}).
+TIER5_QUERIES = [
+    "rrf_hybrid_topk",
+    "ann_recall_sweep",
+    "kmeans_train",
+    "curation_verdicts",
+    "stream_contrastive_pairs",
+    "stream_dsir_weights",
+    "stream_curation_verdicts",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,6 +240,7 @@ def main() -> None:
     tier2_total, n_failed_t2 = run_tier(TIER2_QUERIES)
     tier3_total, n_failed_t3 = run_tier(TIER3_QUERIES)
     tier4_total, n_failed_t4 = run_tier(TIER4_QUERIES)
+    tier5_total, n_failed_t5 = run_tier(TIER5_QUERIES)
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -232,12 +249,14 @@ def main() -> None:
         "tier2_total": tier2_total,
         "tier3_total": tier3_total,
         "tier4_total": tier4_total,
+        "tier5_total": tier5_total,
         "calib_sec": calib_sec,
         "scale_profile": use_profile,
         "failed_queries": n_failed_t1,
         "tier2_failed_queries": n_failed_t2,
         "tier3_failed_queries": n_failed_t3,
         "tier4_failed_queries": n_failed_t4,
+        "tier5_failed_queries": n_failed_t5,
         "sf": sf,
     }
     if errors:

@@ -1,19 +1,25 @@
-"""Measured decade A/B for the round-14 side-table bucketing (round-13
-verdict ask #1): the streaming index services' row-keyed side tables —
-BM25 doclens, BQ signatures, near-dup verdict logs — used the FLAT
-read-merge-swap sink, whose per-batch cost is O(index); they now carry
-an id-hash bucket partition and MERGE through the partitioned sink,
-whose per-batch cost is O(touched buckets).
+"""Measured decade A/B for the streaming side-table layouts: the
+row-keyed side tables — BM25 doclens, BQ signatures, near-dup verdict
+logs — have had three layouts across rounds: FLAT read-merge-swap
+(per-batch cost O(index)), round-14 id-hash-bucket MERGE (O(touched
+buckets) — but a uniformly-hashed batch touches ALL buckets once it
+exceeds ~n_buckets rows), and the round-15 bp=<batch_id> APPEND
+(O(batch): the keys are new every batch, so nothing stored is read or
+rewritten — the measured DSIR-sink discipline, now the default build
+layout for all three tables).
 
 For each table shape, seed an index of N rows (default sweep
-250k / 1M / 4M — the r11 experiment-B decade) in BOTH layouts, then
-time a small-batch upsert through each sink. Two rounds per sink —
+250k / 1M / 4M — the r11 experiment-B decade) in ALL THREE layouts,
+then time a batch landing through each sink. Two rounds per sink —
 round 1 from the cold seed, round 2 on the sink's own output (the
-steady-state shape the claim is about). Prints one JSON line per
-(table, N) cell; results are recorded in BASELINE.md.
+steady-state shape the claim is about). ``--uniform`` draws the batch
+from uniformly-hashed ids (the crawl shape where bucketed MERGE
+degrades to O(index)); the default scopes it to 2 buckets (the shape
+the round-14 A/B isolated). Prints one JSON line per (table, N) cell;
+results are recorded in BASELINE.md.
 
 Run: python scripts/bench_side_tables.py [--rows 250000,1000000,4000000]
-     [--batch-rows 100]
+     [--batch-rows 100] [--uniform]
 """
 
 from __future__ import annotations
@@ -77,22 +83,25 @@ TABLES = {
 def run_cell(
     spark, name: str, n_rows: int, batch_rows: int,
     n_buckets: int = sinks.ID_HASH_BUCKETS,
+    uniform: bool = False,
 ) -> dict:
     payload, salt, id_col, bucket_col = TABLES[name]
     seed = payload(spark.range(n_rows).repartition(32))
-    # the shape the partitioned sink targets is touched ≪ total (the
-    # r11 experiment-B discipline): draw the batch only from ids that
-    # hash into 2 of the 32 buckets. (A batch of arbitrary ids touches
-    # every bucket once it exceeds ~n_buckets rows — there the win
-    # comes from RAISING n_buckets with the table, which the sidecar
-    # records; this cell isolates the per-bucket scoping itself.)
+    # default shape: touched ≪ total (the r11 experiment-B discipline)
+    # — draw the batch only from ids that hash into 2 of the 32
+    # buckets, isolating the per-bucket scoping itself. --uniform
+    # instead draws arbitrary ids (the crawl shape): a batch beyond
+    # ~n_buckets rows then touches every bucket and the bucketed MERGE
+    # re-reads O(index) — the case the bp append exists for.
+    batch = payload(
+        spark.range(10_000_000_000, 10_000_000_000 + 100 * batch_rows + 3000)
+    ).withColumn(
+        bucket_col, sinks.id_hash_bucket(F.col(id_col), n_buckets, salt=salt)
+    )
+    if not uniform:
+        batch = batch.filter(F.col(bucket_col).isin(0, 1))
     batch = (
-        payload(spark.range(10_000_000_000, 10_000_003_000))
-        .withColumn(
-            bucket_col, sinks.id_hash_bucket(F.col(id_col), n_buckets, salt=salt)
-        )
-        .filter(F.col(bucket_col).isin(0, 1))
-        .limit(batch_rows)
+        batch.limit(batch_rows)
         .coalesce(1)
         .localCheckpoint(eager=True)
     )
@@ -104,12 +113,13 @@ def run_cell(
         "index_rows": n_rows,
         "batch_rows": batch_rows,
         "n_buckets": n_buckets,
+        "uniform": uniform,
         "touched_buckets": bucketed_batch.select(bucket_col)
         .distinct()
         .count(),
     }
     try:
-        flat, part = f"{tmp}/flat", f"{tmp}/part"
+        flat, part, bp = f"{tmp}/flat", f"{tmp}/part", f"{tmp}/bp"
         seed.write.parquet(flat)
         (
             seed.withColumn(
@@ -119,6 +129,9 @@ def run_cell(
             .write.partitionBy(bucket_col)
             .parquet(part)
         )
+        seed.withColumn("bp", F.lit(-1).cast("long")).write.partitionBy(
+            "bp"
+        ).parquet(bp)
         for rnd in (1, 2):
             t0 = time.time()
             sinks.merge_upsert_parquet(spark, batch, flat, keys=[id_col])
@@ -132,6 +145,11 @@ def run_cell(
                 partition_col=bucket_col,
             )
             out[f"bucketed_sink_sec_{rnd}"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            sinks.append_batch_partition(
+                batch.withColumn("bp", F.lit(rnd).cast("long")), bp, ["bp"]
+            )
+            out[f"bp_sink_sec_{rnd}"] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -143,6 +161,7 @@ def main() -> None:
     ap.add_argument("--batch-rows", type=int, default=100)
     ap.add_argument("--tables", default=",".join(TABLES))
     ap.add_argument("--n-buckets", type=int, default=sinks.ID_HASH_BUCKETS)
+    ap.add_argument("--uniform", action="store_true")
     args = ap.parse_args()
     spark = get_spark("bench_side_tables")
     spark.sparkContext.setLogLevel("ERROR")
@@ -153,7 +172,7 @@ def main() -> None:
             print(
                 json.dumps(
                     run_cell(spark, name, n, args.batch_rows,
-                             args.n_buckets)
+                             args.n_buckets, uniform=args.uniform)
                 ),
                 flush=True,
             )
