@@ -2923,16 +2923,25 @@ def contrastive_write_index(
         if centroids is not None
         else ivf_centroids(embs, n_centroids, id_col, vec_col)
     )
+    # bp=<batch_id> nested INSIDE the cell partitions (bp=-1 is the
+    # base build): the cell stays the probe's prune key, while the
+    # streaming ingest APPENDS each batch as fresh bp subpartitions —
+    # O(batch) writes with nothing stored read back (ids are new every
+    # batch), replay overwrites its own partitions. Same nested-prune
+    # -key discipline as the curation state's hb=*/bp=*; legacy
+    # cell-only indexes (sidecar without `layout`) keep the
+    # cell-scoped MERGE.
     (
         embs.select(
             F.col(id_col),
             F.col(label_col),
             F.col(vec_col),
             ivf_assign(F.col(vec_col), cents).alias("cell"),
+            F.lit(-1).cast("long").alias("bp"),
         )
         .repartition(F.col("cell"))
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "bp")
         .parquet(path)
     )
     with open(_contrastive_meta_path(path), "w") as f:
@@ -2942,6 +2951,7 @@ def contrastive_write_index(
                 "id_col": id_col,
                 "label_col": label_col,
                 "vec_col": vec_col,
+                "layout": "cell_bp",
             },
             f,
         )

@@ -1044,9 +1044,13 @@ def stream_contrastive_ingest(
     ``similarity.contrastive_pairs_indexed``), round-13 verdict
     stretch #8: each micro-batch of labeled embeddings is assigned to
     its IVF cell under the sidecar's FROZEN centroids (map-side fold,
-    no shuffle) and MERGE-upserted keyed on the id into the cell
-    partition it hashes to — cell-scoped per-batch cost, replay
-    idempotent (the T10 contract). Cell assignment is a pure function
+    no shuffle) and APPENDED as fresh ``bp=<batch_id>`` subpartitions
+    nested inside the cell partitions (round-15: ids are new every
+    batch under the crawl contract, so nothing stored is read back —
+    O(batch) writes, the cell stays the probe's prune key, and a
+    checkpoint replay overwrites its own partitions; legacy cell-only
+    indexes keep the cell-scoped MERGE, resolved from the sidecar).
+    Cell assignment is a pure function
     of (vector, frozen centroids), so draining batches B1..Bn then
     probing equals one batch ``contrastive_pairs`` over the
     concatenated corpus (law-tested: N-drain ≡ batch). Schema
@@ -1059,6 +1063,7 @@ def stream_contrastive_ingest(
         similarity,
     )
     from real_time_stock_market_data_pipeline__spark.sinks import (
+        append_batch_partition,
         merge_upsert_parquet_partitioned,
     )
 
@@ -1067,6 +1072,7 @@ def stream_contrastive_ingest(
     cents = [[float(x) for x in c] for c in meta["centroids"]]
     id_col, label_col = meta["id_col"], meta["label_col"]
     vec_col = meta["vec_col"]
+    layout = meta.get("layout")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         assigned = batch.select(
@@ -1075,13 +1081,23 @@ def stream_contrastive_ingest(
             F.col(vec_col),
             similarity.ivf_assign(F.col(vec_col), cents).alias("cell"),
         )
-        merge_upsert_parquet_partitioned(
-            batch.sparkSession,
-            assigned,
-            index_path,
-            keys=[id_col],
-            partition_col="cell",
-        )
+        if layout == "cell_bp":
+            append_batch_partition(
+                assigned.withColumn(
+                    "bp", F.lit(int(batch_id)).cast("long")
+                ),
+                index_path,
+                ["cell", "bp"],
+                coherence_col="cell",
+            )
+        else:
+            merge_upsert_parquet_partitioned(
+                batch.sparkSession,
+                assigned,
+                index_path,
+                keys=[id_col],
+                partition_col="cell",
+            )
 
     return _start_foreach_batch(
         source, process_batch, checkpoint_path, available_now, trigger_seconds

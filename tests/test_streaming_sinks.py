@@ -651,3 +651,55 @@ def test_stream_bq_legacy_layouts_merge(spark, sf_dir, tmp_path):
         ]
         assert got == want, layout
         assert "bp" not in spark.read.parquet(path).columns
+
+
+def test_stream_contrastive_legacy_cell_merge(spark, sf_dir, tmp_path):
+    """A round-14 cell-only contrastive index (sidecar without
+    `layout`) keeps the cell-scoped MERGE under the migrated ingest;
+    the probe equals the batch miner over the union."""
+    import json
+
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    embs = load_table(spark, sf_dir, "embeddings").withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    n = embs.count()
+    half_a = embs.filter(F.col("vec_id") < n // 2)
+    half_b = embs.filter(F.col("vec_id") >= n // 2)
+    cents = similarity.ivf_centroids(embs, 8)
+    path = str(tmp_path / "contrastive_legacy")
+    # fabricate the round-14 layout: cell partitions only, no bp
+    (
+        half_a.select(
+            "vec_id",
+            "label",
+            "embedding",
+            similarity.ivf_assign(F.col("embedding"), cents).alias("cell"),
+        )
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(path)
+    )
+    with open(similarity._contrastive_meta_path(path), "w") as f:
+        json.dump(
+            {
+                "centroids": cents,
+                "id_col": "vec_id",
+                "label_col": "label",
+                "vec_col": "embedding",
+            },
+            f,
+        )
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    half_b.coalesce(1).write.parquet(in_dir)
+    src = pipeline.read_file_stream(spark, in_dir)
+    q = pipeline.stream_contrastive_ingest(src, path, ckpt)
+    q.awaitTermination()
+    assert "bp" not in spark.read.parquet(path).columns
+    anchors = embs.filter(F.col("vec_id") < 4)
+    got = similarity.contrastive_pairs_indexed(spark, anchors, path, k=3)
+    want = similarity.contrastive_pairs(embs, anchors, k=3, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
