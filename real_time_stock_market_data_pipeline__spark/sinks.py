@@ -310,6 +310,150 @@ def append_batch_partition(
     )
 
 
+def compact_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    upto_bp: int,
+    prune_col: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Fold COMMITTED ``bp=<batch_id>`` partitions into the base
+    partition (``bp=-1``) — the compaction leg of the batch-partition
+    append layout (:func:`append_batch_partition`): a long-running
+    ingest leaves one bp directory per batch per prune directory, and
+    eventually listing cost dominates scans. This rewrites every bp
+    partition with ``batch_id <= upto_bp`` (including the current
+    base) into ONE consolidated ``bp=-1`` directory per parent,
+    leaving newer partitions byte-identical.
+
+    ``upto_bp`` MUST be a batch id the stream's checkpoint has
+    committed (read it from the checkpoint's offsets log, or stop the
+    stream first): replay idempotence in this layout comes from a
+    replayed batch overwriting its own ``bp`` partition, and folding
+    an UNcommitted batch into the base would turn its replay into a
+    duplicate-append. Committed batches never replay, so folding them
+    is safe; real batch ids are ≥ 0, so ``bp=-1`` can never collide
+    with a future batch.
+
+    ``prune_col`` handles the nested layouts (``cell=*/bp=*``,
+    ``hb=*/bp=*``, ``pfx=*/bp=*``): each prune directory is compacted
+    independently, so maintenance cost tracks the directories that
+    actually accreted and the prune key keeps working unchanged.
+
+    Crash-safety: per parent directory, the consolidated data (row
+    count verified) plus byte-copies of every kept newer partition are
+    staged in a ``_``-prefixed temp dir, then swapped in with the
+    two-rename + ``.old`` discipline of :func:`merge_upsert_parquet`
+    (self-healing on the next call; single writer assumed — stop or
+    pause the ingest around compaction, exactly like the cell
+    compactor). On Delta/Iceberg this whole function is OPTIMIZE /
+    rewrite_data_files; this is its local-FS stand-in.
+
+    Returns {parent: {bp_dirs_before, bp_dirs_after, rows}} for the
+    parents actually rewritten.
+    """
+    import glob
+
+    def _heal(candidates: list[str]) -> None:
+        # a crash mid-swap leaves <parent>.old: base dir missing ->
+        # restore it; both present -> the .old is superseded garbage
+        for old in candidates:
+            base = old[: -len(".old")]
+            if not os.path.exists(base):
+                os.rename(old, base)
+            else:
+                shutil.rmtree(old)
+
+    def _parents() -> list[str]:
+        # stale staging dirs from a crash before the swap — cleaned
+        # only inside the table root we own (nested layout; a flat
+        # table's staging lives in its enclosing directory, which may
+        # host other tables, so it is left to the operator)
+        if prune_col is not None:
+            for stale in glob.glob(os.path.join(path, "_compact_bp_*")):
+                shutil.rmtree(stale, ignore_errors=True)
+        if prune_col is None:
+            _heal([path + ".old"] if os.path.isdir(path + ".old") else [])
+            return [path] if os.path.isdir(path) else []
+        _heal(
+            sorted(
+                p
+                for p in glob.glob(os.path.join(path, f"{prune_col}=*.old"))
+                if os.path.isdir(p)
+            )
+        )
+        return sorted(
+            p
+            for p in glob.glob(os.path.join(path, f"{prune_col}=*"))
+            if os.path.isdir(p) and not p.endswith(".old")
+        )
+
+    reports: dict = {}
+    for parent in _parents():
+        old = parent + ".old"
+        entries = sorted(os.listdir(parent))
+        bp_dirs = {}
+        for e in entries:
+            full = os.path.join(parent, e)
+            if e.startswith("bp=") and os.path.isdir(full):
+                try:
+                    bp_dirs[int(e[3:])] = e
+                except ValueError:
+                    continue
+        folded = sorted(b for b in bp_dirs if b <= upto_bp)
+        if len(folded) <= 1:
+            continue
+        kept = sorted(b for b in bp_dirs if b > upto_bp)
+        src_dirs = [os.path.join(parent, bp_dirs[b]) for b in folded]
+        # reading the leaf directories drops the hive bp column — the
+        # consolidated files carry no bp, the bp=-1 dir name does
+        df = spark.read.parquet(*src_dirs)
+        n_rows = df.count()
+        total = sum(
+            os.path.getsize(f)
+            for d in src_dirs
+            for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        n_target = max(1, -(-total // target_file_bytes))
+        # staged NEXT TO the parent (not inside — the parent itself is
+        # renamed during the swap); "_"-prefixed so Spark listings of
+        # the table root ignore the in-flight rewrite
+        tmp = tempfile.mkdtemp(
+            prefix="_compact_bp_", dir=os.path.dirname(parent) or "."
+        )
+        try:
+            df.coalesce(n_target).write.mode("overwrite").parquet(
+                os.path.join(tmp, "bp=-1")
+            )
+            check = spark.read.parquet(os.path.join(tmp, "bp=-1")).count()
+            if check != n_rows:
+                raise RuntimeError(
+                    f"bp compaction row mismatch in {parent}: "
+                    f"{n_rows} -> {check}; source left intact"
+                )
+            for b in kept:
+                shutil.copytree(
+                    os.path.join(parent, bp_dirs[b]),
+                    os.path.join(tmp, bp_dirs[b]),
+                )
+            for e in entries:
+                full = os.path.join(parent, e)
+                if os.path.isfile(full):  # _SUCCESS and friends
+                    shutil.copy2(full, os.path.join(tmp, e))
+            os.rename(parent, old)
+            os.rename(tmp, parent)
+            shutil.rmtree(old, ignore_errors=True)
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        reports[os.path.basename(parent)] = {
+            "bp_dirs_before": len(bp_dirs),
+            "bp_dirs_after": 1 + len(kept),
+            "rows": n_rows,
+        }
+    return reports
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -703,3 +703,95 @@ def test_stream_contrastive_legacy_cell_merge(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_compact_batch_partitions_flat_and_replay_safety(spark, tmp_path):
+    """Flat bp table: folding the committed prefix consolidates into
+    bp=-1, keeps newer partitions byte-identical, preserves rows, and
+    a replay of an UNfolded batch stays idempotent (overwrites its
+    own partition) — the invariant upto_bp exists to protect."""
+    path = str(tmp_path / "t")
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.lit(-1).cast("long").alias("bp"),
+    )
+    base.write.partitionBy("bp").parquet(path)
+    for b in range(4):
+        sinks.append_batch_partition(
+            spark.range(100 * (b + 1) + 1000, 100 * (b + 1) + 1010).select(
+                F.col("id"), (F.col("id") * 2).alias("v"),
+                F.lit(b).cast("long").alias("bp"),
+            ),
+            path,
+            ["bp"],
+        )
+    before = sorted(tuple(r) for r in spark.read.parquet(path).drop("bp").collect())
+    rep = sinks.compact_batch_partitions(spark, path, upto_bp=2)
+    assert rep and rep[os.path.basename(path)]["bp_dirs_after"] == 2
+    dirs = sorted(
+        e for e in os.listdir(path) if e.startswith("bp=")
+    )
+    assert dirs == ["bp=-1", "bp=3"]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
+    ) == before
+    # replay of the unfolded batch 3: same rows land in bp=3 again —
+    # total unchanged (idempotent by layout)
+    sinks.append_batch_partition(
+        spark.range(1400, 1410).select(
+            F.col("id"), (F.col("id") * 2).alias("v"),
+            F.lit(3).cast("long").alias("bp"),
+        ),
+        path,
+        ["bp"],
+    )
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
+    ) == before
+    # second compaction with nothing new to fold: no-op
+    assert sinks.compact_batch_partitions(spark, path, upto_bp=2) == {}
+
+
+def test_compact_batch_partitions_nested_and_heal(spark, tmp_path):
+    """Nested cell=*/bp=* layout: each prune directory compacts
+    independently, the prune key keeps working, and an interrupted
+    swap (orphaned .old directory) self-heals on the next call."""
+    import shutil as _sh
+
+    path = str(tmp_path / "t")
+    for b in (-1, 0, 1):
+        sinks.append_batch_partition(
+            spark.range(20).select(
+                F.col("id"),
+                (F.col("id") % 4).cast("int").alias("cell"),
+                F.lit(b).cast("long").alias("bp"),
+            ),
+            path,
+            ["cell", "bp"],
+            coherence_col="cell",
+        )
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
+    )
+    rep = sinks.compact_batch_partitions(spark, path, upto_bp=1, prune_col="cell")
+    assert len(rep) == 4  # every cell had 3 bp dirs
+    for cd in os.listdir(path):
+        if cd.startswith("cell="):
+            assert sorted(os.listdir(os.path.join(path, cd))) == ["bp=-1"]
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
+    )
+    assert after == before
+    # pruning still works on the consolidated layout
+    assert (
+        spark.read.parquet(path).filter(F.col("cell") == 2).count()
+        == sum(1 for r in before if r[1] == 2)
+    )
+    # heal: orphan one cell directory as .old (crash between renames)
+    victim = os.path.join(path, "cell=2")
+    os.rename(victim, victim + ".old")
+    sinks.compact_batch_partitions(spark, path, upto_bp=1, prune_col="cell")
+    assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
+    ) == before
