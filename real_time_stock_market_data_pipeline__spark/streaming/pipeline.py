@@ -396,9 +396,17 @@ def stream_semantic_screen(
     micro-batch of embeddings is screened against the static corpus
     PLUS everything previously kept (read back from the growing index
     at ``index_path``), dominance-pruned intra-batch, and the kept
-    rows MERGE-upserted into the index (idempotent on ``id_col``, so
-    a replayed batch after a crash cannot duplicate index rows — the
-    same T10 contract as ``stream_realtime_metrics``).
+    rows APPENDED as fresh ``bp=<batch_id>`` subpartitions nested
+    inside the cell partitions (round-15: kept ids are new every
+    batch, so nothing stored is rewritten — O(batch) writes, the cell
+    stays the prune key). Replay safety: the prior read excludes the
+    batch's OWN ``bp`` partition — the screen has no owner-id guard,
+    so a replayed batch would otherwise self-kill against its first
+    attempt's rows; with the exclusion it sees exactly what the
+    original attempt saw and overwrites its partition bit-identically
+    (the T10 contract, realized as layout). A pre-existing cell-only
+    index keeps the round-9 cell-scoped MERGE, detected from the
+    stored schema.
 
     The index stores the full :func:`_semantic_assign` shape
     ``(id, _v, _n, cell, centroid_sim)`` so later batches screen
@@ -430,24 +438,28 @@ def stream_semantic_screen(
     drain per file) the order is deterministic and the result equals
     the batch operator on the same split — the oracle contract.
 
-    ``compact_every=N`` runs cell-scoped small-files compaction
-    (:func:`sinks.compact_partitioned_cells`) on the index after every
-    N-th micro-batch. Note the measured shape: the cell-partitioned
-    MERGE already REPLACES each touched directory per write (~1 file
-    per cell locally), so on this sink compaction is a guard for
-    multi-task writes (AQE skew splits / higher parallelism at real
-    scale) rather than a per-batch necessity — the unbounded-accretion
-    case it exists for is the APPEND-mode partitioned sinks (see the
-    compactor's docstring). It rewrites only directories holding more
-    than ``compact_min_files`` parquet files (atomic per-cell swap,
-    rows verified unchanged — results and restart idempotence are
-    unaffected, test-asserted); cold cells are never touched, so
-    maintenance cost tracks hot-cell volume like the MERGE itself.
+    ``compact_every=N`` runs index compaction after every N-th
+    micro-batch. On the bp layout that is
+    :func:`sinks.compact_batch_partitions`: the append sink accretes
+    one ``bp`` subpartition per batch per touched cell, and the
+    compactor folds the checkpoint-COMMITTED prefix (batches
+    ``<= batch_id - 1`` — committed by the time this batch runs) into
+    the base partition, so long-run directory counts stay bounded
+    without breaking replay (this batch's own partition is never
+    folded). On a legacy cell-only index it is the round-11
+    :func:`sinks.compact_partitioned_cells` with ``compact_min_files``
+    as before (that MERGE sink self-bounds per write, so compaction
+    there only guards multi-task writes). Either way rows are
+    verified unchanged and results/restart idempotence are unaffected
+    (test-asserted).
     """
     from real_time_stock_market_data_pipeline__spark.operators import (
         similarity,
     )
-    from real_time_stock_market_data_pipeline__spark.sinks import input_ready
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        append_batch_partition,
+        input_ready,
+    )
 
     spark = source.sparkSession
     cents = similarity._resolve_centroids(
@@ -478,6 +490,22 @@ def stream_semantic_screen(
         else similarity._semantic_assign(corpus, cents, vec_col, id_col)
     )
 
+    # index layout, fixed at wiring time from the stored schema: NEW
+    # indexes nest bp=<batch_id> inside the cell partitions (round-15:
+    # kept ids are new every batch, so the write APPENDS a fresh
+    # subpartition — O(batch), nothing stored rewritten — while the
+    # cell stays the screen's prune key); a pre-existing cell-only
+    # index keeps the round-9 cell-scoped MERGE (partition depth
+    # cannot change mid-table).
+    def _stored_cols(p: str) -> list[str] | None:
+        try:
+            return spark.read.parquet(p).columns
+        except Exception:
+            return None
+
+    icols = _stored_cols(index_path)
+    index_layout = "cell_bp" if icols is None or "bp" in icols else "cell"
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         an = similarity._semantic_assign(batch, cents, vec_col, id_col)
         # The screen is cell-scoped (a new row can only die to a
@@ -498,32 +526,65 @@ def stream_semantic_screen(
         else:
             base = corpus_assigned.filter(F.col("cell").isin(touched))
         if input_ready(spark, index_path):
-            base = base.unionByName(
-                spark.read.parquet(index_path).filter(
-                    F.col("cell").isin(touched)
-                )
+            idx = spark.read.parquet(index_path).filter(
+                F.col("cell").isin(touched)
             )
+            if index_layout == "cell_bp":
+                # exclude THIS batch's own partition: the screen has
+                # no owner-id guard, so on a checkpoint replay the
+                # first attempt's kept rows (already at bp=batch_id)
+                # would self-kill their re-arrivals and the overwrite
+                # would shrink the index. The bp column is exactly the
+                # provenance the MERGE layout lacked — filtering it
+                # out makes the replay see what the original attempt
+                # saw and rewrite its partition bit-identically.
+                idx = idx.filter(F.col("bp") != int(batch_id))
+            base = base.unionByName(idx.select(*an.columns))
         kept = similarity._semantic_screen_assigned(
             an, base, threshold, id_col
         )
         kept_full = an.join(kept.select(id_col), id_col, "left_semi")
-        # cell-partitioned upsert: only the cells this batch touches
-        # are read and rewritten — ingestion cost tracks batch cell
-        # volume, not index size (round-9 ADVICE; at 100 TB this is a
-        # Delta/Iceberg MERGE INTO on the same layout)
-        merge_upsert_parquet_partitioned(
-            spark, kept_full, index_path, keys=[id_col],
-            partition_col="cell",
-        )
+        if index_layout == "cell_bp":
+            # batch-partition append nested under the prune key: only
+            # this batch's rows are written, nothing stored is read
+            # back — O(batch) ingest (the DSIR-sink discipline)
+            append_batch_partition(
+                kept_full.withColumn(
+                    "bp", F.lit(int(batch_id)).cast("long")
+                ),
+                index_path,
+                ["cell", "bp"],
+                coherence_col="cell",
+            )
+        else:
+            # legacy cell-partitioned upsert: only the cells this
+            # batch touches are read and rewritten (round-9 ADVICE; on
+            # Delta/Iceberg this is a MERGE INTO on the same layout)
+            merge_upsert_parquet_partitioned(
+                spark, kept_full, index_path, keys=[id_col],
+                partition_col="cell",
+            )
         if compact_every and (batch_id + 1) % compact_every == 0:
             from real_time_stock_market_data_pipeline__spark.sinks import (
+                compact_batch_partitions,
                 compact_partitioned_cells,
             )
 
-            compact_partitioned_cells(
-                spark, index_path, partition_col="cell",
-                min_files=compact_min_files,
-            )
+            if index_layout == "cell_bp":
+                # batches <= batch_id-1 are checkpoint-committed by
+                # the time this batch runs, so folding exactly them
+                # preserves the replay contract (see
+                # compact_batch_partitions); this batch's own bp
+                # partition is never folded.
+                compact_batch_partitions(
+                    spark, index_path, upto_bp=int(batch_id) - 1,
+                    prune_col="cell",
+                )
+            else:
+                compact_partitioned_cells(
+                    spark, index_path, partition_col="cell",
+                    min_files=compact_min_files,
+                )
 
     return _start_foreach_batch(
         source, process_batch, checkpoint_path, available_now, trigger_seconds

@@ -1994,16 +1994,15 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(
 
 
 def test_stream_semantic_screen_compaction_bounds_files(spark):
-    """Cell-scoped index compaction wired into the streaming screen
-    (round-11 verdict ask #4): across 12 single-file drains with
-    ``compact_every=3`` and ``compact_min_files=0`` (force a rewrite
-    even though the MERGE sink's dynamic overwrite already leaves ~1
-    file per cell locally — see the compactor's docstring for where
-    real accretion lives), (a) the kept-row contents equal a
-    compaction-free run on identical inputs, (b) the per-cell file
-    count stays at the compacted floor, and (c) a final no-new-input
-    drain changes nothing (restart idempotence over a compacted
-    index)."""
+    """Index compaction wired into the streaming screen: on the bp
+    layout the append sink accretes one bp subpartition per batch per
+    touched cell, and ``compact_every=3`` folds the committed prefix
+    (`sinks.compact_batch_partitions`). Across 12 single-file drains,
+    (a) the kept-row contents equal a compaction-free run on
+    identical inputs, (b) the per-cell bp-directory count stays at
+    the compacted floor instead of growing one-per-batch, and (c) a
+    final no-new-input drain changes nothing (restart idempotence
+    over a compacted index)."""
     import glob
     import os
     import tempfile
@@ -2024,19 +2023,28 @@ def test_stream_semantic_screen_compaction_bounds_files(spark):
                 schema=spark.createDataFrame([], schema).schema,
             )
             q = pipeline.stream_semantic_screen(
-                src, corpus, idx, ckpt, threshold=0.995, n_centroids=2,
+                src, corpus, idx, ckpt, threshold=0.9999, n_centroids=2,
                 corpus_assigned_path=f"{tmp}/corpus_assigned",
                 compact_every=compact_every, compact_min_files=0,
             )
             q.awaitTermination()
 
+        import math
+
         for b in range(12):
-            # two rows per batch, all in centroid-0's cell, spread far
-            # enough apart (cos < 0.995) that most rows are kept
+            # two rows per batch, all in centroid-0's cell, 1°-spaced
+            # directions (pairwise cos <= cos(1°) < 0.9999, and 1°
+            # from the corpus vector) so EVERY row is kept and every
+            # drain appends to the hot cell
             rows = [
                 (
                     b * 2 + j,
-                    [1.0, 0.3 * ((b * 2 + j) % 5 - 2), 0.1 * j, 0.0],
+                    [
+                        math.cos(math.radians(b * 2 + j + 1)),
+                        0.0,
+                        math.sin(math.radians(b * 2 + j + 1)),
+                        0.0,
+                    ],
                 )
                 for j in range(2)
             ]
@@ -2048,22 +2056,30 @@ def test_stream_semantic_screen_compaction_bounds_files(spark):
         kept = sorted(
             r["vec_id"] for r in spark.read.parquet(idx).collect()
         )
-        hot_files = {
-            d: len(glob.glob(os.path.join(idx, d, "*.parquet")))
+        hot_bp_dirs = {
+            d: len(
+                [
+                    e
+                    for e in os.listdir(os.path.join(idx, d))
+                    if e.startswith("bp=")
+                ]
+            )
             for d in os.listdir(idx)
             if d.startswith("cell=")
         }
-        return kept, hot_files
+        return kept, hot_bp_dirs
 
-    kept_plain, files_plain = run(
+    kept_plain, dirs_plain = run(
         tempfile.mkdtemp(prefix="sss_nocomp_"), None
     )
-    kept_comp, files_comp = run(tempfile.mkdtemp(prefix="sss_comp_"), 3)
+    kept_comp, dirs_comp = run(tempfile.mkdtemp(prefix="sss_comp_"), 3)
     assert kept_comp == kept_plain and kept_plain  # identical results
-    # compaction leaves the hot cell at its single-file floor, and the
-    # MERGE sink's own dynamic-overwrite bound holds on both runs
-    assert max(files_comp.values()) == 1
-    assert max(files_plain.values()) <= 2
+    # without compaction the append sink accretes one bp dir per
+    # drain in the hot cell (12 keeping drains); with compact_every=3
+    # the committed prefix folds into bp=-1, leaving at most the base
+    # plus the batches since the last fold
+    assert max(dirs_plain.values()) == 12
+    assert max(dirs_comp.values()) <= 3
 
 
 def test_compact_partitioned_cells_scopes_and_heals(spark, tmp_path):

@@ -795,3 +795,44 @@ def test_compact_batch_partitions_nested_and_heal(spark, tmp_path):
     assert sorted(
         tuple(r) for r in spark.read.parquet(path).drop("bp").collect()
     ) == before
+
+
+def test_stream_semantic_screen_legacy_cell_merge(spark, tmp_path):
+    """A pre-bp semantic index (cell partitions only) keeps the
+    round-9 cell-scoped MERGE under the migrated screen: layout is
+    detected from the stored schema at wiring, sequential-ingest
+    results are unchanged, and no bp column appears."""
+    schema = "vec_id: long, embedding: array<float>"
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0, 0.0])], schema
+    )
+    idx = str(tmp_path / "index")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    # fabricate the legacy state after a first drain that kept row 3:
+    # the index is the _semantic_assign shape partitioned on cell only
+    from real_time_stock_market_data_pipeline__spark.operators import similarity
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    kept1 = spark.createDataFrame([(3, [0.0, 0.1, 0.9, 0.0])], schema)
+    (
+        similarity._semantic_assign(kept1, cents, "embedding", "vec_id")
+        .repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(idx)
+    )
+    # drain 2: row 5 duplicates KEPT row 3 (killed by the index), row
+    # 6 is novel (kept)
+    spark.createDataFrame(
+        [(5, [0.0, 0.12, 0.89, 0.0]), (6, [0.0, 0.0, 0.0, 1.0])], schema
+    ).coalesce(1).write.parquet(in_dir)
+    src = pipeline.read_file_stream(
+        spark, in_dir, schema=spark.createDataFrame([], schema).schema
+    )
+    q = pipeline.stream_semantic_screen(
+        src, corpus, idx, ckpt, threshold=0.9, centroids=cents,
+    )
+    q.awaitTermination()
+    assert "bp" not in spark.read.parquet(idx).columns
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(idx).collect()
+    ) == [3, 6]
