@@ -1274,10 +1274,15 @@ def write_block_index(
     blocks and rewrite its documents to empty (found by the crash
     test); with it, a stored digest whose provenance matches the row
     is treated as unseen. This is the GROWING form
-    :func:`streaming.pipeline.stream_substring_ingest` maintains with
-    cell-scoped MERGEs; the flat form is the cheapest read for a
-    one-shot screen. Readers handle both (they join on ``block_md5``
-    and use provenance only when present)."""
+    :func:`streaming.pipeline.stream_substring_ingest` maintains —
+    round-15: with ``bp=<batch_id>`` subpartitions nested inside the
+    prefix cells (a batch's KEPT digests are unseen by construction,
+    so they are new keys and the ingest APPENDS them — O(batch)
+    writes; the provenance rule above makes a replay recompute the
+    identical partition; ``bp=-1`` is this base build). The flat form
+    is the cheapest read for a one-shot screen. Readers handle every
+    layout (they join on ``block_md5`` and use provenance only when
+    present)."""
     blocks = _doc_blocks(corpus, id_col, text_col, n_words)
     if partitioned:
         w = Window.partitionBy("block_md5").orderBy(id_col, "pos")
@@ -1292,12 +1297,13 @@ def write_block_index(
                 F.concat(
                     F.lit("p"), F.substring(F.md5("block"), 1, 2)
                 ).alias("pfx"),
+                F.lit(-1).cast("long").alias("bp"),
             )
         )
         (
             digests.repartition(F.col("pfx"))
             .write.mode("overwrite")
-            .partitionBy("pfx")
+            .partitionBy("pfx", "bp")
             .parquet(path)
         )
     else:

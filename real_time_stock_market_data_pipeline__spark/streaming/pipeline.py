@@ -651,30 +651,63 @@ def stream_substring_ingest(
     each micro-batch of documents is (1) screened against the at-rest
     block-digest index (a block instance survives iff its value is
     unseen and it is the batch's first occurrence), (2) REWRITTEN from
-    its surviving blocks and MERGE-upserted into ``out_path`` keyed on
-    ``id_col``, and (3) the batch's kept block digests are MERGE-added
-    into the index itself, cell-scoped on the 2-hex-char digest prefix
-    (the ``write_block_index(partitioned=True)`` layout — REQUIRED
-    here), so the next batch screens against everything before it.
+    its surviving blocks and APPENDED to ``out_path`` as a fresh
+    ``bp=<batch_id>`` partition, and (3) the batch's kept block
+    digests — unseen by construction, hence NEW keys — APPENDED to the
+    index under ``pfx=<2-hex digest prefix>/bp=<batch_id>`` (the
+    ``write_block_index(partitioned=True)`` layout — REQUIRED here),
+    so the next batch screens against everything before it. Legacy
+    pfx-only indexes and flat doc tables keep their round-13 MERGE
+    paths, detected from the stored schemas at wiring time.
 
     Invariant (tested): after draining batches B1..Bn over an index
     built from corpus C, the index holds exactly the distinct block
     digests of C ∪ B1..Bn, and the rewritten documents equal the batch
     operator over the whole union restricted to the batches — stored
     blocks outrank arriving ones, arrival order is the id order of the
-    single-file-per-drain contract. Checkpoint replay re-merges both
-    sinks idempotently (digests key on themselves, docs on ``id_col``).
+    single-file-per-drain contract. Checkpoint replay is idempotent by
+    layout: the self-provenance rule in ``dedup._substring_screen``
+    makes a replayed batch recompute the identical flagged frame, so
+    both of its ``bp`` partitions are overwritten bit-identically.
 
     Scale per batch: segment(new) + one digest equi-join + one
-    block-keyed window over batch blocks + two cell/key-scoped MERGEs
-    — the stored corpus text is never re-read."""
+    block-keyed window over batch blocks + two batch-partition appends
+    — the stored corpus text is never re-read, and nothing stored is
+    read back for the writes."""
     from real_time_stock_market_data_pipeline__spark.operators import (
         dedup as dedup_ops,
     )
     from real_time_stock_market_data_pipeline__spark.sinks import (
+        append_batch_partition,
         merge_upsert_parquet,
         merge_upsert_parquet_partitioned,
     )
+
+    # layout resolution, fixed at wiring time from the stored schemas
+    # (round-15): a batch's KEPT digests are unseen by construction
+    # (the screen keeps only index-absent blocks) and the rewritten
+    # docs carry new ids, so BOTH sinks qualify for the bp=<batch_id>
+    # append — O(batch) writes with nothing stored read back for the
+    # write, where the pfx-scoped MERGE rewrote every touched prefix
+    # directory (a uniform batch touches all 256). Replay stays
+    # idempotent WITHOUT excluding the batch's own partition: the
+    # provenance rule in dedup._substring_screen re-qualifies
+    # self-stored digests, so a replay recomputes the identical
+    # flagged frame and overwrites both bp partitions bit-identically.
+    # Pre-existing pfx-only indexes / flat doc tables keep their
+    # MERGE paths.
+    spark0 = source.sparkSession
+
+    def _stored_cols(p: str) -> list[str] | None:
+        try:
+            return spark0.read.parquet(p).columns
+        except Exception:
+            return None
+
+    icols = _stored_cols(index_path)
+    index_layout = "bp" if icols is None or "bp" in icols else "pfx"
+    dcols = _stored_cols(out_path)
+    docs_layout = "bp" if dcols is None or "bp" in dcols else "flat"
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -683,7 +716,14 @@ def stream_substring_ingest(
             batch, idx, id_col, text_col, n_words
         ).localCheckpoint(eager=True)  # two consumers below
         rebuilt = dedup_ops._rebuild_docs(flagged, id_col, emit_text=True)
-        merge_upsert_parquet(spark, rebuilt, out_path, keys=[id_col])
+        if docs_layout == "bp":
+            append_batch_partition(
+                rebuilt.withColumn("bp", F.lit(int(batch_id)).cast("long")),
+                out_path,
+                ["bp"],
+            )
+        else:
+            merge_upsert_parquet(spark, rebuilt, out_path, keys=[id_col])
         # kept rows are unique per digest (rn=1), so this carries each
         # new digest ONCE with its provenance — the (id, pos) that a
         # replay must recognize as "stored by me" (see
@@ -698,10 +738,20 @@ def stream_substring_ingest(
                 "pfx"
             ),
         )
-        merge_upsert_parquet_partitioned(
-            spark, new_digests, index_path, keys=["block_md5"],
-            partition_col="pfx",
-        )
+        if index_layout == "bp":
+            append_batch_partition(
+                new_digests.withColumn(
+                    "bp", F.lit(int(batch_id)).cast("long")
+                ),
+                index_path,
+                ["pfx", "bp"],
+                coherence_col="pfx",
+            )
+        else:
+            merge_upsert_parquet_partitioned(
+                spark, new_digests, index_path, keys=["block_md5"],
+                partition_col="pfx",
+            )
 
     return _start_foreach_batch(
         source, process_batch, checkpoint_path, available_now, trigger_seconds

@@ -836,3 +836,72 @@ def test_stream_semantic_screen_legacy_cell_merge(spark, tmp_path):
     assert sorted(
         r["vec_id"] for r in spark.read.parquet(idx).collect()
     ) == [3, 6]
+
+
+def test_stream_substring_legacy_layouts_merge(spark, tmp_path):
+    """A pre-bp ExactSubstr state — pfx-only block index, flat
+    rewritten-docs table — keeps MERGing under the migrated service:
+    layouts are detected from the stored schemas at wiring and the
+    final state equals the bp-layout run on the same drains."""
+    from real_time_stock_market_data_pipeline__spark.operators import dedup
+
+    schema = "doc_id: long, text: string"
+    corpus = spark.createDataFrame(
+        [(0, "c1 c2 c3 c4 c5 c6 c7 c8")], schema
+    )
+    b1 = spark.createDataFrame(
+        [(10, "n1 n2 n3 n4 n5 n6 n7 n8")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(20, "n1 n2 n3 n4 n5 n6 n7 n8 m1 m2 m3 m4 m5 m6 m7 m8")], schema
+    )
+    idx = str(tmp_path / "blockidx")
+    out = str(tmp_path / "rewritten")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    # fabricate the legacy post-b1 state: strip bp from a fresh build
+    # of corpus ∪ b1 digests (pfx-only), docs table flat
+    dedup.write_block_index(corpus.unionByName(b1), idx + "_new",
+                            partitioned=True)
+    (
+        spark.read.parquet(idx + "_new")
+        .select("block_md5", "first_id", "first_pos", "pfx")
+        .repartition(F.col("pfx"))
+        .write.partitionBy("pfx")
+        .parquet(idx)
+    )
+    # b1's rewritten row as the pre-existing flat docs table: screen
+    # b1 against the corpus-only digest slice (first_id 0 = corpus)
+    flagged1 = dedup._substring_screen(
+        b1,
+        spark.read.parquet(idx).filter(F.col("first_id") == 0),
+        "doc_id", "text", 8,
+    )
+    dedup._rebuild_docs(flagged1, "doc_id", emit_text=True).write.parquet(out)
+    b2.coalesce(1).write.parquet(in_dir)
+    src = pipeline.read_file_stream(spark, in_dir, schema=b1.schema)
+    q = pipeline.stream_substring_ingest(src, idx, out, ckpt)
+    q.awaitTermination()
+    assert "bp" not in spark.read.parquet(out).columns
+    assert "bp" not in spark.read.parquet(idx).columns
+    docs = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # doc 20's first 8-word block duplicates stored doc 10; its second
+    # is novel — 9 positions total, the duplicated prefix dropped
+    assert set(docs) == {10, 20}
+    assert docs[20][0] > docs[20][1] >= 1
+    digs = sorted(
+        r["block_md5"] for r in spark.read.parquet(idx).collect()
+    )
+    want = sorted(
+        r["block_md5"]
+        for r in spark.read.parquet(idx + "_new").select("block_md5")
+        .union(
+            dedup._doc_blocks(b2, "doc_id", "text", 8)
+            .select(F.md5("block").alias("block_md5"))
+        )
+        .distinct()
+        .collect()
+    )
+    assert digs == want
