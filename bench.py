@@ -1,9 +1,24 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+TWO JSON lines — a detailed one with every per-query timing, then a
+COMPACT totals-only line LAST:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, ...}
+    {"metric": "...", "value": N, "unit": "sec", "tier2_total": ..,
+     "calib_sec": .., "calib_tiers": {...}, "compact": true, ...}
+
+The compact line exists because the driver records only the final
+~2000 chars of stdout: BENCH_r15's five-tier detailed line outgrew
+that capture and the headline ``value`` was truncated away
+(``parsed: null``). The compact line is always well under the limit;
+per-query timings live in the detailed line (and it carries the five
+slowest queries inline as ``top``).
+
+Calibration runs BEFORE tier 1 (``calib_sec``, the comparable
+pre-round-16 key) and again AFTER EVERY TIER (``calib_tiers``):
+rounds 14/15 showed equal pre-run calib with 1.7–1.9× tier inflation,
+proving one probe cannot see contention that arrives mid-run.
 
 Each query is executed to completion through the ``noop`` sink (full
 plan runs, nothing collected to the driver), which is the honest
@@ -236,21 +251,31 @@ def main() -> None:
     # (`failed_queries` = tier 1 only, matching the pre-round-8
     # invariant failed_queries > 0 ⟺ value = null; tier 2 reports
     # its own `tier2_failed_queries`).
+    # Per-tier calibration (round 16): one probe per tier boundary so a
+    # contention burst that lands mid-run is attributable to the tier
+    # it inflated, instead of being invisible behind an idle pre-run
+    # probe (the BENCH_r14/r15 failure mode).
+    calib_tiers: dict[str, float] = {}
     total, n_failed_t1 = run_tier(BENCH_QUERIES)
+    calib_tiers["t1"] = _calibrate()
     tier2_total, n_failed_t2 = run_tier(TIER2_QUERIES)
+    calib_tiers["t2"] = _calibrate()
     tier3_total, n_failed_t3 = run_tier(TIER3_QUERIES)
+    calib_tiers["t3"] = _calibrate()
     tier4_total, n_failed_t4 = run_tier(TIER4_QUERIES)
+    calib_tiers["t4"] = _calibrate()
     tier5_total, n_failed_t5 = run_tier(TIER5_QUERIES)
-    result = {
+    calib_tiers["t5"] = _calibrate()
+    compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "tier2_total": tier2_total,
         "tier3_total": tier3_total,
         "tier4_total": tier4_total,
         "tier5_total": tier5_total,
         "calib_sec": calib_sec,
+        "calib_tiers": calib_tiers,
         "scale_profile": use_profile,
         "failed_queries": n_failed_t1,
         "tier2_failed_queries": n_failed_t2,
@@ -259,9 +284,19 @@ def main() -> None:
         "tier5_failed_queries": n_failed_t5,
         "sf": sf,
     }
+    result = dict(compact)
+    result["queries"] = timings
     if errors:
         result["errors"] = errors
+    # Detailed line first, compact line LAST: the driver keeps the
+    # stdout tail, so the line that must survive goes last.
     print(json.dumps(result))
+    top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    compact["top"] = {k: v for k, v in top}
+    compact["compact"] = True
+    if errors:
+        compact["error_queries"] = sorted(errors)[:10]
+    print(json.dumps(compact))
     try:
         spark.stop()
     except Exception:

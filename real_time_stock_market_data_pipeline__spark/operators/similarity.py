@@ -2609,10 +2609,24 @@ def bq_write_index(
     touches ALL buckets, re-introducing an O(index) read per batch).
     The scan side is unaffected: the probe reads every partition
     either way — signatures have no pruning axis. ``n_buckets`` is
-    accepted for sidecar compatibility but ignored by the bp layout.
+    DEPRECATED: it tuned the retired round-14 id-hash-bucketed MERGE
+    layout and has no effect on the bp layout, so passing it warns
+    (round-15 ADVICE — a caller explicitly tuning bucket count must
+    not get a silently different layout); it will be removed once the
+    last legacy caller is gone.
     """
     import json
 
+    if n_buckets is not None:
+        import warnings
+
+        warnings.warn(
+            "bq_write_index(n_buckets=...) is deprecated and has no "
+            "effect: the index uses the bp=<batch_id> batch-partition "
+            "layout, which has no bucket count",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     mu = means if means is not None else bq_dim_means(embs, vec_col)
     lanes = _bq_lane_cols(vec_col, mu, len(mu))
     (

@@ -102,6 +102,27 @@ def input_ready(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def stored_columns(spark: SparkSession, path: str) -> list[str] | None:
+    """Columns of the parquet table at ``path``, or ``None`` when the
+    table is genuinely ABSENT (no directory, or no parquet file under
+    it). Any OTHER read failure re-raises — the layout-resolution call
+    sites (streaming/pipeline.py) default ``None`` to the new bp
+    layout, and treating a transient error on an existing LEGACY
+    table as "absent" would write ``bp=`` subdirectories into a
+    flat/cell/pfx layout, mixing partition depths and breaking every
+    subsequent whole-table read (round-15 ADVICE)."""
+    if not os.path.isdir(path):
+        return None
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+    if not has_parquet:
+        return None
+    return spark.read.parquet(path).columns
+
+
 def with_row_observation(df: DataFrame, name: str = "metrics") -> DataFrame:
     """A6: row-count/valid-count probe via ``df.observe`` — the
     plan-embedded replacement for the reference's double ``count()``
@@ -298,6 +319,15 @@ def append_batch_partition(
       task per directory;
     - ``maxRecordsPerFile`` bounds the worst case for narrow no-shuffle
       frames, splitting any oversized task output without a shuffle.
+
+    **Table + checkpoint are a unit** (round-15 ADVICE): batch ids come
+    from the stream's checkpoint, so a FRESH checkpoint pointed at an
+    existing bp table restarts at ``bp=0`` and dynamic overwrite
+    silently clobbers the prior run's partitions. Never recreate the
+    checkpoint without first folding history into the base partition
+    (``compact_batch_partitions`` → ``bp=-1``, which no new run can
+    collide with); service wirings enforce this via
+    :func:`check_bp_checkpoint_coherent`.
     """
     if coherence_col is not None:
         df = df.repartition(F.col(coherence_col))
@@ -308,6 +338,76 @@ def append_batch_partition(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def committed_batch_watermark(checkpoint_dir: str) -> int | None:
+    """Highest batch id the Structured Streaming checkpoint has
+    COMMITTED — the safe ``upto_bp`` for
+    :func:`compact_batch_partitions` (round-15 verdict ask: the
+    compactor documented "read it from the checkpoint" but made every
+    caller do it by hand).
+
+    Reads the checkpoint's ``commits/`` log: Spark writes
+    ``commits/<batchId>`` only AFTER the batch's sink writes are
+    durable, so the max integer filename is exactly the replay
+    watermark — a crash after ``offsets/<N>`` but before
+    ``commits/<N>`` (the replay case) leaves the watermark at ``N-1``
+    and batch N's bp partition un-foldable, which is the correct
+    answer. Returns ``None`` when nothing has committed (fresh or
+    absent checkpoint). Temp files (``.<name>.tmp``/CRC) are ignored.
+    """
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return None
+    ids = []
+    for name in os.listdir(commits):
+        if os.path.isfile(os.path.join(commits, name)):
+            try:
+                ids.append(int(name))
+            except ValueError:
+                continue
+    return max(ids) if ids else None
+
+
+def check_bp_checkpoint_coherent(path: str, checkpoint_dir: str) -> None:
+    """Fail fast on the bp-append layout's one operational trap
+    (round-15 ADVICE): a batch-partition table and its stream's
+    checkpoint are A UNIT. Pointing a FRESH checkpoint at an existing
+    bp table restarts batch ids at 0, and dynamic partition overwrite
+    then silently clobbers the prior run's ``bp=0..N`` partitions —
+    the MERGE layouts this replaced tolerated checkpoint recreation;
+    this layout must refuse it.
+
+    Called at service wiring: raises when the checkpoint has no
+    committed batches but the table (flat or nested one level, e.g.
+    ``cell=*/bp=*``) already holds ``bp>=0`` partitions. The fix is to
+    fold history into the base partition first —
+    ``compact_batch_partitions(..., upto_bp=<old checkpoint's
+    committed_batch_watermark>)`` — after which ``bp=-1`` can never
+    collide with a new run's ids.
+    """
+    import glob
+
+    if committed_batch_watermark(checkpoint_dir) is not None:
+        return
+    if not os.path.isdir(path):
+        return
+    live = [
+        d
+        for pat in ("bp=*", "*/bp=*")
+        for d in glob.glob(os.path.join(path, pat))
+        if os.path.isdir(d) and not d.endswith("bp=-1")
+    ]
+    if live:
+        raise ValueError(
+            f"batch-partition table {path} holds {len(live)} bp>=0 "
+            f"partition(s) but checkpoint {checkpoint_dir} has no "
+            "committed batches: a fresh checkpoint restarts batch ids "
+            "at 0 and would overwrite the prior run's partitions. "
+            "Compact the table first (compact_batch_partitions with "
+            "upto_bp from the OLD checkpoint's "
+            "committed_batch_watermark), or reuse the old checkpoint."
+        )
 
 
 def compact_batch_partitions(
@@ -354,6 +454,13 @@ def compact_batch_partitions(
     """
     import glob
 
+    def _flat_stage_path() -> str:
+        norm = path.rstrip("/")
+        return os.path.join(
+            os.path.dirname(norm) or ".",
+            "_compact_bp_" + os.path.basename(norm),
+        )
+
     def _heal(candidates: list[str]) -> None:
         # a crash mid-swap leaves <parent>.old: base dir missing ->
         # restore it; both present -> the .old is superseded garbage
@@ -365,13 +472,18 @@ def compact_batch_partitions(
                 shutil.rmtree(old)
 
     def _parents() -> list[str]:
-        # stale staging dirs from a crash before the swap — cleaned
-        # only inside the table root we own (nested layout; a flat
-        # table's staging lives in its enclosing directory, which may
-        # host other tables, so it is left to the operator)
+        # stale staging dirs from a crash before the swap: nested
+        # layout stages inside the table root we own; a flat table's
+        # staging lives in its enclosing directory under the
+        # DETERMINISTIC name _compact_bp_<table basename> (round-15
+        # ADVICE — a random mkdtemp name there could never be healed,
+        # and the enclosing dir may host other tables so only our own
+        # derived name is safe to remove)
         if prune_col is not None:
             for stale in glob.glob(os.path.join(path, "_compact_bp_*")):
                 shutil.rmtree(stale, ignore_errors=True)
+        else:
+            shutil.rmtree(_flat_stage_path(), ignore_errors=True)
         if prune_col is None:
             _heal([path + ".old"] if os.path.isdir(path + ".old") else [])
             return [path] if os.path.isdir(path) else []
@@ -417,10 +529,22 @@ def compact_batch_partitions(
         n_target = max(1, -(-total // target_file_bytes))
         # staged NEXT TO the parent (not inside — the parent itself is
         # renamed during the swap); "_"-prefixed so Spark listings of
-        # the table root ignore the in-flight rewrite
-        tmp = tempfile.mkdtemp(
-            prefix="_compact_bp_", dir=os.path.dirname(parent) or "."
-        )
+        # the table root ignore the in-flight rewrite. Flat tables use
+        # the deterministic sibling name so a crash leak is healed by
+        # the next call (see _parents); nested staging keeps a unique
+        # mkdtemp name (many prune dirs compact in one call) and is
+        # swept by the table-root glob.
+        if prune_col is None:
+            tmp = _flat_stage_path()
+            os.makedirs(tmp)
+        else:
+            tmp = tempfile.mkdtemp(
+                prefix="_compact_bp_", dir=os.path.dirname(parent) or "."
+            )
+        # mkdtemp creates mode-0700 dirs; the swap would silently
+        # TIGHTEN the table dir's permissions vs the Spark-written
+        # original, cutting off group/other readers (round-15 ADVICE)
+        os.chmod(tmp, os.stat(parent).st_mode & 0o7777)
         try:
             df.coalesce(n_target).write.mode("overwrite").parquet(
                 os.path.join(tmp, "bp=-1")
