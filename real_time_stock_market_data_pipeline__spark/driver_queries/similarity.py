@@ -571,22 +571,41 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     over refine ∈ {{1,2,4,8}} (Hamming candidate depth k·refine).
     Every cell reuses the registered operator; intersections join
     10-row frames; the oracle replays all 12 index definitions as
-    isolated nested-WITH subqueries with the same knob values."""
+    isolated nested-WITH subqueries with the same knob values.
+
+    Shared-codebook sweep (round-15 verdict ask #5): codes and
+    codebooks are PROBE-INDEPENDENT (both train on the full corpus —
+    see ``ivfpq_write_index``), so the four IVF-PQ legs probe ONE
+    temp at-rest index instead of each re-deriving seeds and
+    re-encoding the corpus (the on-the-fly form did 4× the train+
+    encode work for identical results; ``ivfpq_topk_indexed`` ≡
+    ``ivfpq_topk`` is law-tested). The IVF legs share one centroid
+    codebook and the BQ legs one threshold-mean vector the same way.
+    Rows and oracle are unchanged."""
+    import tempfile
+
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
     bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    cents = similarity.ivf_centroids(embs, similarity.IVF_CENTROIDS_N)
+    mu = similarity.bq_dim_means(embs)
+    pq_path = tempfile.mkdtemp(prefix="ann_sweep_ivfpq_") + "/idx"
+    _, seeds = similarity.ivfpq_write_index(embs, pq_path, centroids=cents)
     out = None
     for name, param, values in _SWEEP_GRID:
         for v in values:
             if name == "ivf":
-                df = similarity.ivf_topk(embs, q, k=10, n_probe=v)
+                df = similarity.ivf_topk(
+                    embs, q, k=10, n_probe=v, centroids=cents
+                )
             elif name == "ivfpq":
-                df = similarity.ivfpq_topk(
-                    embs, q, k=10, refine=4, n_probe=v
+                df = similarity.ivfpq_topk_indexed(
+                    spark, pq_path, embs, q, centroids=cents,
+                    seeds=seeds, k=10, refine=4, n_probe=v,
                 )
             else:
-                df = similarity.bq_topk(embs, q, k=10, refine=v)
+                df = similarity.bq_topk(embs, q, k=10, refine=v, means=mu)
             row = (
                 bf.join(df.select("vec_id"), "vec_id")
                 .agg(F.count(F.lit(1)).alias("n_match"))
