@@ -133,6 +133,57 @@ def test_driver_window_prioritizes_never_verified_queries():
     )
 
 
+def test_driver_window_holds_the_stalest_queries():
+    # Round-15 verdict ask #7: with every registry query now
+    # driver-verified at least once, the never-verified-first rule
+    # above is vacuous — extend it so old evidence keeps refreshing:
+    # the 50-slot window must be the 50 LEAST-RECENTLY-verified
+    # queries by last driver-GREEN round (green = no error, rows
+    # match, hash match where checked). Ties at the staleness
+    # boundary may fall on either side, so the assertion is
+    # max(last_green inside window) <= min(last_green outside).
+    import json
+    import subprocess
+
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "ls-files", "CORRECTNESS_r*.json"],
+                cwd=REPO,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout.split()
+        )
+    except (OSError, subprocess.CalledProcessError):
+        tracked = None
+
+    last_green: dict[str, int] = {}
+    for art in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        if tracked is not None and art.name not in tracked:
+            continue
+        rnd = int(art.stem.split("_r")[1])
+        for name, row in json.loads(art.read_text()).items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("hash_match") in (True, None)
+            )
+            if green and rnd >= last_green.get(name, -1):
+                last_green[name] = rnd
+    window = list(dq.QUERIES)[:50]
+    outside = list(dq.QUERIES)[50:]
+    worst_in = max(last_green.get(q, -1) for q in window)
+    best_out = min(last_green.get(q, -1) for q in outside)
+    assert worst_in <= best_out, (
+        f"window holds a query last verified in r{worst_in} while "
+        f"r{best_out}-stale queries sit outside; rotate "
+        f"longest-unverified-first (staler outside: "
+        f"{sorted(q for q in outside if last_green.get(q, -1) < worst_in)[:10]})"
+    )
+
+
 def test_py_oracles_subset_of_sql_oracles():
     # A PY_ORACLES entry is a stress-SF substitute, not a replacement:
     # the driver still runs the SQL form, so both must exist.
