@@ -35,9 +35,16 @@ def main() -> None:
 
     spark = get_spark("rtsmdp-bench-only")
     spark.sparkContext.setLogLevel("ERROR")
-    driver_queries.QUERIES["daily_metrics"](spark, args.sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    try:
+        driver_queries.QUERIES["daily_metrics"](
+            spark, args.sf_dir
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        # partial fixtures (documents/embeddings-only scale dirs) lack
+        # events.parquet; a pure-JVM warmup still JITs the write path
+        spark.range(1 << 24).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     def calibrate() -> float:
         samples = []
