@@ -410,6 +410,56 @@ def check_bp_checkpoint_coherent(path: str, checkpoint_dir: str) -> None:
         )
 
 
+def compact_streaming_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    tables: list[tuple[str, str | None]],
+) -> dict:
+    """Offline maintenance for a STOPPED (but resumable) bp-append
+    service: fold every listed table's checkpoint-COMMITTED ``bp``
+    partitions into the base, with ``upto_bp`` read from the
+    checkpoint's own commits log — the out-of-band twin of the
+    in-service ``compact_every`` leg (same safety argument: committed
+    batches never replay; an uncommitted trailing batch keeps its
+    partition and a resume overwrites it idempotently).
+
+    ``tables`` is ``[(path, prune_col)]`` with ``prune_col=None`` for
+    flat layouts. Stop the stream first — the compactor assumes a
+    single writer. Returns ``{path: per-parent report}``.
+    """
+    wm = committed_batch_watermark(checkpoint_dir)
+    if wm is None:
+        return {}
+    return {
+        path: compact_batch_partitions(
+            spark, path, upto_bp=wm, prune_col=prune
+        )
+        for path, prune in tables
+    }
+
+
+def decommission_batch_partitions(
+    spark: SparkSession,
+    path: str,
+    prune_col: str | None = None,
+) -> dict:
+    """Fold EVERY ``bp`` partition — committed or not — into the base:
+    the step that makes a bp-append table safe to pair with a NEW
+    checkpoint (the remediation :func:`check_bp_checkpoint_coherent`
+    points at). Only valid once the OLD checkpoint is permanently
+    retired: with no checkpoint left to replay from, the
+    "uncommitted batches must keep their partition" clause is vacuous,
+    and after the fold ``bp=-1`` can never collide with a fresh run's
+    ids. If the old checkpoint might still resume, use
+    :func:`compact_streaming_state` instead.
+    """
+    # any bound >= every real batch id folds everything; batch ids are
+    # the checkpoint's int64 epoch counter
+    return compact_batch_partitions(
+        spark, path, upto_bp=(1 << 62), prune_col=prune_col
+    )
+
+
 def compact_batch_partitions(
     spark: SparkSession,
     path: str,

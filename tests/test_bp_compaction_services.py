@@ -574,3 +574,48 @@ def test_compaction_survives_crash_replay(spark, tmp_path):
         tuple(r) for r in t.dsir_weights_indexed(spark, path).collect()
     )
     assert got == want
+
+
+def test_compact_streaming_state_and_decommission(spark, tmp_path):
+    """The two offline maintenance entry points: with the checkpoint
+    stopped-but-resumable, compact_streaming_state folds exactly the
+    committed prefix (the uncommitted trailing batch keeps its
+    partition); decommission_batch_partitions folds EVERYTHING, after
+    which the table passes check_bp_checkpoint_coherent against a
+    brand-new checkpoint."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 1)], "id: long, v: long")
+    for b in (-1, 0, 1, 2):
+        df.withColumn("bp", F.lit(b).cast("long")).write.mode(
+            "append"
+        ).partitionBy("bp").parquet(path)
+    # checkpoint: batches 0 and 1 committed, batch 2 offset-only
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(ckpt, "commits"))
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    for b in (0, 1):
+        with open(os.path.join(ckpt, "commits", str(b)), "w") as f:
+            f.write("v1\n{}")
+    for b in (0, 1, 2):
+        with open(os.path.join(ckpt, "offsets", str(b)), "w") as f:
+            f.write("v1\n{}")
+
+    rep = sinks.compact_streaming_state(spark, ckpt, [(path, None)])
+    assert rep[path]  # something folded
+    live = sorted(
+        e for e in os.listdir(path) if e.startswith("bp=")
+    )
+    # bp=-1 (folded base incl. batches 0,1) + bp=2 (uncommitted)
+    assert live == ["bp=-1", "bp=2"]
+    assert spark.read.parquet(path).count() == 4
+
+    # still NOT safe for a fresh checkpoint (bp=2 is live)
+    with pytest.raises(ValueError):
+        sinks.check_bp_checkpoint_coherent(path, str(tmp_path / "fresh"))
+
+    sinks.decommission_batch_partitions(spark, path)
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("bp=")
+    ) == ["bp=-1"]
+    assert spark.read.parquet(path).count() == 4
+    sinks.check_bp_checkpoint_coherent(path, str(tmp_path / "fresh"))
