@@ -573,15 +573,17 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row frames; the oracle replays all 12 index definitions as
     isolated nested-WITH subqueries with the same knob values.
 
-    Shared-codebook sweep (round-15 verdict ask #5): codes and
-    codebooks are PROBE-INDEPENDENT (both train on the full corpus —
-    see ``ivfpq_write_index``), so the four IVF-PQ legs probe ONE
-    temp at-rest index instead of each re-deriving seeds and
-    re-encoding the corpus (the on-the-fly form did 4× the train+
-    encode work for identical results; ``ivfpq_topk_indexed`` ≡
-    ``ivfpq_topk`` is law-tested). The IVF legs share one centroid
-    codebook and the BQ legs one threshold-mean vector the same way.
-    Rows and oracle are unchanged."""
+    Shared-index sweep (round-15 verdict ask #5): codes, codebooks
+    and signatures are all PROBE-KNOB-INDEPENDENT (trained/packed on
+    the full corpus — see ``ivfpq_write_index``), so each family
+    builds ONE temp at-rest index and probes it once per knob value
+    instead of re-deriving state per leg: the on-the-fly form
+    re-trained both IVF-PQ codebooks and re-encoded the corpus 4×,
+    re-assigned every vector to its IVF cell 4×, and re-packed every
+    signature 4× — for identical results (``*_topk_indexed`` ≡
+    on-the-fly is law-tested per family). Rows and oracle are
+    unchanged; the indexed probes additionally turn the IVF cell
+    filters into partition pruning."""
     import tempfile
 
     ensure_engine_conf(spark)
@@ -589,23 +591,29 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings")
     bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
     cents = similarity.ivf_centroids(embs, similarity.IVF_CENTROIDS_N)
-    mu = similarity.bq_dim_means(embs)
-    pq_path = tempfile.mkdtemp(prefix="ann_sweep_ivfpq_") + "/idx"
-    _, seeds = similarity.ivfpq_write_index(embs, pq_path, centroids=cents)
+    tmp = tempfile.mkdtemp(prefix="ann_sweep_")
+    _, seeds = similarity.ivfpq_write_index(
+        embs, f"{tmp}/ivfpq", centroids=cents
+    )
+    similarity.ivf_write_index(embs, f"{tmp}/ivf", centroids=cents)
+    similarity.bq_write_index(embs, f"{tmp}/bq")
     out = None
     for name, param, values in _SWEEP_GRID:
         for v in values:
             if name == "ivf":
-                df = similarity.ivf_topk(
-                    embs, q, k=10, n_probe=v, centroids=cents
+                df = similarity.ivf_topk_indexed(
+                    spark, f"{tmp}/ivf", q, centroids=cents, k=10,
+                    n_probe=v,
                 )
             elif name == "ivfpq":
                 df = similarity.ivfpq_topk_indexed(
-                    spark, pq_path, embs, q, centroids=cents,
+                    spark, f"{tmp}/ivfpq", embs, q, centroids=cents,
                     seeds=seeds, k=10, refine=4, n_probe=v,
                 )
             else:
-                df = similarity.bq_topk(embs, q, k=10, refine=v, means=mu)
+                df = similarity.bq_topk_indexed(
+                    spark, embs, f"{tmp}/bq", q, k=10, refine=v
+                )
             row = (
                 bf.join(df.select("vec_id"), "vec_id")
                 .agg(F.count(F.lit(1)).alias("n_match"))
