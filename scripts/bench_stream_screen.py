@@ -16,7 +16,10 @@ Experiment B — index side, flat read-merge-swap sink vs the
   claim under test: the flat sink's cost is O(index) per batch, the
   partitioned sink's is O(touched cells).
 
-Run: python scripts/bench_stream_screen.py [--x10] [--index-rows N]
+Run: python scripts/bench_stream_screen.py [--index-rows N]
+     [--skip-a] [--skip-b]
+(experiment A sweeps corpus ×1/×10/×25 internally — there is no
+separate --x10 flag)
 """
 
 from __future__ import annotations
