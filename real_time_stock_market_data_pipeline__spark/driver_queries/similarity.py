@@ -501,7 +501,13 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
-    bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    # brute-force ground truth computed ONCE and pinned as a 10-row
+    # literal frame: each panel leg joins `bf`, and a lazy plan would
+    # re-embed the full brute-force scan (and its giant fold
+    # expression) into every leg — k rows is the bounded-collect class
+    # (same budget as the codebook fetches)
+    bf_plan = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    bf = spark.createDataFrame(bf_plan.collect(), schema=bf_plan.schema)
     variants = [
         ("bq", similarity.bq_topk(embs, q, k=10, refine=4)),
         ("ivf", similarity.ivf_topk(embs, q, k=10)),
@@ -589,7 +595,12 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
-    bf = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    # ONE brute-force pass, pinned as a 10-row literal frame: a lazy
+    # `bf` would re-embed the full-corpus brute-force subtree into all
+    # 12 sweep legs (12 extra corpus scans + 12 copies of the fold
+    # expression in one plan) — k rows is the bounded-collect class
+    bf_plan = similarity.cosine_topk(embs, q, k=10).select("vec_id")
+    bf = spark.createDataFrame(bf_plan.collect(), schema=bf_plan.schema)
     cents = similarity.ivf_centroids(embs, similarity.IVF_CENTROIDS_N)
     tmp = tempfile.mkdtemp(prefix="ann_sweep_")
     _, seeds = similarity.ivfpq_write_index(

@@ -1412,6 +1412,7 @@ def neardup_screen_bands(
     band_rows: int = MINHASH_BAND_ROWS,
     shingle_k: int = 3,
     broadcast_batch: bool = True,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Arrival-ordered near-dup VERDICT over a new batch against
     pre-banded history: one row per new document with
@@ -1440,9 +1441,26 @@ def neardup_screen_bands(
     broadcast-back to the batch ids. Documents with zero shingles
     (< shingle_k words) have no bands and pass through as non-dups —
     they are :func:`dedup_exact` territory.
+
+    ``new_bands`` (round 16): the batch's own band frame, if the
+    caller already holds it materialized — the streaming services
+    band the batch for their index append (localCheckpoint'ed there)
+    and previously paid the full MinHash pipeline (shingle explode +
+    ``perms`` min-aggs) again for each of this function's THREE uses
+    of ``nb`` (corpus-hit probe, prior-hit probe/seen union). Must be
+    exactly ``minhash_bands(new_docs, id_col, text_col, perms,
+    band_rows, shingle_k)``. When absent the bands are built lazily
+    in place — deliberately NOT localCheckpoint'ed here: the one-shot
+    batch form is a registered query and a checkpoint would turn its
+    PLANS.md leaves into ``Scan ExistingRDD``, erasing the scan/join
+    evidence (the documented round-9 localCheckpoint lesson).
     """
-    nb = minhash_bands(
-        new_docs, id_col, text_col, perms, band_rows, shingle_k
+    nb = (
+        new_bands
+        if new_bands is not None
+        else minhash_bands(
+            new_docs, id_col, text_col, perms, band_rows, shingle_k
+        )
     )
     seen = (
         nb if prior_bands is None

@@ -941,8 +941,12 @@ def stream_neardup_ingest(
             if input_ready(spark, stream_bands_path)
             else None
         )
+        # new_bands already materialized above for the index append —
+        # pass it through so the screen's three uses of the batch
+        # bands don't re-run the MinHash pipeline (shingle explode +
+        # per-perm min-aggs) from scratch (round 16, guide §2.4)
         verdict = dedup_ops.neardup_screen_bands(
-            batch, cb, prior, id_col, text_col
+            batch, cb, prior, id_col, text_col, new_bands=new_bands
         )
         if verdict_layout == "bp":
             append_batch_partition(
@@ -1520,8 +1524,12 @@ def stream_curation_ingest(
         empty_corpus = dedup_ops.minhash_bands(
             batch.limit(0), id_col, text_col
         )
+        # new_bands already materialized above for the index append —
+        # reuse it in the screen instead of re-banding the batch
+        # (round 16, guide §2.4)
         near = dedup_ops.neardup_screen_bands(
-            batch, empty_corpus, prior_b, id_col, text_col
+            batch, empty_corpus, prior_b, id_col, text_col,
+            new_bands=new_bands,
         ).select(id_col, F.col("dup").alias("near_dup"))
         bench = spark.read.parquet(bench_path)
         doc_grams = text_ops.word_ngram_hashes(

@@ -58,6 +58,7 @@ def main() -> None:
 
     calib = calibrate()
     out: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
         samples = []
         for _ in range(max(1, args.repeat)):
@@ -67,7 +68,9 @@ def main() -> None:
             ).mode("overwrite").save()
             samples.append(time.time() - t0)
         out[name] = round(sorted(samples)[len(samples) // 2], 3)
+        spread[name] = [round(s, 3) for s in samples]
     print(json.dumps({"calib_sec": calib, "queries": out,
+                      "samples": spread,
                       "sf_dir": args.sf_dir, "repeat": args.repeat}))
     spark.stop()
 
