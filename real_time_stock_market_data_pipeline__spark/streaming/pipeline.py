@@ -166,6 +166,37 @@ def _maybe_compact_bp(
         compact_batch_partitions(spark, path, upto_bp=wm, prune_col=prune)
 
 
+def _run_sinks_concurrently(*thunks) -> None:
+    """Run a micro-batch's INDEPENDENT table writes as overlapping
+    Spark jobs (guide §2.6: actions are only sequential because the
+    driver calls them sequentially; concurrent jobs back-fill
+    executors freed by each other's stage tails — the multi-sink
+    services previously paid each sink's full commit latency
+    end-to-end). Safe because every sink here targets its OWN table
+    and is replay-idempotent (bp layout: a replayed batch overwrites
+    its own partitions; MERGE layouts: keyed upsert), so a crash
+    leaving an arbitrary SUBSET of sinks written converges on replay
+    exactly like the sequential crash-between-sinks case the recovery
+    tests pin. The first failure propagates after all submitted
+    writes settle (no orphaned in-flight job keeps writing while the
+    batch errors out)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        errs = []
+        for f in futures:
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
@@ -605,6 +636,7 @@ def stream_semantic_screen(
                 index_path,
                 ["cell", "bp"],
                 coherence_col="cell",
+                coherence_width=len(touched),
             )
         else:
             # legacy cell-partitioned upsert: only the cells this
@@ -804,6 +836,7 @@ def stream_substring_ingest(
                 index_path,
                 ["pfx", "bp"],
                 coherence_col="pfx",
+                coherence_width=256,  # 2-hex pfx domain
             )
         else:
             merge_upsert_parquet_partitioned(
@@ -948,43 +981,58 @@ def stream_neardup_ingest(
         verdict = dedup_ops.neardup_screen_bands(
             batch, cb, prior, id_col, text_col, new_bands=new_bands
         )
-        if verdict_layout == "bp":
-            append_batch_partition(
-                verdict.withColumn(
-                    "bp", F.lit(int(batch_id)).cast("long")
-                ),
-                out_path,
-                ["bp"],
-            )
-        elif verdict_layout == "vb":
-            merge_upsert_parquet_partitioned(
-                spark,
-                verdict.withColumn(
-                    "vb", id_hash_bucket(F.col(id_col), salt="ndv:")
-                ),
-                out_path,
-                keys=[id_col],
-                partition_col="vb",
-            )
-        else:
-            merge_upsert_parquet(spark, verdict, out_path, keys=[id_col])
+        def write_verdict() -> None:
+            if verdict_layout == "bp":
+                append_batch_partition(
+                    verdict.withColumn(
+                        "bp", F.lit(int(batch_id)).cast("long")
+                    ),
+                    out_path,
+                    ["bp"],
+                )
+            elif verdict_layout == "vb":
+                merge_upsert_parquet_partitioned(
+                    spark,
+                    verdict.withColumn(
+                        "vb", id_hash_bucket(F.col(id_col), salt="ndv:")
+                    ),
+                    out_path,
+                    keys=[id_col],
+                    partition_col="vb",
+                )
+            else:
+                merge_upsert_parquet(
+                    spark, verdict, out_path, keys=[id_col]
+                )
+
         # letter-prefixed: see write_block_index — keeps hive
         # partition-type inference on STRING for hex prefixes
         banded = new_bands.withColumn(
             "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
         )
-        if bands_layout == "bp":
-            append_batch_partition(
-                banded.withColumn("bp", F.lit(int(batch_id)).cast("long")),
-                stream_bands_path,
-                ["pfx", "bp"],
-                coherence_col="pfx",
-            )
-        else:
-            merge_upsert_parquet_partitioned(
-                spark, banded, stream_bands_path,
-                keys=[id_col, "band_idx"], partition_col="pfx",
-            )
+
+        def write_bands() -> None:
+            if bands_layout == "bp":
+                append_batch_partition(
+                    banded.withColumn(
+                        "bp", F.lit(int(batch_id)).cast("long")
+                    ),
+                    stream_bands_path,
+                    ["pfx", "bp"],
+                    coherence_col="pfx",
+                    coherence_width=len(pfxs),
+                )
+            else:
+                merge_upsert_parquet_partitioned(
+                    spark, banded, stream_bands_path,
+                    keys=[id_col, "band_idx"], partition_col="pfx",
+                )
+
+        # independent tables, replay-idempotent sinks: overlap the two
+        # write jobs (round 16, guide §2.6); crash with any subset
+        # written converges on replay exactly like the sequential
+        # crash-between-sinks case (test-pinned)
+        _run_sinks_concurrently(write_verdict, write_bands)
         _maybe_compact_bp(
             spark, batch_id, compact_every, checkpoint_path,
             ([(out_path, None)] if verdict_layout == "bp" else [])
@@ -1094,65 +1142,78 @@ def stream_bm25_ingest(
             "term_bucket",
             text_ops.bm25_term_bucket(F.col("term"), n_buckets),
         )
-        merge_upsert_parquet_partitioned(
-            spark, postings, os.path.join(index_path, "postings"),
-            keys=["term", id_col], partition_col="term_bucket",
-        )
         dls = text_ops.bm25_doclens(batch, id_col, text_col)
         bp = F.lit(int(batch_id)).cast("long").alias("bp")
-        if dl_layout == "bp":
-            append_batch_partition(
-                dls.select(F.col(id_col), "dl", bp),
-                os.path.join(index_path, "doclens"),
-                ["bp"],
-            )
-        elif dl_buckets is None:
-            merge_upsert_parquet(
-                spark, dls, os.path.join(index_path, "doclens"),
-                keys=[id_col],
-            )
-        else:
+
+        def write_postings() -> None:
             merge_upsert_parquet_partitioned(
-                spark,
-                dls.withColumn(
-                    "dl_bucket",
-                    id_hash_bucket(
-                        F.col(id_col), int(dl_buckets), salt="bm25dl:"
-                    ),
-                ),
-                os.path.join(index_path, "doclens"),
-                keys=[id_col],
-                partition_col="dl_bucket",
+                spark, postings, os.path.join(index_path, "postings"),
+                keys=["term", id_col], partition_col="term_bucket",
+                partition_width=n_buckets,
             )
+
+        def write_doclens() -> None:
+            if dl_layout == "bp":
+                append_batch_partition(
+                    dls.select(F.col(id_col), "dl", bp),
+                    os.path.join(index_path, "doclens"),
+                    ["bp"],
+                )
+            elif dl_buckets is None:
+                merge_upsert_parquet(
+                    spark, dls, os.path.join(index_path, "doclens"),
+                    keys=[id_col],
+                )
+            else:
+                merge_upsert_parquet_partitioned(
+                    spark,
+                    dls.withColumn(
+                        "dl_bucket",
+                        id_hash_bucket(
+                            F.col(id_col), int(dl_buckets), salt="bm25dl:"
+                        ),
+                    ),
+                    os.path.join(index_path, "doclens"),
+                    keys=[id_col],
+                    partition_col="dl_bucket",
+                )
+
         partial = dls.agg(
             F.lit(int(batch_id)).cast("long").alias("batch_id"),
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0).cast("long")).alias("sum_dl"),
         )
-        if stat_layout == "bp":
-            append_batch_partition(
-                partial.select("batch_id", "n_docs", "sum_dl", bp),
-                os.path.join(index_path, "stats"),
-                ["bp"],
-            )
-        elif stat_buckets is None:
-            merge_upsert_parquet(
-                spark, partial, os.path.join(index_path, "stats"),
-                keys=["batch_id"],
-            )
-        else:
-            merge_upsert_parquet_partitioned(
-                spark,
-                partial.withColumn(
-                    "stat_bucket",
-                    F.pmod(
-                        F.col("batch_id"), F.lit(int(stat_buckets))
-                    ).cast("int"),
-                ),
-                os.path.join(index_path, "stats"),
-                keys=["batch_id"],
-                partition_col="stat_bucket",
-            )
+
+        def write_stats() -> None:
+            if stat_layout == "bp":
+                append_batch_partition(
+                    partial.select("batch_id", "n_docs", "sum_dl", bp),
+                    os.path.join(index_path, "stats"),
+                    ["bp"],
+                )
+            elif stat_buckets is None:
+                merge_upsert_parquet(
+                    spark, partial, os.path.join(index_path, "stats"),
+                    keys=["batch_id"],
+                )
+            else:
+                merge_upsert_parquet_partitioned(
+                    spark,
+                    partial.withColumn(
+                        "stat_bucket",
+                        F.pmod(
+                            F.col("batch_id"), F.lit(int(stat_buckets))
+                        ).cast("int"),
+                    ),
+                    os.path.join(index_path, "stats"),
+                    keys=["batch_id"],
+                    partition_col="stat_bucket",
+                )
+
+        # three independent tables, idempotent sinks (keyed MERGEs /
+        # bp self-overwrite): overlap the write jobs (round 16,
+        # guide §2.6)
+        _run_sinks_concurrently(write_postings, write_doclens, write_stats)
         _maybe_compact_bp(
             spark, batch_id, compact_every, checkpoint_path, bp_tables
         )
@@ -1322,6 +1383,7 @@ def stream_contrastive_ingest(
                 index_path,
                 ["cell", "bp"],
                 coherence_col="cell",
+                coherence_width=len(cents),
             )
         else:
             merge_upsert_parquet_partitioned(
@@ -1580,21 +1642,34 @@ def stream_curation_ingest(
         # append_batch_partition (not coalesce(1) — round-14 verdict:
         # one writer task per table serialized crawl-sized batches);
         # the prune-keyed tables pass their key as coherence_col so
-        # each hb=/pfx= directory gets coherent parallel-written files
-        append_batch_partition(verdict, verdicts_path, ["bp"])
-        append_batch_partition(
-            hash_rows.withColumn("bp", F.lit(int(batch_id)).cast("long")),
-            hashes_path,
-            ["hb", "bp"],
-            coherence_col="hb",
-        )
-        append_batch_partition(
-            new_bands.withColumn(
-                "pfx", F.concat(F.lit("p"), F.substring("band_hash", 1, 2))
-            ).withColumn("bp", F.lit(int(batch_id)).cast("long")),
-            bands_path,
-            ["pfx", "bp"],
-            coherence_col="pfx",
+        # each hb=/pfx= directory gets coherent parallel-written
+        # files. The three sinks target independent tables and are
+        # replay-idempotent by layout, so they run as overlapping
+        # jobs (round 16, guide §2.6) instead of paying three full
+        # sequential commit latencies per batch.
+        _run_sinks_concurrently(
+            lambda: append_batch_partition(
+                verdict, verdicts_path, ["bp"]
+            ),
+            lambda: append_batch_partition(
+                hash_rows.withColumn(
+                    "bp", F.lit(int(batch_id)).cast("long")
+                ),
+                hashes_path,
+                ["hb", "bp"],
+                coherence_col="hb",
+                coherence_width=len(bks),
+            ),
+            lambda: append_batch_partition(
+                new_bands.withColumn(
+                    "pfx",
+                    F.concat(F.lit("p"), F.substring("band_hash", 1, 2)),
+                ).withColumn("bp", F.lit(int(batch_id)).cast("long")),
+                bands_path,
+                ["pfx", "bp"],
+                coherence_col="pfx",
+                coherence_width=len(pfxs),
+            ),
         )
         _maybe_compact_bp(
             spark, batch_id, compact_every, checkpoint_path,
@@ -1685,32 +1760,38 @@ def stream_dsir_ingest(
             batch, target, id_col, text_col, n_buckets
         )
         bp = F.lit(int(batch_id)).cast("long").alias("bp")
-        write_bp(
-            exploded.groupBy(F.col(id_col), "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.col(id_col), "bucket", "n", bp),
-            os.path.join(index_path, "buckets"),
-        )
-        write_bp(
-            batch.select(
-                F.col(id_col), F.col(lang_col).alias("lang"), bp
+        # three independent bp tables, replay-idempotent by layout:
+        # overlap the write jobs (round 16, guide §2.6)
+        _run_sinks_concurrently(
+            lambda: write_bp(
+                exploded.groupBy(F.col(id_col), "bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col(id_col), "bucket", "n", bp),
+                os.path.join(index_path, "buckets"),
             ),
-            os.path.join(index_path, "docs"),
-        )
-        write_bp(
-            exploded.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("cr"),
-                F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
-            )
-            .select(
-                F.lit(int(batch_id)).cast("long").alias("batch_id"),
-                "bucket",
-                "cr",
-                "ct",
-                bp,
+            lambda: write_bp(
+                batch.select(
+                    F.col(id_col), F.col(lang_col).alias("lang"), bp
+                ),
+                os.path.join(index_path, "docs"),
             ),
-            os.path.join(index_path, "stats"),
+            lambda: write_bp(
+                exploded.groupBy("bucket")
+                .agg(
+                    F.count(F.lit(1)).alias("cr"),
+                    F.sum(
+                        F.when(F.col("__is_t"), 1).otherwise(0)
+                    ).alias("ct"),
+                )
+                .select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "bucket",
+                    "cr",
+                    "ct",
+                    bp,
+                ),
+                os.path.join(index_path, "stats"),
+            ),
         )
         _maybe_compact_bp(
             batch.sparkSession, batch_id, compact_every,
