@@ -112,6 +112,31 @@ def _round_sql(expr: str, n: int) -> str:
     )
 
 
+def _overlap_jobs(*thunks: Callable[[], object]) -> list[object]:
+    """Run INDEPENDENT eager Spark jobs (setup writes, bounded
+    collects) as overlapping jobs from a thread pool (optimization
+    guide §2.6: actions are only sequential because the driver calls
+    them sequentially; concurrent jobs back-fill executors freed by
+    each other's stage tails). Only for thunks with no mutual data
+    dependency — results return in argument order, first failure
+    re-raised after all settle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, errs = [], []
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+        return results
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     return load_table(spark, sf_dir, "events")
@@ -142,6 +167,7 @@ __all__ = [
     "_EXSTD_WIDE",
     "_NORM",
     "_events",
+    "_overlap_jobs",
     "_round_sql",
     "_table",
     "annotations",

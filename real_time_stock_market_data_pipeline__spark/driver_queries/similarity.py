@@ -498,6 +498,8 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     picking its serving index. Each side reuses the registered
     operator; intersections join 10-row frames; the oracle replays
     all five index definitions as isolated nested-WITH subqueries."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
@@ -507,13 +509,38 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression) into every leg — k rows is the bounded-collect class
     # (same budget as the codebook fetches)
     bf_plan = similarity.cosine_topk(embs, q, k=10).select("vec_id")
-    bf = spark.createDataFrame(bf_plan.collect(), schema=bf_plan.schema)
+    # the four eager build jobs (brute-force ground truth + the three
+    # training collects) are independent of each other: submit them as
+    # overlapping Spark jobs (guide §2.6) instead of paying four
+    # sequential job latencies. Shared training state is provably
+    # result-identical: ivf_topk/ivfpq_topk derive exactly
+    # ivf_centroids(embs, IVF_CENTROIDS_N) when centroids=None, and
+    # pq_topk/ivfpq_topk derive exactly pq_seeds(embs, PQ_KSUB) when
+    # seeds=None — passing the once-computed values in removes the
+    # duplicate derivation jobs (one extra ivf_centroids, one extra
+    # pq_seeds) without changing a single plan literal.
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_bf = pool.submit(bf_plan.collect)
+        f_mu = pool.submit(similarity.bq_dim_means, embs)
+        f_cents = pool.submit(
+            similarity.ivf_centroids, embs, similarity.IVF_CENTROIDS_N
+        )
+        f_sds = pool.submit(similarity.pq_seeds, embs, similarity.PQ_KSUB)
+        bf_rows, mu, cents, sds = (
+            f_bf.result(), f_mu.result(), f_cents.result(), f_sds.result()
+        )
+    bf = spark.createDataFrame(bf_rows, schema=bf_plan.schema)
     variants = [
-        ("bq", similarity.bq_topk(embs, q, k=10, refine=4)),
-        ("ivf", similarity.ivf_topk(embs, q, k=10)),
-        ("ivfpq", similarity.ivfpq_topk(embs, q, k=10, refine=4)),
+        ("bq", similarity.bq_topk(embs, q, k=10, refine=4, means=mu)),
+        ("ivf", similarity.ivf_topk(embs, q, k=10, centroids=cents)),
+        (
+            "ivfpq",
+            similarity.ivfpq_topk(
+                embs, q, k=10, refine=4, centroids=cents, seeds=sds
+            ),
+        ),
         ("lsh", similarity.ann_topk(embs, q, k=10)),
-        ("pq", similarity.pq_topk(embs, q, k=10, refine=4)),
+        ("pq", similarity.pq_topk(embs, q, k=10, refine=4, seeds=sds)),
         ("sq8", similarity.sq8_topk(embs, q, k=10, refine=4)),
     ]
     out = None
@@ -591,6 +618,7 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; the indexed probes additionally turn the IVF cell
     filters into partition pruning."""
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
@@ -600,46 +628,75 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12 sweep legs (12 extra corpus scans + 12 copies of the fold
     # expression in one plan) — k rows is the bounded-collect class
     bf_plan = similarity.cosine_topk(embs, q, k=10).select("vec_id")
-    bf = spark.createDataFrame(bf_plan.collect(), schema=bf_plan.schema)
     cents = similarity.ivf_centroids(embs, similarity.IVF_CENTROIDS_N)
     tmp = tempfile.mkdtemp(prefix="ann_sweep_")
-    _, seeds = similarity.ivfpq_write_index(
-        embs, f"{tmp}/ivfpq", centroids=cents
-    )
-    similarity.ivf_write_index(embs, f"{tmp}/ivf", centroids=cents)
-    similarity.bq_write_index(embs, f"{tmp}/bq")
-    out = None
-    for name, param, values in _SWEEP_GRID:
-        for v in values:
-            if name == "ivf":
-                df = similarity.ivf_topk_indexed(
-                    spark, f"{tmp}/ivf", q, centroids=cents, k=10,
-                    n_probe=v,
-                )
-            elif name == "ivfpq":
-                df = similarity.ivfpq_topk_indexed(
-                    spark, f"{tmp}/ivfpq", embs, q, centroids=cents,
-                    seeds=seeds, k=10, refine=4, n_probe=v,
-                )
-            else:
-                df = similarity.bq_topk_indexed(
-                    spark, embs, f"{tmp}/bq", q, k=10, refine=v
-                )
-            row = (
-                bf.join(df.select("vec_id"), "vec_id")
-                .agg(F.count(F.lit(1)).alias("n_match"))
-                .select(
-                    F.lit(name).alias("index_name"),
-                    F.lit(param).alias("param"),
-                    F.lit(v).alias("param_value"),
-                    F.lit(10).alias("k"),
-                    "n_match",
-                    F.round(
-                        F.col("n_match").cast("double") / 10.0, 4
-                    ).alias("recall_at_k"),
-                )
+    # the four remaining eager build jobs (brute-force ground truth +
+    # the three at-rest index writes, which target independent temp
+    # dirs) overlap as concurrent Spark jobs (guide §2.6): only the
+    # cents collect must precede them (two writers consume it)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_bf = pool.submit(bf_plan.collect)
+        f_ivfpq = pool.submit(
+            similarity.ivfpq_write_index, embs, f"{tmp}/ivfpq",
+            centroids=cents,
+        )
+        f_ivf = pool.submit(
+            similarity.ivf_write_index, embs, f"{tmp}/ivf",
+            centroids=cents,
+        )
+        f_bq = pool.submit(similarity.bq_write_index, embs, f"{tmp}/bq")
+        bf_rows = f_bf.result()
+        _, seeds = f_ivfpq.result()
+        f_ivf.result()
+        f_bq.result()
+    bf = spark.createDataFrame(bf_rows, schema=bf_plan.schema)
+
+    def leg(name: str, param: str, v: int) -> DataFrame:
+        if name == "ivf":
+            df = similarity.ivf_topk_indexed(
+                spark, f"{tmp}/ivf", q, centroids=cents, k=10,
+                n_probe=v,
             )
-            out = row if out is None else out.unionByName(row)
+        elif name == "ivfpq":
+            df = similarity.ivfpq_topk_indexed(
+                spark, f"{tmp}/ivfpq", embs, q, centroids=cents,
+                seeds=seeds, k=10, refine=4, n_probe=v,
+            )
+        else:
+            df = similarity.bq_topk_indexed(
+                spark, embs, f"{tmp}/bq", q, k=10, refine=v
+            )
+        return (
+            bf.join(df.select("vec_id"), "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+            .select(
+                F.lit(name).alias("index_name"),
+                F.lit(param).alias("param"),
+                F.lit(v).alias("param_value"),
+                F.lit(10).alias("k"),
+                "n_match",
+                F.round(
+                    F.col("n_match").cast("double") / 10.0, 4
+                ).alias("recall_at_k"),
+            )
+        )
+
+    # the 12 sweep legs are mutually independent probes of the three
+    # at-rest indexes; 8 of them carry an eager bounded candidate
+    # collect (ivfpq/bq `*_topk_indexed`), previously paid as 8
+    # sequential driver actions. Construct the legs concurrently
+    # (guide §2.6) and union in the fixed grid order — same rows,
+    # same plan, the jobs just overlap.
+    grid = [
+        (name, param, v)
+        for name, param, values in _SWEEP_GRID
+        for v in values
+    ]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        rows = list(pool.map(lambda g: leg(*g), grid))
+    out = None
+    for row in rows:
+        out = row if out is None else out.unionByName(row)
     return out
 
 
@@ -1143,8 +1200,12 @@ def q_stream_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_b = embs.filter(F.col("vec_id") >= n // 2)
     tmp = tempfile.mkdtemp(prefix="bq_stream_q_")
     path = f"{tmp}/index"
-    similarity.bq_write_index(half_a, path, means=mu)
-    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    # two independent setup writes (prefix-half signature index,
+    # stream input file) overlap as concurrent jobs (guide §2.6)
+    _overlap_jobs(
+        lambda: similarity.bq_write_index(half_a, path, means=mu),
+        lambda: half_b.coalesce(1).write.parquet(f"{tmp}/in"),
+    )
     src = pipeline.read_file_stream(spark, f"{tmp}/in")
     q = pipeline.stream_bq_ingest(src, path, f"{tmp}/ckpt")
     q.awaitTermination()
@@ -1253,8 +1314,14 @@ def q_stream_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_b = embs.filter(F.col("vec_id") >= n // 2)
     tmp = tempfile.mkdtemp(prefix="contr_stream_q_")
     path = f"{tmp}/index"
-    similarity.contrastive_write_index(half_a, path, centroids=cents)
-    half_b.coalesce(1).write.parquet(f"{tmp}/in")
+    # two independent setup writes (prefix-half index build, stream
+    # input file) overlap as concurrent jobs (guide §2.6)
+    _overlap_jobs(
+        lambda: similarity.contrastive_write_index(
+            half_a, path, centroids=cents
+        ),
+        lambda: half_b.coalesce(1).write.parquet(f"{tmp}/in"),
+    )
     src = pipeline.read_file_stream(spark, f"{tmp}/in")
     q = pipeline.stream_contrastive_ingest(src, path, f"{tmp}/ckpt")
     q.awaitTermination()

@@ -487,10 +487,23 @@ def q_stream_semantic_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = embs.filter(F.col("vec_id") % 4 != 0)
     newb = embs.filter(F.col("vec_id") % 4 == 0)
     tmp = tempfile.mkdtemp(prefix="sss_q_")
-    newb.coalesce(1).write.parquet(f"{tmp}/in")
+    # pre-build the at-rest corpus assignment CONCURRENTLY with the
+    # stream input write (guide §2.6) — identical state: centroids
+    # passed explicitly are exactly the `centroids=None` lowest-id
+    # seeds the wiring would derive, and the wiring's fingerprint
+    # check then reuses the pre-built assignment instead of
+    # rebuilding it
+    cents = similarity.ivf_centroids(corpus, similarity.IVF_CENTROIDS_N)
+    _overlap_jobs(
+        lambda: pipeline.materialize_corpus_assignment(
+            corpus, cents, f"{tmp}/corpus_assigned"
+        ),
+        lambda: newb.coalesce(1).write.parquet(f"{tmp}/in"),
+    )
     src = pipeline.read_file_stream(spark, f"{tmp}/in")
     q = pipeline.stream_semantic_screen(
         src, corpus, f"{tmp}/index", f"{tmp}/ckpt", threshold=0.3,
+        centroids=cents,
         corpus_assigned_path=f"{tmp}/corpus_assigned",
     )
     q.awaitTermination()
@@ -519,8 +532,12 @@ def q_stream_neardup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     tmp = tempfile.mkdtemp(prefix="snd_q_")
-    dedup.write_dedup_index(docs, f"{tmp}/corpus_bands")
-    _screen_batch(docs).coalesce(1).write.parquet(f"{tmp}/in")
+    # two independent setup writes (corpus band index, stream input
+    # file) overlap as concurrent jobs (guide §2.6)
+    _overlap_jobs(
+        lambda: dedup.write_dedup_index(docs, f"{tmp}/corpus_bands"),
+        lambda: _screen_batch(docs).coalesce(1).write.parquet(f"{tmp}/in"),
+    )
     src = pipeline.read_file_stream(spark, f"{tmp}/in")
     q = pipeline.stream_neardup_ingest(
         src, f"{tmp}/corpus_bands", f"{tmp}/stream_bands",
