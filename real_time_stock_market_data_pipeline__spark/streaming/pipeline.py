@@ -166,35 +166,36 @@ def _maybe_compact_bp(
         compact_batch_partitions(spark, path, upto_bp=wm, prune_col=prune)
 
 
-def _run_sinks_concurrently(*thunks) -> None:
-    """Run a micro-batch's INDEPENDENT table writes as overlapping
-    Spark jobs (guide §2.6: actions are only sequential because the
-    driver calls them sequentially; concurrent jobs back-fill
-    executors freed by each other's stage tails — the multi-sink
-    services previously paid each sink's full commit latency
-    end-to-end). Safe because every sink here targets its OWN table
-    and is replay-idempotent (bp layout: a replayed batch overwrites
-    its own partitions; MERGE layouts: keyed upsert), so a crash
-    leaving an arbitrary SUBSET of sinks written converges on replay
-    exactly like the sequential crash-between-sinks case the recovery
-    tests pin. The first failure propagates after all submitted
-    writes settle (no orphaned in-flight job keeps writing while the
-    batch errors out)."""
+def _run_sinks_concurrently(*thunks) -> list:
+    """Run a micro-batch's INDEPENDENT eager actions (table writes,
+    bounded collects, localCheckpoints) as overlapping Spark jobs
+    (guide §2.6: actions are only sequential because the driver calls
+    them sequentially; concurrent jobs back-fill executors freed by
+    each other's stage tails — the multi-sink services previously
+    paid each sink's full commit latency end-to-end). Safe for writes
+    because every sink here targets its OWN table and is
+    replay-idempotent (bp layout: a replayed batch overwrites its own
+    partitions; MERGE layouts: keyed upsert), so a crash leaving an
+    arbitrary SUBSET of sinks written converges on replay exactly
+    like the sequential crash-between-sinks case the recovery tests
+    pin. Results return in argument order; the first failure
+    propagates after all submitted jobs settle (no orphaned in-flight
+    job keeps writing while the batch errors out)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if len(thunks) == 1:
-        thunks[0]()
-        return
+        return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(t) for t in thunks]
-        errs = []
+        results, errs = [], []
         for f in futures:
             try:
-                f.result()
+                results.append(f.result())
             except Exception as e:  # noqa: BLE001 — re-raised below
                 errs.append(e)
         if errs:
             raise errs[0]
+        return results
 
 
 def read_file_stream(
@@ -1511,10 +1512,17 @@ def stream_curation_ingest(
         ).withColumn(
             "hb", id_hash_bucket(F.col("text_hash"), hb_buckets, salt="cxh:")
         )
-        # bounded driver fetch (≤ hb_buckets ints) → PartitionFilters
-        bks = sorted(
-            r["hb"] for r in bh.select("hb").distinct().collect()
+        # two independent eager pre-points — the bounded touched-bucket
+        # fetch (≤ hb_buckets ints → PartitionFilters) and the batch
+        # band materialization the near lane + band sink both consume —
+        # overlap as concurrent jobs (round 16, guide §2.6)
+        bks_rows, new_bands = _run_sinks_concurrently(
+            lambda: bh.select("hb").distinct().collect(),
+            lambda: dedup_ops.minhash_bands(
+                batch, id_col, text_col
+            ).localCheckpoint(eager=True),
         )
+        bks = sorted(r["hb"] for r in bks_rows)
         prior_h = (
             spark.read.parquet(hashes_path)
             .filter(F.col("hb").isin(bks))
@@ -1563,9 +1571,6 @@ def stream_curation_ingest(
         # prefixes (bounded ≤ 256-value collect → PartitionFilters;
         # band equality implies prefix equality) — O(touched prefix
         # dirs) per batch, not O(index), same as stream_neardup_ingest
-        new_bands = dedup_ops.minhash_bands(
-            batch, id_col, text_col
-        ).localCheckpoint(eager=True)
         pfxs = sorted(
             r["pfx"]
             for r in new_bands.select(
