@@ -120,21 +120,11 @@ def _overlap_jobs(*thunks: Callable[[], object]) -> list[object]:
     each other's stage tails). Only for thunks with no mutual data
     dependency — results return in argument order, first failure
     re-raised after all settle."""
-    from concurrent.futures import ThreadPoolExecutor
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        run_jobs_concurrently,
+    )
 
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
-        results, errs = [], []
-        for f in futures:
-            try:
-                results.append(f.result())
-            except Exception as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-        if errs:
-            raise errs[0]
-        return results
+    return run_jobs_concurrently(*thunks)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1403,40 +1403,49 @@ def dsir_write_index(
     import json
     import os
 
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        run_jobs_concurrently,
+    )
+
     target = F.col(lang_col) == target_lang
     exploded = _dsir_exploded(docs, target, id_col, text_col, n_buckets)
     bp = F.lit(-1).cast("long").alias("bp")
-    (
-        exploded.groupBy(F.col(id_col), "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col(id_col), "bucket", "n", bp)
-        .write.mode("overwrite")
-        .partitionBy("bp")
-        .parquet(os.path.join(path, "buckets"))
-    )
-    (
-        docs.select(F.col(id_col), F.col(lang_col).alias("lang"), bp)
-        .write.mode("overwrite")
-        .partitionBy("bp")
-        .parquet(os.path.join(path, "docs"))
-    )
-    (
-        exploded.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("cr"),
-            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
-        )
-        .select(
-            F.lit(-1).cast("long").alias("batch_id"),
-            "bucket",
-            "cr",
-            "ct",
-            bp,
-        )
-        .repartition(1)
-        .write.mode("overwrite")
-        .partitionBy("bp")
-        .parquet(os.path.join(path, "stats"))
+    # three independent tables into disjoint subdirectories: overlap
+    # the write jobs (round 16, guide §2.6) instead of paying three
+    # sequential build latencies
+    run_jobs_concurrently(
+        lambda: (
+            exploded.groupBy(F.col(id_col), "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col(id_col), "bucket", "n", bp)
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(os.path.join(path, "buckets"))
+        ),
+        lambda: (
+            docs.select(F.col(id_col), F.col(lang_col).alias("lang"), bp)
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(os.path.join(path, "docs"))
+        ),
+        lambda: (
+            exploded.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("ct"),
+            )
+            .select(
+                F.lit(-1).cast("long").alias("batch_id"),
+                "bucket",
+                "cr",
+                "ct",
+                bp,
+            )
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(os.path.join(path, "stats"))
+        ),
     )
     with open(os.path.join(path, _DSIR_META_SIDECAR), "w") as f:
         json.dump(
@@ -1649,11 +1658,12 @@ def bm25_write_index(
     import json
     import os
 
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        run_jobs_concurrently,
+    )
+
     postings = bm25_postings(docs, id_col, text_col).withColumn(
         "term_bucket", bm25_term_bucket(F.col("term"), n_buckets)
-    )
-    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        os.path.join(path, "postings")
     )
     # doclens and stats in the bp=<batch_id> batch-partition layout
     # (bp=-1 is the base build): document ids are NEW every ingest
@@ -1672,26 +1682,36 @@ def bm25_write_index(
     # paths on sidecars without them.
     dls = bm25_doclens(docs, id_col, text_col)
     bp = F.lit(-1).cast("long").alias("bp")
-    (
-        dls.select(F.col(id_col), "dl", bp)
-        .write.mode("overwrite")
-        .partitionBy("bp")
-        .parquet(os.path.join(path, "doclens"))
-    )
     # corpus stats as per-batch partials (batch_id -1 = the base
     # build): N and avgdl derive from exact integer sums, so a
     # streaming ingest adds one idempotent (batch_id, n, Σdl) row per
     # batch instead of re-scanning doclens — the sketch-register shape.
-    (
-        dls.agg(
-            F.lit(-1).cast("long").alias("batch_id"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-        )
-        .select("batch_id", "n_docs", "sum_dl", bp)
-        .write.mode("overwrite")
-        .partitionBy("bp")
-        .parquet(os.path.join(path, "stats"))
+    # The three tables land in disjoint subdirectories: overlap the
+    # write jobs (round 16, guide §2.6) instead of paying the corpus-
+    # sized posting build plus two sidecar writes end-to-end.
+    run_jobs_concurrently(
+        lambda: (
+            postings.write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(path, "postings"))
+        ),
+        lambda: (
+            dls.select(F.col(id_col), "dl", bp)
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(os.path.join(path, "doclens"))
+        ),
+        lambda: (
+            dls.agg(
+                F.lit(-1).cast("long").alias("batch_id"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .select("batch_id", "n_docs", "sum_dl", bp)
+            .write.mode("overwrite")
+            .partitionBy("bp")
+            .parquet(os.path.join(path, "stats"))
+        ),
     )
     with open(os.path.join(path, _BM25_META_SIDECAR), "w") as f:
         json.dump(

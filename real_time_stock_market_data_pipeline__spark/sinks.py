@@ -25,6 +25,36 @@ from real_time_stock_market_data_pipeline__spark.operators.relational import (
 )
 
 
+def run_jobs_concurrently(*thunks) -> list:
+    """Run INDEPENDENT eager Spark actions (table writes to disjoint
+    paths, bounded collects, localCheckpoints) as overlapping jobs
+    from a thread pool (optimization guide §2.6: actions are only
+    sequential because the driver calls them sequentially; concurrent
+    jobs back-fill executors freed by each other's stage tails).
+    Only for thunks with no mutual data dependency and — for writes —
+    disjoint target tables, each individually idempotent/atomic, so a
+    failure leaving an arbitrary SUBSET written is no worse than the
+    sequential failure-between-writes case. Results return in
+    argument order; the first failure re-raises after all submitted
+    jobs settle (no orphaned in-flight job keeps writing while the
+    caller errors out)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, errs = [], []
+        for f in futures:
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            raise errs[0]
+        return results
+
+
 def write_parquet_partitioned(
     df: DataFrame,
     path: str,

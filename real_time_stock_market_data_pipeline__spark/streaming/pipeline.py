@@ -181,21 +181,11 @@ def _run_sinks_concurrently(*thunks) -> list:
     pin. Results return in argument order; the first failure
     propagates after all submitted jobs settle (no orphaned in-flight
     job keeps writing while the batch errors out)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        run_jobs_concurrently,
+    )
 
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
-        results, errs = [], []
-        for f in futures:
-            try:
-                results.append(f.result())
-            except Exception as e:  # noqa: BLE001 — re-raised below
-                errs.append(e)
-        if errs:
-            raise errs[0]
-        return results
+    return run_jobs_concurrently(*thunks)
 
 
 def read_file_stream(
