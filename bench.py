@@ -288,15 +288,67 @@ def main() -> None:
     result["queries"] = timings
     if errors:
         result["errors"] = errors
-    # Detailed line first, compact line LAST: the driver keeps the
-    # stdout tail, so the line that must survive goes last.
+    # Detailed line first (full precision, every query — the
+    # pre-round-16 record, unchanged), then per-tier compact
+    # per-query lines, then the compact totals line LAST: the driver
+    # keeps only the final ~2000 chars of stdout, so the lines that
+    # must survive go last (round-16 verdict ask #2 — per-query
+    # driver visibility was lost when the detailed line outgrew the
+    # tail).
     print(json.dumps(result))
-    top = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    compact["top"] = {k: v for k, v in top}
     compact["compact"] = True
     if errors:
         compact["error_queries"] = sorted(errors)[:10]
-    print(json.dumps(compact))
+    final_line = json.dumps(compact, separators=(",", ":"))
+    # Per-tier per-query lines, 0.1 s rounding, no spaces. The 77
+    # names + values don't quite fit the 2000-char tail next to the
+    # totals line, so retention is byte-budget-aware: drop the
+    # globally SMALLEST timings (pure fixed overhead at sf0.1, never
+    # the attribution targets) until everything fits with margin.
+    # The dropped queries' full-precision timings remain in the
+    # detailed first line above.
+    tail_budget = 1900 - len(final_line) - 1
+
+    def _fmt(v: float) -> float | int:
+        v = round(v, 1)
+        return int(v) if v == int(v) else v
+
+    tier_sel: list[dict[str, float]] = [
+        {n: timings[n] for n in names if n in timings}
+        for names in (
+            BENCH_QUERIES,
+            TIER2_QUERIES,
+            TIER3_QUERIES,
+            TIER4_QUERIES,
+            TIER5_QUERIES,
+        )
+    ]
+
+    def _render() -> list[str]:
+        return [
+            json.dumps(
+                {"queries": {n: _fmt(v) for n, v in sel.items()}},
+                separators=(",", ":"),
+            )
+            for sel in tier_sel
+            if sel
+        ]
+
+    lines = _render()
+    while lines and sum(len(ln) + 1 for ln in lines) > tail_budget:
+        ti, name = min(
+            (
+                (i, n)
+                for i, sel in enumerate(tier_sel)
+                for n in sel
+            ),
+            key=lambda t: tier_sel[t[0]][t[1]],
+        )
+        del tier_sel[ti][name]
+        lines = _render()
+    for ln in lines:
+        print(ln)
+    print(final_line)
     try:
         spark.stop()
     except Exception:

@@ -3,6 +3,8 @@ by the driver gate; these localize what a hash mismatch would not)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.driver_queries import (
@@ -14,6 +16,7 @@ from real_time_stock_market_data_pipeline__spark.driver_queries import (
 from real_time_stock_market_data_pipeline__spark.operators import behavior
 
 
+@pytest.mark.slow
 def test_funnel_is_monotone(spark, sf_dir):
     row = q_funnel_conversion(spark, sf_dir).collect()[0]
     assert row.n_view_users >= row.n_click_users >= row.n_purchase_users

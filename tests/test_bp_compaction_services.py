@@ -32,6 +32,12 @@ from real_time_stock_market_data_pipeline__spark.sources.registry import (
 from real_time_stock_market_data_pipeline__spark.streaming import pipeline
 
 
+
+#: every test here drains multi-batch streams and runs the
+#: compaction services end-to-end — slow by construction,
+#: deselected from the default (driver) run via pytest.ini
+pytestmark = pytest.mark.slow
+
 def _drain_files(spark, in_dir, schema, wire):
     """One availableNow drain of the file stream through ``wire``."""
     src = pipeline.read_file_stream(spark, in_dir, schema=schema)

@@ -202,6 +202,7 @@ def _table_rows(spark, path):
     }
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_mid_stream_exactly_once(spark, workdir):
     """Kill a stream_realtime_metrics run between micro-batches
     (stop() after batch 1 commits), restart from the SAME checkpoint
@@ -228,6 +229,7 @@ def test_checkpoint_restart_mid_stream_exactly_once(spark, workdir):
     assert after_b1 <= final
 
 
+@pytest.mark.slow
 def test_checkpoint_rollback_replays_batch_idempotently(spark, workdir):
     """Crash BEFORE the checkpoint commit of a batch whose sink write
     already landed — the at-least-once window foreachBatch exposes.
@@ -349,6 +351,7 @@ def test_partitioned_merge_preserves_null_partition_rows(spark, workdir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_substring_ingest_crash_between_sinks(spark, workdir):
     """The round-12 ExactSubstr service writes TWO sinks per batch —
     rewritten docs (MERGE on id), then kept digests (cell-scoped MERGE
@@ -420,6 +423,7 @@ def test_stream_substring_ingest_crash_between_sinks(spark, workdir):
     assert state() == no_crash
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_ingest_checkpoint_rollback_replay(spark, workdir):
     """stream_ivfpq_ingest's crash window: codes MERGEd, checkpoint
     uncommitted. Codes are deterministic under the frozen sidecar
@@ -483,6 +487,7 @@ def test_stream_ivfpq_ingest_checkpoint_rollback_replay(spark, workdir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_neardup_ingest_crash_between_sinks(spark, workdir):
     """The MinHash ingest service writes TWO sinks per batch — the
     verdict log (MERGE on doc_id), then the batch's band rows
@@ -565,6 +570,7 @@ def test_stream_neardup_ingest_crash_between_sinks(spark, workdir):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_stream_bm25_ingest_replay_and_stats_idempotence(spark, workdir):
     """The BM25 ingest service writes THREE sinks per batch. The stats
     sink is the subtle one: a per-batch partial keyed on batch_id, so

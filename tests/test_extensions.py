@@ -1715,6 +1715,7 @@ def test_semantic_dedup_laws_independent_set_and_idempotence(spark, sf_dir):
         assert r["centroid_sim"] == kept_rows[vid]["centroid_sim"]
 
 
+@pytest.mark.slow
 def test_semantic_dedup_kmeans_centroids_contract_invariance(spark, sf_dir):
     """Round-9 verdict ask #5: the sampled-k-means seeding path
     (``centroids="kmeans"``) keeps the semantic-dedup CONTRACT —
@@ -1936,6 +1937,7 @@ def test_semantic_assign_empty_centroids_raises(spark):
 
 
 @pytest.mark.parametrize("at_rest", [False, True])
+@pytest.mark.slow
 def test_stream_semantic_screen_sequential_ingest_and_restart(
     spark, at_rest
 ):
@@ -1993,6 +1995,7 @@ def test_stream_semantic_screen_sequential_ingest_and_restart(
     assert drain() == [3, 6]
 
 
+@pytest.mark.slow
 def test_stream_semantic_screen_compaction_bounds_files(spark):
     """Index compaction wired into the streaming screen: on the bp
     layout the append sink accretes one bp subpartition per batch per
@@ -2082,6 +2085,7 @@ def test_stream_semantic_screen_compaction_bounds_files(spark):
     assert max(dirs_comp.values()) <= 3
 
 
+@pytest.mark.slow
 def test_compact_partitioned_cells_scopes_and_heals(spark, tmp_path):
     """Unit contract of sinks.compact_partitioned_cells on the shape
     that really accretes — an APPEND-mode partitioned sink writing one
@@ -2132,6 +2136,7 @@ def test_compact_partitioned_cells_scopes_and_heals(spark, tmp_path):
     assert got == list(range(12)) + [99]
 
 
+@pytest.mark.slow
 def test_stream_semantic_screen_rebuilds_stale_corpus_assignment(spark):
     """Fingerprint sidecar (round-11 ADVICE): a pre-existing
     ``corpus_assigned_path`` built from a DIFFERENT corpus must be
@@ -2195,6 +2200,7 @@ def test_stream_semantic_screen_rebuilds_stale_corpus_assignment(spark):
     assert pipeline._assignment_reusable(cap, cents_b, 3)
 
 
+@pytest.mark.slow
 def test_stream_semantic_screen_kmeans_centroids_matches_batch(spark):
     """``centroids="kmeans"`` on the streaming screen (round-10 verdict
     ask #8): kmeans_centroids is deterministic, so a one-batch drain
@@ -2759,6 +2765,7 @@ def test_rrf_hybrid_fusion_laws(spark, sf_dir, tmp_path):
     assert one_leg_head, "neither leg's top-1 survived fusion top-10"
 
 
+@pytest.mark.slow
 def test_ann_recall_sweep_monotone_in_cost(spark, sf_dir):
     """Recall@10 is non-decreasing in the cost knob for the families
     where the candidate set provably grows with it: IVF-flat (more

@@ -5,6 +5,8 @@ shapes (dup ratios, key collisions, empty frames are all reachable)."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -38,6 +40,7 @@ def _df(spark, rows):
 
 @given(rows=ROWS, rows2=ROWS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_merge_upsert_laws(spark, rows, rows2):
     target, source = _df(spark, rows), _df(spark, rows2)
     once = relational.merge_upsert(target, source, ["k", "g"])
@@ -193,6 +196,7 @@ POINTS = st.lists(
 
 @given(points=POINTS, intervals=INTERVALS, w=st.sampled_from([3.0, 17.0, 64.0]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_range_join_law(spark, points, intervals, w):
     """Bucketized range join ≡ the naive theta join for arbitrary
     intervals (negative bounds, empty, zero-length) and bucket widths."""
@@ -229,6 +233,7 @@ def test_salted_agg_law(spark, rows, n_salts):
 
 @given(rows=ROWS, rows2=ROWS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_merge_aggregates_decomposability_law(spark, rows, rows2):
     """merge(agg(A), agg(B)) == agg(A ∪ B) for arbitrary frames —
     the law that makes incremental maintenance exact."""
@@ -420,6 +425,7 @@ def test_bq_sign_pack_matches_duckdb(vec, mu):
     ),
 )
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_neardup_screen_model(spark, corpus_texts, batch_texts):
     """Generative model law for the arrival-ordered near-dup screen:
     given the operator's OWN band tables (MinHash banding has its own

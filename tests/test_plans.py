@@ -3,6 +3,8 @@ properties that decide whether a plan survives a 100 TB scale-up."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -128,6 +130,7 @@ def test_stream_semantic_screen_corpus_at_rest_prunes(spark, sf_dir):
         assert cells <= {0, 2}
 
 
+@pytest.mark.slow
 def test_no_registered_query_plans_a_cartesian(spark, sf_dir):
     """Blanket 100 TB guard: no registered query may plan a
     CartesianProduct or BroadcastNestedLoopJoin — the two shapes whose

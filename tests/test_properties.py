@@ -4,6 +4,8 @@ operators."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline__spark.operators import (
@@ -260,6 +262,7 @@ def test_incremental_neardup_finds_its_sources(spark, sf_dir):
         assert 1 <= sb <= 8
 
 
+@pytest.mark.slow
 def test_round7_operators_partitioning_invariant(spark, sf_dir):
     """Round-7 exactness-critical operators hash identically under
     different parallelism — the decimal/rank/quantizer recipes at

@@ -274,6 +274,7 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     assert "cell" in plan.split("PartitionFilters:")[1].split("]")[0]
 
 
+@pytest.mark.slow
 def test_ivfpq_index_at_rest_prunes_and_matches(spark, sf_dir, tmp_path):
     """ivfpq_write_index + ivfpq_topk_indexed (round-11 verdict ask
     #1): the materialized (id, codes) @ partitionBy(cell) layout must
@@ -369,6 +370,7 @@ def test_ivfpq_index_full_probe_equals_pq_topk(spark, sf_dir, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_ivfpq_merge_index_incremental_equals_full_build(spark, sf_dir, tmp_path):
     """Incremental ingestion law: build the index on corpus A, merge
     batch B under A's frozen codebooks (from the meta sidecar), and
@@ -405,6 +407,7 @@ def test_ivfpq_merge_index_incremental_equals_full_build(spark, sf_dir, tmp_path
     assert n_rows == embs.count()
 
 
+@pytest.mark.slow
 def test_stream_ivfpq_ingest_equals_full_build(spark, sf_dir, tmp_path):
     """Streaming index-maintenance law: build on the id-prefix half,
     stream the other half in TWO single-file drains, and the index
@@ -455,6 +458,7 @@ def test_stream_ivfpq_ingest_equals_full_build(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == embs.count()
 
 
+@pytest.mark.slow
 def test_stream_contrastive_ingest_equals_batch(spark, sf_dir, tmp_path):
     """Streaming contrastive-index law (round-13 verdict stretch #8):
     build the labeled candidate index on the id-prefix half under

@@ -3,6 +3,8 @@ micro-batches must equal the batch computation over all data."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -26,6 +28,7 @@ def _fixture(spark, tmp, n_files=3):
     return src_dir, df
 
 
+@pytest.mark.slow
 def test_running_vwap_matches_batch(spark):
     tmp = tempfile.mkdtemp(prefix="vwap_")
     src_dir, df = _fixture(spark, tmp)

@@ -5,6 +5,8 @@ round-trip."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import tempfile
 
@@ -455,6 +457,7 @@ def _rewrite_json(path, obj):
         json.dump(obj, f)
 
 
+@pytest.mark.slow
 def test_stream_neardup_legacy_layouts_merge(spark, tmp_path):
     """A pre-bp verdict log (flat, and round-14 vb-bucketed) plus a
     pfx-only band index keep MERGing under the migrated service: the
@@ -525,6 +528,7 @@ def test_stream_neardup_legacy_layouts_merge(spark, tmp_path):
         }
 
 
+@pytest.mark.slow
 def test_stream_bm25_legacy_layouts_merge(spark, tmp_path):
     """Round-14 bucketed (dl_buckets/stat_buckets) and pre-13 flat
     doclens/stats sidecars keep their MERGE paths under the migrated
@@ -596,6 +600,7 @@ def test_stream_bm25_legacy_layouts_merge(spark, tmp_path):
         ).columns
 
 
+@pytest.mark.slow
 def test_stream_bq_legacy_layouts_merge(spark, sf_dir, tmp_path):
     """Round-14 sig_bucket-MERGE and pre-13 flat signature tables keep
     working under the migrated bq ingest (sidecar without `layout`);
@@ -797,6 +802,7 @@ def test_compact_batch_partitions_nested_and_heal(spark, tmp_path):
     ) == before
 
 
+@pytest.mark.slow
 def test_stream_semantic_screen_legacy_cell_merge(spark, tmp_path):
     """A pre-bp semantic index (cell partitions only) keeps the
     round-9 cell-scoped MERGE under the migrated screen: layout is
@@ -838,6 +844,7 @@ def test_stream_semantic_screen_legacy_cell_merge(spark, tmp_path):
     ) == [3, 6]
 
 
+@pytest.mark.slow
 def test_stream_substring_legacy_layouts_merge(spark, tmp_path):
     """A pre-bp ExactSubstr state — pfx-only block index, flat
     rewritten-docs table — keeps MERGing under the migrated service:

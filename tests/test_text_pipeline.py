@@ -266,6 +266,7 @@ def test_simhash_neardup_pairs_finds_near_identical_docs(spark):
         dedup.simhash_neardup_pairs(docs, max_hamming=5)
 
 
+@pytest.mark.slow
 def test_pair_families_clone_collapse_equals_uncollapsed(spark, sf_dir):
     """Law (round-9 verdict ask #3): the exact-clone collapse pre-pass
     in dedup_minhash_pairs / simhash_neardup_pairs produces output
@@ -320,6 +321,7 @@ def test_pair_families_clone_collapse_equals_uncollapsed(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_pair_families_powerlaw_clone_skew(spark):
     """Power-law clone skew (round-11 verdict ask #7): web corpora are
     not uniformly cloned — one boilerplate text can carry ~50% of all
@@ -524,6 +526,7 @@ def test_substring_dedup_incremental_equals_batch_restriction(spark, sf_dir):
     assert novel[0] == novel[1] > 0      # novel doc keeps everything
 
 
+@pytest.mark.slow
 def test_stream_substring_ingest_matches_batch_and_grows_index(
     spark, sf_dir, tmp_path
 ):
@@ -907,6 +910,7 @@ def test_length_band_filter_drops_tails_per_group(spark, sf_dir):
         assert r[1] / orig[r.lang] >= 0.8
 
 
+@pytest.mark.slow
 def test_stream_neardup_ingest_matches_batch_and_grows_index(
     spark, sf_dir, tmp_path
 ):
@@ -1022,6 +1026,7 @@ def test_bpe_train_matches_reference_greedy(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bpe_train_local_equals_engine_at_256_merges(spark, sf_dir):
     """Round-13 verdict ask #4: the driver-side trainer (built for
     real vocabulary sizes, where the engine-replay form schedules one
@@ -1207,6 +1212,7 @@ def test_stream_dsir_ingest_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_curation_ingest_equals_batch(spark, sf_dir, tmp_path):
     """Composed streaming-curation law: initialize state with only the
     benchmark digests, stream the corpus in TWO id-ordered drains, and
