@@ -498,8 +498,6 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     picking its serving index. Each side reuses the registered
     operator; intersections join 10-row frames; the oracle replays
     all five index definitions as isolated nested-WITH subqueries."""
-    from concurrent.futures import ThreadPoolExecutor
-
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
     embs = load_table(spark, sf_dir, "embeddings")
@@ -519,16 +517,12 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seeds=None — passing the once-computed values in removes the
     # duplicate derivation jobs (one extra ivf_centroids, one extra
     # pq_seeds) without changing a single plan literal.
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_bf = pool.submit(bf_plan.collect)
-        f_mu = pool.submit(similarity.bq_dim_means, embs)
-        f_cents = pool.submit(
-            similarity.ivf_centroids, embs, similarity.IVF_CENTROIDS_N
-        )
-        f_sds = pool.submit(similarity.pq_seeds, embs, similarity.PQ_KSUB)
-        bf_rows, mu, cents, sds = (
-            f_bf.result(), f_mu.result(), f_cents.result(), f_sds.result()
-        )
+    bf_rows, mu, cents, sds = _overlap_jobs(
+        bf_plan.collect,
+        lambda: similarity.bq_dim_means(embs),
+        lambda: similarity.ivf_centroids(embs, similarity.IVF_CENTROIDS_N),
+        lambda: similarity.pq_seeds(embs, similarity.PQ_KSUB),
+    )
     bf = spark.createDataFrame(bf_rows, schema=bf_plan.schema)
     variants = [
         ("bq", similarity.bq_topk(embs, q, k=10, refine=4, means=mu)),
@@ -618,7 +612,6 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged; the indexed probes additionally turn the IVF cell
     filters into partition pruning."""
     import tempfile
-    from concurrent.futures import ThreadPoolExecutor
 
     ensure_engine_conf(spark)
     q = _query_vector(spark, sf_dir)
@@ -634,21 +627,16 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three at-rest index writes, which target independent temp
     # dirs) overlap as concurrent Spark jobs (guide §2.6): only the
     # cents collect must precede them (two writers consume it)
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        f_bf = pool.submit(bf_plan.collect)
-        f_ivfpq = pool.submit(
-            similarity.ivfpq_write_index, embs, f"{tmp}/ivfpq",
-            centroids=cents,
-        )
-        f_ivf = pool.submit(
-            similarity.ivf_write_index, embs, f"{tmp}/ivf",
-            centroids=cents,
-        )
-        f_bq = pool.submit(similarity.bq_write_index, embs, f"{tmp}/bq")
-        bf_rows = f_bf.result()
-        _, seeds = f_ivfpq.result()
-        f_ivf.result()
-        f_bq.result()
+    bf_rows, (_, seeds), _, _ = _overlap_jobs(
+        bf_plan.collect,
+        lambda: similarity.ivfpq_write_index(
+            embs, f"{tmp}/ivfpq", centroids=cents
+        ),
+        lambda: similarity.ivf_write_index(
+            embs, f"{tmp}/ivf", centroids=cents
+        ),
+        lambda: similarity.bq_write_index(embs, f"{tmp}/bq"),
+    )
     bf = spark.createDataFrame(bf_rows, schema=bf_plan.schema)
 
     def leg(name: str, param: str, v: int) -> DataFrame:
@@ -692,8 +680,16 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, param, values in _SWEEP_GRID
         for v in values
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=6) as pool:
-        rows = list(pool.map(lambda g: leg(*g), grid))
+        rows = list(
+            pool.map(
+                inheritable_thread_target(spark)(lambda g: leg(*g)), grid
+            )
+        )
     out = None
     for row in rows:
         out = row if out is None else out.unionByName(row)
@@ -1047,13 +1043,25 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, the rest the existing corpus
     (`operators/similarity.py:semantic_dedup_incremental`). The oracle
     replays corpus-seeded cells, the any-stored-duplicate screen, and
-    the intra-batch dominance rule over the survivors."""
+    the intra-batch dominance rule over the survivors.
+
+    Runs the operator's at-rest form (round 17, fresh per-run temp
+    dir — nothing reused across runs): the lazy plan instantiated the
+    new-batch assign subtree 8× and the corpus assign 4× (12 parquet
+    scans / 22 exchanges, the registry's heaviest static plan); the
+    at-rest form computes each assignment once, prunes the corpus
+    read to the batch's touched cells (PartitionFilters), and
+    dominance-prunes over the materialized survivors. Same rows —
+    the oracle replays the unmaterialized definition."""
+    import tempfile
+
     ensure_engine_conf(spark)
     embs = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_incremental(
         embs.filter(F.col("vec_id") % 4 == 0),
         embs.filter(F.col("vec_id") % 4 != 0),
         threshold=0.3,
+        work_dir=tempfile.mkdtemp(prefix="semdd_inc_"),
     )
 
 

@@ -1830,7 +1830,6 @@ def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (their standalone oracles as CTEs) plus the rank windows
     and the fixed two-term coalesce fusion sum."""
     import tempfile
-    from concurrent.futures import ThreadPoolExecutor
 
     from real_time_stock_market_data_pipeline__spark.operators import (
         similarity,
@@ -1843,13 +1842,10 @@ def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two leg indexes are independent builds over disjoint inputs
     # into disjoint temp dirs: overlap the write jobs (guide §2.6)
     # instead of paying both build latencies end-to-end
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_bm25 = pool.submit(text.bm25_write_index, docs, f"{tmp}/bm25")
-        f_bq = pool.submit(
-            similarity.bq_write_index, embs, f"{tmp}/bq"
-        )
-        f_bm25.result()
-        f_bq.result()
+    _overlap_jobs(
+        lambda: text.bm25_write_index(docs, f"{tmp}/bm25"),
+        lambda: similarity.bq_write_index(embs, f"{tmp}/bq"),
+    )
     return text.rrf_hybrid_topk(
         spark,
         embs,

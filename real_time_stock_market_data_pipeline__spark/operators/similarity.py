@@ -596,6 +596,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: list[list[float]] | str | None = None,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """Per-batch :func:`semantic_dedup` against an existing corpus —
     the write-once/screen-forever shape (cf.
@@ -621,22 +622,77 @@ def semantic_dedup_incremental(
     sides must quantize against the same codebook or cell scoping is
     meaningless. The kept output ``(id, cell, centroid_sim)`` is
     exactly one append to the corpus assignment table.
+
+    ``work_dir`` (round 17, guide §1.2/§6 — the at-rest subtree-dedup
+    pattern the sweep's shared indexes use): when set, the two
+    assignment frames are written ONCE to ``work_dir/{an,ac}``
+    (``partitionBy("cell")`` — two overlapped jobs), the corpus side
+    is re-read pruned to the batch's touched cells (a bounded
+    ≤ n_centroids collect that lands in the scan's PartitionFilters,
+    exactly the streaming screen's probe shape), and the corpus-screen
+    survivors are materialized once at ``work_dir/surv`` before the
+    intra-batch dominance prune. The lazy form instantiates the
+    new-batch assign subtree 8× and the corpus assign 4× in one plan
+    (each a full scan + |cents|-way fold at corpus scale); the at-rest
+    form computes each exactly once. Results are bit-identical:
+    parquet round-trips doubles and arrays losslessly and the
+    dominance/screen logic is unchanged (oracle- and law-checked).
+    The caller owns the directory's lifecycle (pass a fresh temp dir;
+    nothing is reused across runs).
     """
     cents = _resolve_centroids(
         centroids, corpus, n_centroids, id_col, vec_col
     )
     an = _semantic_assign(new_batch, cents, vec_col, id_col)
     ac = _semantic_assign(corpus, cents, vec_col, id_col)
-    return _semantic_screen_assigned(an, ac, threshold, id_col)
+    if work_dir is None:
+        return _semantic_screen_assigned(an, ac, threshold, id_col)
+    import os
+
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        run_jobs_concurrently,
+    )
+
+    spark = new_batch.sparkSession
+    an_path = os.path.join(work_dir, "an")
+    ac_path = os.path.join(work_dir, "ac")
+    sv_path = os.path.join(work_dir, "surv")
+    cols = an.columns
+    schema = an.schema
+    run_jobs_concurrently(
+        lambda: an.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(an_path),
+        lambda: ac.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(ac_path),
+    )
+    # explicit schema on every read-back: an empty side (empty batch /
+    # all-zero-norm corpus) writes no part files and schema inference
+    # would fail; the given schema also pins the partition column's
+    # type so cell stays an int
+    an_r = spark.read.schema(schema).parquet(an_path).select(*cols)
+    touched = [r[0] for r in an_r.select("cell").distinct().collect()]
+    ac_r = (
+        spark.read.schema(schema)
+        .parquet(ac_path)
+        .filter(F.col("cell").isin(touched))
+        .select(*cols)
+    )
+    _corpus_screen_survivors(an_r, ac_r, threshold, id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(sv_path)
+    sv_r = spark.read.schema(schema).parquet(sv_path).select(*cols)
+    return _dominance_prune(sv_r, threshold, id_col)
 
 
-def _semantic_screen_assigned(
+def _corpus_screen_survivors(
     an: DataFrame, ac: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
-    """Corpus screen + intra-batch dominance over two pre-assigned
-    frames (:func:`_semantic_assign` shape) — the core both
-    :func:`semantic_dedup_incremental` and the streaming screen share;
-    ``ac`` may equally be the at-rest assignment table read back."""
+    """Stage-1 corpus screen over two pre-assigned frames: the new
+    rows NOT killed by any same-cell stored duplicate, still in
+    :func:`_semantic_assign` shape (stage 2, the intra-batch
+    dominance prune, runs over this)."""
     # The screen is existential, so duplicate corpus vectors add no
     # information — scan one representative per distinct vector
     # (zero-norm corpus rows have NULL cosine with everything and
@@ -654,7 +710,17 @@ def _semantic_screen_assigned(
         .select(F.col(f"a.{id_col}").alias(id_col))
         .distinct()
     )
-    survivors = an.join(screened_out, id_col, "left_anti")
+    return an.join(screened_out, id_col, "left_anti")
+
+
+def _semantic_screen_assigned(
+    an: DataFrame, ac: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Corpus screen + intra-batch dominance over two pre-assigned
+    frames (:func:`_semantic_assign` shape) — the core both
+    :func:`semantic_dedup_incremental` and the streaming screen share;
+    ``ac`` may equally be the at-rest assignment table read back."""
+    survivors = _corpus_screen_survivors(an, ac, threshold, id_col)
     return _dominance_prune(survivors, threshold, id_col)
 
 

@@ -37,13 +37,42 @@ def run_jobs_concurrently(*thunks) -> list:
     sequential failure-between-writes case. Results return in
     argument order; the first failure re-raises after all submitted
     jobs settle (no orphaned in-flight job keeps writing while the
-    caller errors out)."""
+    caller errors out).
+
+    Thunks run through ``pyspark.util.inheritable_thread_target``
+    (round-16 ADVICE): under PySpark's default pinned-thread mode a
+    bare pool thread neither inherits the parent's JVM local
+    properties (job group / description — so ``cancelJobGroup`` and
+    ``StreamingQuery.stop`` could not reach in-flight sink jobs, and
+    UI attribution was lost) nor releases its paired JVM thread on
+    exit (slow JVM-thread accumulation across a long stream's
+    micro-batches). The wrapper propagates the properties captured at
+    submit time and cleans up the py4j connection when the thunk
+    returns."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import SparkSession
+    from pyspark.util import inheritable_thread_target
 
     if len(thunks) == 1:
         return [thunks[0]()]
+    # the session form additionally inherits session tags and skips
+    # the bare form's "Tags will not be inherited" warning; both
+    # capture the parent's JVM local properties at submit time.
+    # getActiveSession is thread-local (None inside a nested pool
+    # worker — e.g. an index builder's overlapped writes submitted
+    # from an already-overlapped query job), so fall back to the
+    # process-wide instantiated session.
+    session = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    wrap = (
+        inheritable_thread_target(session)
+        if session is not None
+        else inheritable_thread_target
+    )
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [pool.submit(t) for t in thunks]
+        futures = [pool.submit(wrap(t)) for t in thunks]
         results, errs = [], []
         for f in futures:
             try:

@@ -579,7 +579,17 @@ def stream_semantic_screen(
         _check_bp_tables(checkpoint_path, [index_path])
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        an = similarity._semantic_assign(batch, cents, vec_col, id_col)
+        # materialize the batch's assignment ONCE (round 17, guide
+        # §1.2): the lazy form re-embedded this subtree (a batch scan
+        # + |cents|-way fold) into the touched-cell collect, all four
+        # dominance-prune instantiations of the survivors, and the
+        # kept_full semi-join — ~10 recomputes per micro-batch. The
+        # batch-scoped localCheckpoint is the same device the neardup/
+        # curation services use for their band frames; the registered
+        # query's plan evidence is the index read-back, unaffected.
+        an = similarity._semantic_assign(
+            batch, cents, vec_col, id_col
+        ).localCheckpoint(eager=True)
         # The screen is cell-scoped (a new row can only die to a
         # same-cell neighbour), so restrict BOTH screen inputs to the
         # cells this batch actually probes: with the corpus assignment
@@ -612,9 +622,20 @@ def stream_semantic_screen(
                 # saw and rewrite its partition bit-identically.
                 idx = idx.filter(F.col("bp") != int(batch_id))
             base = base.unionByName(idx.select(*an.columns))
-        kept = similarity._semantic_screen_assigned(
+        # materialize the stage-1 corpus-screen survivors before the
+        # intra-batch dominance prune (round 17): _dominance_prune
+        # instantiates its input four times, and each instance
+        # previously re-ran the whole touched-cell corpus/index read
+        # plus the screen join — 4× the per-batch corpus read (and,
+        # on the lazy corpus side, 4 full corpus re-scores per batch).
+        # Survivors are ≤ |batch| assigned rows; one bounded
+        # checkpoint makes corpus/index bytes flow exactly once per
+        # batch. Results unchanged (the screen/prune logic is
+        # untouched; test- and oracle-pinned).
+        surv = similarity._corpus_screen_survivors(
             an, base, threshold, id_col
-        )
+        ).localCheckpoint(eager=True)
+        kept = similarity._dominance_prune(surv, threshold, id_col)
         kept_full = an.join(kept.select(id_col), id_col, "left_semi")
         if index_layout == "cell_bp":
             # batch-partition append nested under the prune key: only
@@ -958,13 +979,28 @@ def stream_neardup_ingest(
             .distinct()
             .collect()
         )
-        prior = (
-            spark.read.parquet(stream_bands_path)
-            .filter(F.col("pfx").isin(pfxs))
-            .select(id_col, "band_idx", "band_hash")
-            if input_ready(spark, stream_bands_path)
-            else None
-        )
+        prior = None
+        if input_ready(spark, stream_bands_path):
+            prior = spark.read.parquet(stream_bands_path).filter(
+                F.col("pfx").isin(pfxs)
+            )
+            if bands_layout == "bp":
+                # replay/overlap guard (round-16 ADVICE): a checkpoint
+                # replay's file-index snapshot would otherwise include
+                # the failed attempt's own pfx=*/bp=<batch_id> files,
+                # which the concurrent band append delete-and-replaces
+                # mid-scan (FileNotFoundException on the verdict job).
+                # bp is a partition column so this prunes the replay
+                # target out of the scan entirely; on a normal run it
+                # is a no-op (stored bp < batch_id always, and the
+                # compaction fold bp=-1 passes). Result-preserving on
+                # replay too: prior hits require owner id strictly
+                # below the document's own, and the failed attempt's
+                # band owners are exactly this batch's ids — every
+                # self/batch-mate hit they could add is already
+                # counted via the in-batch band union.
+                prior = prior.filter(F.col("bp") < F.lit(int(batch_id)))
+            prior = prior.select(id_col, "band_idx", "band_hash")
         # new_bands already materialized above for the index append —
         # pass it through so the screen's three uses of the batch
         # bands don't re-run the MinHash pipeline (shingle explode +
@@ -1022,8 +1058,18 @@ def stream_neardup_ingest(
         # independent tables, replay-idempotent sinks: overlap the two
         # write jobs (round 16, guide §2.6); crash with any subset
         # written converges on replay exactly like the sequential
-        # crash-between-sinks case (test-pinned)
-        _run_sinks_concurrently(write_verdict, write_bands)
+        # crash-between-sinks case (test-pinned). EXCEPT on the legacy
+        # pfx MERGE band layout with stored history (round-16 ADVICE):
+        # there write_bands dynamic-overwrites exactly the pfx= dirs
+        # the verdict plan's prior scan is pruned to, EVERY batch —
+        # files deleted mid-scan fail the concurrent verdict job. The
+        # bp layout is overlap-safe (appends new bp dirs; the replay
+        # overwrite target is pruned out of the prior scan above).
+        if prior is not None and bands_layout != "bp":
+            write_verdict()
+            write_bands()
+        else:
+            _run_sinks_concurrently(write_verdict, write_bands)
         _maybe_compact_bp(
             spark, batch_id, compact_every, checkpoint_path,
             ([(out_path, None)] if verdict_layout == "bp" else [])
@@ -1513,9 +1559,26 @@ def stream_curation_ingest(
             ).localCheckpoint(eager=True),
         )
         bks = sorted(r["hb"] for r in bks_rows)
+        # bp < batch_id on both prior reads (round-16 ADVICE): on a
+        # checkpoint replay the failed attempt's hb=*/bp=<batch_id> and
+        # pfx=*/bp=<batch_id> files are in the scans' file-index
+        # snapshots while the concurrent hash/band appends
+        # delete-and-replace those directories at commit — the filter
+        # (a partition prune; real batch ids ≥ 0 so the compaction
+        # fold bp=-1 always passes) keeps the overwrite target out of
+        # the snapshot. Result-preserving: on a normal run stored bp
+        # is always < batch_id; on replay the excluded rows are this
+        # batch's own first-attempt rows, whose per-hash min first_id
+        # equals the in-batch window min already folded in via
+        # least(__pf, __bm), and whose band owners are this batch's
+        # own ids, already counted by the in-batch band union under
+        # the strict owner-id < rule.
         prior_h = (
             spark.read.parquet(hashes_path)
-            .filter(F.col("hb").isin(bks))
+            .filter(
+                (F.col("hb").isin(bks))
+                & (F.col("bp") < F.lit(int(batch_id)))
+            )
             # bound the slice to the batch's OWN digest set before
             # grouping: the touched-bucket slice grows with the corpus
             # (a uniformly-hashed batch touches every bucket), so
@@ -1573,7 +1636,10 @@ def stream_curation_ingest(
         )
         prior_b = (
             spark.read.parquet(bands_path)
-            .filter(F.col("pfx").isin(pfxs))
+            .filter(
+                (F.col("pfx").isin(pfxs))
+                & (F.col("bp") < F.lit(int(batch_id)))
+            )
             .select(id_col, "band_idx", "band_hash")
             if input_ready(spark, bands_path)
             else None

@@ -131,6 +131,43 @@ def test_shingles_short_docs_safe(spark):
     assert jac.count() == 0
 
 
+def test_shingles_known_answers(spark):
+    """Pins the round-17 slice+zip_with shingle formulation to the
+    exact arrays the original transform/element_at form produced:
+    positional order (first occurrence), duplicates collapsed,
+    sub-k docs empty, multi-space normalization preserved."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b c d"),
+        (2, "a a a a"),          # duplicate shingles collapse
+        (3, "x y"),              # sub-k → empty
+        (4, ""),                 # empty → empty
+        (5, "A  b\tC d"),        # normalization (case/whitespace)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dedup.shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a a a"]
+    assert got[3] == []
+    assert got[4] == []
+    assert got[5] == ["a b c", "b c d"]
+    got2 = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", dedup.shingles("text", 2).alias("sh")
+        ).collect()
+    }
+    assert got2[1] == ["a b", "b c", "c d"]
+    assert got2[2] == ["a a"]
+    assert got2[3] == ["x y"]
+
+
 def test_simhash_duplicate_docs_equal_hamming_zero(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
