@@ -525,31 +525,55 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = spark.createDataFrame(bf_rows, schema=bf_plan.schema)
     variants = [
-        ("bq", similarity.bq_topk(embs, q, k=10, refine=4, means=mu)),
-        ("ivf", similarity.ivf_topk(embs, q, k=10, centroids=cents)),
+        ("bq", lambda: similarity.bq_topk(embs, q, k=10, refine=4, means=mu)),
+        ("ivf", lambda: similarity.ivf_topk(embs, q, k=10, centroids=cents)),
         (
             "ivfpq",
-            similarity.ivfpq_topk(
+            lambda: similarity.ivfpq_topk(
                 embs, q, k=10, refine=4, centroids=cents, seeds=sds
             ),
         ),
-        ("lsh", similarity.ann_topk(embs, q, k=10)),
-        ("pq", similarity.pq_topk(embs, q, k=10, refine=4, seeds=sds)),
-        ("sq8", similarity.sq8_topk(embs, q, k=10, refine=4)),
+        ("lsh", lambda: similarity.ann_topk(embs, q, k=10)),
+        ("pq", lambda: similarity.pq_topk(embs, q, k=10, refine=4, seeds=sds)),
+        ("sq8", lambda: similarity.sq8_topk(embs, q, k=10, refine=4)),
     ]
-    out = None
-    for name, df in variants:
-        inter = bf.join(df.select("vec_id"), "vec_id")
-        row = inter.agg(F.count(F.lit(1)).alias("n_match")).select(
-            F.lit(name).alias("index_name"),
-            F.lit(10).alias("k"),
-            "n_match",
-            F.round(F.col("n_match").cast("double") / 10.0, 4).alias(
-                "recall_at_k"
-            ),
+
+    # the six panel legs are mutually independent one-row recall
+    # probes; the lazy 6-way union re-evaluated every index's full
+    # probe plan in one action when the caller ran it (each leg a
+    # full-corpus scan + fold at scale). Evaluate them as
+    # concurrently-submitted bounded jobs (guide §2.6 — one row per
+    # leg, the bf-collect class) and return the rows pinned in the
+    # fixed variant order: same rows, same schema, same oracle (the
+    # round-17 ann_recall_sweep treatment; per-index plan evidence
+    # lives with the registered standalone index queries).
+    def run_leg(item):
+        name, mk = item
+        df = mk()
+        row = (
+            bf.join(df.select("vec_id"), "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+            .select(
+                F.lit(name).alias("index_name"),
+                F.lit(10).alias("k"),
+                "n_match",
+                F.round(F.col("n_match").cast("double") / 10.0, 4).alias(
+                    "recall_at_k"
+                ),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        return row.schema, row.collect()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(
+            pool.map(inheritable_thread_target(spark)(run_leg), variants)
+        )
+    rows = [r for _, leg_rows in results for r in leg_rows]
+    return spark.createDataFrame(rows, schema=results[0][0])
 
 
 def _ann_recall_panel_oracle() -> str:
@@ -669,12 +693,21 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # the 12 sweep legs are mutually independent probes of the three
-    # at-rest indexes; 8 of them carry an eager bounded candidate
-    # collect (ivfpq/bq `*_topk_indexed`), previously paid as 8
-    # sequential driver actions. Construct the legs concurrently
-    # (guide §2.6) and union in the fixed grid order — same rows,
-    # same plan, the jobs just overlap.
+    # the 12 sweep legs are mutually independent one-row probes of the
+    # three at-rest indexes; 8 of them additionally carry an eager
+    # bounded candidate collect (ivfpq/bq `*_topk_indexed`). Round 16
+    # constructed the legs concurrently but still returned their lazy
+    # 12-way union — ONE action that re-evaluated all 12 probe plans
+    # (12 whole-stage-codegen spans + 12 pruned index scans + 12 bf
+    # joins) when the caller ran it. Round 17 (verdict ask #7):
+    # evaluate each leg as a concurrently-submitted bounded job (one
+    # recall row per leg — the same bounded-collect class as the bf
+    # ground truth) and return the 12 rows pinned as a literal frame
+    # in grid order. Rows, schema and oracle are unchanged. The
+    # per-leg PartitionFilters/ReadSchema evidence stays committed:
+    # the registered `*_topk_indexed` family queries carry the same
+    # probe plans in PLANS.md, and representative leg plans are
+    # dumped at plans/r17/ann_recall_sweep_leg_*.txt.
     grid = [
         (name, param, v)
         for name, param, values in _SWEEP_GRID
@@ -684,16 +717,17 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.util import inheritable_thread_target
 
+    def run_leg(g):
+        df = leg(*g)
+        return df.schema, df.collect()
+
     with ThreadPoolExecutor(max_workers=6) as pool:
-        rows = list(
-            pool.map(
-                inheritable_thread_target(spark)(lambda g: leg(*g)), grid
-            )
+        results = list(
+            pool.map(inheritable_thread_target(spark)(run_leg), grid)
         )
-    out = None
-    for row in rows:
-        out = row if out is None else out.unionByName(row)
-    return out
+    schema = results[0][0]
+    rows = [r for _, leg_rows in results for r in leg_rows]
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def _ann_recall_sweep_oracle() -> str:

@@ -58,7 +58,48 @@ def _fold_sum(terms: list[F.Column]) -> F.Column:
     return acc
 
 
-def _dot_fold(vec_col: F.Column, q: list[float]) -> F.Column:
+def _dlit(v: float) -> str:
+    """SQL literal that parses to exactly the double ``F.lit(float(v))``
+    would embed: ``repr`` emits the shortest round-tripping decimal and
+    the ``D`` suffix pins DOUBLE (a bare ``1.5`` would parse DECIMAL).
+    Bit-identity law-checked incl. -0.0, denormals and DBL_MAX."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal in fold expression: {v!r}")
+    return repr(v) + "D"
+
+
+def _ref_sql(name: str) -> str:
+    """Backtick-quoted SQL reference for a (possibly alias-qualified)
+    column name: ``a.embedding`` → ``\\`a\\`.\\`embedding\\``."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+def _dot_fold_sql(vec_sql: str, q: list[float]) -> str:
+    """SQL text of :func:`_dot_fold` — parses to the identical
+    zip_with+aggregate Catalyst tree (values bit-identical,
+    law-checked) while costing ONE py4j round-trip instead of ~75:
+    building 64 ``F.lit`` columns plus two Python lambdas per centroid
+    was the dominant *driver-side* cost of every multi-centroid
+    expression (kmeans_step built in 1.25 s vs 0.002 s this way;
+    guide §1.2 per-task work, applied to the driver)."""
+    arr = "array(" + ",".join(_dlit(v) for v in q) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_fold_sql(vec_sql: str) -> str:
+    """SQL text of :func:`_norm_fold` (same tree, one parse)."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _dot_fold(vec_col: F.Column | str, q: list[float]) -> F.Column:
     """Σ (double)v_i·q_i as a sequential left fold.
 
     ``F.aggregate`` folds the array in element order, so it associates
@@ -68,13 +109,23 @@ def _dot_fold(vec_col: F.Column, q: list[float]) -> F.Column:
     eight such chains in one projection overflow Spark's 64 KB
     generated-method limit and drop the whole stage to interpreted
     mode (the HOF is interpreted too, but only per element — the rest
-    of the stage keeps codegen)."""
+    of the stage keeps codegen).
+
+    Pass the vector as a column NAME (str) where possible: that path
+    builds the whole fold as one parsed SQL expression
+    (:func:`_dot_fold_sql`) — same tree, same bits, ~75× fewer py4j
+    round-trips per centroid. The Column form stays for composed
+    expressions and external callers."""
+    if isinstance(vec_col, str):
+        return F.expr(_dot_fold_sql(_ref_sql(vec_col), q))
     qarr = F.array(*[F.lit(float(v)) for v in q])
     prods = F.zip_with(vec_col, qarr, lambda x, y: x.cast("double") * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm_fold(vec_col: F.Column, dim: int) -> F.Column:
+def _norm_fold(vec_col: F.Column | str, dim: int) -> F.Column:
+    if isinstance(vec_col, str):
+        return F.expr(_norm_fold_sql(_ref_sql(vec_col)))
     sq = F.transform(vec_col, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
@@ -106,8 +157,8 @@ def cosine_scores(
 ) -> DataFrame:
     """Adds an exact `cosine` column against the literal query vector."""
     dim = len(query)
-    dot = _dot_fold(F.col(vec_col), query)
-    norm = _norm_fold(F.col(vec_col), dim)
+    dot = _dot_fold(vec_col, query)
+    norm = _norm_fold(vec_col, dim)
     qn = F.lit(_qnorm(query))
     return embs.withColumn(
         "cosine",
@@ -135,12 +186,22 @@ def cosine_topk(
     )
 
 
-def rp_bucket(vec_col: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+def rp_bucket(
+    vec_col: F.Column | str, planes: list[list[float]] | None = None
+) -> F.Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane,
     rendered as a bit-string (e.g. '10110010'). ±1 plane entries keep
     every product exact in IEEE doubles, so the sign — and therefore
-    the bucket — is engine-independent."""
+    the bucket — is engine-independent. A str ``vec_col`` takes the
+    one-parse SQL path (see :func:`_dot_fold`)."""
     planes = planes or ANN_PLANES
+    if isinstance(vec_col, str):
+        ref = _ref_sql(vec_col)
+        bits = ", ".join(
+            f"CASE WHEN {_dot_fold_sql(ref, p)} >= 0 THEN '1' ELSE '0' END"
+            for p in planes
+        )
+        return F.expr(f"concat({bits})")
     bits = [
         F.when(_dot_fold(vec_col, p) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in planes
@@ -177,7 +238,7 @@ def ann_topk(
 
     qbits = "".join("1" if fold_dot(p) >= 0 else "0" for p in planes)
     scored = cosine_scores(
-        embs.filter(rp_bucket(F.col(vec_col), planes) == F.lit(qbits)),
+        embs.filter(rp_bucket(vec_col, planes) == F.lit(qbits)),
         query,
         vec_col,
     )
@@ -208,7 +269,7 @@ def embedding_neardup_pairs(
     bucketed = embs.select(
         F.col(id_col),
         F.col(vec_col),
-        rp_bucket(F.col(vec_col), planes).alias("bucket"),
+        rp_bucket(vec_col, planes).alias("bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     pairs = a.join(
@@ -222,8 +283,8 @@ def embedding_neardup_pairs(
         lambda x, y: x.cast("double") * y.cast("double"),
     )
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    na = _norm_fold(F.col(f"a.{vec_col}"), dim)
-    nb = _norm_fold(F.col(f"b.{vec_col}"), dim)
+    na = _norm_fold(f"a.{vec_col}", dim)
+    nb = _norm_fold(f"b.{vec_col}", dim)
     scored = pairs.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
@@ -266,13 +327,25 @@ def _inv_norm(c: list[float]) -> float:
 
 
 def ivf_assign(
-    vec_col: F.Column, centroids: list[list[float]]
+    vec_col: F.Column | str, centroids: list[list[float]]
 ) -> F.Column:
     """Nearest-centroid cell id by cosine. Since the row's own norm is
     a common positive factor across centroids, argmax cosine ≡ argmax
     dot(v, c)·(1/|c|) — one fold and one multiply per centroid, no
     per-row sqrt. Ties take the lowest cell id (max over (sim, -id)
-    structs), matching the oracle's first-match CASE."""
+    structs), matching the oracle's first-match CASE. A str
+    ``vec_col`` builds the whole argmax as ONE parsed SQL expression
+    (round 17 — the |cents|×dim ``F.lit`` chain construction was the
+    dominant driver-side cost of every assignment-bearing plan; same
+    tree, same bits, law- and oracle-checked)."""
+    if isinstance(vec_col, str):
+        ref = _ref_sql(vec_col)
+        structs = ", ".join(
+            f"struct({_dot_fold_sql(ref, c)} * {_dlit(_inv_norm(c))} "
+            f"AS s, {-i} AS ni)"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(f"-(array_max(array({structs})).ni)")
     scored = [
         F.struct(
             (_dot_fold(vec_col, c) * F.lit(_inv_norm(c))).alias("s"),
@@ -457,15 +530,16 @@ def _semantic_assign(
         )
     dim = len(cents[0])
     v = F.col(vec_col)
-    scored = [
-        F.struct(
-            (_dot_fold(v, c) * F.lit(_inv_norm(c))).alias("s"),
-            F.lit(-i).alias("ni"),
-        )
+    # one-parse SQL form of the scored-struct argmax (round 17, see
+    # ivf_assign) — identical tree and bits to the F.lit/lambda build
+    ref = _ref_sql(vec_col)
+    structs = ", ".join(
+        f"struct({_dot_fold_sql(ref, c)} * {_dlit(_inv_norm(c))} "
+        f"AS s, {-i} AS ni)"
         for i, c in enumerate(cents)
-    ]
-    best = F.array_max(F.array(*scored))
-    nv = _norm_fold(v, dim)
+    )
+    best = F.expr(f"array_max(array({structs}))")
+    nv = _norm_fold(vec_col, dim)
     return embs.select(
         F.col(id_col),
         v.alias("_v"),
@@ -756,7 +830,7 @@ def ivf_topk(
             .limit(0)
         )
     probes = ivf_query_probes(query, cents, n_probe)
-    cand = embs.filter(ivf_assign(F.col(vec_col), cents).isin(probes))
+    cand = embs.filter(ivf_assign(vec_col, cents).isin(probes))
     scored = cosine_scores(cand, query, vec_col)
     return (
         scored.select(F.col(id_col), F.col("cosine"))
@@ -862,7 +936,7 @@ def kmeans_step(
     decimal-sum means), so a SQL oracle replays the whole step bitwise.
     """
     assigned = embs.select(
-        ivf_assign(F.col(vec_col), centroids).alias("cell"),
+        ivf_assign(vec_col, centroids).alias("cell"),
         F.col(vec_col),
     )
     return embedding_centroids(
@@ -923,8 +997,8 @@ def ivf_knn_join(
     corpus = embs.select(
         F.col(id_col).alias("nn_id"),
         F.col(vec_col).alias("__cv"),
-        ivf_assign(F.col(vec_col), cents).alias("__cell"),
-        _norm_fold(F.col(vec_col), dim).alias("__cn"),
+        ivf_assign(vec_col, cents).alias("__cell"),
+        _norm_fold(vec_col, dim).alias("__cn"),
     )
     # per-query probe cells: the same (sim, -cell) structs ivf_assign
     # ranks, sorted descending and sliced to n_probe, then exploded to
@@ -932,7 +1006,7 @@ def ivf_knn_join(
     scored = F.array(
         *[
             F.struct(
-                (_dot_fold(F.col(q_vec_col), c) * F.lit(_inv_norm(c))).alias("s"),
+                (_dot_fold(q_vec_col, c) * F.lit(_inv_norm(c))).alias("s"),
                 F.lit(-i).alias("ni"),
             )
             for i, c in enumerate(cents)
@@ -941,7 +1015,7 @@ def ivf_knn_join(
     probes = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).alias("__qv"),
-        _norm_fold(F.col(q_vec_col), dim).alias("__qn"),
+        _norm_fold(q_vec_col, dim).alias("__qn"),
         F.explode(
             F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
         ).alias("__p"),
@@ -997,7 +1071,7 @@ def ivf_write_index(
     cents = centroids if centroids is not None else ivf_centroids(
         embs, n_centroids, id_col, vec_col
     )
-    embs.withColumn("cell", ivf_assign(F.col(vec_col), cents)).write.mode(
+    embs.withColumn("cell", ivf_assign(vec_col, cents)).write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(path)
     with open(os.path.join(path, _IVF_META_SIDECAR), "w") as f:
@@ -1688,7 +1762,7 @@ def ivfpq_topk(
             .limit(0)
         )
     probes = ivf_query_probes(query, cents, n_probe)
-    cand = embs.filter(ivf_assign(F.col(vec_col), cents).isin(probes))
+    cand = embs.filter(ivf_assign(vec_col, cents).isin(probes))
     return pq_topk(
         cand,
         query,
@@ -1752,7 +1826,7 @@ def ivfpq_write_index(
         embs.select(
             F.col(id_col),
             enc_udf(F.col(vec_col)).alias("_codes"),
-            ivf_assign(F.col(vec_col), cents).alias("cell"),
+            ivf_assign(vec_col, cents).alias("cell"),
         )
         .select(
             F.col(id_col),
@@ -1826,7 +1900,7 @@ def ivfpq_merge_index(
     batch = new_embs.select(
         F.col(id_col),
         enc_udf(F.col(vec_col)).alias("_codes"),
-        ivf_assign(F.col(vec_col), cents).alias("cell"),
+        ivf_assign(vec_col, cents).alias("cell"),
     ).select(
         F.col(id_col),
         *[F.element_at("_codes", s + 1).alias(f"c{s}") for s in range(m)],
@@ -2820,13 +2894,13 @@ def hard_negatives(
         F.col(id_col).alias("nn_id"),
         F.col(label_col).alias("negative_label"),
         F.col(vec_col).alias("__cv"),
-        ivf_assign(F.col(vec_col), cents).alias("__cell"),
-        _norm_fold(F.col(vec_col), dim).alias("__cn"),
+        ivf_assign(vec_col, cents).alias("__cell"),
+        _norm_fold(vec_col, dim).alias("__cn"),
     )
     scored = F.array(
         *[
             F.struct(
-                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                (_dot_fold(vec_col, c) * F.lit(_inv_norm(c))).alias(
                     "s"
                 ),
                 F.lit(-i).alias("ni"),
@@ -2838,7 +2912,7 @@ def hard_negatives(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("__qv"),
-        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        _norm_fold(vec_col, dim).alias("__qn"),
         F.explode(
             F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
         ).alias("__p"),
@@ -2908,13 +2982,13 @@ def contrastive_pairs(
         F.col(id_col).alias("nn_id"),
         F.col(label_col).alias("pair_label"),
         F.col(vec_col).alias("__cv"),
-        ivf_assign(F.col(vec_col), cents).alias("__cell"),
-        _norm_fold(F.col(vec_col), dim).alias("__cn"),
+        ivf_assign(vec_col, cents).alias("__cell"),
+        _norm_fold(vec_col, dim).alias("__cn"),
     )
     scored = F.array(
         *[
             F.struct(
-                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                (_dot_fold(vec_col, c) * F.lit(_inv_norm(c))).alias(
                     "s"
                 ),
                 F.lit(-i).alias("ni"),
@@ -2926,7 +3000,7 @@ def contrastive_pairs(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("__qv"),
-        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        _norm_fold(vec_col, dim).alias("__qn"),
         F.explode(
             F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
         ).alias("__p"),
@@ -3016,7 +3090,7 @@ def contrastive_write_index(
             F.col(id_col),
             F.col(label_col),
             F.col(vec_col),
-            ivf_assign(F.col(vec_col), cents).alias("cell"),
+            ivf_assign(vec_col, cents).alias("cell"),
             F.lit(-1).cast("long").alias("bp"),
         )
         .repartition(F.col("cell"))
@@ -3067,7 +3141,7 @@ def contrastive_pairs_indexed(
     scored = F.array(
         *[
             F.struct(
-                (_dot_fold(F.col(vec_col), c) * F.lit(_inv_norm(c))).alias(
+                (_dot_fold(vec_col, c) * F.lit(_inv_norm(c))).alias(
                     "s"
                 ),
                 F.lit(-i).alias("ni"),
@@ -3079,7 +3153,7 @@ def contrastive_pairs_indexed(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("__qv"),
-        _norm_fold(F.col(vec_col), dim).alias("__qn"),
+        _norm_fold(vec_col, dim).alias("__qn"),
         F.explode(
             F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
         ).alias("__p"),
@@ -3103,7 +3177,7 @@ def contrastive_pairs_indexed(
             F.col(label_col).alias("pair_label"),
             F.col(vec_col).alias("__cv"),
             F.col("cell").alias("__cell"),
-            _norm_fold(F.col(vec_col), dim).alias("__cn"),
+            _norm_fold(vec_col, dim).alias("__cn"),
         )
     )
     cand = corpus.join(F.broadcast(probes), "__cell").filter(

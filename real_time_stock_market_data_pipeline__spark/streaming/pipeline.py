@@ -1410,7 +1410,7 @@ def stream_contrastive_ingest(
             F.col(id_col),
             F.col(label_col),
             F.col(vec_col),
-            similarity.ivf_assign(F.col(vec_col), cents).alias("cell"),
+            similarity.ivf_assign(vec_col, cents).alias("cell"),
         )
         if layout == "cell_bp":
             append_batch_partition(
