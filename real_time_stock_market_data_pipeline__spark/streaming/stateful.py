@@ -338,17 +338,23 @@ def stream_bloom_dedup(
         rows["_ts_str"] = rows[ts_col].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         rows = rows.sort_values(["_ts_str", id_col]).reset_index(drop=True)
         out = {k: [] for k in BLOOM_DEDUP_OUTPUT.names}
-        for _, r in rows.iterrows():
-            ts_s, rid = r["_ts_str"], int(r[id_col])
+        # plain-list zip, not iterrows (round 17, guide §4.2): the
+        # per-row Series construction of iterrows dominated the
+        # stateful pass; the fold itself is unchanged row for row
+        kid = int(key[0])
+        for ts_s, rid, fp in zip(
+            rows["_ts_str"].tolist(),
+            (int(x) for x in rows[id_col].tolist()),
+            (str(x) for x in rows[fp_col].tolist()),
+        ):
             if (ts_s, rid) <= (last_ts, last_id):
                 continue
             last_ts, last_id = ts_s, rid
-            fp = str(r[fp_col])
             bits = 0
             for p in _sbf_positions(fp):
                 bits |= 1 << p
             if word & bits != bits:  # at least one unseen bit -> keep
-                out["user_id"].append(int(key[0]))
+                out["user_id"].append(kid)
                 out["ts"].append(ts_s)
                 out["event_id"].append(rid)
                 out["fp"].append(fp)
