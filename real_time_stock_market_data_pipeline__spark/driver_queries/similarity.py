@@ -566,11 +566,13 @@ def q_ann_recall_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.util import inheritable_thread_target
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        thread_inheriting_wrapper,
+    )
 
     with ThreadPoolExecutor(max_workers=6) as pool:
         results = list(
-            pool.map(inheritable_thread_target(spark)(run_leg), variants)
+            pool.map(thread_inheriting_wrapper()(run_leg), variants)
         )
     rows = [r for _, leg_rows in results for r in leg_rows]
     return spark.createDataFrame(rows, schema=results[0][0])
@@ -715,7 +717,9 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.util import inheritable_thread_target
+    from real_time_stock_market_data_pipeline__spark.sinks import (
+        thread_inheriting_wrapper,
+    )
 
     def run_leg(g):
         df = leg(*g)
@@ -723,7 +727,7 @@ def q_ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with ThreadPoolExecutor(max_workers=6) as pool:
         results = list(
-            pool.map(inheritable_thread_target(spark)(run_leg), grid)
+            pool.map(thread_inheriting_wrapper()(run_leg), grid)
         )
     schema = results[0][0]
     rows = [r for _, leg_rows in results for r in leg_rows]

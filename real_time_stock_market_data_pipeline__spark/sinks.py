@@ -25,6 +25,38 @@ from real_time_stock_market_data_pipeline__spark.operators.relational import (
 )
 
 
+def thread_inheriting_wrapper():
+    """Callable-wrapping decorator for driver threads that submit
+    Spark jobs: under PySpark's default pinned-thread mode it is
+    ``pyspark.util.inheritable_thread_target`` — the session form
+    when a session is resolvable (inherits job group/description AND
+    tags, no "Tags will not be inherited" warning), else the bare
+    form — so concurrent jobs stay cancellable and UI-attributed and
+    pinned JVM threads are cleaned up. With the pinned mode OFF the
+    identity wrapper is returned: in that mode JVM thread-locals are
+    process-global anyway, and ``inheritable_thread_target(session)``
+    would return the session itself rather than a decorator (calling
+    it on a thunk would crash).
+
+    ``getActiveSession`` is thread-local (None inside a nested pool
+    worker — e.g. an index builder's overlapped writes submitted from
+    an already-overlapped query job), so fall back to the
+    process-wide instantiated session."""
+    from py4j.clientserver import ClientServer
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+    from pyspark.util import inheritable_thread_target
+
+    if not isinstance(SparkContext._gateway, ClientServer):
+        return lambda t: t
+    session = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if session is not None:
+        return inheritable_thread_target(session)
+    return inheritable_thread_target
+
+
 def run_jobs_concurrently(*thunks) -> list:
     """Run INDEPENDENT eager Spark actions (table writes to disjoint
     paths, bounded collects, localCheckpoints) as overlapping jobs
@@ -51,26 +83,9 @@ def run_jobs_concurrently(*thunks) -> list:
     returns."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql import SparkSession
-    from pyspark.util import inheritable_thread_target
-
     if len(thunks) == 1:
         return [thunks[0]()]
-    # the session form additionally inherits session tags and skips
-    # the bare form's "Tags will not be inherited" warning; both
-    # capture the parent's JVM local properties at submit time.
-    # getActiveSession is thread-local (None inside a nested pool
-    # worker — e.g. an index builder's overlapped writes submitted
-    # from an already-overlapped query job), so fall back to the
-    # process-wide instantiated session.
-    session = SparkSession.getActiveSession() or getattr(
-        SparkSession, "_instantiatedSession", None
-    )
-    wrap = (
-        inheritable_thread_target(session)
-        if session is not None
-        else inheritable_thread_target
-    )
+    wrap = thread_inheriting_wrapper()
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
         futures = [pool.submit(wrap(t)) for t in thunks]
         results, errs = [], []
