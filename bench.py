@@ -1,19 +1,23 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-TWO JSON lines — a detailed one with every per-query timing, then a
-COMPACT totals-only line LAST:
+TWO JSON lines — a detailed one with every per-query timing at full
+precision, then a COMPACT line LAST with the totals plus a
+byte-budget-filtered per-query dict (0.1 s rounding, no spaces):
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, ...}
     {"metric": "...", "value": N, "unit": "sec", "tier2_total": ..,
-     "calib_sec": .., "calib_tiers": {...}, "compact": true, ...}
+     "calib_sec": .., "calib_tiers": {...}, "queries": {...},
+     "compact": true, ...}
 
 The compact line exists because the driver records only the final
 ~2000 chars of stdout: BENCH_r15's five-tier detailed line outgrew
 that capture and the headline ``value`` was truncated away
-(``parsed: null``). The compact line is always well under the limit;
-per-query timings live in the detailed line (and it carries the five
-slowest queries inline as ``top``).
+(``parsed: null``), and BENCH_r16's totals-only compact line left
+``PERF_r16.per_query`` empty. Round 17: the compact line carries the
+per-query timings itself, dropping the globally smallest entries
+until it fits the tail with margin (the dropped sub-second rows stay
+in the detailed first line).
 
 Calibration runs BEFORE tier 1 (``calib_sec``, the comparable
 pre-round-16 key) and again AFTER EVERY TIER (``calib_tiers``):
@@ -289,65 +293,40 @@ def main() -> None:
     if errors:
         result["errors"] = errors
     # Detailed line first (full precision, every query — the
-    # pre-round-16 record, unchanged), then per-tier compact
-    # per-query lines, then the compact totals line LAST: the driver
-    # keeps only the final ~2000 chars of stdout, so the lines that
-    # must survive go last (round-16 verdict ask #2 — per-query
-    # driver visibility was lost when the detailed line outgrew the
-    # tail).
+    # pre-round-16 record, unchanged), then the compact totals line
+    # LAST, now carrying a budget-filtered per-query dict (round-16
+    # verdict ask #2 — per-query driver visibility was lost when the
+    # detailed line outgrew the ~2000-char tail the driver keeps).
+    # The per-query data rides the FINAL line itself — the format the
+    # driver demonstrably parsed per_query from in rounds ≤ 14 (one
+    # JSON line with a "queries" key) — rather than the separate
+    # per-tier lines the verdict sketched, whose parsing is unproven;
+    # the totals line is still last and still well-formed.
     print(json.dumps(result))
     compact["compact"] = True
     if errors:
         compact["error_queries"] = sorted(errors)[:10]
-    final_line = json.dumps(compact, separators=(",", ":"))
-    # Per-tier per-query lines, 0.1 s rounding, no spaces. The 77
-    # names + values don't quite fit the 2000-char tail next to the
-    # totals line, so retention is byte-budget-aware: drop the
-    # globally SMALLEST timings (pure fixed overhead at sf0.1, never
-    # the attribution targets) until everything fits with margin.
-    # The dropped queries' full-precision timings remain in the
-    # detailed first line above.
-    tail_budget = 1900 - len(final_line) - 1
 
+    # 0.1 s rounding, no spaces. All 77 names + values don't quite
+    # fit the tail next to the totals, so retention is
+    # byte-budget-aware: drop the globally SMALLEST timings (pure
+    # fixed overhead at sf0.1, never the attribution targets) until
+    # the line fits with margin. The dropped queries' full-precision
+    # timings remain in the detailed first line above.
     def _fmt(v: float) -> float | int:
         v = round(v, 1)
         return int(v) if v == int(v) else v
 
-    tier_sel: list[dict[str, float]] = [
-        {n: timings[n] for n in names if n in timings}
-        for names in (
-            BENCH_QUERIES,
-            TIER2_QUERIES,
-            TIER3_QUERIES,
-            TIER4_QUERIES,
-            TIER5_QUERIES,
-        )
-    ]
+    sel = dict(timings)
 
-    def _render() -> list[str]:
-        return [
-            json.dumps(
-                {"queries": {n: _fmt(v) for n, v in sel.items()}},
-                separators=(",", ":"),
-            )
-            for sel in tier_sel
-            if sel
-        ]
+    def _render() -> str:
+        compact["queries"] = {n: _fmt(v) for n, v in sel.items()}
+        return json.dumps(compact, separators=(",", ":"))
 
-    lines = _render()
-    while lines and sum(len(ln) + 1 for ln in lines) > tail_budget:
-        ti, name = min(
-            (
-                (i, n)
-                for i, sel in enumerate(tier_sel)
-                for n in sel
-            ),
-            key=lambda t: tier_sel[t[0]][t[1]],
-        )
-        del tier_sel[ti][name]
-        lines = _render()
-    for ln in lines:
-        print(ln)
+    final_line = _render()
+    while sel and len(final_line) + 1 > 1900:
+        del sel[min(sel, key=sel.get)]
+        final_line = _render()
     print(final_line)
     try:
         spark.stop()
